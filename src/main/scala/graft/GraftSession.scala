@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended local-mode settings.
+  *
+  * Design notes for cluster scale (the library itself is deployment-agnostic;
+  * only this helper pins local-mode values):
+  *   - shuffle partitions sized to cores locally; on a real cluster AQE
+  *     coalesces post-shuffle partitions so an over-provisioned static value
+  *     is safe.
+  *   - AQE on: runtime re-planning (skew-join splitting, dynamic coalesce,
+  *     broadcast-join demotion/promotion) is the main lever at 100 TB.
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

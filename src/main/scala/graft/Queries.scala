@@ -1,0 +1,97 @@
+package graft
+
+import graft.io.Tables
+import graft.model.Defaults
+import graft.ops._
+import graft.text.{SimpleAnalyzer, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's declared query catalog: Spark implementation + DuckDB oracle
+  * SQL per query (SparkEntry exposes both to the driver harness).
+  *
+  * Determinism contract (oracle hash-compare): every query ends in a total
+  * ORDER BY with explicit tiebreakers; count-like outputs are cast to long;
+  * aggregate columns are aliased identically in Spark and SQL.
+  */
+object Queries {
+  private val cfg = Defaults.config
+  private val analyzer = SimpleAnalyzer(cfg.stopwords)
+
+  /** name -> (spark impl, Some(oracle sql)). */
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    ("q01_industry_counts",
+      (s: SparkSession, dir: String) =>
+        StatsOps.industryCounts(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg)),
+      Some(graft.sql.OracleSql.industryCounts(cfg, "documents"))),
+
+    ("q02_top_posts",
+      (s: SparkSession, dir: String) =>
+        StatsOps.topPostsPerIndustry(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg), cfg, 20)
+          .withColumn("rk", col("rk").cast("long")),
+      Some(graft.sql.OracleSql.topPostsPerIndustry(cfg, "documents", 20))),
+
+    ("q03_top_channels_by_views",
+      (s: SparkSession, dir: String) =>
+        StatsOps.topChannelsByViews(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg), cfg, 15)
+          .withColumn("rk", col("rk").cast("long")),
+      Some(graft.sql.OracleSql.topChannelsByViews(cfg, "documents", 15))),
+
+    ("q04_active_channels",
+      (s: SparkSession, dir: String) =>
+        StatsOps.mostActiveChannels(KeywordOps.clean(Tables.documents(s, dir), cfg), cfg, 15),
+      Some(graft.sql.OracleSql.mostActiveChannels(cfg, "documents", 15))),
+
+    ("q05_keyword_breakdown",
+      (s: SparkSession, dir: String) =>
+        BreakdownOps.keywordBreakdown(s, KeywordOps.clean(Tables.documents(s, dir), cfg), cfg),
+      Some(graft.sql.OracleSql.keywordBreakdown(cfg, "documents"))),
+
+    ("q06_word_frequency",
+      (s: SparkSession, dir: String) =>
+        TextOps.wordFrequency(KeywordOps.clean(Tables.documents(s, dir), cfg), cfg.posts.textCol, analyzer, 50),
+      Some(graft.sql.OracleSql.wordFrequency(cfg, "documents", minLen = 2, topN = 50))),
+
+    ("q06b_word_frequency_by_industry",
+      (s: SparkSession, dir: String) =>
+        TextOps.wordFrequencyByCategory(
+          KeywordOps.cleanExploded(Tables.documents(s, dir), cfg),
+          "industry", cfg.posts.textCol, analyzer, 10)
+          .withColumn("rk", col("rk").cast("long")),
+      Some(graft.sql.OracleSql.wordFrequencyByCategory(cfg, "documents", minLen = 2, topN = 10))),
+
+    ("q07_resample_daily",
+      (s: SparkSession, dir: String) =>
+        ResampleOps.resampleCount(Tables.events(s, dir), "ts", ResampleOps.Daily),
+      Some(graft.sql.OracleSql.resampleCount("events", "ts", "day", "INTERVAL 1 DAY"))),
+
+    ("q08_resample_weekly",
+      (s: SparkSession, dir: String) =>
+        ResampleOps.resampleCount(Tables.events(s, dir), "ts", ResampleOps.Weekly),
+      Some(graft.sql.OracleSql.resampleCount("events", "ts", "week", "INTERVAL 7 DAY"))),
+
+    ("q09_resample_monthly",
+      (s: SparkSession, dir: String) =>
+        ResampleOps.resampleCount(Tables.events(s, dir), "ts", ResampleOps.Monthly),
+      Some(graft.sql.OracleSql.resampleCount("events", "ts", "month", "INTERVAL 1 MONTH"))),
+
+    ("q10_channel_audit",
+      (s: SparkSession, dir: String) =>
+        StatsOps.channelAudit(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg), cfg, 5, 3)
+          .withColumn("channel_rank", col("channel_rank").cast("long"))
+          .withColumn("post_rank", col("post_rank").cast("long")),
+      Some(graft.sql.OracleSql.channelAudit(cfg, "documents", 5, 3))),
+
+    ("q11_debug_keyword",
+      (s: SparkSession, dir: String) =>
+        BreakdownOps.debugKeyword(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg), cfg, "Joins", "merge", 25),
+      Some(graft.sql.OracleSql.debugKeyword(cfg, "documents", "Joins", "merge", 25)))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

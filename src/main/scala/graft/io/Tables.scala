@@ -1,0 +1,47 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader over a scale-factor directory
+  * (`/root/testdata/sf{N}/<name>.parquet` — see /root/repo/TESTDATA.md).
+  *
+  * Scale note: plain `spark.read.parquet` keeps Catalyst's column pruning and
+  * predicate pushdown intact — downstream `select`/`filter` reach the scan as
+  * `ReadSchema`/`PushedFilters`. Never pre-`.cache()` here; callers decide
+  * what is worth persisting.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+
+  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
+    * Spark's µs TimestampType cannot represent directly (PARQUET_TYPE_ILLEGAL
+    * by default). Read the raw nanos as long (legacy conf) and truncate to
+    * microseconds with integer `div` — never via double, which loses
+    * precision above 2^53 ns. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+
+  /** Register every table as a temp view so the whole engine surface is
+    * reachable from `spark.sql(...)`. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.model.{AnalysisConfig, Taxonomy}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's filter/tag operator family, re-expressed as pure
+  * `DataFrame => DataFrame` stages (so batch and Structured Streaming share
+  * them unchanged).
+  *
+  * Everything here stays inside whole-stage codegen: `rlike`/`isin`/
+  * `functions.filter` over a literal array — no UDFs, no driver round-trips,
+  * so the stages scale linearly with partitions and all predicates remain
+  * visible to Catalyst (pushdown, reordering, pruning).
+  */
+object KeywordOps {
+
+  /** P3 KEYWORD-FILTER — cheap first-pass relevance gate: one union OR-regex
+    * over all escaped keyword literals (reference `main.py:284-288`).
+    * Deliberately ordered BEFORE per-industry tagging: the cascade
+    * (cheap coarse filter, then detailed classification) is the reference's
+    * one real optimization and we keep it structurally. */
+  def keywordFilter(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && col(textCol).rlike(taxonomy.unionPattern))
+
+  /** P5 ANTI-FILTER (channel blacklist) — case-insensitive NOT IN
+    * (reference `main.py:350-352`). For blacklists small enough to inline
+    * this compiles to an `In` predicate; use [[blacklistAntiJoin]] when the
+    * blacklist is itself a big table. */
+  def channelBlacklistFilter(df: DataFrame, cfg: AnalysisConfig): DataFrame =
+    if (cfg.channelBlacklist.isEmpty) df
+    else df.filter(!lower(col(cfg.posts.channelCol)).isin(cfg.blacklistLower: _*))
+
+  /** Scale path for P5: broadcast LEFT ANTI join against a blacklist
+    * relation (for blacklists too large to inline as a literal IN-list). */
+  def blacklistAntiJoin(df: DataFrame, blacklist: DataFrame, channelCol: String): DataFrame = {
+    val bl = blacklist.select(lower(col(blacklist.columns.head)).as("__bl_channel")).distinct()
+    df.join(broadcast(bl), lower(col(channelCol)) === col("__bl_channel"), "left_anti")
+  }
+
+  /** P6 ANTI-FILTER (context noise) — drop rows matching the UNESCAPED noise
+    * regexes (reference `main.py:208,354-364`; note asymmetry with P3:
+    * industry keywords are escaped literals, noise patterns are raw regex). */
+  def noiseFilter(df: DataFrame, cfg: AnalysisConfig): DataFrame =
+    if (cfg.noisePatterns.isEmpty) df
+    else df.filter(!col(cfg.posts.textCol).rlike(cfg.noiseUnionPattern))
+
+  /** The full clean stage = P3 -> P5 -> P6. The reference re-runs this chain
+    * in three places (`main.py:347-364,410-421,520-538`); here it is ONE
+    * stage that downstream reports share (and may `.cache()`). */
+  def clean(df: DataFrame, cfg: AnalysisConfig): DataFrame =
+    noiseFilter(channelBlacklistFilter(keywordFilter(df, cfg.taxonomy, cfg.posts.textCol), cfg), cfg)
+
+  /** P4 TAG (multi-label classify), boolean-column form: one `is_<Industry>`
+    * BooleanType column per industry (reference `main.py:309-329`).
+    * A post may match several industries — per-industry stats intentionally
+    * double-count (SURVEY §7 hard-part (c): keep, don't "fix"). */
+  def tagBooleans(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
+    taxonomy.industries.foldLeft(df) { case (acc, (ind, _)) =>
+      acc.withColumn(s"is_$ind", col(textCol).rlike(taxonomy.patternFor(ind)))
+    }
+
+  /** P4 TAG, array form: a single `industries` ArrayType(StringType) column
+    * of all matched industries. More idiomatic in Spark — `explode` replaces
+    * the reference's per-industry loop, and one downstream `groupBy` covers
+    * all industries in a single shuffle. Pure `functions._` (codegen'd). */
+  def tagArray(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame = {
+    val tags = array(taxonomy.industries.map { case (ind, _) =>
+      when(col(textCol).rlike(taxonomy.patternFor(ind)), lit(ind))
+    }: _*)
+    df.withColumn("industries", filter(tags, _.isNotNull))
+  }
+
+  /** P8 OR-ACROSS-COLUMNS — "globally relevant" mask: any industry matched
+    * (reference `main.py:547-550`). Array form: non-empty tag array. */
+  def anyIndustry(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
+    df.filter(col(textCol).rlike(taxonomy.unionPattern))
+
+  /** Clean + tag + explode to one row per (post, industry): the shared input
+    * of every per-industry report. One pass over the data regardless of the
+    * number of industries. */
+  def cleanExploded(df: DataFrame, cfg: AnalysisConfig): DataFrame =
+    tagArray(clean(df, cfg), cfg.taxonomy, cfg.posts.textCol)
+      .withColumn("industry", explode(col("industries")))
+      .drop("industries")
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** W1 RESAMPLE-COUNT — calendar-bucketed counts with ZERO-FILL for empty
+  * buckets (reference `df.resample('D'/'W'/'M').size()`, `main.py:812-816`).
+  *
+  * Spark has no `resample`; gap-filling is explicit: generate the calendar
+  * with `sequence(min, max, interval)` + `explode`, LEFT join the counts,
+  * `coalesce(n, 0)`.
+  *
+  * Scale notes: the counts side is a single hash aggregate over the bucketed
+  * timestamp (map-side partials); the calendar side is tiny (one row per
+  * bucket — a few thousand even for decades of days) and broadcast by
+  * Catalyst automatically, so the join adds no shuffle of the fact side.
+  * The min/max scan is a cheap aggregate that column-prunes to the ts column
+  * only. Bucket boundaries use `date_trunc` with ISO Monday weeks and
+  * calendar-month starts (pinned by tests).
+  */
+object ResampleOps {
+  sealed abstract class Freq(val truncUnit: String, val step: String)
+  case object Daily extends Freq("day", "interval 1 day")
+  case object Weekly extends Freq("week", "interval 1 week")
+  case object Monthly extends Freq("month", "interval 1 month")
+
+  /** Counts per calendar bucket over `tsCol`, zero-filled from the min to the
+    * max observed bucket. Output: (bucket: date, n: long). */
+  def resampleCount(df: DataFrame, tsCol: String, freq: Freq): DataFrame = {
+    val bucket = to_date(date_trunc(freq.truncUnit, col(tsCol)))
+    val counts = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = df
+      .filter(col(tsCol).isNotNull)
+      .agg(min(bucket).as("lo"), max(bucket).as("hi"))
+    val calendar = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr(freq.step))).as("bucket"))
+    calendar
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Generic resample-aggregate: same calendar gap-fill, arbitrary metric
+    * expressions (zero-filled via the provided defaults). */
+  def resampleAgg(
+      df: DataFrame,
+      tsCol: String,
+      freq: Freq,
+      aggs: Seq[(org.apache.spark.sql.Column, String, org.apache.spark.sql.Column)]): DataFrame = {
+    val bucket = to_date(date_trunc(freq.truncUnit, col(tsCol)))
+    val counts = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(aggs.head._1.as(aggs.head._2), aggs.tail.map(a => a._1.as(a._2)): _*)
+    val bounds = df
+      .filter(col(tsCol).isNotNull)
+      .agg(min(bucket).as("lo"), max(bucket).as("hi"))
+    val calendar = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr(freq.step))).as("bucket"))
+    val filled = aggs.map { case (_, name, default) => coalesce(col(name), default).as(name) }
+    calendar
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket") +: filled: _*)
+      .orderBy("bucket")
+  }
+}

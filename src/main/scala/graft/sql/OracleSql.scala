@@ -1,0 +1,124 @@
+package graft.sql
+
+import graft.model.AnalysisConfig
+
+/** DuckDB oracle-SQL builders for the keyword-analytics query family.
+  *
+  * CRITICAL INVARIANT: every pattern / blacklist / stopword literal in these
+  * SQL strings is derived from the SAME [[AnalysisConfig]] the Spark queries
+  * use — config can never drift between engine and oracle.
+  *
+  * SQL stays ANSI-ish and DuckDB-runnable; table names are bare
+  * (`documents`, `events`, ...) — the driver registers the parquet files
+  * under those names.
+  */
+object OracleSql {
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The clean-stage WHERE clause (P3 + P5 + P6) for the posts table. */
+  def cleanWhere(cfg: AnalysisConfig): String = {
+    val m = cfg.posts
+    val parts = Seq(
+      s"${m.textCol} IS NOT NULL",
+      s"regexp_matches(${m.textCol}, ${sq(cfg.taxonomy.unionPattern)})"
+    ) ++
+      (if (cfg.channelBlacklist.isEmpty) Nil
+       else Seq(s"lower(${m.channelCol}) NOT IN (${cfg.blacklistLower.map(sq).mkString(", ")})")) ++
+      (if (cfg.noisePatterns.isEmpty) Nil
+       else Seq(s"NOT regexp_matches(${m.textCol}, ${sq(cfg.noiseUnionPattern)})"))
+    parts.mkString(" AND ")
+  }
+
+  /** VALUES list for the (industry, pattern) dimension. */
+  def industryPatternValues(cfg: AnalysisConfig): String =
+    cfg.taxonomy.industryNames
+      .map(ind => s"(${sq(ind)}, ${sq(cfg.taxonomy.patternFor(ind))})")
+      .mkString(", ")
+
+  /** VALUES list for the (industry, keyword) dimension. */
+  def keywordValues(cfg: AnalysisConfig): String =
+    cfg.taxonomy.keywordDim.map { case (i, k) => s"(${sq(i)}, ${sq(k)})" }.mkString(", ")
+
+  private def cleanCte(cfg: AnalysisConfig, table: String): String =
+    s"clean AS (SELECT * FROM $table WHERE ${cleanWhere(cfg)})"
+
+  private def taggedCte(cfg: AnalysisConfig): String = {
+    val m = cfg.posts
+    s"""tagged AS (SELECT i.industry AS industry, c.${m.idCol} AS post_id, c.${m.channelCol} AS channel, c.${m.textCol} AS text, CAST(c.${m.viewsCol} AS BIGINT) AS views FROM clean c JOIN (VALUES ${industryPatternValues(cfg)}) AS i(industry, pat) ON regexp_matches(c.${m.textCol}, i.pat))"""
+  }
+
+  def industryCounts(cfg: AnalysisConfig, table: String): String =
+    s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)}
+SELECT industry, COUNT(*) AS n_posts FROM tagged GROUP BY industry ORDER BY industry"""
+
+  def topPostsPerIndustry(cfg: AnalysisConfig, table: String, k: Int): String =
+    s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)},
+ranked AS (SELECT industry, post_id, channel, views, ROW_NUMBER() OVER (PARTITION BY industry ORDER BY views DESC, post_id ASC) AS rk FROM tagged)
+SELECT industry, post_id, channel, views, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY industry, rk"""
+
+  def topChannelsByViews(cfg: AnalysisConfig, table: String, k: Int): String =
+    s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)},
+agg AS (SELECT industry, channel, CAST(SUM(views) AS BIGINT) AS total_views FROM tagged GROUP BY industry, channel),
+ranked AS (SELECT industry, channel, total_views, ROW_NUMBER() OVER (PARTITION BY industry ORDER BY total_views DESC, channel ASC) AS rk FROM agg)
+SELECT industry, channel, total_views, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY industry, rk"""
+
+  def mostActiveChannels(cfg: AnalysisConfig, table: String, k: Int): String = {
+    val m = cfg.posts
+    s"""WITH ${cleanCte(cfg, table)}
+SELECT ${m.channelCol} AS channel, COUNT(*) AS n_posts FROM clean GROUP BY ${m.channelCol} ORDER BY n_posts DESC, channel ASC LIMIT $k"""
+  }
+
+  def keywordBreakdown(cfg: AnalysisConfig, table: String): String = {
+    val m = cfg.posts
+    s"""WITH ${cleanCte(cfg, table)}
+SELECT k.industry AS industry, k.keyword AS keyword, COUNT(c.${m.textCol}) AS n_posts
+FROM (VALUES ${keywordValues(cfg)}) AS k(industry, keyword)
+LEFT JOIN clean c ON c.${m.textCol} LIKE '%' || k.keyword || '%'
+GROUP BY k.industry, k.keyword ORDER BY industry, keyword"""
+  }
+
+  def wordFrequency(cfg: AnalysisConfig, table: String, minLen: Int, topN: Int): String = {
+    val m = cfg.posts
+    val stops = cfg.stopwords.map(sq).mkString(", ")
+    s"""WITH ${cleanCte(cfg, table)},
+toks AS (SELECT unnest(string_split_regex(lower(${m.textCol}), '[^a-z0-9]+')) AS word FROM clean)
+SELECT word, COUNT(*) AS n FROM toks
+WHERE length(word) >= $minLen AND NOT regexp_matches(word, '^[0-9]+$$') AND word NOT IN ($stops)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT $topN"""
+  }
+
+  def wordFrequencyByCategory(cfg: AnalysisConfig, table: String, minLen: Int, topN: Int): String = {
+    val stops = cfg.stopwords.map(sq).mkString(", ")
+    s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)},
+toks AS (SELECT industry AS category, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM tagged),
+cnt AS (SELECT category, word, COUNT(*) AS n FROM toks WHERE length(word) >= $minLen AND NOT regexp_matches(word, '^[0-9]+$$') AND word NOT IN ($stops) GROUP BY category, word),
+ranked AS (SELECT category, word, n, ROW_NUMBER() OVER (PARTITION BY category ORDER BY n DESC, word ASC) AS rk FROM cnt)
+SELECT category, word, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $topN ORDER BY category, rk"""
+  }
+
+  /** Resample with calendar zero-fill. stepSql e.g. "INTERVAL 1 DAY". */
+  def resampleCount(table: String, tsCol: String, truncUnit: String, stepSql: String): String =
+    s"""WITH b AS (SELECT CAST(date_trunc('$truncUnit', MIN($tsCol)) AS DATE) AS lo, CAST(date_trunc('$truncUnit', MAX($tsCol)) AS DATE) AS hi FROM $table WHERE $tsCol IS NOT NULL),
+cal AS (SELECT CAST(unnest(generate_series(lo, hi, $stepSql)) AS DATE) AS bucket FROM b),
+cnt AS (SELECT CAST(date_trunc('$truncUnit', $tsCol) AS DATE) AS bucket, COUNT(*) AS n FROM $table WHERE $tsCol IS NOT NULL GROUP BY 1)
+SELECT cal.bucket AS bucket, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n FROM cal LEFT JOIN cnt ON cal.bucket = cnt.bucket ORDER BY bucket"""
+
+  def channelAudit(cfg: AnalysisConfig, table: String, topChannels: Int, postsPerChannel: Int): String =
+    s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)},
+agg AS (SELECT industry, channel, SUM(views) AS total_views FROM tagged GROUP BY industry, channel),
+topch AS (SELECT industry, channel, ROW_NUMBER() OVER (PARTITION BY industry ORDER BY total_views DESC, channel ASC) AS channel_rank FROM agg),
+posts AS (SELECT t.industry, t.channel, tc.channel_rank, t.post_id, t.views, t.text, ROW_NUMBER() OVER (PARTITION BY t.industry, t.channel ORDER BY t.views DESC, t.post_id ASC) AS post_rank
+  FROM tagged t JOIN topch tc ON t.industry = tc.industry AND t.channel = tc.channel AND tc.channel_rank <= $topChannels)
+SELECT industry, channel, CAST(channel_rank AS BIGINT) AS channel_rank, CAST(post_rank AS BIGINT) AS post_rank, post_id, views, replace(substr(text, 1, 100), chr(10), ' ') || '...' AS snippet
+FROM posts WHERE post_rank <= $postsPerChannel ORDER BY industry, channel_rank, post_rank"""
+
+  def debugKeyword(cfg: AnalysisConfig, table: String, industry: String, keyword: String, k: Int): String = {
+    val m = cfg.posts
+    val pat = sq(cfg.taxonomy.patternFor(industry))
+    s"""WITH ${cleanCte(cfg, table)}
+SELECT ${m.idCol} AS post_id, ${m.channelCol} AS channel, CAST(${m.viewsCol} AS BIGINT) AS views
+FROM clean WHERE regexp_matches(${m.textCol}, $pat) AND ${m.textCol} LIKE ${sq(s"%$keyword%")}
+ORDER BY views DESC, post_id ASC LIMIT $k"""
+  }
+}
