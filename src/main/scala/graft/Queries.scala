@@ -86,7 +86,54 @@ object Queries {
     ("q11_debug_keyword",
       (s: SparkSession, dir: String) =>
         BreakdownOps.debugKeyword(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg), cfg, "Joins", "merge", 25),
-      Some(graft.sql.OracleSql.debugKeyword(cfg, "documents", "Joins", "merge", 25)))
+      Some(graft.sql.OracleSql.debugKeyword(cfg, "documents", "Joins", "merge", 25))),
+
+    // --- Relational / TPC-H-ish family (RelationalOps) ---
+
+    ("q12_pricing_summary",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.pricingSummary(Tables.lineitem(s, dir), "1998-09-01 00:00:00"),
+      Some(graft.sql.RelationalSql.pricingSummary("1998-09-01 00:00:00"))),
+
+    ("q13_revenue_by_nation",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.revenueByNation(
+          Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+          Tables.nation(s, dir), Tables.region(s, dir)),
+      Some(graft.sql.RelationalSql.revenueByNation)),
+
+    ("q14_order_rollup",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.orderRollup(Tables.orders(s, dir)),
+      Some(graft.sql.RelationalSql.orderRollup)),
+
+    ("q15_top_customers_per_segment",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.topCustomersPerSegment(Tables.orders(s, dir), Tables.customer(s, dir), 5),
+      Some(graft.sql.RelationalSql.topCustomersPerSegment(5))),
+
+    ("q16_event_json_stats",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.eventJsonStats(Tables.events(s, dir)),
+      Some(graft.sql.RelationalSql.eventJsonStats)),
+
+    ("q17_brand_stats",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.brandStats(Tables.lineitem(s, dir), Tables.part(s, dir)),
+      Some(graft.sql.RelationalSql.brandStats)),
+
+    ("q18_inactive_customers",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.inactiveCustomersByNation(
+          Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir),
+          "2001-01-01 00:00:00"),
+      Some(graft.sql.RelationalSql.inactiveCustomersByNation("2001-01-01 00:00:00"))),
+
+    ("q19_top_suppliers",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.topSuppliers(
+          Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir), 10),
+      Some(graft.sql.RelationalSql.topSuppliers(10)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

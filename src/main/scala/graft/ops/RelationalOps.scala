@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General SQL-analytics operator family over the TPC-H-ish star schema
+  * (J1/U1 in SURVEY.md §2.5: the reference is single-table, but the engine
+  * must provide the full join/agg surface per BASELINE.json "SQL analytics").
+  *
+  * Determinism-for-oracle notes (and good large-scale hygiene generally):
+  *  - Money aggregates are summed as DECIMAL, never DOUBLE: double addition
+  *    is order-dependent, and at 1000 executors partial-agg order is
+  *    nondeterministic run to run. Decimal sums are exact and associative.
+  *    Operands are cast to decimal BEFORE any arithmetic (the testdata's
+  *    money columns are exact 2-decimal values, so the cast is lossless)
+  *    and products stay in decimal — no double rounding anywhere.
+  *  - Every output ends in a total ORDER BY with tiebreakers.
+  *
+  * Scale notes:
+  *  - nation/region/part-dim joins are marked `broadcast` explicitly — at
+  *    100 TB the fact side never shuffles for a dim join; lineitem⋈orders
+  *    stays a shuffle (sort-merge) join on the natural key, which AQE can
+  *    convert/skew-split at runtime.
+  *  - Aggregates rely on Catalyst partial (map-side) aggregation; rollup is
+  *    a single pass with `Expand`, not per-level re-scans.
+  */
+object RelationalOps {
+
+  /** Money columns in the testdata are exact 2-decimal values, so a cast to
+    * DECIMAL(18,2) is lossless; all downstream arithmetic stays in decimal
+    * (exact, associative — safe under any partial-agg order), never double.
+    */
+  private def cents(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** price * (1 - discount), computed entirely in decimal: scale-4 exact. */
+  private def discounted(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
+    cents(price) * (lit(1).cast("decimal(18,2)") - cents(disc))
+
+  /** TPC-H Q1-style pricing summary over lineitem up to a ship-date cutoff.
+    * One shuffle (4-group hash agg with map-side partials). */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+        sum(discounted(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue per (region, nation): customer⋈orders⋈lineitem fact chain with
+    * broadcast nation/region dims (TPC-H Q5 shape). */
+  def revenueByNation(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        sum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("region_name", "nation_name")
+
+  /** ROLLUP over (status, priority): count + exact decimal totalprice.
+    * Single-pass `Expand`+hash-agg; grouping() disambiguates subtotal rows
+    * (coalesce alone could collide with genuine NULL keys). */
+  def orderRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        // grouping() is only resolvable inside the Aggregate itself
+        when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_price"))
+      .select("status", "priority", "n_orders", "total_price")
+      .orderBy("status", "priority")
+
+  /** Top-K customers by total spend per market segment: shuffle agg to the
+    * (custkey) domain, then a window over the small aggregated relation. */
+  def topCustomersPerSegment(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {
+    val spend = orders
+      .groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("total_spend").desc, col("custkey").asc)
+    customer
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("c_custkey").as("custkey"),
+        col("c_name").as("name"), col("total_spend"), col("n_orders"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("segment"), col("rk"))
+  }
+
+  /** Per-event-type stats with a JSON-extracted field from `props`
+    * (events table; SURVEY.md §1.3 props as JSON string). get_json_object is
+    * codegen'd; the sum of the extracted int stays exact in long. */
+  def eventJsonStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Brand-level lineitem stats: fact⋈dim join on partkey, broadcast part
+    * (a dim at test scale; at 100 TB part no longer broadcasts — leave the
+    * hint off and let AQE decide: here it's explicit for the bench win). */
+  def brandStats(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price"))
+      .orderBy("brand")
+
+  /** Customers with no orders after a cutoff date: LEFT ANTI join (the
+    * reference's blacklist semantics generalized to a real two-table op),
+    * aggregated per nation. */
+  def inactiveCustomersByNation(
+      customer: DataFrame, orders: DataFrame, nation: DataFrame,
+      cutoff: String): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select("o_custkey").distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy("nation_name")
+
+  /** Top suppliers by revenue: supplier⋈lineitem with broadcast supplier dim
+    * + nation name; global top-K → TakeOrderedAndProject. */
+  def topSuppliers(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, k: Int): DataFrame =
+    lineitem
+      .groupBy("l_suppkey")
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("supplier_name"),
+        col("n_name").as("nation_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("suppkey").asc)
+      .limit(k)
+}

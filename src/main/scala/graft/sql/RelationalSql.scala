@@ -1,0 +1,83 @@
+package graft.sql
+
+/** DuckDB oracle SQL for the relational (TPC-H-ish) query family.
+  *
+  * Mirrors [[graft.ops.RelationalOps]] exactly: money arithmetic is decimal
+  * end-to-end (cast the raw double column — an exact 2-decimal value — to
+  * DECIMAL(18,2) first, then multiply/sum in decimal), so both engines
+  * produce identical exact values regardless of aggregation order.
+  */
+object RelationalSql {
+
+  private val disc =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def pricingSummary(cutoff: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+SUM($disc) AS sum_disc_price,
+COUNT(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  def revenueByNation: String =
+    s"""SELECT r.r_name AS region_name, n.n_name AS nation_name,
+SUM($disc) AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name ORDER BY region_name, nation_name"""
+
+  def orderRollup: String =
+    """SELECT
+CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority"""
+
+  def topCustomersPerSegment(k: Int): String =
+    s"""WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey, c.c_name AS name,
+         s.total_spend, s.n_orders,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment ORDER BY s.total_spend DESC, c.c_custkey ASC) AS rk
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey)
+SELECT segment, custkey, name, total_spend, n_orders, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= $k ORDER BY segment, rk"""
+
+  def eventJsonStats: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+  def brandStats: String =
+    """SELECT p.p_brand AS brand, COUNT(*) AS n_lineitems,
+CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY brand"""
+
+  def inactiveCustomersByNation(cutoff: String): String =
+    s"""SELECT n.n_name AS nation_name, COUNT(*) AS n_inactive
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '$cutoff')
+GROUP BY n.n_name ORDER BY nation_name"""
+
+  def topSuppliers(k: Int): String =
+    s"""WITH rev AS (
+  SELECT l_suppkey, SUM($disc) AS revenue FROM lineitem GROUP BY l_suppkey)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name, n.n_name AS nation_name, r.revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY r.revenue DESC, suppkey ASC LIMIT $k"""
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.RelationalOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the relational family on sf0.001 (values are
+  * hash-checked against DuckDB by tools/oracle_check.py; here we pin
+  * invariants that survive data regeneration). */
+class RelationalOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("rollup grand total equals table count") {
+    val rows = RelationalOps.orderRollup(Tables.orders(spark, sf)).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == Tables.orders(spark, sf).count())
+    // subtotal consistency: per-status subtotals sum to the grand total
+    val statusSubtotals = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(statusSubtotals.map(_.getLong(2)).sum == grand.head.getLong(2))
+  }
+
+  test("revenue by nation covers every nation with lineitems and is positive") {
+    val df = RelationalOps.revenueByNation(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDecimal(2).signum > 0))
+  }
+
+  test("top customers per segment: <=5 per segment, spend non-increasing") {
+    val rows = RelationalOps
+      .topCustomersPerSegment(Tables.orders(spark, sf), Tables.customer(spark, sf), 5)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val spend = rs.sortBy(_.getLong(5)).map(_.getDecimal(3))
+      spend.zip(spend.tail).foreach { case (a, b) => assert(a.compareTo(b) >= 0) }
+    }
+  }
+
+  test("dim joins are planned as broadcasts") {
+    val plan = RelationalOps.revenueByNation(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for nation/region dims")
+  }
+
+  test("anti-join: inactive + active customers partition the customer table") {
+    val cutoff = "2001-01-01 00:00:00"
+    val customers = Tables.customer(spark, sf).count()
+    val inactive = RelationalOps.inactiveCustomersByNation(
+      Tables.customer(spark, sf), Tables.orders(spark, sf), Tables.nation(spark, sf), cutoff)
+      .collect().map(_.getLong(1)).sum
+    import org.apache.spark.sql.functions._
+    val active = Tables.customer(spark, sf).join(
+      Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+        .select("o_custkey").distinct(),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(inactive + active == customers)
+  }
+}
