@@ -133,7 +133,32 @@ object Queries {
       (s: SparkSession, dir: String) =>
         RelationalOps.topSuppliers(
           Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir), 10),
-      Some(graft.sql.RelationalSql.topSuppliers(10)))
+      Some(graft.sql.RelationalSql.topSuppliers(10))),
+
+    // --- Dedup family (DedupOps; SURVEY.md §2.10) ---
+
+    ("q20_dedup_stats",
+      (s: SparkSession, dir: String) =>
+        DedupOps.dedupStats(Tables.documents(s, dir), "text", "doc_id", prefixLen = 8),
+      Some(graft.sql.DedupSql.dedupStats("documents", prefixLen = 8))),
+
+    ("q21_minhash_pairs",
+      (s: SparkSession, dir: String) =>
+        DedupOps.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, nBands = 8, r = 2, minJaccard = 0.0, limit = 50),
+      Some(graft.sql.DedupSql.minhashPairs("documents", w = 3, nBands = 8, r = 2,
+        minJaccard = 0.0, limit = 50))),
+
+    ("q22_simhash",
+      (s: SparkSession, dir: String) =>
+        DedupOps.simhashFingerprints(Tables.documents(s, dir), "text", "doc_id", sampleMod = 10),
+      Some(graft.sql.DedupSql.simhashFingerprints("documents", sampleMod = 10))),
+
+    ("q23_jaccard_bruteforce",
+      (s: SparkSession, dir: String) =>
+        DedupOps.jaccardBruteForce(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, sampleMod = 20, limit = 50),
+      Some(graft.sql.DedupSql.jaccardBruteForce("documents", w = 3, sampleMod = 20, limit = 50)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

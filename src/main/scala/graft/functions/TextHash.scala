@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic text hashing / shingling primitives.
+  *
+  * The whole dedup family (MinHash-LSH, SimHash, Jaccard — SURVEY.md §2.10)
+  * is hash-compared against a DuckDB oracle, so every hash here is defined
+  * in terms of md5 (identical bytes in any engine) rather than engine-native
+  * hash functions (Spark's xxhash64/hash seed/algorithm differ from DuckDB's
+  * `hash()`).
+  *
+  * hash60(s) = first 15 hex chars of md5(s) as a base-16 integer: a uniform
+  * 60-bit non-negative value that fits a BIGINT in both engines.
+  *   Spark:  conv(substring(md5(s),1,15),16,10)::long
+  *   DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
+  *
+  * All functions are pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, no UDFs, per-row independent (no shuffle), so they scale
+  * linearly with partitions.
+  */
+object TextHash {
+
+  /** 60-bit md5-derived hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member j (j=0,1,...). */
+  def hash60Seeded(j: Column, c: Column): Column =
+    hash60(concat_ws(":", j.cast("string"), c))
+
+  /** Whitespace tokenization: trim, split on runs of spaces, drop empties.
+    * Preserves the original sequence (shingling must see the raw order —
+    * and the DuckDB oracle's list_distinct does not guarantee order, so
+    * anything order-sensitive is built from THIS, not from [[tokenSet]]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), " +"), t => t =!= "")
+
+  /** Distinct tokens — only for order-insensitive consumers (SimHash tally,
+    * set sizes). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct w-gram shingles over a token array (w consecutive tokens
+    * joined by a single space). Requires size(toks) >= w at the call site. */
+  def shingles(toks: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - (w - 1)),
+      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
+
+  /** MinHash signature: k independent minima over the shingle set. */
+  def minhash(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(sh, s => hash60Seeded(j, s))))
+
+  /** LSH band key for band b (a compile-time index) over a minhash
+    * signature with r rows/band: hash of the comma-joined band slice
+    * (1-indexed signature). */
+  def bandHash(sig: Column, b: Int, r: Int): Column =
+    hash60(concat_ws(",", (0 until r).map(o => element_at(sig, b * r + o + 1).cast("string")): _*))
+
+  /** 60-bit SimHash over a token array: bit b of the result is set iff more
+    * token hashes have bit b set than clear. Token hashes are computed once
+    * per row; the per-bit tally is exact integer arithmetic
+    * (order-independent). `nBits` kept small enough that the generated code
+    * stays manageable; the bit loop is unrolled Scala-side because Spark's
+    * shift functions take literal shift amounts. */
+  def simhash(toks: Column, nBits: Int = 60): Column = {
+    val hs = transform(toks, t => hash60(t))
+    (0 until nBits).map { b =>
+      when(
+        aggregate(hs, lit(0),
+          (a, h) => a + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays, rounded to
+    * 6 dp: integer set sizes divided in double — bit-identical across
+    * engines. */
+  def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
+}

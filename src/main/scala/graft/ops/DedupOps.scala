@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.functions.TextHash._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for large-scale text corpora
+  * (SURVEY.md §2.10: exact, MinHash-LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale design:
+  *  - exact dedup = one hash-shuffle on the key (window rn=1, deterministic
+  *    keeper), never `dropDuplicates` (whose survivor is partition-order
+  *    dependent);
+  *  - MinHash-LSH is the 100 TB path: candidate generation is a self-join on
+  *    (band, bandHash) bucket keys — cost scales with bucket collisions, not
+  *    n² pairs; signatures/shingles are per-row codegen'd expressions;
+  *  - brute-force Jaccard is the verification baseline, only ever run on an
+  *    explicit sample (the all-pairs cross join is intentionally gated on a
+  *    sampling predicate);
+  *  - SimHash is per-row (no shuffle at all) — near-dup lookup then becomes
+  *    a bucket join on bit-chunks of the fingerprint (hamming LSH).
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the row with the minimum `idCol` per `keyCol` value.
+    * One shuffle; survivor is deterministic. */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Corpus duplication profile: total docs, distinct full texts, and
+    * distinct `prefixLen`-token prefixes (content-defined key) — the
+    * summary a dedup pass reports before/after. Single row. */
+  def dedupStats(docs: DataFrame, textCol: String, idCol: String, prefixLen: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        col(textCol).as("__text"),
+        concat_ws(" ", slice(toks, 1, prefixLen)).as("__prefix"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__text")).as("n_distinct_text"),
+        countDistinct(col("__prefix")).as("n_distinct_prefix"))
+  }
+
+  /** Tokenized + shingled view of a corpus: (id, shingles) for docs with at
+    * least `w` tokens. Shared by the MinHash and Jaccard paths. */
+  def shingled(docs: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("id"), shingles(col("toks"), w).as("sh"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * shingle(w) → minhash signature (k) → band keys (nBands × r, k = nBands*r)
+    * → self-join on (band, bandHash) for candidates → exact Jaccard verify
+    * → top-`limit` pairs by similarity (total order).
+    *
+    * The self-join shuffles only (id, band, bandHash) triples; shingle sets
+    * are re-joined just for the surviving candidate pairs. */
+  def minhashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minJaccard: Double = 0.0, limit: Int = 50): DataFrame = {
+    val sh = shingled(docs, textCol, idCol, w)
+    val sig = sh.select(col("id"), minhash(col("sh"), nBands * r).as("m"))
+    val bands = sig.select(
+      col("id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandHash(col("m"), b, r).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+        && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id"), col("sh").as("sh_a")), col("doc_a") === col("id")).drop("id")
+      .join(sh.select(col("id"), col("sh").as("sh_b")), col("doc_b") === col("id")).drop("id")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+  }
+
+  /** Per-document 60-bit SimHash fingerprints (sampled via `sampleMod` to
+    * bound oracle cost: id % sampleMod == 0). No shuffle — pure map. */
+  def simhashFingerprints(docs: DataFrame, textCol: String, idCol: String, sampleMod: Int): DataFrame = {
+    val toks = tokenSet(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), simhash(col("toks")).as("simhash"))
+      .orderBy("id")
+  }
+
+  /** Brute-force all-pairs n-gram Jaccard over an id-sampled subset
+    * (id % sampleMod == 0): the exact baseline the LSH path approximates.
+    * Deliberately gated on the sample — never run all-pairs at scale. */
+  def jaccardBruteForce(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int, sampleMod: Int, limit: Int): DataFrame = {
+    val sample = shingled(docs.filter(col(idCol) % sampleMod === 0), textCol, idCol, w)
+    sample.as("x").join(sample.as("y"), col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+  }
+}

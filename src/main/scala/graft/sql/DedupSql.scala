@@ -1,0 +1,58 @@
+package graft.sql
+
+/** DuckDB oracle SQL for the dedup family — mirrors [[graft.ops.DedupOps]]
+  * and [[graft.functions.TextHash]] exactly: the shared 60-bit hash is
+  * md5-derived (identical bytes in both engines), tokenization is
+  * trim+split-on-spaces, shingles come from the RAW token order, and every
+  * similarity is integer-set arithmetic divided in double then rounded —
+  * bit-identical across engines.
+  */
+object DedupSql {
+
+  /** hash60: first 15 hex chars of md5 as a 60-bit BIGINT. */
+  private def h(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  private val toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
+
+  private def shingleCte(w: Int): String = {
+    val parts = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    // range() is stop-EXCLUSIVE: 1..len-(w-1) inclusive needs stop len-(w-2)
+    s"sh AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $parts)) AS s FROM toks WHERE len(tk) >= $w)"
+  }
+
+  def dedupStats(table: String, prefixLen: Int): String =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM $table WHERE text IS NOT NULL)
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
+COUNT(DISTINCT array_to_string(tk[1:$prefixLen], ' ')) AS n_distinct_prefix FROM t"""
+
+  def minhashPairs(table: String, w: Int, nBands: Int, r: Int, minJaccard: Double, limit: Int): String =
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+${shingleCte(w)},
+sig AS (SELECT id, s, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(s, x -> ${h("j::VARCHAR || ':' || x")}))) AS m FROM sh),
+bands AS (SELECT id, b, ${h((0 until r).map(o => s"m[$r*b+${o + 1}]::VARCHAR").mkString(" || ',' || "))} AS bh
+  FROM sig, (SELECT unnest(range(0,$nBands)) AS b)),
+cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id),
+v AS (SELECT c.doc_a, c.doc_b,
+  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM cand c JOIN sh a ON c.doc_a = a.id JOIN sh b ON c.doc_b = b.id)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
+
+  def simhashFingerprints(table: String, sampleMod: Int): String =
+    s"""WITH toks AS (SELECT doc_id AS id, list_distinct($toks) AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
+hs AS (SELECT id, list_transform(tk, x -> ${h("x")}) AS hl FROM toks WHERE len(tk) > 0)
+SELECT id, CAST(list_sum(list_transform(range(0,60), b ->
+  CASE WHEN list_sum(list_transform(hl, v -> CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+FROM hs ORDER BY id"""
+
+  def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
+${shingleCte(w)}
+SELECT x.id AS doc_a, y.id AS doc_b,
+round(len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+FROM sh x JOIN sh y ON x.id < y.id
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
+}

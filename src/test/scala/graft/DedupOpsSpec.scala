@@ -1,0 +1,49 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, sf)
+
+  test("exactDedup keeps the minimum id per key and drops the rest") {
+    import spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "a")).toDF("id", "k")
+    val out = DedupOps.exactDedup(df, "k", "id").orderBy("k").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(0))).toSeq == Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("LSH finds the high-similarity pairs that brute force finds") {
+    // brute force over the full sf0.001 corpus (500 docs) as ground truth
+    val truth = DedupOps
+      .jaccardBruteForce(docs, "text", "doc_id", w = 3, sampleMod = 1, limit = 1000000)
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps
+      .minhashPairs(docs, "text", "doc_id", w = 3, nBands = 8, r = 2, minJaccard = 0.8, limit = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "synthetic corpus should contain near-duplicate pairs")
+    // 8 bands x 2 rows: P(detect | j=0.8) = 1-(1-0.64)^8 ≈ 0.9997 per pair
+    assert(truth.subsetOf(lsh), s"LSH missed: ${truth -- lsh}")
+  }
+
+  test("simhash is identical for identical texts and 60-bit bounded") {
+    import spark.implicits._
+    val df = Seq((0L, "alpha beta gamma delta"), (10L, "alpha beta gamma delta"),
+      (20L, "omega psi chi phi")).toDF("doc_id", "text")
+    val out = DedupOps.simhashFingerprints(df, "text", "doc_id", sampleMod = 1).collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == out(1).getLong(1))
+    assert(out(2).getLong(1) != out(0).getLong(1))
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
+  }
+
+  test("minhash pipeline has no driver-side collect and plans shuffles only on bucket keys") {
+    val plan = DedupOps.minhashPairs(docs, "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join")
+  }
+}
