@@ -158,7 +158,26 @@ object Queries {
       (s: SparkSession, dir: String) =>
         DedupOps.jaccardBruteForce(Tables.documents(s, dir), "text", "doc_id",
           w = 3, sampleMod = 20, limit = 50),
-      Some(graft.sql.DedupSql.jaccardBruteForce("documents", w = 3, sampleMod = 20, limit = 50)))
+      Some(graft.sql.DedupSql.jaccardBruteForce("documents", w = 3, sampleMod = 20, limit = 50))),
+
+    // --- Similarity search over embeddings (SimilarityOps) ---
+
+    ("q24_ann_bruteforce",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.annBruteForce(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryMod = 100, k = 10),
+      Some(graft.sql.SimilaritySql.annBruteForce("embeddings", queryMod = 100, k = 10, dim = 64))),
+
+    ("q25_ann_lsh",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.annLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryMod = 20, k = 5, nPlanes = 4, dim = 64),
+      Some(graft.sql.SimilaritySql.annLsh("embeddings", queryMod = 20, k = 5, nPlanes = 4, dim = 64))),
+
+    ("q26_label_centroids",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
+      Some(graft.sql.SimilaritySql.labelCentroidProfile("embeddings")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

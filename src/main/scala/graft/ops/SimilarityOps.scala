@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * SURVEY.md §2.10 / the training-data-pipeline surface.
+  *
+  * Scale design:
+  *  - brute-force top-k BROADCASTS the (small) query set and streams the
+  *    corpus once: per-row cosine is a codegen'd `zip_with`+`aggregate`
+  *    fold, the only shuffle is the final per-query top-k window over
+  *    |queries| x |corpus| candidate rows pre-reduced by the window;
+  *  - the LSH variant buckets both sides by random-hyperplane sign bits so
+  *    each query only scans its bucket (corpus/2^planes expected) — the
+  *    100 TB path; planes are deterministic md5-derived literals inlined
+  *    into the plan (and, verbatim, into the DuckDB oracle SQL);
+  *  - all float components are cast to double before any arithmetic, and
+  *    folds run sequentially left-to-right, so results are bit-stable
+  *    across partitionings and engines.
+  */
+object SimilarityOps {
+
+  /** Element-wise double view of a float-array column. */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential left-to-right sum of an array<double> column. */
+  private def seqSum(v: Column): Column = aggregate(v, lit(0.0), (a, x) => a + x)
+
+  /** Cosine similarity of two float-array columns, rounded to 6 dp. */
+  def cosine(a: Column, b: Column): Column = {
+    val (da, db) = (asDouble(a), asDouble(b))
+    val dot = seqSum(zip_with(da, db, (x, y) => x * y))
+    val na = sqrt(seqSum(transform(da, x => x * x)))
+    val nb = sqrt(seqSum(transform(db, x => x * x)))
+    round(dot / (na * nb), 6)
+  }
+
+  /** Deterministic random hyperplanes: component d of plane p is
+    * md5-derived, uniform in [-1, 1). Generated driver-side once; the same
+    * literals are inlined into the oracle SQL so both engines use
+    * byte-identical planes. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    (0 until nPlanes).map(p => (0 until dim).map(d =>
+      h60(s"$p:$d").toDouble / (1L << 59).toDouble - 1.0))
+  }
+
+  /** LSH bucket id: bit p set iff dot(vec, plane_p) > 0. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val litPlane = array(plane.map(lit): _*)
+      when(seqSum(zip_with(asDouble(vec), litPlane, (x, y) => x * y)) > 0, lit(1L << p))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Brute-force exact top-k nearest neighbors by cosine for the query set
+    * `idCol % queryMod == 0`, self-pairs excluded. */
+  def annBruteForce(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryMod: Int, k: Int): DataFrame = {
+    val queries = emb.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cand = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k: queries only meet candidates in the
+    * same hyperplane-sign bucket. `nPlanes` small (corpus shrinks ~2^p per
+    * query); increase planes + add multi-probe for bigger corpora. */
+  def annLsh(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryMod: Int, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val queries = bucketed.filter(col("id") % queryMod === 0)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    bucketed.select(col("id").as("neighbor_id"), col("v").as("nv"), col("bucket"))
+      .join(broadcast(queries), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Per-label centroid profile: vector count and decimal-exact means of
+    * the first two dimensions (component values cast to decimal before
+    * summing — exact under any aggregation order). The full-centroid
+    * operator for engine use is [[labelCentroids]]. */
+  def labelCentroidProfile(emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame =
+    emb
+      .groupBy(col(labelCol).as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        // float -> double first: Spark's float->decimal cast goes through
+        // Float.toString (shortest repr), which disagrees with engines that
+        // round the widened binary value
+        sum(element_at(col(vecCol), 1).cast("double").cast("decimal(18,9)")).as("s0"),
+        sum(element_at(col(vecCol), 2).cast("double").cast("decimal(18,9)")).as("s1"))
+      .select(
+        col("label"), col("n_vecs"),
+        round(col("s0").cast("double") / col("n_vecs"), 6).as("mean_d0"),
+        round(col("s1").cast("double") / col("n_vecs"), 6).as("mean_d1"))
+      .orderBy("label")
+
+  /** Full per-label mean vector (array<double>): posexplode + per-dim avg +
+    * re-assembly in dim order. One shuffle on (label, dim). */
+  def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+}

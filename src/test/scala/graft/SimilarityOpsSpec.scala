@@ -1,0 +1,62 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilarityOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("brute-force ANN: k neighbors per query, cosine non-increasing, no self-pairs") {
+    val rows = SimilarityOps.annBruteForce(emb, "vec_id", "embedding", queryMod = 100, k = 10).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10)
+      assert(rs.forall(_.getLong(1) != q))
+      val cs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      cs.zip(cs.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+
+  test("LSH ANN returns only same-bucket neighbors and is a cosine-correct ranking") {
+    val planes = SimilarityOps.hyperplanes(4, 64)
+    val buckets = emb.select(col("vec_id"),
+      SimilarityOps.lshBucket(col("embedding"), planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SimilarityOps.annLsh(emb, "vec_id", "embedding",
+      queryMod = 20, k = 5, nPlanes = 4, dim = 64).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(buckets(r.getLong(0)) == buckets(r.getLong(1)),
+      s"pair ${r.getLong(0)},${r.getLong(1)} not in same bucket"))
+  }
+
+  test("hyperplanes are deterministic and in [-1, 1)") {
+    val a = SimilarityOps.hyperplanes(4, 64)
+    val b = SimilarityOps.hyperplanes(4, 64)
+    assert(a == b)
+    assert(a.flatten.forall(x => x >= -1.0 && x < 1.0))
+  }
+
+  test("label centroid profile covers all labels, counts sum to corpus") {
+    val rows = SimilarityOps.labelCentroidProfile(emb, "vec_id", "embedding", "label").collect()
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    // unit-ish random vectors: means should be near zero
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) < 0.2))
+  }
+
+  test("full label centroids are 64-dim") {
+    val rows = SimilarityOps.labelCentroids(emb, "embedding", "label").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Double](1).length == 64))
+  }
+
+  test("brute-force plan broadcasts the query side") {
+    val plan = SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 100, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "query set should be broadcast")
+  }
+}
