@@ -177,7 +177,30 @@ object Queries {
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
-      Some(graft.sql.SimilaritySql.labelCentroidProfile("embeddings")))
+      Some(graft.sql.SimilaritySql.labelCentroidProfile("embeddings"))),
+
+    // --- Text analysis family (TextAnalysisOps) ---
+
+    ("q27_langid_confusion",
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.langIdConfusion(Tables.documents(s, dir), "text", "lang", "doc_id"),
+      Some(graft.sql.TextAnalysisSql.langIdConfusion("documents"))),
+
+    ("q28_quality_profile",
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.qualityProfile(Tables.documents(s, dir), "text", "doc_id",
+          sampleMod = 5, stopwords = cfg.stopwords),
+      Some(graft.sql.TextAnalysisSql.qualityProfile("documents", sampleMod = 5, cfg.stopwords))),
+
+    ("q29_token_stats",
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.tokenStats(Tables.documents(s, dir), "text"),
+      Some(graft.sql.TextAnalysisSql.tokenStats("documents"))),
+
+    ("q30_fingerprints",
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
+      Some(graft.sql.TextAnalysisSql.fingerprints("documents")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

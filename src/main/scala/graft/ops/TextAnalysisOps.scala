@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.functions.TextHash._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family for training-data pipelines
+  * (SURVEY.md §2.10): heuristic language ID, quality scoring, token
+  * counting, and rolling-hash document fingerprinting.
+  *
+  * Everything is per-row `functions._` composition (codegen'd, no UDFs, no
+  * shuffle except the final small aggregations), so each op streams the
+  * corpus once regardless of scale.
+  */
+object TextAnalysisOps {
+
+  /** Marker-token profiles for the n-gram/stopword language heuristic.
+    * Ordered so derived plans and SQL are deterministic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("的", "是", "不", "了"))
+
+  /** Heuristic language ID vs the labeled `langCol`: per document, score
+    * each candidate language by marker-token occurrences, pick the argmax
+    * (ties -> lexicographically first candidate), and return the
+    * (true_lang, predicted_lang, n_docs) confusion matrix. */
+  def langIdConfusion(docs: DataFrame, textCol: String, langCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        col(langCol).as("true_lang"),
+        explode(array(langProfiles.map { case (lang, markers) =>
+          struct(
+            lit(lang).as("cand"),
+            size(filter(toks, t => array_contains(array(markers.map(lit): _*), t))).as("score"))
+        }: _*)).as("s"))
+      .select(col("doc_id"), col("true_lang"), col("s.cand").as("cand"), col("s.score").as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("true_lang"), col("cand").as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "predicted_lang")
+  }
+
+  /** Per-document quality profile over an id-sampled subset. All ratios are
+    * integer-count divisions in double, rounded — deterministic. */
+  def qualityProfile(docs: DataFrame, textCol: String, idCol: String, sampleMod: Int,
+      stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(
+        col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        toks.as("__toks"),
+        (length(col(textCol)) - length(regexp_replace(col(textCol), "[0-9]", "")))
+          .cast("long").as("n_digit_chars"))
+      .withColumn("n_stop_tokens",
+        size(filter(col("__toks"), t =>
+          array_contains(array(stopwords.map(lit): _*), t))).cast("long"))
+      .withColumn("avg_token_len",
+        round(aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)).cast("double")
+          / col("n_tokens"), 6))
+      .withColumn("digit_ratio", round(col("n_digit_chars").cast("double") / col("n_chars"), 6))
+      .withColumn("stopword_ratio", round(col("n_stop_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        round(lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+          + lit(0.3) * (lit(1.0) - col("digit_ratio"))
+          + lit(0.3) * col("stopword_ratio"), 6))
+      .drop("__toks")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level token statistics: whitespace tokenizer vs a BPE-ish
+    * regex tokenizer (letter runs / digit runs / single symbols). 1 row. */
+  def tokenStats(docs: DataFrame, textCol: String): DataFrame = {
+    val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        size(tokens(col(textCol))).cast("long").as("ws"),
+        regexp_count(col(textCol), lit(bpePattern)).cast("long").as("bpe"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_ws_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"),
+        max(col("ws")).as("max_ws_tokens"),
+        round(sum(col("ws")).cast("double") / count(lit(1)), 6).as("avg_ws_tokens"))
+  }
+
+  /** Rolling-hash document fingerprint: polynomial fold of per-token
+    * md5-derived hashes mod 2^31-1 (base 131). Order-sensitive (unlike the
+    * SimHash/MinHash set signatures) — two docs with the same tokens in a
+    * different order fingerprint differently. */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val p = 2147483647L
+    val toks = tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(col("__toks"), t => hash60(t) % p),
+          lit(0L),
+          (h, x) => (h * 131L + x) % p).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sql
+
+import graft.ops.TextAnalysisOps
+
+/** DuckDB oracle SQL mirroring [[graft.ops.TextAnalysisOps]]. Language
+  * profiles and stopword lists are taken from the same Scala config objects
+  * the Spark plans use, so they cannot drift. */
+object TextAnalysisSql {
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  private val toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
+
+  def langIdConfusion(table: String): String = {
+    val profiles = TextAnalysisOps.langProfiles
+      .map { case (lang, ms) => s"(${sq(lang)}, [${ms.map(sq).mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang AS true_lang, $toks AS tk FROM $table WHERE text IS NOT NULL),
+scored AS (SELECT t.doc_id, t.true_lang, p.cand, len(list_filter(t.tk, x -> list_contains(p.markers, x))) AS score
+  FROM t, (VALUES $profiles) AS p(cand, markers)),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk FROM scored)
+SELECT true_lang, cand AS predicted_lang, COUNT(*) AS n_docs
+FROM ranked WHERE rk = 1 GROUP BY true_lang, cand ORDER BY true_lang, predicted_lang"""
+  }
+
+  def qualityProfile(table: String, sampleMod: Int, stopwords: Seq[String]): String = {
+    val stops = s"[${stopwords.map(sq).mkString(", ")}]"
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
+m AS (SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit_chars,
+  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS n_stop_tokens,
+  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS tok_chars
+  FROM t)
+SELECT doc_id, n_chars, n_tokens, n_digit_chars, n_stop_tokens,
+  round(tok_chars::DOUBLE / n_tokens, 6) AS avg_token_len,
+  round(n_digit_chars::DOUBLE / n_chars, 6) AS digit_ratio,
+  round(n_stop_tokens::DOUBLE / n_tokens, 6) AS stopword_ratio,
+  round(0.4 * least(1.0, n_tokens::DOUBLE / 50.0)
+      + 0.3 * (1.0 - round(n_digit_chars::DOUBLE / n_chars, 6))
+      + 0.3 * round(n_stop_tokens::DOUBLE / n_tokens, 6), 6) AS quality_score
+FROM m ORDER BY doc_id"""
+  }
+
+  def tokenStats(table: String): String =
+    s"""WITH t AS (SELECT len($toks) AS ws,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe
+  FROM $table WHERE text IS NOT NULL)
+SELECT COUNT(*) AS n_docs,
+CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+CAST(MAX(ws) AS BIGINT) AS max_ws_tokens,
+round(SUM(ws)::DOUBLE / COUNT(*), 6) AS avg_ws_tokens FROM t"""
+
+  def fingerprints(table: String): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+h AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hl
+  FROM t WHERE len(tk) > 0)
+SELECT doc_id, CAST(list_reduce(hl, (a, b) -> (a * 131 + b) % 2147483647) AS BIGINT) AS fingerprint
+FROM h ORDER BY doc_id"""
+}

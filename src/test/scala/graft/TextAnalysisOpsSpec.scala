@@ -1,0 +1,56 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.TextAnalysisOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, sf)
+
+  test("langid confusion matrix counts every document exactly once") {
+    val rows = TextAnalysisOps.langIdConfusion(docs, "text", "lang", "doc_id").collect()
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+  }
+
+  test("langid argmax tiebreak is deterministic") {
+    import spark.implicits._
+    // no markers at all -> every candidate scores 0 -> first lang wins
+    val df = Seq((1L, "zzz yyy xxx", "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysisOps.langIdConfusion(df, "text", "lang", "doc_id").collect()
+    assert(out.head.getString(1) == TextAnalysisOps.langProfiles.head._1)
+  }
+
+  test("quality profile ratios are in [0,1] and score is bounded") {
+    val rows = TextAnalysisOps
+      .qualityProfile(docs, "text", "doc_id", sampleMod = 5, stopwords = Seq("the", "a"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val digit = r.getAs[Double]("digit_ratio")
+      val stop = r.getAs[Double]("stopword_ratio")
+      val score = r.getAs[Double]("quality_score")
+      assert(digit >= 0 && digit <= 1); assert(stop >= 0 && stop <= 1)
+      assert(score >= 0 && score <= 1.000001)
+    }
+  }
+
+  test("token stats: bpe tokenization of clean lowercase text equals ws tokenization") {
+    val r = TextAnalysisOps.tokenStats(docs, "text").collect().head
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    // synthetic corpus is pure lowercase+spaces: the two tokenizers agree
+    assert(r.getAs[Long]("total_ws_tokens") == r.getAs[Long]("total_bpe_tokens"))
+  }
+
+  test("fingerprints are order-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysisOps.fingerprints(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+    fps.values.foreach(v => assert(v >= 0 && v < 2147483647L))
+  }
+}
