@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.model.AnalysisConfig
+import graft.ops.KeywordOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.8: absent in the reference,
+  * required by the north star). Every batch stage in `ops/` is a pure
+  * `DataFrame => DataFrame`, so the SAME code runs on `readStream` inputs —
+  * these helpers only add the stream-specific pieces: watermarks, windows,
+  * and custom state.
+  *
+  * Scale notes: windowed counts shuffle on (window, key) with partial
+  * aggregation; state (sessionization) is partitioned by user key across
+  * executors with RocksDB-compatible state store semantics; watermarks bound
+  * state size — without them the state store grows without limit at 100 TB
+  * stream volume.
+  */
+object StreamingOps {
+
+  /** Streaming keyword pipeline: clean -> tag -> explode (unchanged batch
+    * stages) -> watermark -> tumbling-window count per industry. */
+  def keywordWindowCounts(
+      posts: DataFrame, cfg: AnalysisConfig, tsCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    KeywordOps.cleanExploded(posts, cfg)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col("industry"))
+      .agg(count(lit(1)).as("n_posts"))
+      .select(col("window.start").as("window_start"), col("industry"), col("n_posts"))
+
+  /** Tumbling-window event counts + value sums per event type over the
+    * events stream shape (event_id, ts, user_id, event_type, value). */
+  def eventWindowStats(
+      events: DataFrame, tsCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // --- Stateful sessionization -------------------------------------------
+
+  /** Input event for sessionization. Carries the event-time column itself:
+    * the watermark is attached to a specific timestamp ATTRIBUTE, so
+    * projecting it away before the stateful operator would lose it (Spark
+    * then rejects EventTimeTimeout). */
+  final case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** Accumulating per-user state. */
+  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Int, totalValue: Double)
+
+  /** A closed session, emitted when the gap timeout fires. */
+  final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Int, totalValue: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: events for a
+    * user extend the open session; when the event-time watermark passes
+    * last-event + gap, the session closes and is emitted (Append mode).
+    *
+    * Input must already carry a watermark (see [[sessionizeStream]]). */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startMs, s.lastMs, s.nEvents, s.totalValue))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.tsMs)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMs - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.lastMs, e.tsMs),
+                    s.nEvents + 1, s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.startMs, s.lastMs, s.nEvents, s.totalValue)
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Stream entry: raw (user_id, ts, value) rows -> watermark -> sessionize. */
+  def sessionizeStream(events: DataFrame, tsCol: String, gapMs: Long,
+      watermarkDelay: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(
+        col("user_id").cast("long").as("userId"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
+    sessionize(typed, gapMs)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.model.Defaults
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000)
+
+  test("keyword pipeline runs unchanged on a stream (windowed counts)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String, Long, java.sql.Timestamp)]
+    val posts = in.toDF().toDF("doc_id", "text", "source", "n_chars", "ts")
+    val out = StreamingOps.keywordWindowCounts(posts, Defaults.config, "ts", "1 minute", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("kw_counts").outputMode("complete").start()
+    try {
+      in.addData(
+        (1L, "a big join and a hash", "src1", 10L, ts(0)),    // Joins
+        (2L, "stream and window talk", "src2", 20L, ts(10)),  // Streaming
+        (3L, "nothing relevant here", "src3", 30L, ts(20)),   // filtered out
+        (4L, "join the stream", "src4", 40L, ts(70)))         // both, next window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT industry, sum(n_posts) FROM kw_counts GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("Joins", 2L), ("Streaming", 2L)))
+    } finally q.stop()
+  }
+
+  test("gap sessionization closes sessions when the watermark passes the gap") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val sessions = StreamingOps.sessionizeStream(events, "ts", gapMs = 60000, watermarkDelay = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10s apart (one session); user 2: one event
+      in.addData((1L, ts(100), 1.0), (1L, ts(110), 2.0), (2L, ts(105), 5.0))
+      q.processAllAvailable()
+      // watermark far past both sessions' gap -> both close
+      in.addData((9L, ts(3600), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, startMs, endMs, nEvents, totalValue FROM sessions ORDER BY userId")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq(
+        (1L, 100000L, 110000L, 2, 3.0),
+        (2L, 105000L, 105000L, 1, 5.0)))
+    } finally q.stop()
+  }
+
+  test("same-batch events beyond the gap split into multiple sessions") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StreamingOps.sessionizeStream(
+      in.toDF().toDF("user_id", "ts", "value"), "ts", gapMs = 60000, watermarkDelay = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(100), 1.0), (1L, ts(110), 1.0), (1L, ts(600), 1.0))
+      q.processAllAvailable()
+      in.addData((9L, ts(7200), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT startMs, endMs, nEvents FROM sessions2 WHERE userId = 1 ORDER BY startMs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.toSeq == Seq((100000L, 110000L, 2), (600000L, 600000L, 1)))
+    } finally q.stop()
+  }
+}
