@@ -1,0 +1,30 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (reference S3/S4): cache + report exports.
+  *
+  * The engine's cache format is Parquet (columnar, splittable, typed) —
+  * the reference's CSV cache (`main.py:1080`) is kept only as a
+  * human-readable report option. Single-file CSV uses coalesce(1), which
+  * serializes the final write through one task: acceptable for top-K
+  * report outputs (tiny), never for data exports — partitioned variants
+  * exist for those.
+  */
+object Sinks {
+
+  /** Parquet cache/export, optionally hive-partitioned by columns (e.g.
+    * month of the timestamp) so later scans partition-prune. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Small report as ONE headered CSV file (reference `main.py:922,950`). */
+  def writeReportCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Distributed headered CSV export (one file per partition). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

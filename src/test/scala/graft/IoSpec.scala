@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.{CsvRepair, JdbcSource, Sinks}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val postsSchema = StructType(Seq(
+    StructField("text", StringType),
+    StructField("full_date", StringType),
+    StructField("channel_username", StringType),
+    StructField("views", StringType)))
+
+  test("repairing CSV scan: literal backslash-n repaired, bad lines dropped, coercion applied") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "posts.csv")
+    val content =
+      """text,full_date,channel_username,views
+        |"hello\nworld",2024-01-01 10:00:00,chan1,42
+        |"plain text",2024-01-02 11:00:00,chan2,notanumber
+        |"bad date row",not-a-date,chan3,7
+        |garbage,,,,,,,,
+        |"last",2024-01-03 12:00:00,chan4,9
+        |""".stripMargin
+    Files.writeString(f.toPath, content)
+    try {
+      val raw = CsvRepair.readRepaired(spark, f.getAbsolutePath, postsSchema)
+      val out = CsvRepair.coercePosts(raw, "full_date", "views")
+        .orderBy("full_date").collect()
+      // bad-date row dropped; garbage row dropped; 3 rows survive
+      assert(out.length == 3)
+      assert(out(0).getString(0) == "hello world") // \n repaired to space
+      assert(out(0).getLong(3) == 42L)
+      assert(out(1).getLong(3) == 0L) // notanumber -> 0
+      assert(out(2).getString(2) == "chan4")
+    } finally {
+      f.delete(); dir.delete()
+    }
+  }
+
+  test("jdbc builder: pushed-down posts query contains window + not-null predicates") {
+    val q = JdbcSource.postsQuery("telegram_channel_post", "full_date", "text",
+      "2024-01-01", "2024-02-01")
+    assert(q.contains("full_date >= '2024-01-01'"))
+    assert(q.contains("full_date < '2024-02-01'"))
+    assert(q.contains("text IS NOT NULL"))
+    // reader builds without touching the database
+    JdbcSource.partitionedReader(spark, "jdbc:mysql://db/x", "t", "full_date",
+      "2024-01-01", "2024-02-01", 8, "u", "p")
+  }
+
+  test("parquet sink round-trips with partition pruning layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pq").toString + "/out"
+    val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-02")).toDF("id", "v", "month")
+    Sinks.writeParquet(df, dir, partitionBy = Seq("month"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(new java.io.File(dir, "month=2024-01").exists())
+  }
+
+  test("report csv sink writes a single headered file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv_out").toString + "/report"
+    Sinks.writeReportCsv(Seq((1, "x")).toDF("a", "b"), dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val lines = Files.readAllLines(files.head.toPath)
+    assert(lines.get(0) == "a,b")
+  }
+}
