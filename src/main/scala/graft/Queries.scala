@@ -200,7 +200,14 @@ object Queries {
     ("q30_fingerprints",
       (s: SparkSession, dir: String) =>
         TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
-      Some(graft.sql.TextAnalysisSql.fingerprints("documents")))
+      Some(graft.sql.TextAnalysisSql.fingerprints("documents"))),
+
+    // --- Multimodal plumbing (MultimodalOps; stubbed decode) ---
+
+    ("q31_modality_summary",
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.modalitySummary(s, Tables.documents(s, dir), dim = 16),
+      Some(graft.sql.MultimodalSql.modalitySummary("documents")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,20 @@
+package graft.sql
+
+/** DuckDB oracle for the multimodal feature-summary query. Valid because
+  * the fake payload is the utf-8 bytes of the (pure-ASCII) documents text:
+  * codepoints == bytes, so the rolling checksum can be recomputed in SQL.
+  * The mapPartitions path in [[graft.ops.MultimodalOps]] is thereby
+  * hash-checked end-to-end despite not being a SQL-shaped operator. */
+object MultimodalSql {
+
+  def modalitySummary(table: String): String =
+    s"""WITH m AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  list_reduce(list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT)),
+    (a, b) -> (a * 31 + b) & 2147483647) AS checksum
+  FROM $table WHERE text IS NOT NULL)
+SELECT modality, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+MIN(checksum) AS min_checksum, MAX(checksum) AS max_checksum
+FROM m GROUP BY modality ORDER BY modality"""
+}

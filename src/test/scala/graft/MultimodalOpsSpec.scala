@@ -1,0 +1,41 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.MultimodalOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("feature extraction preserves row count and emits fixed-dim vectors") {
+    val media = MultimodalOps.fromDocuments(spark, Tables.documents(spark, sf))
+    val feats = MultimodalOps.extractFeatures(media, dim = 16).collect()
+    assert(feats.length == media.count())
+    feats.foreach { f =>
+      assert(f.feature.length == 16)
+      assert(f.nBytes > 0)
+      assert(f.checksum >= 0 && f.checksum <= 0x7fffffffL)
+    }
+  }
+
+  test("decode stub is deterministic") {
+    val bytes = "hello media".getBytes("UTF-8")
+    assert(MultimodalOps.decodeStub(bytes, 8).toSeq == MultimodalOps.decodeStub(bytes, 8).toSeq)
+  }
+
+  test("frame sampling fans out with stride and fixed frame size") {
+    val media = MultimodalOps.fromDocuments(spark, Tables.documents(spark, sf))
+    val frames = MultimodalOps.sampleFrames(media, frameSize = 16, stride = 8)
+    val rows = frames.filter("media_id = 0").orderBy("frame_no").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Array[Byte]]("frame_bytes").length == 16))
+    assert(rows.map(_.getInt(1)).toSeq == rows.indices)
+  }
+
+  test("modality summary partitions the corpus into three modalities") {
+    val out = MultimodalOps.modalitySummary(spark, Tables.documents(spark, sf), 16).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+  }
+}
