@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst `Generator`s for the text hot paths.
+  *
+  * Why not `explode(<array expression>)`: Spark's `InferFiltersFromGenerate`
+  * adds `size(arr) > 0 AND isnotnull(arr)` above the Generate, and predicate
+  * pushdown then INLINES the whole array-building expression into that
+  * filter — with higher-order functions this re-evaluates the tokenizer
+  * once per array ELEMENT (O(tokens²) interpreted work per row, twice).
+  * A generator takes the raw text column and emits rows in one JVM pass:
+  * no intermediate array column exists, so there is nothing to infer
+  * filters from or to duplicate. One eval per row, tight JVM code.
+  */
+object Generators {
+
+  /** Distinct w-token shingles of a whitespace-tokenized text
+    * (tokenization contract of [[TextHash.tokens]]: trim, split on space
+    * runs, drop empties; docs with fewer than `w` tokens emit nothing). */
+  case class ShingleExplode(child: Expression, w: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+
+    override def elementSchema: StructType =
+      StructType(StructField("shingle", StringType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_explode needs a string column, got ${child.dataType}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = v.asInstanceOf[UTF8String].toString.trim.split(" +")
+        .filter(_.nonEmpty)
+      if (toks.length < w) return Nil
+      val seen = new java.util.LinkedHashSet[String]
+      var i = 0
+      while (i <= toks.length - w) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var o = 1
+        while (o < w) { sb.append(' ').append(toks(i + o)); o += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[InternalRow](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) {
+        out(j) = InternalRow(UTF8String.fromString(it.next())); j += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleExplode =
+      copy(child = newChild)
+  }
+
+  /** Analyzer tokens of [[graft.text.SimpleAnalyzer]] as a generator:
+    * lowercase, split on non-alphanumeric runs, keep tokens with
+    * length >= minLen that are not pure digits and not stopwords.
+    * Emits one row per SURVIVING token occurrence (multiset — word counts
+    * need duplicates). */
+  case class TokenExplode(child: Expression, minLen: Int, stopwords: Seq[String])
+      extends UnaryExpression with Generator with CodegenFallback {
+
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, stopwords.size * 2))
+      stopwords.foreach(s.add)
+      s
+    }
+    @transient private lazy val splitter = java.util.regex.Pattern.compile("[^a-z0-9]+")
+    @transient private lazy val digits = java.util.regex.Pattern.compile("^[0-9]+$")
+
+    override def elementSchema: StructType =
+      StructType(StructField("token", StringType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_explode needs a string column, got ${child.dataType}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = splitter.split(v.asInstanceOf[UTF8String].toString.toLowerCase)
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.length >= minLen && !digits.matcher(t).matches() && !stopSet.contains(t))
+          out += InternalRow(UTF8String.fromString(t))
+        i += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenExplode =
+      copy(child = newChild)
+  }
+
+  /** Column API: one row per distinct w-shingle of `text`. */
+  def shingleExplode(text: Column, w: Int): Column =
+    toColumn(ShingleExplode(toExpression(text), w))
+
+  /** Column API: one row per surviving analyzer token of `text`. */
+  def tokenExplode(text: Column, minLen: Int, stopwords: Seq[String]): Column =
+    toColumn(TokenExplode(toExpression(text), minLen, stopwords))
+}

@@ -26,9 +26,15 @@ object TextHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: independent hash family member j (j=0,1,...). */
-  def hash60Seeded(j: Column, c: Column): Column =
-    hash60(concat_ws(":", j.cast("string"), c))
+  /** 28-bit md5-derived hash (first 7 hex chars). Small enough that
+    * `a*h28+b` with `a,b < 2^31` stays under 2^60 — i.e. safe in engines
+    * that ERROR on 64-bit overflow (DuckDB) as well as ones that wrap
+    * (JVM). The base hash for the MinHash family. */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Modulus of the MinHash universal-hash family: 2^31-1 (prime). */
+  val MinHashP = 2147483647L
 
   /** Whitespace tokenization: trim, split on runs of spaces, drop empties.
     * Preserves the original sequence (shingling must see the raw order —
@@ -48,10 +54,16 @@ object TextHash {
       sequence(lit(1), size(toks) - (w - 1)),
       i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
 
-  /** MinHash signature: k independent minima over the shingle set. */
-  def minhash(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => hash60Seeded(j, s))))
+  /** MinHash universal-hash family member j over a pre-hashed shingle:
+    * h_j(x) = (a_j·x + b_j) mod (2^31-1), with closed-form coefficients
+    * a_j = 506952114·(j+1) mod P, b_j = (40503·j + 1013904223) mod P that
+    * any engine reproduces without lookup tables. With x < 2^28 (hash28)
+    * and a_j < 2^31 every intermediate stays under 2^60 — safe both where
+    * int64 wraps (JVM) and where it errors (DuckDB). */
+  def minhashA(j: Int): Long = 506952114L * (j + 1) % MinHashP
+  def minhashB(j: Int): Long = (40503L * j + 1013904223L) % MinHashP
+  def minhashMember(j: Int, h: Column): Column =
+    (lit(minhashA(j)) * h + lit(minhashB(j))) % MinHashP
 
   /** LSH band key for band b (a compile-time index) over a minhash
     * signature with r rows/band: hash of the comma-joined band slice

@@ -9,14 +9,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown intact — downstream `select`/`filter` reach the scan as
   * `ReadSchema`/`PushedFilters`. Never pre-`.cache()` here; callers decide
   * what is worth persisting.
+  *
+  * Scan parallelism: parquet splits at ROW-GROUP granularity, so a
+  * single-row-group file scans as ONE partition no matter what
+  * `maxPartitionBytes` says — and every per-row expression downstream runs
+  * on one core. [[load]] therefore rebalances a scan whose split count is
+  * below the session's core count (the local single-file case). On a real
+  * multi-file/multi-row-group dataset the condition is false and no shuffle
+  * is added; filters and pruning push through the `Repartition` node either
+  * way.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Tables small enough that rebalancing would only break broadcast-join
+    * sizing heuristics for zero gain. */
+  private val tinyDims = Set("region", "nation")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val cores = spark.sparkContext.defaultParallelism
+    if (!tinyDims.contains(name) && df.rdd.getNumPartitions < cores)
+      df.repartition(cores)
+    else df
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.Generators
 import graft.functions.TextHash._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -70,17 +71,41 @@ object DedupOps {
       docs: DataFrame, textCol: String, idCol: String,
       w: Int = 3, nBands: Int = 8, r: Int = 2,
       minJaccard: Double = 0.0, limit: Int = 50): DataFrame = {
+    val k = nBands * r
     val sh = shingled(docs, textCol, idCol, w)
-    val sig = sh.select(col("id"), minhash(col("sh"), nBands * r).as("m"))
+    // Signature as an AGGREGATION over generator output: ShingleExplode
+    // emits each doc's distinct shingles in one JVM pass (no intermediate
+    // array column — see graft.functions.Generators for why that matters),
+    // each shingle is md5'd ONCE (codegen'd), and the k-member family minima
+    // are plain min() aggregates. Partial aggregation collapses a doc's
+    // shingles map-side (they are born in one partition), so the shuffle
+    // carries one k-wide row per doc.
+    val aggCols = (0 until k).map(j => min(minhashMember(j, col("h"))).as(s"m$j"))
+    val sig = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Generators.shingleExplode(col(textCol), w).as("s"))
+      .select(col("id"), hash28(col("s")).as("h"))
+      .groupBy("id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("id"), array((0 until k).map(j => col(s"m$j")): _*).as("m"))
     val bands = sig.select(
       col("id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), bandHash(col("m"), b, r).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-        && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+    // Pairs via groupBy-collect instead of a bucket self-join: the signature
+    // pipeline is evaluated ONCE (a self-join would recompute it on both
+    // sides), and the single shuffle key is (band, bh). Per-bucket pair
+    // expansion is local; degenerate buckets are inherent to LSH, not to
+    // this formulation.
+    val cand = bands
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("id"), col("sh").as("sh_a")), col("doc_a") === col("id")).drop("id")

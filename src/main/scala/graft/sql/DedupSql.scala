@@ -25,10 +25,15 @@ object DedupSql {
 SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
 COUNT(DISTINCT array_to_string(tk[1:$prefixLen], ' ')) AS n_distinct_prefix FROM t"""
 
+  /** MinHash family (mirrors TextHash.minhashFromHashes): base hash = first
+    * 7 md5 hex chars (28-bit), family member j = (a_j·h + b_j) mod 2^31-1
+    * with closed-form a_j, b_j. All intermediates < 2^60: no BIGINT
+    * overflow in DuckDB (which errors rather than wraps). */
   def minhashPairs(table: String, w: Int, nBands: Int, r: Int, minJaccard: Double, limit: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 ${shingleCte(w)},
-sig AS (SELECT id, s, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(s, x -> ${h("j::VARCHAR || ':' || x")}))) AS m FROM sh),
+hs AS (SELECT id, s, list_transform(s, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS hl FROM sh),
+sig AS (SELECT id, s, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(hl, h -> (((506952114*(j+1)) % 2147483647) * h + ((40503*j + 1013904223) % 2147483647)) % 2147483647))) AS m FROM hs),
 bands AS (SELECT id, b, ${h((0 until r).map(o => s"m[$r*b+${o + 1}]::VARCHAR").mkString(" || ',' || "))} AS bh
   FROM sig, (SELECT unnest(range(0,$nBands)) AS b)),
 cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
 trait Analyzer extends Serializable {
   /** Tokenize + normalize + filter one text column into ArrayType(String). */
   def tokens(text: Column): Column
+
+  /** Generator form: one output ROW per surviving token. Default derives
+    * from [[tokens]]; implementations should override with a custom
+    * Catalyst Generator when the array form would be re-evaluated by
+    * inferred filters (see graft.functions.Generators). */
+  def tokenRows(text: Column): Column = explode(tokens(text))
 }
 
 /** Deterministic analyzer: lowercase, split on non-alphanumerics, drop
@@ -37,6 +43,12 @@ final case class SimpleAnalyzer(stopwords: Seq[String], minLen: Int = 2) extends
       raw,
       t => length(t) >= minLen && !t.rlike("^[0-9]+$") && !array_contains(stop, t))
   }
+
+  /** Hot-path form: custom Generator — one JVM pass per row, stopword
+    * lookup via hash set instead of a per-token linear array scan. Same
+    * token semantics as [[tokens]]. */
+  override def tokenRows(text: Column): Column =
+    graft.functions.Generators.tokenExplode(text, minLen, stopwords)
 }
 
 /** A5 WORD-COUNT and friends over any analyzer. */
@@ -48,7 +60,7 @@ object TextOps {
     * so shuffle volume is O(vocab), not O(tokens). */
   def wordFrequency(df: DataFrame, textCol: String, analyzer: Analyzer, topN: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
-      .select(explode(analyzer.tokens(col(textCol))).as("word"))
+      .select(analyzer.tokenRows(col(textCol)).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc)
@@ -65,7 +77,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val counts = exploded
       .filter(col(textCol).isNotNull)
-      .select(col(categoryCol).as("category"), explode(analyzer.tokens(col(textCol))).as("word"))
+      .select(col(categoryCol).as("category"), analyzer.tokenRows(col(textCol)).as("word"))
       .groupBy("category", "word")
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("category")).orderBy(col("n").desc, col("word").asc)
