@@ -202,6 +202,25 @@ object Queries {
         TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
       Some(graft.sql.TextAnalysisSql.fingerprints("documents"))),
 
+    ("q32_embedding_neardup",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nPlanes = 6, dim = 64, minCos = 0.0, limit = 100),
+      Some(graft.sql.SimilaritySql.embeddingNearDup("embeddings",
+        nPlanes = 6, dim = 64, minCos = 0.0, limit = 100))),
+
+    ("q33_ann_ivf",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.annIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
+          centroidMod = 50, queryMod = 40, k = 5),
+      Some(graft.sql.SimilaritySql.annIvf("embeddings",
+        centroidMod = 50, queryMod = 40, k = 5, dim = 64))),
+
+    ("q34_exact_dedup",
+      (s: SparkSession, dir: String) =>
+        DedupOps.exactDedupReport(Tables.documents(s, dir), "text", "doc_id", prefixLen = 8),
+      Some(graft.sql.DedupSql.exactDedupReport("documents", prefixLen = 8))),
+
     // --- Multimodal plumbing (MultimodalOps; stubbed decode) ---
 
     ("q31_modality_summary",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.Generators
+import graft.functions.{Collections, Generators}
 import graft.functions.TextHash._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -46,6 +46,23 @@ object DedupOps {
         count(lit(1)).as("n_docs"),
         countDistinct(col("__text")).as("n_distinct_text"),
         countDistinct(col("__prefix")).as("n_distinct_prefix"))
+  }
+
+  /** Exact dedup by content-defined key: one hash-groupBy on the
+    * `prefixLen`-token prefix, reporting the deterministic keeper (minimum
+    * id) and copy count for every duplicated key. The 100 TB shape: a
+    * single shuffle keyed on the (short) prefix, map-side partial
+    * aggregation, no window. */
+  def exactDedupReport(docs: DataFrame, textCol: String, idCol: String, prefixLen: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), concat_ws(" ", slice(toks, 1, prefixLen)).as("__key"))
+      .groupBy("__key")
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy("keeper_id")
   }
 
   /** Tokenized + shingled view of a corpus: (id, shingles) for docs with at
@@ -102,10 +119,8 @@ object DedupOps {
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(explode(Collections.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("id"), col("sh").as("sh_a")), col("doc_a") === col("id")).drop("id")

@@ -100,6 +100,66 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: vectors sharing
+    * a full hyperplane-sign bucket are candidates (each vector lives in
+    * exactly ONE bucket, so no cross-band dedup is needed); exact cosine
+    * verifies. Candidate generation is a groupBy-collect on the bucket id —
+    * one shuffle, pipeline evaluated once — the same shape as MinHash-LSH
+    * in [[graft.ops.DedupOps.minhashPairs]]. */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int, minCos: Double, limit: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.select(
+      col(idCol).as("id"), lshBucket(col(vecCol), planes).as("bucket"))
+    val cand = bucketed
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(graft.functions.Collections.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+    cand
+      .join(emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
+      .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(limit)
+  }
+
+  /** IVF-style approximate top-k: an inverted-file index with a
+    * deterministic centroid set (vectors with id % centroidMod == 0 stand
+    * in for trained k-means centroids — the assignment/probe machinery is
+    * what the engine provides; centroid training is an offline concern).
+    * Every vector is assigned to its nearest centroid (one broadcast of
+    * the small centroid set, ties broken by centroid id on the 6-dp
+    * rounded cosine so both engines agree); queries probe their own
+    * centroid's inverted list (nprobe=1). */
+  def annIvf(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, queryMod: Int, k: Int): DataFrame = {
+    val cents = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    val queries = assigned.filter(col("id") % queryMod === 0)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.select(col("id").as("neighbor_id"), col("v").as("nv"), col("cid"))
+      .join(broadcast(queries), "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Per-label centroid profile: vector count and decimal-exact means of
     * the first two dimensions (component values cast to decimal before
     * summing — exact under any aggregation order). The full-centroid

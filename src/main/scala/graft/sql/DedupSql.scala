@@ -25,6 +25,12 @@ object DedupSql {
 SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
 COUNT(DISTINCT array_to_string(tk[1:$prefixLen], ' ')) AS n_distinct_prefix FROM t"""
 
+  def exactDedupReport(table: String, prefixLen: Int): String =
+    s"""WITH t AS (SELECT doc_id AS id, array_to_string(($toks)[1:$prefixLen], ' ') AS k
+  FROM $table WHERE text IS NOT NULL)
+SELECT MIN(id) AS keeper_id, COUNT(*) AS n_copies FROM t GROUP BY k
+HAVING COUNT(*) >= 2 ORDER BY keeper_id"""
+
   /** MinHash family (mirrors TextHash.minhashFromHashes): base hash = first
     * 7 md5 hex chars (28-bit), family member j = (a_j·h + b_j) mod 2^31-1
     * with closed-form a_j, b_j. All intermediates < 2^60: no BIGINT

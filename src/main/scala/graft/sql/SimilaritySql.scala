@@ -41,6 +41,41 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC,
 SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
   }
 
+  /** Shared bucket CTE text for hyperplane-LSH oracles. */
+  private def bucketCte(table: String, nPlanes: Int, dim: Int): String = {
+    val planes = SimilarityOps.hyperplanes(nPlanes, dim)
+    val planeValues = planes.zipWithIndex
+      .map { case (h, p) => s"($p, [${h.mkString(", ")}]::DOUBLE[])" }
+      .mkString(", ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+b AS (SELECT e.vec_id, e.v,
+  CAST(SUM(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> e.v[i] * p.h[i])) > 0
+    THEN (1::BIGINT << p.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, (VALUES $planeValues) AS p(p, h) GROUP BY e.vec_id, e.v)"""
+  }
+
+  def embeddingNearDup(table: String, nPlanes: Int, dim: Int, minCos: Double, limit: Int): String =
+    s"""WITH ${bucketCte(table, nPlanes, dim)},
+cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+v AS (SELECT c.vec_a, c.vec_b, ${cosSql("a.v", "bb.v", dim)} AS cos
+  FROM cand c JOIN e a ON c.vec_a = a.vec_id JOIN e bb ON c.vec_b = bb.vec_id)
+SELECT vec_a, vec_b, cos FROM v WHERE cos >= $minCos
+ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT $limit"""
+
+  def annIvf(table: String, centroidMod: Int, queryMod: Int, k: Int, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $centroidMod = 0),
+ac AS (SELECT e.vec_id AS id, e.v, c.cid, ${cosSql("e.v", "c.cv", dim)} AS ccos,
+  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM e, c),
+a AS (SELECT id, v, cid FROM ac WHERE crk = 1),
+q AS (SELECT id AS query_id, v AS qv, cid FROM a WHERE id % $queryMod = 0),
+cand AS (SELECT q.query_id, a.id AS neighbor_id, ${cosSql("q.qv", "a.v", dim)} AS cos
+  FROM q JOIN a ON a.cid = q.cid AND a.id <> q.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
+SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
   def labelCentroidProfile(table: String): String =
     s"""SELECT label, COUNT(*) AS n_vecs,
 round(CAST(SUM(CAST(embedding[1]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_d0,

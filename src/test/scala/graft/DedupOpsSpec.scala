@@ -31,6 +31,17 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(truth.subsetOf(lsh), s"LSH missed: ${truth -- lsh}")
   }
 
+  test("exactDedupReport groups by token prefix with deterministic keeper") {
+    import spark.implicits._
+    val df = Seq(
+      (7L, "a b c d e tail one"),
+      (3L, "a b c d e tail two"),
+      (9L, "totally different text here x")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedupReport(df, "text", "doc_id", prefixLen = 5).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 3L && out(0).getLong(1) == 2L)
+  }
+
   test("simhash is identical for identical texts and 60-bit bounded") {
     import spark.implicits._
     val df = Seq((0L, "alpha beta gamma delta"), (10L, "alpha beta gamma delta"),

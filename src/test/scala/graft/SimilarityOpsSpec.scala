@@ -54,6 +54,30 @@ class SimilarityOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Double](1).length == 64))
   }
 
+  test("embedding near-dup finds identical vectors and orders by cosine desc") {
+    import spark.implicits._
+    val v1 = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val v3 = (0 until 64).map(i => math.cos(i * 2 + 1).toFloat).toArray
+    val df = Seq((1L, v1), (2L, v1), (3L, v3)).toDF("vec_id", "embedding")
+    val rows = SimilarityOps.embeddingNearDupPairs(df, "vec_id", "embedding",
+      nPlanes = 6, dim = 64, minCos = 0.99, limit = 10).collect()
+    // identical vectors share every hyperplane sign -> guaranteed same bucket
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(rows.forall(_.getDouble(2) >= 0.99))
+  }
+
+  test("IVF ANN: neighbors share the query's centroid cell, ranking is correct") {
+    val rows = SimilarityOps.annIvf(emb, "vec_id", "embedding",
+      centroidMod = 50, queryMod = 40, k = 5).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val cs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      cs.zip(cs.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 100, 10)
       .queryExecution.executedPlan.toString
