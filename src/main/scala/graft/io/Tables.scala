@@ -24,14 +24,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Tables small enough that rebalancing would only break broadcast-join
-    * sizing heuristics for zero gain. */
-  private val tinyDims = Set("region", "nation")
+  /** Tables whose consumers do heavy per-row compute (md5/shingling,
+    * regex tagging, vector math). Only these are worth an extra exchange
+    * when the scan has fewer splits than cores; relational tables are
+    * cheaper to decode single-threaded than to re-shuffle (measured at
+    * sf0.1: q12 0.23s raw vs 0.59s rebalanced). */
+  private val computeHeavy = Set("documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val cores = spark.sparkContext.defaultParallelism
-    if (!tinyDims.contains(name) && df.rdd.getNumPartitions < cores)
+    if (computeHeavy.contains(name) && df.rdd.getNumPartitions < cores)
       df.repartition(cores)
     else df
   }
