@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.KeywordMatch
 import graft.model.{AnalysisConfig, Taxonomy}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -15,13 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object KeywordOps {
 
-  /** P3 KEYWORD-FILTER — cheap first-pass relevance gate: one union OR-regex
-    * over all escaped keyword literals (reference `main.py:284-288`).
+  /** P3 KEYWORD-FILTER — cheap first-pass relevance gate: ANY keyword
+    * contained in the text (reference `main.py:284-288` builds one union
+    * OR-regex over all ESCAPED literals — i.e. multi-literal containment).
+    * One Aho-Corasick pass ([[graft.functions.KeywordMatch]]) instead of a
+    * giant regex alternation; with early exit on first hit.
     * Deliberately ordered BEFORE per-industry tagging: the cascade
     * (cheap coarse filter, then detailed classification) is the reference's
     * one real optimization and we keep it structurally. */
   def keywordFilter(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
-    df.filter(col(textCol).isNotNull && col(textCol).rlike(taxonomy.unionPattern))
+    df.filter(col(textCol).isNotNull &&
+      size(KeywordMatch.multiKeywordTags(col(textCol), unionTaxonomy(taxonomy))) > 0)
+
+  /** Single-label view of a taxonomy: all keywords under one label, for
+    * boolean any-keyword matching with first-hit early exit. */
+  private def unionTaxonomy(taxonomy: Taxonomy): Seq[(String, Seq[String])] =
+    Seq("any" -> taxonomy.industries.flatMap(_._2).distinct)
 
   /** P5 ANTI-FILTER (channel blacklist) — case-insensitive NOT IN
     * (reference `main.py:350-352`). For blacklists small enough to inline
@@ -52,29 +62,31 @@ object KeywordOps {
     noiseFilter(channelBlacklistFilter(keywordFilter(df, cfg.taxonomy, cfg.posts.textCol), cfg), cfg)
 
   /** P4 TAG (multi-label classify), boolean-column form: one `is_<Industry>`
-    * BooleanType column per industry (reference `main.py:309-329`).
-    * A post may match several industries — per-industry stats intentionally
-    * double-count (SURVEY §7 hard-part (c): keep, don't "fix"). */
-  def tagBooleans(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
-    taxonomy.industries.foldLeft(df) { case (acc, (ind, _)) =>
-      acc.withColumn(s"is_$ind", col(textCol).rlike(taxonomy.patternFor(ind)))
-    }
+    * BooleanType column per industry (reference `main.py:309-329`), derived
+    * from one shared tag-array pass. A post may match several industries —
+    * per-industry stats intentionally double-count (SURVEY §7 hard-part
+    * (c): keep, don't "fix"). */
+  def tagBooleans(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame = {
+    val tagged = tagArray(df, taxonomy, textCol)
+    taxonomy.industryNames.foldLeft(tagged) { case (acc, ind) =>
+      acc.withColumn(s"is_$ind", array_contains(col("industries"), ind))
+    }.drop("industries")
+  }
 
   /** P4 TAG, array form: a single `industries` ArrayType(StringType) column
-    * of all matched industries. More idiomatic in Spark — `explode` replaces
-    * the reference's per-industry loop, and one downstream `groupBy` covers
-    * all industries in a single shuffle. Pure `functions._` (codegen'd). */
-  def tagArray(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame = {
-    val tags = array(taxonomy.industries.map { case (ind, _) =>
-      when(col(textCol).rlike(taxonomy.patternFor(ind)), lit(ind))
-    }: _*)
-    df.withColumn("industries", filter(tags, _.isNotNull))
-  }
+    * of all matched industries — ONE Aho-Corasick pass over the text for
+    * the whole taxonomy (vs one regex alternation scan per industry).
+    * `explode` replaces the reference's per-industry loop, and one
+    * downstream `groupBy` covers all industries in a single shuffle. */
+  def tagArray(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
+    df.withColumn("industries",
+      KeywordMatch.multiKeywordTags(col(textCol), taxonomy.industries))
 
   /** P8 OR-ACROSS-COLUMNS — "globally relevant" mask: any industry matched
     * (reference `main.py:547-550`). Array form: non-empty tag array. */
   def anyIndustry(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
-    df.filter(col(textCol).rlike(taxonomy.unionPattern))
+    df.filter(col(textCol).isNotNull &&
+      size(KeywordMatch.multiKeywordTags(col(textCol), unionTaxonomy(taxonomy))) > 0)
 
   /** Clean + tag + explode to one row per (post, industry): the shared input
     * of every per-industry report. One pass over the data regardless of the

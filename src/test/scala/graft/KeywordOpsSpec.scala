@@ -61,6 +61,35 @@ class KeywordOpsSpec extends AnyFunSuite {
     assert(out.map(_._1.toString) == Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
   }
 
+  test("Aho-Corasick tags agree with the regex-alternation definition") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val tax = graft.model.Defaults.taxonomy
+    val viaRegex = tax.industries.map { case (ind, _) =>
+      when(col("text").rlike(tax.patternFor(ind)), lit(ind))
+    }
+    val both = docs.select(
+      graft.functions.KeywordMatch.multiKeywordTags(col("text"), tax.industries).as("ac"),
+      filter(array(viaRegex: _*), _.isNotNull).as("re"))
+    assert(both.filter(not(col("ac") === col("re"))).count() == 0)
+  }
+
+  test("multiKeywordTags edge cases: empty text, overlap, unicode, null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tax = Seq("A" -> Seq("ab", "xyz"), "B" -> Seq("bc"), "Fa" -> Seq("آلو"))
+    val df = Seq(Some("xabcx"), Some(""), Some("zz"), None, Some("آلوم"))
+      .toDF("t")
+    val out = df.select(graft.functions.KeywordMatch.multiKeywordTags(col("t"), tax).as("tags"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0).toList)
+    assert(out(0) == List("A", "B")) // "ab" and "bc" overlap in "abc"
+    assert(out(1) == Nil)
+    assert(out(2) == Nil)
+    assert(out(3) == null)
+    assert(out(4) == List("Fa"))
+  }
+
   test("default config keyword escaping produces valid union pattern") {
     assert(Defaults.config.taxonomy.unionPattern.nonEmpty)
     assert(tax.unionPattern == "(alpha|a\\+b|beta)")
