@@ -202,6 +202,18 @@ object Queries {
         TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
       Some(graft.sql.TextAnalysisSql.fingerprints("documents"))),
 
+    ("q35_status_set_customers",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.statusSetCustomers(Tables.orders(s, dir)),
+      Some(graft.sql.RelationalSql.statusSetCustomers)),
+
+    ("q36_active_customers",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.activeCustomersByNation(
+          Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir),
+          "2001-01-01 00:00:00"),
+      Some(graft.sql.RelationalSql.activeCustomersByNation("2001-01-01 00:00:00"))),
+
     ("q32_embedding_neardup",
       (s: SparkSession, dir: String) =>
         SimilarityOps.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",

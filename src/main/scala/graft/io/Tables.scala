@@ -62,7 +62,11 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
 
   /** Register every table as a temp view so the whole engine surface is
-    * reachable from `spark.sql(...)`. */
+    * reachable from `spark.sql(...)`. `events` needs its nanos-timestamp
+    * conversion, so it goes through its dedicated loader. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

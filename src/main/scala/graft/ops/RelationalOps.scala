@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,37 @@ object RelationalOps {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation_name"))
       .agg(count(lit(1)).as("n_inactive"))
+      .orderBy("nation_name")
+
+  /** U2 set-ops surface: customers who placed BOTH a finished ('F') and an
+    * open ('O') order (INTERSECT), excluding anyone with an urgent order
+    * (EXCEPT). Spark plans INTERSECT/EXCEPT as left-semi/left-anti
+    * aggregate joins — the distributed shape is the same one the join
+    * family uses. */
+  def statusSetCustomers(orders: DataFrame): DataFrame = {
+    def custs(p: Column) = orders.filter(p).select(col("o_custkey"))
+    custs(col("o_orderstatus") === "F")
+      .intersect(custs(col("o_orderstatus") === "O"))
+      .except(custs(col("o_orderpriority") === "1-URGENT"))
+      .select(col("o_custkey").as("custkey"))
+      .orderBy("custkey")
+  }
+
+  /** LEFT SEMI counterpart of [[inactiveCustomersByNation]]: customers WITH
+    * at least one order after the cutoff, counted per nation. Semi join =
+    * existence check without duplication — no distinct needed on the
+    * orders side. */
+  def activeCustomersByNation(
+      customer: DataFrame, orders: DataFrame, nation: DataFrame,
+      cutoff: String): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_active"))
       .orderBy("nation_name")
 
   /** Top suppliers by revenue: supplier⋈lineitem with broadcast supplier dim

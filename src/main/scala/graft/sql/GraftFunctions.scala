@@ -1,0 +1,85 @@
+package graft.sql
+
+import graft.functions.Generators.{ShingleExplode, TokenExplode}
+import graft.functions.KeywordMatch.MultiKeywordTags
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for graft's custom Catalyst expressions (SURVEY §3.4: every
+  * engine operator reachable from `spark.sql(...)`).
+  *
+  * Two registration paths, same builders:
+  *  - [[GraftExtensions]] — `SparkSessionExtensions` injection, enabled via
+  *    `spark.sql.extensions=graft.sql.GraftExtensions` at session build
+  *    (the idiomatic deployment path);
+  *  - [[GraftFunctions.register]] — runtime registration into an existing
+  *    session's function registry.
+  *
+  * SQL signatures (config args must be literals — they parameterize the
+  * expression, they are not data):
+  *   shingle_explode(text, w)
+  *   token_explode(text, minLen, 'stop,words')
+  *   multi_keyword_tags(text, 'Label1:kw1,kw2;Label2:kw3')
+  */
+object GraftFunctions {
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: expected a string literal argument, got $e")
+  }
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case _ => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $e")
+  }
+
+  /** "Label1:kw1,kw2;Label2:kw3" -> taxonomy. */
+  private[sql] def parseTaxonomy(spec: String): Seq[(String, Seq[String])] =
+    spec.split(";").toSeq.filter(_.nonEmpty).map { part =>
+      part.split(":", 2) match {
+        case Array(label, kws) => label -> kws.split(",").toSeq.filter(_.nonEmpty)
+        case _ => throw new IllegalArgumentException(
+          s"multi_keyword_tags: bad taxonomy segment '$part' (want Label:kw1,kw2)")
+      }
+    }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("shingle_explode"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_explode(text, w)")
+        ShingleExplode(args.head, litInt(args(1), "shingle_explode"))
+      }),
+    (FunctionIdentifier("token_explode"),
+      new ExpressionInfo(classOf[TokenExplode].getName, "token_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "token_explode(text, minLen, 'stop,words')")
+        TokenExplode(args.head, litInt(args(1), "token_explode"),
+          litString(args(2), "token_explode").split(",").toSeq.filter(_.nonEmpty))
+      }),
+    (FunctionIdentifier("multi_keyword_tags"),
+      new ExpressionInfo(classOf[MultiKeywordTags].getName, "multi_keyword_tags"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "multi_keyword_tags(text, 'Label:kw1,kw2;...')")
+        MultiKeywordTags(args.head,
+          parseTaxonomy(litString(args(1), "multi_keyword_tags")))
+      })
+  )
+
+  /** Register every graft SQL function into an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      GraftSqlBridge.registerFunction(spark, id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions`-pluggable injection of the graft functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -73,6 +73,23 @@ WHERE NOT EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '$cutoff')
 GROUP BY n.n_name ORDER BY nation_name"""
 
+  def statusSetCustomers: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey"""
+
+  def activeCustomersByNation(cutoff: String): String =
+    s"""SELECT n.n_name AS nation_name, COUNT(*) AS n_active
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '$cutoff')
+GROUP BY n.n_name ORDER BY nation_name"""
+
   def topSuppliers(k: Int): String =
     s"""WITH rev AS (
   SELECT l_suppkey, SUM($disc) AS revenue FROM lineitem GROUP BY l_suppkey)
