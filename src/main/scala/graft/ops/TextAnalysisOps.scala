@@ -72,10 +72,16 @@ object TextAnalysisOps {
           / col("n_tokens"), 6))
       .withColumn("digit_ratio", round(col("n_digit_chars").cast("double") / col("n_chars"), 6))
       .withColumn("stopword_ratio", round(col("n_stop_tokens").cast("double") / col("n_tokens"), 6))
+      // Score in EXACT decimal arithmetic: the weighted sum can land
+      // precisely on a .5 boundary at 6 dp (e.g. 0.7216495), where binary
+      // double noise makes engines round differently. The rounded ratio
+      // inputs are exact 6-dp decimals, so decimal math is bit-stable.
       .withColumn("quality_score",
-        round(lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 50.0)
-          + lit(0.3) * (lit(1.0) - col("digit_ratio"))
-          + lit(0.3) * col("stopword_ratio"), 6))
+        round(
+          least(lit(50), col("n_tokens")).cast("decimal(18,6)") * lit(BigDecimal("0.008"))
+            + lit(BigDecimal("0.3")) * (lit(1).cast("decimal(18,6)") - col("digit_ratio").cast("decimal(18,6)"))
+            + lit(BigDecimal("0.3")) * col("stopword_ratio").cast("decimal(18,6)"), 6)
+          .cast("double"))
       .drop("__toks")
       .orderBy("doc_id")
   }

@@ -37,9 +37,10 @@ SELECT doc_id, n_chars, n_tokens, n_digit_chars, n_stop_tokens,
   round(tok_chars::DOUBLE / n_tokens, 6) AS avg_token_len,
   round(n_digit_chars::DOUBLE / n_chars, 6) AS digit_ratio,
   round(n_stop_tokens::DOUBLE / n_tokens, 6) AS stopword_ratio,
-  round(0.4 * least(1.0, n_tokens::DOUBLE / 50.0)
-      + 0.3 * (1.0 - round(n_digit_chars::DOUBLE / n_chars, 6))
-      + 0.3 * round(n_stop_tokens::DOUBLE / n_tokens, 6), 6) AS quality_score
+  CAST(round(
+    CAST(least(50, n_tokens) AS DECIMAL(18,6)) * 0.008
+      + 0.3 * (1 - CAST(round(n_digit_chars::DOUBLE / n_chars, 6) AS DECIMAL(18,6)))
+      + 0.3 * CAST(round(n_stop_tokens::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)), 6) AS DOUBLE) AS quality_score
 FROM m ORDER BY doc_id"""
   }
 
