@@ -28,14 +28,12 @@ object SimilarityOps {
   /** Sequential left-to-right sum of an array<double> column. */
   private def seqSum(v: Column): Column = aggregate(v, lit(0.0), (a, x) => a + x)
 
-  /** Cosine similarity of two float-array columns, rounded to 6 dp. */
-  def cosine(a: Column, b: Column): Column = {
-    val (da, db) = (asDouble(a), asDouble(b))
-    val dot = seqSum(zip_with(da, db, (x, y) => x * y))
-    val na = sqrt(seqSum(transform(da, x => x * x)))
-    val nb = sqrt(seqSum(transform(db, x => x * x)))
-    round(dot / (na * nb), 6)
-  }
+  /** Cosine similarity of two float-array columns, rounded to 6 dp.
+    * One fused codegen'd loop ([[graft.functions.VectorMath]]) — same
+    * sequential-fold arithmetic as the HOF formulation and the oracle,
+    * without interpreted per-component lambda dispatch. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorMath.cosineSim(a, b)
 
   /** Deterministic random hyperplanes: component d of plane p is
     * md5-derived, uniform in [-1, 1). Generated driver-side once; the same
