@@ -53,6 +53,23 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over events.parquet matches the batch aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.io.Tables.eventsStream(spark, dir)
+    val out = StreamingOps.eventWindowStats(stream, "ts", "1 day", "1 hour")
+    val q = out.writeStream.format("memory").queryName("ev_stats").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT sum(n_events) FROM ev_stats").collect().head.getLong(0)
+      val batch = graft.io.Tables.events(spark, sf).count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("same-batch events beyond the gap split into multiple sessions") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
