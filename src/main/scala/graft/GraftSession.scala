@@ -13,11 +13,15 @@ import org.apache.spark.sql.SparkSession
   *     broadcast-join demotion/promotion) is the main lever at 100 TB.
   */
 object GraftSession {
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+  def local(
+      cores: Int = 32,
+      appName: String = "graft",
+      extraConfigs: Map[String, String] = Map.empty): SparkSession = {
+    val base = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    val spark = extraConfigs.foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -20,6 +20,17 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed + sorted managed table: co-locates join keys at WRITE time so
+    * later equi-joins/aggregations on `key` between tables with the same
+    * bucket count need NO shuffle (the 100 TB answer to repeated joins on
+    * the same key — pay the exchange once, reuse it every query). */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Small report as ONE headered CSV file (reference `main.py:922,950`). */
   def writeReportCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

@@ -60,6 +60,24 @@ object MultimodalOps {
     }
   }
 
+  /** "Resize" shape: map each payload to a fixed target byte budget and
+    * update the metadata dims accordingly — the plumbing of an image
+    * resize (payload transform + metadata rewrite in one typed map).
+    * STUB: real code would decode, scale, re-encode; the fake samples the
+    * byte stream proportionally (deterministic). */
+  def resizeMedia(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val budget = math.max(1, targetW * targetH / 64)
+    media.map { r =>
+      val n = r.content.length
+      val out =
+        if (n <= budget) r.content
+        else Array.tabulate(budget)(i => r.content((i.toLong * n / budget).toInt))
+      r.copy(content = out,
+        meta = r.meta.copy(width = targetW, height = targetH))
+    }
+  }
+
   /** "Frame sampling" shape: emit every `stride`-th fixed-size window of
     * the payload as its own row (media_id, frame_no, frame_bytes) — the
     * plumbing a video pipeline needs (one input row fans out to N frames).

@@ -62,6 +62,21 @@ class IoSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "month=2024-01").exists())
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    import spark.implicits._
+    val orders = graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+    val customer = graft.io.Tables.customer(spark, "/root/testdata/sf0.001")
+    Sinks.writeBucketed(orders, "b_orders", "o_custkey", 8)
+    Sinks.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 8)
+    val joined = spark.table("b_orders").join(spark.table("b_customer").hint("merge"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == orders.join(
+      customer, orders("o_custkey") === customer("c_custkey")).count())
+  }
+
   test("report csv sink writes a single headered file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv_out").toString + "/report"

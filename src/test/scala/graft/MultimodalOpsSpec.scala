@@ -8,6 +8,18 @@ class MultimodalOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = TestSpark.spark
 
+  test("resize caps payload size and rewrites metadata dims") {
+    val media = MultimodalOps.fromDocuments(spark, Tables.documents(spark, sf))
+    val resized = MultimodalOps.resizeMedia(media, targetW = 32, targetH = 32).collect()
+    val budget = 32 * 32 / 64
+    val orig = media.collect().map(r => r.mediaId -> r.content.length).toMap
+    assert(resized.length == orig.size)
+    resized.foreach { r =>
+      assert(r.content.length == math.min(orig(r.mediaId), budget))
+      assert(r.meta.width == 32 && r.meta.height == 32)
+    }
+  }
+
   test("feature extraction preserves row count and emits fixed-dim vectors") {
     val media = MultimodalOps.fromDocuments(spark, Tables.documents(spark, sf))
     val feats = MultimodalOps.extractFeatures(media, dim = 16).collect()
