@@ -1,17 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: warmup pass + best-of-2 timed passes over the whole
+  * query catalog; prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     // Untimed warmup pass: JIT + codegen + parquet footer caches. The timed
-    // pass below measures steady-state query throughput, which is what a
+    // passes below measure steady-state query throughput, which is what a
     // long-running engine delivers.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
