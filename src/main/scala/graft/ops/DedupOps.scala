@@ -87,7 +87,8 @@ object DedupOps {
   def minhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
       w: Int = 3, nBands: Int = 8, r: Int = 2,
-      minJaccard: Double = 0.0, limit: Int = 50): DataFrame = {
+      minJaccard: Double = 0.0, limit: Int = 50,
+      maxBucket: Int = 1000): DataFrame = {
     val k = nBands * r
     val sh = shingled(docs, textCol, idCol, w)
     // Signature as an AGGREGATION over generator output: ShingleExplode
@@ -113,12 +114,16 @@ object DedupOps {
     // Pairs via groupBy-collect instead of a bucket self-join: the signature
     // pipeline is evaluated ONCE (a self-join would recompute it on both
     // sides), and the single shuffle key is (band, bh). Per-bucket pair
-    // expansion is local; degenerate buckets are inherent to LSH, not to
-    // this formulation.
+    // expansion is local and capped at `maxBucket` members: a bucket of n
+    // near-identical docs yields n(n-1)/2 candidate pairs, so one
+    // degenerate bucket (mass duplication) can dominate the whole job —
+    // run exactDedup FIRST on dup-heavy corpora, and let the cap bound the
+    // worst case (dropped buckets are all-duplicates clusters that exact
+    // dedup handles more cheaply anyway).
     val cand = bands
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(Collections.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()

@@ -35,15 +35,19 @@ HAVING COUNT(*) >= 2 ORDER BY keeper_id"""
     * 7 md5 hex chars (28-bit), family member j = (a_j·h + b_j) mod 2^31-1
     * with closed-form a_j, b_j. All intermediates < 2^60: no BIGINT
     * overflow in DuckDB (which errors rather than wraps). */
-  def minhashPairs(table: String, w: Int, nBands: Int, r: Int, minJaccard: Double, limit: Int): String =
+  def minhashPairs(table: String, w: Int, nBands: Int, r: Int, minJaccard: Double, limit: Int,
+      maxBucket: Int = 1000): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 ${shingleCte(w)},
 hs AS (SELECT id, s, list_transform(s, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS hl FROM sh),
 sig AS (SELECT id, s, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(hl, h -> (((506952114*(j+1)) % 2147483647) * h + ((40503*j + 1013904223) % 2147483647)) % 2147483647))) AS m FROM hs),
 bands AS (SELECT id, b, ${h((0 until r).map(o => s"m[$r*b+${o + 1}]::VARCHAR").mkString(" || ',' || "))} AS bh
   FROM sig, (SELECT unnest(range(0,$nBands)) AS b)),
+ok_buckets AS (SELECT b, bh FROM bands GROUP BY b, bh
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
 cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
-  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id),
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id
+  JOIN ok_buckets o ON x.b = o.b AND x.bh = o.bh),
 v AS (SELECT c.doc_a, c.doc_b,
   round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
   FROM cand c JOIN sh a ON c.doc_a = a.id JOIN sh b ON c.doc_b = b.id)

@@ -53,6 +53,23 @@ class DedupOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
   }
 
+  test("maxBucket caps degenerate-duplication bucket blowup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 near-identical docs (mass duplication) + 2 genuinely similar docs
+    val dup = (0 until 60).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta v$i"))
+    val pair = Seq((100L, "one two three four five six seven"),
+      (101L, "one two three four five six eight"))
+    val df = (dup ++ pair).toDF("doc_id", "text")
+    val capped = DedupOps.minhashPairs(df, "text", "doc_id",
+      w = 3, nBands = 8, r = 2, minJaccard = 0.5, limit = 10000, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 60-dup cluster's buckets exceed the cap and are dropped; the
+    // small similar pair survives
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists { case (a, b) => a < 100 && b < 100 })
+  }
+
   test("minhash pipeline has no driver-side collect and plans shuffles only on bucket keys") {
     val plan = DedupOps.minhashPairs(docs, "text", "doc_id").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join")
