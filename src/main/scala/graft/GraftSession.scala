@@ -30,6 +30,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft SQL functions + the literal-rlike optimizer rule are part of
+    // the engine's standard surface (idempotent registration)
+    graft.sql.GraftFunctions.register(spark)
     spark
   }
 }

@@ -71,15 +71,23 @@ object GraftFunctions {
       })
   )
 
-  /** Register every graft SQL function into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every graft SQL function + optimizer rule into an existing
+    * session (`experimental.extraOptimizations` is the runtime rule hook). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, info, builder) =>
       GraftSqlBridge.registerFunction(spark, id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(LiteralRlikeRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LiteralRlikeRule
+  }
 }
 
-/** `spark.sql.extensions`-pluggable injection of the graft functions. */
+/** `spark.sql.extensions`-pluggable injection of the graft functions and
+  * optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => LiteralRlikeRule)
+  }
 }

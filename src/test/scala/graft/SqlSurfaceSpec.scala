@@ -29,6 +29,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(tags.head == List("Greek"))
   }
 
+  test("literal-alternation rlike rewrites to one Aho-Corasick pass") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // parquet-backed input: a local relation would be constant-folded away
+    // by ConvertToLocalRelation before the plan could be inspected
+    val df = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = df.filter($"text".rlike("(join|merge)"))
+    val optimized = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("multikeywordtags"), s"rule did not fire:\n$optimized")
+    val viaRegexCount = df.filter(
+      $"text".isNotNull && ($"text".contains("join") || $"text".contains("merge"))).count()
+    assert(q.count() == viaRegexCount)
+    // general regex (quantifier) -> untouched
+    val general = df.filter($"text".rlike("(jo+in|mer.e)"))
+    assert(general.queryExecution.optimizedPlan.toString.contains("RLIKE"))
+
+    // parser helpers: escaped specials unescape, general regex rejected
+    assert(graft.sql.LiteralRlikeRule.literalAlternation("(a\\.b|c)") == Some(Seq("a.b", "c")))
+    assert(graft.sql.LiteralRlikeRule.literalAlternation("(a|b*)").isEmpty)
+    assert(graft.sql.LiteralRlikeRule.literalAlternation("(a|)").isEmpty)
+    assert(graft.sql.LiteralRlikeRule.literalAlternation("a|b").isEmpty)
+    assert(graft.sql.LiteralRlikeRule.literalAlternation("(\\d|x)").isEmpty)
+  }
+
   test("registerAll makes every engine table reachable from SQL") {
     graft.io.Tables.registerAll(spark, "/root/testdata/sf0.001")
     assert(spark.sql("SELECT COUNT(*) FROM documents").collect().head.getLong(0) > 0)
