@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Vector kernels as native Catalyst expressions.
   *
@@ -76,4 +76,57 @@ object VectorMath {
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.round(
       toColumn(CosineSimilarity(toExpression(a), toExpression(b))), 6)
+
+  /** Random-hyperplane LSH bucket: bit p of the result is set iff
+    * dot(vec, planes(p)) > 0. Planes travel as a reference object into
+    * generated code — no per-plane literal-array columns, no interpreted
+    * lambda per component. Dot products are the same sequential
+    * left-to-right fold as the HOF/oracle formulation. */
+  case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bucket needs an array<float> column, got $other")
+    }
+
+    protected override def nullSafeEval(v: Any): Any =
+      VectorMath.bucketOf(planes, v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.VectorMath.bucketOf($ref, $v);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+      copy(child = newChild)
+  }
+
+  /** Shared kernel for interpreted eval and generated code. */
+  def bucketOf(planes: Array[Array[Double]], v: ArrayData): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      require(v.numElements() == plane.length,
+        s"hyperplane_bucket: vector dim ${v.numElements()} != plane dim ${plane.length}")
+      var dot = 0.0
+      var i = 0
+      while (i < plane.length) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      if (dot > 0) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  /** Column API for [[HyperplaneBucket]]. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    toColumn(HyperplaneBucket(toExpression(vec), planes.map(_.toArray).toArray))
 }

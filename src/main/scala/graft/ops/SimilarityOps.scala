@@ -49,13 +49,11 @@ object SimilarityOps {
       h60(s"$p:$d").toDouble / (1L << 59).toDouble - 1.0))
   }
 
-  /** LSH bucket id: bit p set iff dot(vec, plane_p) > 0. */
+  /** LSH bucket id: bit p set iff dot(vec, plane_p) > 0. Codegen'd kernel
+    * ([[graft.functions.VectorMath.HyperplaneBucket]]) — same sequential
+    * dot-product fold as the HOF formulation and the oracle SQL. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      val litPlane = array(plane.map(lit): _*)
-      when(seqSum(zip_with(asDouble(vec), litPlane, (x, y) => x * y)) > 0, lit(1L << p))
-        .otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.VectorMath.hyperplaneBucket(vec, planes)
 
   /** Brute-force exact top-k nearest neighbors by cosine for the query set
     * `idCol % queryMod == 0`, self-pairs excluded. */
