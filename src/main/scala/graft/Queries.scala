@@ -202,6 +202,12 @@ object Queries {
         TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
       Some(graft.sql.TextAnalysisSql.fingerprints("documents"))),
 
+    ("q37_sessionize_batch",
+      (s: SparkSession, dir: String) =>
+        SessionOps.sessionizeBatch(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "value", gapSeconds = 21600),
+      Some(graft.sql.RelationalSql.sessionizeBatch(gapSeconds = 21600))),
+
     ("q35_status_set_customers",
       (s: SparkSession, dir: String) =>
         RelationalOps.statusSetCustomers(Tables.orders(s, dir)),

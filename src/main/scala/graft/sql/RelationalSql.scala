@@ -90,6 +90,21 @@ WHERE EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '$cutoff')
 GROUP BY n.n_name ORDER BY nation_name"""
 
+  /** Batch sessionization oracle. `floor(epoch(ts))` mirrors Spark's
+    * truncating `unix_timestamp`. */
+  def sessionizeBatch(gapSeconds: Long): String =
+    s"""WITH e AS (SELECT user_id, ts, event_id, value,
+  CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
+         OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > $gapSeconds
+       THEN 1 ELSE 0 END AS s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  ROWS UNBOUNDED PRECEDING) AS session_id FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
   def topSuppliers(k: Int): String =
     s"""WITH rev AS (
   SELECT l_suppkey, SUM($disc) AS revenue FROM lineitem GROUP BY l_suppkey)

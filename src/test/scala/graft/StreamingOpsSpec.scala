@@ -70,6 +70,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch and streaming sessionization agree on the same events") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val data = Seq( // (user, second, value) — whole seconds, gap = 60s
+      (1L, 100L, 1.0), (1L, 130L, 2.0), (1L, 300L, 3.0),
+      (2L, 50L, 4.0), (2L, 400L, 5.0), (2L, 430L, 6.0))
+    // batch
+    val batchDf = data.zipWithIndex
+      .map { case ((u, s, v), i) => (u, ts(s), i.toLong, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.ops.SessionOps
+      .sessionizeBatch(batchDf, "user_id", "ts", "event_id", "value", gapSeconds = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+        r.getLong(4), r.getDecimal(5).doubleValue))
+      .toSet
+    // streaming (sentinel event closes all sessions via watermark)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StreamingOps.sessionizeStream(
+      in.toDF().toDF("user_id", "ts", "value"), "ts", gapMs = 60000, watermarkDelay = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("xcheck")
+      .outputMode("append").start()
+    try {
+      in.addData(data.map { case (u, s, v) => (u, ts(s), v) }: _*)
+      q.processAllAvailable()
+      in.addData((99L, ts(100000), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT userId, startMs, endMs, nEvents, totalValue FROM xcheck WHERE userId < 99")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong, r.getDouble(4)))
+        .toSet
+      assert(streamed == batch,
+        s"streaming $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("same-batch events beyond the gap split into multiple sessions") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
