@@ -174,6 +174,13 @@ object Queries {
           queryMod = 20, k = 5, nPlanes = 4, dim = 64),
       Some(graft.sql.SimilaritySql.annLsh("embeddings", queryMod = 20, k = 5, nPlanes = 4, dim = 64))),
 
+    ("q38_ann_lsh_multiprobe",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.annLshMultiProbe(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryMod = 40, k = 5, nPlanes = 6, dim = 64),
+      Some(graft.sql.SimilaritySql.annLshMultiProbe("embeddings",
+        queryMod = 40, k = 5, nPlanes = 6, dim = 64))),
+
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
@@ -219,6 +226,15 @@ object Queries {
           Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir),
           "2001-01-01 00:00:00"),
       Some(graft.sql.RelationalSql.activeCustomersByNation("2001-01-01 00:00:00"))),
+
+    ("q39_dedup_clusters",
+      (s: SparkSession, dir: String) =>
+        DedupOps.connectedComponents(
+          DedupOps.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+            w = 3, nBands = 8, r = 2, minJaccard = 0.3, limit = 10000),
+          "doc_a", "doc_b"),
+      Some(graft.sql.DedupSql.connectedComponents("documents",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.3, limit = 10000))),
 
     ("q32_embedding_neardup",
       (s: SparkSession, dir: String) =>

@@ -136,6 +136,55 @@ object DedupOps {
       .limit(limit)
   }
 
+  /** Connected components over a near-duplicate pair graph: every doc gets
+    * the MINIMUM doc id of its component as `cluster_id` — the step a
+    * dedup pipeline runs after pair generation to pick one survivor per
+    * duplicate CLUSTER (pairs alone over-delete on transitive chains
+    * a~b~c).
+    *
+    * Min-label propagation: each iteration joins the current labels across
+    * the (symmetrized) edge list and keeps the per-node minimum; labels
+    * converge in O(graph diameter) iterations — near-dup clusters are
+    * shallow (dozens of hops at most), and each iteration is one shuffle
+    * join + one aggregation, fully distributed. `maxIter` bounds the
+    * driver loop; the loop body never collects data. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("cluster_id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      var propagated = edges
+        .join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("cluster_id"))
+        .union(labels)
+        .groupBy("node")
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      // periodic lineage truncation: the plan otherwise grows one join per
+      // iteration and planning cost compounds
+      if (iter % 3 == 2) propagated = propagated.localCheckpoint()
+      // convergence check: one count, no collect of the data itself
+      val changed = propagated.as("p")
+        .join(labels.as("l"), col("p.node") === col("l.node"))
+        .filter(col("p.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = propagated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy("node")
+  }
+
   /** Per-document 60-bit SimHash fingerprints (sampled via `sampleMod` to
     * bound oracle cost: id % sampleMod == 0). No shuffle — pure map. */
   def simhashFingerprints(docs: DataFrame, textCol: String, idCol: String, sampleMod: Int): DataFrame = {

@@ -96,6 +96,34 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Multi-probe variant of [[annLsh]]: each query also probes the
+    * `nPlanes` buckets at Hamming distance 1 from its own (one sign-bit
+    * flip each) — recall rises toward brute force without adding planes or
+    * shrinking buckets. Probe fan-out is on the SMALL query side (queries
+    * × (nPlanes+1) rows), the corpus is still hashed once. */
+  def annLshMultiProbe(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryMod: Int, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val probes = explode(array(
+      (col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket_probe")
+    val queries = bucketed.filter(col("id") % queryMod === 0)
+      .select(col("id").as("query_id"), col("v").as("qv"), probes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    bucketed.select(col("id").as("neighbor_id"), col("v").as("nv"), col("bucket"))
+      .join(broadcast(queries), col("bucket") === col("bucket_probe"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: vectors sharing
     * a full hyperplane-sign bucket are candidates (each vector lives in
     * exactly ONE bucket, so no cross-band dedup is needed); exact cosine

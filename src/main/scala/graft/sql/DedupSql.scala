@@ -54,6 +54,23 @@ v AS (SELECT c.doc_a, c.doc_b,
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
+  /** Connected components over the minhash near-dup pair graph: recursive
+    * label reachability + per-node MIN (DuckDB recursive CTEs dedup via
+    * UNION, so the closure terminates). Mirrors
+    * [[graft.ops.DedupOps.connectedComponents]] over the same pair set. */
+  def connectedComponents(
+      table: String, w: Int, nBands: Int, r: Int,
+      minJaccard: Double, limit: Int): String =
+    s"""WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM (${minhashPairs(table, w, nBands, r, minJaccard, limit)}) mh),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r2.lab FROM sym s JOIN reach r2 ON s.dst = r2.node)
+SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node ORDER BY node"""
+
   def simhashFingerprints(table: String, sampleMod: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, list_distinct($toks) AS tk FROM $table
   WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),

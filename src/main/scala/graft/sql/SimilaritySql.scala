@@ -54,6 +54,16 @@ b AS (SELECT e.vec_id, e.v,
   FROM e, (VALUES $planeValues) AS p(p, h) GROUP BY e.vec_id, e.v)"""
   }
 
+  def annLshMultiProbe(table: String, queryMod: Int, k: Int, nPlanes: Int, dim: Int): String =
+    s"""WITH ${bucketCte(table, nPlanes, dim)},
+probe AS (SELECT vec_id AS query_id, v AS qv, unnest(list_prepend(bucket,
+  list_transform(range(0, $nPlanes), p -> xor(bucket, (1::BIGINT << p))))) AS bucket_probe
+  FROM b WHERE vec_id % $queryMod = 0),
+cand AS (SELECT q.query_id, b.vec_id AS neighbor_id, ${cosSql("q.qv", "b.v", dim)} AS cos
+  FROM probe q JOIN b ON b.bucket = q.bucket_probe AND b.vec_id <> q.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
+SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
   def embeddingNearDup(table: String, nPlanes: Int, dim: Int, minCos: Double, limit: Int): String =
     s"""WITH ${bucketCte(table, nPlanes, dim)},
 cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b

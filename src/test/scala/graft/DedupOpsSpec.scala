@@ -53,6 +53,17 @@ class DedupOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
   }
 
+  test("connected components: chains merge, min id wins, singletons absent") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, isolated pair {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("maxBucket caps degenerate-duplication bucket blowup") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

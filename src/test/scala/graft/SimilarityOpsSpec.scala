@@ -78,6 +78,17 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH recall is at least single-probe recall") {
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 40, 5))
+    val single = hits(SimilarityOps.annLsh(emb, "vec_id", "embedding", 40, 5, 6, 64))
+    val multi = hits(SimilarityOps.annLshMultiProbe(emb, "vec_id", "embedding", 40, 5, 6, 64))
+    val rs = (truth intersect single).size.toDouble / truth.size
+    val rm = (truth intersect multi).size.toDouble / truth.size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 100, 10)
       .queryExecution.executedPlan.toString
