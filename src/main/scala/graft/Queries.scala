@@ -209,6 +209,16 @@ object Queries {
         TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
       Some(graft.sql.TextAnalysisSql.fingerprints("documents"))),
 
+    ("q40_moving_average",
+      (s: SparkSession, dir: String) =>
+        ResampleOps.movingAverageDaily(Tables.events(s, dir), "ts", k = 7),
+      Some(graft.sql.OracleSql.movingAverageDaily("events", "ts", k = 7))),
+
+    ("q41_value_histogram",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.valueHistogram(Tables.events(s, dir), "event_type", "value", width = 5),
+      Some(graft.sql.RelationalSql.valueHistogram(width = 5))),
+
     ("q37_sessionize_batch",
       (s: SparkSession, dir: String) =>
         SessionOps.sessionizeBatch(Tables.events(s, dir),

@@ -143,6 +143,17 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_inactive"))
       .orderBy("nation_name")
 
+  /** Value histogram: fixed-width bins per group — floor() on double is
+    * IEEE-exact, so bin assignment is engine-independent. One shuffle. */
+  def valueHistogram(events: DataFrame, typeCol: String, valueCol: String, width: Int): DataFrame =
+    events
+      .filter(col(valueCol).isNotNull)
+      .groupBy(
+        col(typeCol).as("event_type"),
+        (floor(col(valueCol) / width) * width).cast("long").as("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin_lo")
+
   /** U2 set-ops surface: customers who placed BOTH a finished ('F') and an
     * open ('O') order (INTERSECT), excluding anyone with an urgent order
     * (EXCEPT). Spark plans INTERSECT/EXCEPT as left-semi/left-anti

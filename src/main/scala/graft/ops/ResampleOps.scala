@@ -43,6 +43,19 @@ object ResampleOps {
       .orderBy("bucket")
   }
 
+  /** Trailing moving average over the gap-filled daily series: a
+    * ROWS-frame window (k-1 preceding .. current) on the zero-filled
+    * calendar — the gap-fill is what makes a rows-frame equal a
+    * days-frame. One window over the (small) aggregated series. */
+  def movingAverageDaily(df: DataFrame, tsCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket")).rowsBetween(-(k - 1), Window.currentRow)
+    resampleCount(df, tsCol, Daily)
+      .withColumn("ma",
+        round(avg(col("n").cast("double")).over(w), 6))
+      .orderBy("bucket")
+  }
+
   /** Generic resample-aggregate: same calendar gap-fill, arbitrary metric
     * expressions (zero-filled via the provided defaults). */
   def resampleAgg(

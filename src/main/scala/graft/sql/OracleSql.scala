@@ -104,6 +104,13 @@ cal AS (SELECT CAST(unnest(generate_series(lo, hi, $stepSql)) AS DATE) AS bucket
 cnt AS (SELECT CAST(date_trunc('$truncUnit', $tsCol) AS DATE) AS bucket, COUNT(*) AS n FROM $table WHERE $tsCol IS NOT NULL GROUP BY 1)
 SELECT cal.bucket AS bucket, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n FROM cal LEFT JOIN cnt ON cal.bucket = cnt.bucket ORDER BY bucket"""
 
+  /** Moving average over the gap-filled daily series (ROWS frame). */
+  def movingAverageDaily(table: String, tsCol: String, k: Int): String =
+    s"""WITH series AS (${resampleCount(table, tsCol, "day", "INTERVAL 1 DAY")})
+SELECT bucket, n, round(AVG(n::DOUBLE) OVER (ORDER BY bucket
+  ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW), 6) AS ma
+FROM series ORDER BY bucket"""
+
   def channelAudit(cfg: AnalysisConfig, table: String, topChannels: Int, postsPerChannel: Int): String =
     s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)},
 agg AS (SELECT industry, channel, SUM(views) AS total_views FROM tagged GROUP BY industry, channel),

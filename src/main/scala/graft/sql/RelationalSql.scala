@@ -90,6 +90,11 @@ WHERE EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '$cutoff')
 GROUP BY n.n_name ORDER BY nation_name"""
 
+  def valueHistogram(width: Int): String =
+    s"""SELECT event_type, CAST(floor(value / $width) * $width AS BIGINT) AS bin_lo,
+COUNT(*) AS n FROM events WHERE value IS NOT NULL
+GROUP BY event_type, bin_lo ORDER BY event_type, bin_lo"""
+
   /** Batch sessionization oracle. `floor(epoch(ts))` mirrors Spark's
     * truncating `unix_timestamp`. */
   def sessionizeBatch(gapSeconds: Long): String =
