@@ -209,6 +209,23 @@ object Queries {
         TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
       Some(graft.sql.TextAnalysisSql.fingerprints("documents"))),
 
+    ("q42_salted_segment_revenue",
+      (s: SparkSession, dir: String) => {
+        val orders = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")
+        val customer = Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey")
+        // salting must be result-invisible: the oracle is the PLAIN join
+        SkewOps.saltedJoin(orders, customer, "custkey", nSalts = 4)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
+          .orderBy("segment")
+      },
+      Some("""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY segment ORDER BY segment""")),
+
     ("q40_moving_average",
       (s: SparkSession, dir: String) =>
         ResampleOps.movingAverageDaily(Tables.events(s, dir), "ts", k = 7),
