@@ -29,16 +29,22 @@ object TextAnalysisOps {
     * (ties -> lexicographically first candidate), and return the
     * (true_lang, predicted_lang, n_docs) confusion matrix. */
   def langIdConfusion(docs: DataFrame, textCol: String, langCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // tokenize ONCE into a materialized column: referenced by all profile
+    // scores, it would otherwise be inlined (and re-evaluated) per language
     val scored = docs
       .filter(col(textCol).isNotNull)
       .select(
         col(idCol).as("doc_id"),
         col(langCol).as("true_lang"),
+        tokens(col(textCol)).as("__toks"))
+      .select(
+        col("doc_id"),
+        col("true_lang"),
         explode(array(langProfiles.map { case (lang, markers) =>
           struct(
             lit(lang).as("cand"),
-            size(filter(toks, t => array_contains(array(markers.map(lit): _*), t))).as("score"))
+            size(filter(col("__toks"),
+              t => array_contains(array(markers.map(lit): _*), t))).as("score"))
         }: _*)).as("s"))
       .select(col("doc_id"), col("true_lang"), col("s.cand").as("cand"), col("s.score").as("score"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
