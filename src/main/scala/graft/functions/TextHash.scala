@@ -89,7 +89,7 @@ object TextHash {
 
   /** Exact Jaccard similarity of two (distinct-element) arrays, rounded to
     * 6 dp: integer set sizes divided in double — bit-identical across
-    * engines. */
-  def jaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
+    * engines. Fused codegen'd kernel ([[VectorMath.JaccardSimilarity]])
+    * instead of interpreted `array_intersect`+`array_union`. */
+  def jaccard(a: Column, b: Column): Column = VectorMath.jaccardSim(a, b)
 }

@@ -129,4 +129,58 @@ object VectorMath {
   /** Column API for [[HyperplaneBucket]]. */
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     toColumn(HyperplaneBucket(toExpression(vec), planes.map(_.toArray).toArray))
+
+  /** Exact Jaccard similarity of two DISTINCT-element string arrays,
+    * unrounded: |a∩b| / |a∪b| via one hash-set pass instead of the
+    * interpreted `array_intersect`+`array_union` pair (which builds two
+    * intermediate arrays per comparison). */
+  case class JaccardSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaccard_similarity needs two array<string> columns, got " +
+          s"${left.dataType} and ${right.dataType}")
+    }
+
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      VectorMath.jaccardSets(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorMath.jaccardSets($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaccardSimilarity =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Shared kernel: inputs are distinct-element arrays (the engine's
+    * shingle/token-set contract), so sizes are set cardinalities. */
+  def jaccardSets(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN // matches 0/0 division
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < nb) { if (set.contains(b.getUTF8String(j))) inter += 1; j += 1 }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** Column API: Jaccard rounded to 6 dp (engine-wide similarity
+    * contract). */
+  def jaccardSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.round(
+      toColumn(JaccardSimilarity(toExpression(a), toExpression(b))), 6)
 }
