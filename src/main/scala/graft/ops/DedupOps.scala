@@ -154,9 +154,14 @@ object DedupOps {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .select(col("node"), col("node").as("cluster_id"))
+    // seed with the 1-hop neighborhood minimum (min of self and all
+    // neighbors): star-shaped clusters converge before the first
+    // propagation, chains save one iteration
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("__min_nbr"))
+      .select(col("src").as("node"),
+        least(col("src"), col("__min_nbr")).as("cluster_id"))
       .cache()
     var iter = 0
     var converged = false
