@@ -218,11 +218,11 @@ object Queries {
           .groupBy(col("c_mktsegment").as("segment"))
           .agg(
             count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_price"))
           .orderBy("segment")
       },
       Some("""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
-SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY segment ORDER BY segment""")),
 

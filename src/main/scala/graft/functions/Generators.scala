@@ -43,7 +43,10 @@ object Generators {
     override def eval(input: InternalRow): IterableOnce[InternalRow] = {
       val v = child.eval(input)
       if (v == null) return Nil
-      val toks = v.asInstanceOf[UTF8String].toString.trim.split(" +")
+      // NO String.trim here: Java trim strips every char <= U+0020 (tabs,
+      // newlines) while the oracle's trim strips spaces only — split-on-
+      // spaces + drop-empties is exactly the TextHash.tokens contract.
+      val toks = v.asInstanceOf[UTF8String].toString.split(" +")
         .filter(_.nonEmpty)
       if (toks.length < w) return Nil
       val seen = new java.util.LinkedHashSet[String]
@@ -99,7 +102,8 @@ object Generators {
     override def eval(input: InternalRow): IterableOnce[InternalRow] = {
       val v = child.eval(input)
       if (v == null) return Nil
-      val toks = splitter.split(v.asInstanceOf[UTF8String].toString.toLowerCase)
+      val toks = splitter.split(
+        v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       var i = 0
       while (i < toks.length) {

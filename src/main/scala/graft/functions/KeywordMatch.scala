@@ -34,27 +34,33 @@ object KeywordMatch {
       if (labels.length == 64) -1L else (1L << labels.length) - 1
 
     // Trie as parallel arrays; children in per-node hash maps (chars are
-    // arbitrary unicode — Persian in the reference).
-    private val children = scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Char, Integer]())
-    private val out = scala.collection.mutable.ArrayBuffer(0L)
-    private val fail = scala.collection.mutable.ArrayBuffer(0)
+    // arbitrary unicode — Persian in the reference). Built in a local scope
+    // so ONLY the final arrays are instance fields: the expression ships the
+    // tagger to executors (codegen reference object), and serializing the
+    // mutable builder scaffolding alongside the finished arrays would double
+    // the payload.
+    private val (childArr, outArr, failArr): (
+        Array[java.util.HashMap[Char, Integer]], Array[Long], Array[Int]) = {
+      val children = scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Char, Integer]())
+      val out = scala.collection.mutable.ArrayBuffer(0L)
+      val fail = scala.collection.mutable.ArrayBuffer(0)
 
-    for (((label, kws), li) <- taxonomy.zipWithIndex; kw <- kws if kw.nonEmpty) {
-      var s = 0
-      for (c <- kw) {
-        val nxt = children(s).get(c)
-        s = if (nxt != null) nxt.intValue()
-        else {
-          children += new java.util.HashMap[Char, Integer]()
-          out += 0L; fail += 0
-          children(s).put(c, children.size - 1)
-          children.size - 1
+      for (((_, kws), li) <- taxonomy.zipWithIndex; kw <- kws if kw.nonEmpty) {
+        var s = 0
+        for (c <- kw) {
+          val nxt = children(s).get(c)
+          s = if (nxt != null) nxt.intValue()
+          else {
+            children += new java.util.HashMap[Char, Integer]()
+            out += 0L; fail += 0
+            children(s).put(c, children.size - 1)
+            children.size - 1
+          }
         }
+        out(s) |= 1L << li
       }
-      out(s) |= 1L << li
-    }
-    locally { // BFS fail links; merge output masks along fail chains
+      // BFS fail links; merge output masks along fail chains
       val q = new java.util.ArrayDeque[Integer]()
       children(0).forEach((_, v) => { fail(v) = 0; q.add(v) })
       while (!q.isEmpty) {
@@ -68,10 +74,8 @@ object KeywordMatch {
           q.add(v)
         }
       }
+      (children.toArray, out.toArray, fail.toArray)
     }
-    private val childArr: Array[java.util.HashMap[Char, Integer]] = children.toArray
-    private val outArr: Array[Long] = out.toArray
-    private val failArr: Array[Int] = fail.toArray
 
     def matchBits(text: String): Long = {
       var s = 0

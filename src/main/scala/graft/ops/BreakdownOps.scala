@@ -35,7 +35,15 @@ object BreakdownOps {
   }
 
   /** P9 CONJUNCTION debug query (reference `debug_specific_keyword`,
-    * `main.py:956-990`): posts of one industry containing one keyword. */
+    * `main.py:956-990`): posts of one industry containing one keyword.
+    *
+    * Divergence, by design: the reference's pandas `str.contains(kw)` runs
+    * with `regex=True` (`main.py:970`), so a keyword with regex
+    * metacharacters (`c++`, `a.b`) is interpreted as a PATTERN there — a
+    * footgun, not a feature (every other keyword path in the reference
+    * escapes its literals, `main.py:223-237`). This engine uses literal
+    * substring containment for all keywords uniformly; pass a `rlike` filter
+    * explicitly if pattern semantics are wanted. */
   def debugKeyword(exploded: DataFrame, cfg: AnalysisConfig, industry: String, keyword: String, k: Int): DataFrame = {
     val m = cfg.posts
     exploded

@@ -166,7 +166,7 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      var propagated = edges
+      val computed = edges
         .join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("cluster_id"))
         .union(labels)
@@ -174,8 +174,15 @@ object DedupOps {
         .agg(min(col("cluster_id")).as("cluster_id"))
         .cache()
       // periodic lineage truncation: the plan otherwise grows one join per
-      // iteration and planning cost compounds
-      if (iter % 3 == 2) propagated = propagated.localCheckpoint()
+      // iteration and planning cost compounds. The checkpoint materializes
+      // its own blocks, so the pre-checkpoint cache is released right after
+      // (it would otherwise leak one cached copy per checkpointed round).
+      val propagated =
+        if (iter % 3 == 2) {
+          val cp = computed.localCheckpoint()
+          computed.unpersist()
+          cp
+        } else computed
       // convergence check: one count, no collect of the data itself
       val changed = propagated.as("p")
         .join(labels.as("l"), col("p.node") === col("l.node"))
@@ -187,6 +194,16 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // Silent wrong answers are worse than a loud stop: past maxIter the
+    // labels are a valid UPPER-BOUND clustering ONLY if converged; anything
+    // else means components wider than maxIter hops exist — fail with the
+    // knob to turn rather than return labels that quietly over-split.
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "the pair graph has components wider than maxIter hops; raise maxIter")
+    }
     labels.orderBy("node")
   }
 

@@ -27,11 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
-  /** Money columns in the testdata are exact 2-decimal values, so a cast to
-    * DECIMAL(18,2) is lossless; all downstream arithmetic stays in decimal
-    * (exact, associative — safe under any partial-agg order), never double.
+  /** Money arithmetic runs in DECIMAL, never double. The raw columns are
+    * doubles with occasional sub-cent noise, so the DECIMAL(18,2) cast DOES
+    * round — but rounding doubles to 2 decimals is deterministic and agreed
+    * between Spark and DuckDB (verified value-exactly at sf0.01/sf0.1), and
+    * everything AFTER the cast is exact and associative — safe under any
+    * partial-agg order at 1000 executors.
     */
   private def cents(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Canonical output width for money sums: Spark's sum(decimal(p,s)) is
+    * decimal(p+10,s) while DuckDB's is decimal(38,s) — a final explicit cast
+    * to the SAME decimal(38,s) on both engine and oracle sides makes the
+    * arrow representation identical (values are unchanged: widening only). */
+  private def money(c: org.apache.spark.sql.Column, scale: Int) =
+    c.cast(s"decimal(38,$scale)")
 
   /** price * (1 - discount), computed entirely in decimal: scale-4 exact. */
   private def discounted(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
@@ -45,16 +55,24 @@ object RelationalOps {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).cast("long").as("sum_qty"),
-        sum(cents(col("l_extendedprice"))).as("sum_base_price"),
-        sum(discounted(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        money(sum(cents(col("l_extendedprice"))), 2).as("sum_base_price"),
+        money(sum(discounted(col("l_extendedprice"), col("l_discount"))), 4).as("sum_disc_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Revenue per (region, nation): customer⋈orders⋈lineitem fact chain with
-    * broadcast nation/region dims (TPC-H Q5 shape). */
+    * broadcast nation/region dims (TPC-H Q5 shape).
+    *
+    * Revenue is emitted as a SCALED-INTEGER BIGINT (`revenue_e4` = revenue ×
+    * 10^4): per-row `price_e2 × (100 − disc_e2)` is pure int64 arithmetic
+    * (≤ 1e9 per row), and an int64 sum has exactly one representation in
+    * every engine — immune to decimal-width and decimal-export variance
+    * across oracle versions. */
   def revenueByNation(
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
-      nation: DataFrame, region: DataFrame): DataFrame =
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val priceE2 = (cents(col("l_extendedprice")) * 100).cast("long")
+    val discE2 = (cents(col("l_discount")) * 100).cast("long")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
@@ -62,9 +80,10 @@ object RelationalOps {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(
-        sum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        sum(priceE2 * (lit(100L) - discE2)).as("revenue_e4"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("region_name", "nation_name")
+  }
 
   /** ROLLUP over (status, priority): count + exact decimal totalprice.
     * Single-pass `Expand`+hash-agg; grouping() disambiguates subtotal rows
@@ -79,7 +98,7 @@ object RelationalOps {
         when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
           .otherwise(col("o_orderpriority")).as("priority"),
         count(lit(1)).as("n_orders"),
-        sum(cents(col("o_totalprice"))).as("total_price"))
+        money(sum(cents(col("o_totalprice"))), 2).as("total_price"))
       .select("status", "priority", "n_orders", "total_price")
       .orderBy("status", "priority")
 
@@ -95,7 +114,8 @@ object RelationalOps {
     customer
       .join(spend, col("c_custkey") === col("o_custkey"))
       .select(col("c_mktsegment").as("segment"), col("c_custkey").as("custkey"),
-        col("c_name").as("name"), col("total_spend"), col("n_orders"))
+        col("c_name").as("name"), money(col("total_spend"), 2).as("total_spend"),
+        col("n_orders"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("segment"), col("rk"))
@@ -111,7 +131,7 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),
-        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+        money(sum(col("value").cast("decimal(18,6)")), 6).as("sum_value"))
       .orderBy("event_type")
 
   /** Brand-level lineitem stats: fact⋈dim join on partkey, broadcast part
@@ -124,7 +144,7 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n_lineitems"),
         sum(col("l_quantity")).cast("long").as("sum_qty"),
-        sum(cents(col("l_extendedprice"))).as("sum_price"))
+        money(sum(cents(col("l_extendedprice"))), 2).as("sum_price"))
       .orderBy("brand")
 
   /** Customers with no orders after a cutoff date: LEFT ANTI join (the
@@ -194,7 +214,7 @@ object RelationalOps {
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").as("suppkey"), col("s_name").as("supplier_name"),
-        col("n_name").as("nation_name"), col("revenue"))
+        col("n_name").as("nation_name"), money(col("revenue"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("suppkey").asc)
       .limit(k)
 }

@@ -29,10 +29,13 @@ object SessionOps {
       .withColumn("session_id", sum(col("__start")).over(running))
       .groupBy(col(userCol).as("user_id"), col("session_id"))
       .agg(
-        min(col(tsCol)).as("session_start"),
-        max(col(tsCol)).as("session_end"),
+        // Session bounds as epoch-MICROSECOND BIGINTs: min/max commute with
+        // the µs truncation, and a raw int64 has one representation in every
+        // engine — no parquet timestamp-unit variance (Spark INT96 vs µs).
+        unix_micros(min(col(tsCol))).as("session_start"),
+        unix_micros(max(col(tsCol))).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,6)")).as("total_value"))
+        sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 }

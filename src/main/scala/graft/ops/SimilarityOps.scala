@@ -129,17 +129,25 @@ object SimilarityOps {
     * exactly ONE bucket, so no cross-band dedup is needed); exact cosine
     * verifies. Candidate generation is a groupBy-collect on the bucket id —
     * one shuffle, pipeline evaluated once — the same shape as MinHash-LSH
-    * in [[graft.ops.DedupOps.minhashPairs]]. */
+    * in [[graft.ops.DedupOps.minhashPairs]].
+    *
+    * `maxBucket` bounds the per-bucket pair expansion (n(n-1)/2) exactly as
+    * in minhashPairs: with only 2^nPlanes buckets, ONE dense bucket — e.g. a
+    * mass-duplicated embedding — would otherwise be a single task's OOM and
+    * an unbounded n² blow-up at 100 TB. Dropped buckets are all-near-
+    * identical clusters that exact dedup (on a vector hash) handles more
+    * cheaply first — run it before this on dup-heavy corpora. */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, dim: Int, minCos: Double, limit: Int): DataFrame = {
+      nPlanes: Int, dim: Int, minCos: Double, limit: Int,
+      maxBucket: Int = 1000): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val bucketed = emb.select(
       col(idCol).as("id"), lshBucket(col(vecCol), planes).as("bucket"))
     val cand = bucketed
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(graft.functions.Collections.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
     cand

@@ -14,7 +14,7 @@ object MultimodalSql {
   list_reduce(list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT)),
     (a, b) -> (a * 31 + b) & 2147483647) AS checksum
   FROM $table WHERE text IS NOT NULL)
-SELECT modality, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+SELECT modality, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
 MIN(checksum) AS min_checksum, MAX(checksum) AS max_checksum
 FROM m GROUP BY modality ORDER BY modality"""
 }

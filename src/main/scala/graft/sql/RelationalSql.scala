@@ -3,9 +3,14 @@ package graft.sql
 /** DuckDB oracle SQL for the relational (TPC-H-ish) query family.
   *
   * Mirrors [[graft.ops.RelationalOps]] exactly: money arithmetic is decimal
-  * end-to-end (cast the raw double column — an exact 2-decimal value — to
-  * DECIMAL(18,2) first, then multiply/sum in decimal), so both engines
-  * produce identical exact values regardless of aggregation order.
+  * end-to-end — cast the raw double column to DECIMAL(18,2) first (the raw
+  * values carry sub-cent noise, so this cast ROUNDS, identically in both
+  * engines), then multiply/sum in decimal — so both engines produce
+  * identical exact values regardless of aggregation order. Every aggregate
+  * output carries an explicit CAST to the same decimal(38,s)/BIGINT type the
+  * Spark side emits: implicit SUM result widths differ per engine (and per
+  * engine VERSION), and the driver compares representations, not just
+  * values.
   */
 object RelationalSql {
 
@@ -15,15 +20,19 @@ object RelationalSql {
   def pricingSummary(cutoff: String): String =
     s"""SELECT l_returnflag, l_linestatus,
 CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-SUM($disc) AS sum_disc_price,
+CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+CAST(SUM($disc) AS DECIMAL(38,4)) AS sum_disc_price,
 COUNT(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
 
+  /** Scaled-integer revenue (`revenue_e4` = revenue × 10^4): pure int64
+    * arithmetic per row, BIGINT sum — one representation in every engine. */
   def revenueByNation: String =
     s"""SELECT r.r_name AS region_name, n.n_name AS nation_name,
-SUM($disc) AS revenue, COUNT(*) AS n_lineitems
+CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+  * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
+COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -35,7 +44,8 @@ GROUP BY r.r_name, n.n_name ORDER BY region_name, nation_name"""
     """SELECT
 CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
 CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
-COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+COUNT(*) AS n_orders,
+CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY status, priority"""
 
@@ -48,19 +58,20 @@ ranked AS (
          s.total_spend, s.n_orders,
          ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment ORDER BY s.total_spend DESC, c.c_custkey ASC) AS rk
   FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey)
-SELECT segment, custkey, name, total_spend, n_orders, CAST(rk AS BIGINT) AS rk
+SELECT segment, custkey, name, CAST(total_spend AS DECIMAL(38,2)) AS total_spend,
+n_orders, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= $k ORDER BY segment, rk"""
 
   def eventJsonStats: String =
     """SELECT event_type, COUNT(*) AS n_events,
-SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type"""
 
   def brandStats: String =
     """SELECT p.p_brand AS brand, COUNT(*) AS n_lineitems,
 CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
-SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY brand"""
 
@@ -96,7 +107,11 @@ COUNT(*) AS n FROM events WHERE value IS NOT NULL
 GROUP BY event_type, bin_lo ORDER BY event_type, bin_lo"""
 
   /** Batch sessionization oracle. `floor(epoch(ts))` mirrors Spark's
-    * truncating `unix_timestamp`. */
+    * truncating `unix_timestamp`; session bounds are epoch-MICROSECOND
+    * BIGINTs on both sides — min/max commute with the µs truncation, and a
+    * raw int64 has one representation in every engine (Spark's parquet
+    * writer emits INT96/ns-flavored timestamps, DuckDB µs — emitting the
+    * number instead of the timestamp sidesteps the unit entirely). */
   def sessionizeBatch(gapSeconds: Long): String =
     s"""WITH e AS (SELECT user_id, ts, event_id, value,
   CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
@@ -106,14 +121,16 @@ GROUP BY event_type, bin_lo ORDER BY event_type, bin_lo"""
 g AS (SELECT *, SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
   ROWS UNBOUNDED PRECEDING) AS session_id FROM e)
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-  MIN(ts) AS session_start, MAX(ts) AS session_end,
-  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+  epoch_us(MIN(ts)) AS session_start, epoch_us(MAX(ts)) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
   def topSuppliers(k: Int): String =
     s"""WITH rev AS (
   SELECT l_suppkey, SUM($disc) AS revenue FROM lineitem GROUP BY l_suppkey)
-SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name, n.n_name AS nation_name, r.revenue
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name, n.n_name AS nation_name,
+CAST(r.revenue AS DECIMAL(38,4)) AS revenue
 FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 ORDER BY r.revenue DESC, suppkey ASC LIMIT $k"""

@@ -64,10 +64,14 @@ cand AS (SELECT q.query_id, b.vec_id AS neighbor_id, ${cosSql("q.qv", "b.v", dim
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
 SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
 
-  def embeddingNearDup(table: String, nPlanes: Int, dim: Int, minCos: Double, limit: Int): String =
+  def embeddingNearDup(table: String, nPlanes: Int, dim: Int, minCos: Double, limit: Int,
+      maxBucket: Int = 1000): String =
     s"""WITH ${bucketCte(table, nPlanes, dim)},
+ok_buckets AS (SELECT bucket FROM b GROUP BY bucket
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
 cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN ok_buckets o ON x.bucket = o.bucket),
 v AS (SELECT c.vec_a, c.vec_b, ${cosSql("a.v", "bb.v", dim)} AS cos
   FROM cand c JOIN e a ON c.vec_a = a.vec_id JOIN e bb ON c.vec_b = bb.vec_id)
 SELECT vec_a, vec_b, cos FROM v WHERE cos >= $minCos

@@ -64,6 +64,16 @@ class DedupOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components fails loudly when maxIter is too small to converge") {
+    import spark.implicits._
+    // a 6-hop chain cannot converge in 1 iteration of min-label propagation
+    val chain = (1L to 7L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, "doc_a", "doc_b", maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("maxBucket caps degenerate-duplication bucket blowup") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

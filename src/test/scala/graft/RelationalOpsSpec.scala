@@ -27,7 +27,7 @@ class RelationalOpsSpec extends AnyFunSuite {
       Tables.nation(spark, sf), Tables.region(spark, sf))
     val rows = df.collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getDecimal(2).signum > 0))
+    rows.foreach(r => assert(r.getLong(2) > 0L))
   }
 
   test("top customers per segment: <=5 per segment, spend non-increasing") {

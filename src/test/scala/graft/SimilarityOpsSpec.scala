@@ -66,6 +66,22 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= 0.99))
   }
 
+  test("embedding near-dup drops buckets over maxBucket (degenerate mass-dup bucket)") {
+    import spark.implicits._
+    val v1 = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val v3 = (0 until 64).map(i => math.cos(i * 2 + 1).toFloat).toArray
+    // 10 identical copies of v1 (one dense bucket) + a small pair of v3s
+    val df = ((1L to 10L).map(i => (i, v1)) ++ Seq((100L, v3), (101L, v3)))
+      .toDF("vec_id", "embedding")
+    val capped = SimilarityOps.embeddingNearDupPairs(df, "vec_id", "embedding",
+      nPlanes = 6, dim = 64, minCos = 0.99, limit = 1000, maxBucket = 5).collect()
+    // the 10-member bucket (45 pairs) is dropped; the 2-member bucket survives
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+    val uncapped = SimilarityOps.embeddingNearDupPairs(df, "vec_id", "embedding",
+      nPlanes = 6, dim = 64, minCos = 0.99, limit = 1000).collect()
+    assert(uncapped.length == 45 + 1)
+  }
+
   test("IVF ANN: neighbors share the query's centroid cell, ranking is correct") {
     val rows = SimilarityOps.annIvf(emb, "vec_id", "embedding",
       centroidMod = 50, queryMod = 40, k = 5).collect()

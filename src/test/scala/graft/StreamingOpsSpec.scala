@@ -83,7 +83,8 @@ class StreamingOpsSpec extends AnyFunSuite {
     val batch = graft.ops.SessionOps
       .sessionizeBatch(batchDf, "user_id", "ts", "event_id", "value", gapSeconds = 60)
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+      // session bounds are epoch-µs BIGINTs; the streaming side reports ms
+      .map(r => (r.getLong(0), r.getLong(2) / 1000, r.getLong(3) / 1000,
         r.getLong(4), r.getDecimal(5).doubleValue))
       .toSet
     // streaming (sentinel event closes all sessions via watermark)

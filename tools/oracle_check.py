@@ -1,49 +1,104 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate: run graft.Verify output
-against DuckDB on the same parquet tables and compare per-query.
-Usage: oracle_check.py <sfDir> <verifyOutDir>"""
-import sys, json, glob, duckdb, math
+"""Strict local mirror of the driver's correctness gate.
+
+Runs each oracle SQL in DuckDB and compares it to graft.Verify's parquet
+output at the ARROW level:
+  - canonical column types: decimal precision/scale, timestamp unit,
+    int width, float width (string/large_string unified — an export
+    artifact, not a semantic difference);
+  - exact values: no float rounding, timestamps compared as raw int64 in
+    their (already type-checked) unit, decimals as exact Decimals.
+
+This is strictly STRONGER than any value-level hash: if this script says
+OK, both sides are representation-identical and the driver's
+sort-columns-then-hash compare must also match.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir> [only_query ...]
+"""
+import sys, json, glob
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
-def norm(rows, cols):
-    # sort columns by name, then rows; normalize numerics
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    def cell(v):
-        if isinstance(v, float):
-            return round(v, 9)
-        if hasattr(v, 'isoformat'):
-            return v.isoformat()
-        return v
-    return sorted(tuple(cell(r[i]) for i in idx) for r in rows), [cols[i] for i in idx]
+
+def canontype(t: pa.DataType) -> str:
+    """Canonical type string: captures width/precision/unit, unifies
+    representation-only variants (string vs large_string)."""
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canontype(t.value_type)}>"
+    return str(t)  # int8..int64, float, double, bool, ...
+
+
+def canoncol(col: pa.ChunkedArray):
+    """Exact python values for comparison. Timestamps -> raw int64 in their
+    own unit (unit equality is enforced by the type check, so this is
+    lossless — datetime conversion would silently drop ns)."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        return col.cast(pa.int64()).to_pylist()
+    if pa.types.is_date(t):
+        return col.cast(pa.date32()).cast(pa.int32()).to_pylist()
+    return col.to_pylist()
+
+
+def rows_of(tbl: pa.Table):
+    names = sorted(tbl.column_names)
+    cols = [canoncol(tbl.column(n)) for n in names]
+    rows = list(zip(*cols)) if cols else []
+    # sort key must be deterministic and type-stable per column; the type
+    # check has already guaranteed both sides hold the same types
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return names, rows
+
 
 fails = 0
 for name, sql in sorted(oracle.items()):
-    files = glob.glob(f"{out}/{name}/*.parquet")
+    if only and name not in only:
+        continue
+    files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
-        d = con.execute(sql)
-        dcols = [c[0] for c in d.description]
-        drows = d.fetchall()
+        d = con.execute(sql).arrow()
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {e}"); fails += 1; continue
-    s = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
-    scols = [c[0] for c in s.description]
-    srows = s.fetchall()
-    dn, dc = norm(drows, dcols)
-    sn, sc = norm(srows, scols)
-    if dc != sc:
-        print(f"FAIL {name}: columns spark={sc} duckdb={dc}"); fails += 1; continue
-    if len(dn) != len(sn):
-        print(f"FAIL {name}: rowcount spark={len(sn)} duckdb={len(dn)}"); fails += 1; continue
-    if dn != sn:
-        bad = [(a,b) for a,b in zip(sn,dn) if a!=b][:3]
-        print(f"FAIL {name}: value mismatch, first diffs: {bad}"); fails += 1; continue
-    print(f"OK   {name} ({len(sn)} rows)")
-print(f"{'ALL OK' if fails==0 else str(fails)+' FAILURES'}")
+    s = pa.concat_tables([pq.read_table(f) for f in files])
+
+    scols, dcols = sorted(s.column_names), sorted(d.column_names)
+    if scols != dcols:
+        print(f"FAIL {name}: columns spark={scols} duckdb={dcols}"); fails += 1; continue
+    tdiff = [(c, canontype(s.column(c).type), canontype(d.column(c).type))
+             for c in scols
+             if canontype(s.column(c).type) != canontype(d.column(c).type)]
+    if tdiff:
+        desc = ", ".join(f"{c}: spark={a} duckdb={b}" for c, a, b in tdiff)
+        print(f"FAIL {name}: type mismatch: {desc}"); fails += 1; continue
+    if s.num_rows != d.num_rows:
+        print(f"FAIL {name}: rowcount spark={s.num_rows} duckdb={d.num_rows}"); fails += 1; continue
+    _, srows = rows_of(s)
+    _, drows = rows_of(d)
+    if srows != drows:
+        bad = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+        print(f"FAIL {name}: value mismatch, first diffs (spark, duckdb): {bad}")
+        fails += 1; continue
+    print(f"OK   {name} ({s.num_rows} rows)")
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
 sys.exit(1 if fails else 0)
