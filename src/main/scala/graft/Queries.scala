@@ -3,7 +3,7 @@ package graft
 import graft.io.Tables
 import graft.model.Defaults
 import graft.ops._
-import graft.text.{SimpleAnalyzer, TextOps}
+import graft.text.{SimpleAnalyzer, TextOps, UnicodeAnalyzer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
 object Queries {
   private val cfg = Defaults.config
   private val analyzer = SimpleAnalyzer(cfg.stopwords)
+
+  /** Unicode/Persian fixture for q43: a deterministic phrase keyed on
+    * doc_id, exercising ZWNJ-joined tokens, Arabic codepoint variants,
+    * diacritics, the lemma `#` convention, stopwords and the ASCII-noise
+    * filters — identically constructible in Spark and the DuckDB oracle. */
+  private val unicodeLemmas = Map(
+    "کتاب‌ها" -> "کتاب",
+    "کتاب‌های" -> "کتاب",
+    "رفت" -> "رفت#رو")
+  private val unicodePhrases = Seq(
+    "کتاب‌ها خوب هستند",
+    "كتاب‌هاي قدیمی متن",
+    "مدرسه‌ی بزرگ رفت",
+    "فارسی آموزش useful extraordinary",
+    "سلامٌ دوست خوب admin")
+  private val unicodeAnalyzer = UnicodeAnalyzer(
+    stopwords = cfg.stopwords ++ Seq("هستند"), lemmas = unicodeLemmas)
 
   /** name -> (spark impl, Some(oracle sql)). */
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -281,6 +298,19 @@ GROUP BY segment ORDER BY segment""")),
       (s: SparkSession, dir: String) =>
         DedupOps.exactDedupReport(Tables.documents(s, dir), "text", "doc_id", prefixLen = 8),
       Some(graft.sql.DedupSql.exactDedupReport("documents", prefixLen = 8))),
+
+    ("q43_unicode_word_frequency",
+      (s: SparkSession, dir: String) => {
+        val px = element_at(
+          array(unicodePhrases.map(lit): _*),
+          (col("doc_id") % unicodePhrases.size).cast("int") + 1)
+        val df = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(concat(col("text"), lit(" "), px).as("t"))
+        TextOps.wordFrequency(df, "t", unicodeAnalyzer, 50)
+      },
+      Some(graft.sql.UnicodeSql.wordFrequency(
+        "documents", unicodeAnalyzer, unicodePhrases, 50))),
 
     // --- Multimodal plumbing (MultimodalOps; stubbed decode) ---
 

@@ -119,6 +119,105 @@ object Generators {
       copy(child = newChild)
   }
 
+  /** [[graft.text.UnicodeAnalyzer]] tokens as a generator: the full
+    * normalize → split → lemmatize → strict-filter chain in one JVM pass per
+    * row, with hash-set stopword/noise/lemma lookups. Emits one row per
+    * SURVIVING token occurrence, original case (multiset — word counts need
+    * duplicates). Semantics must stay identical to the analyzer's Column
+    * form ([[graft.text.UnicodeAnalyzer.tokens]]) — pinned by a property
+    * test comparing the two on mixed Persian/ASCII corpora. */
+  case class UnicodeTokenExplode(child: Expression, analyzer: graft.text.UnicodeAnalyzer)
+      extends UnaryExpression with Generator with CodegenFallback {
+    import graft.text.{UnicodeAnalyzer => UA}
+    import java.util.regex.Pattern
+
+    @transient private lazy val spacing = Pattern.compile(UA.SpacingPattern)
+    @transient private lazy val diacritics = Pattern.compile(UA.DiacriticsClass)
+    @transient private lazy val repeated = Pattern.compile("(\\p{L})\\1{2,}")
+    @transient private lazy val splitter = Pattern.compile(UA.TokenSplitPattern)
+    @transient private lazy val charset = Pattern.compile(UA.CharsetPattern)
+    @transient private lazy val asciiOnly = Pattern.compile(UA.AsciiOnlyPattern)
+    @transient private lazy val anyDigit = Pattern.compile(UA.AnyDigitPattern)
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, analyzer.stopwords.size * 2))
+      analyzer.stopwords.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
+      s
+    }
+    @transient private lazy val noiseSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](16)
+      analyzer.asciiNoise.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
+      s
+    }
+    @transient private lazy val webArr: Array[String] = analyzer.webNoise.toArray
+
+    override def elementSchema: StructType =
+      StructType(StructField("token", StringType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unicode_token_explode needs a string column, got ${child.dataType}")
+    }
+
+    private def normalize(text: String): String = {
+      var s = text
+      if (analyzer.correctSpacing) s = spacing.matcher(s).replaceAll("$1‌$2")
+      if (analyzer.unicodeReplacement) {
+        val sb = new java.lang.StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          val j = UA.CharMapFrom.indexOf(c)
+          sb.append(if (j >= 0) UA.CharMapTo.charAt(j) else c)
+          i += 1
+        }
+        s = sb.toString
+      }
+      if (analyzer.removeDiacritics) s = diacritics.matcher(s).replaceAll("")
+      if (analyzer.decreaseRepeatedChars) s = repeated.matcher(s).replaceAll("$1")
+      s
+    }
+
+    private def keep(t: String): Boolean = {
+      if (t.length < analyzer.minLen) return false
+      val tl = t.toLowerCase(java.util.Locale.ROOT)
+      if (stopSet.contains(tl)) return false
+      if (anyDigit.matcher(t).find()) return false
+      var i = 0
+      while (i < webArr.length) {
+        if (tl.contains(webArr(i))) return false
+        i += 1
+      }
+      if (!charset.matcher(t).matches()) return false
+      if (asciiOnly.matcher(t).matches() &&
+        (t.length > analyzer.asciiMaxLen || noiseSet.contains(tl))) return false
+      true
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = splitter.split(normalize(v.asInstanceOf[UTF8String].toString))
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var i = 0
+      while (i < toks.length) {
+        val raw = toks(i)
+        val lemmaed = analyzer.lemmas.getOrElse(raw, raw)
+        val hash = lemmaed.indexOf('#')
+        val t = if (hash >= 0) lemmaed.substring(0, hash) else lemmaed
+        if (keep(t)) out += InternalRow(UTF8String.fromString(t))
+        i += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): UnicodeTokenExplode =
+      copy(child = newChild)
+  }
+
   /** Column API: one row per distinct w-shingle of `text`. */
   def shingleExplode(text: Column, w: Int): Column =
     toColumn(ShingleExplode(toExpression(text), w))
@@ -126,4 +225,8 @@ object Generators {
   /** Column API: one row per surviving analyzer token of `text`. */
   def tokenExplode(text: Column, minLen: Int, stopwords: Seq[String]): Column =
     toColumn(TokenExplode(toExpression(text), minLen, stopwords))
+
+  /** Column API: one row per surviving [[graft.text.UnicodeAnalyzer]] token. */
+  def unicodeTokenExplode(text: Column, analyzer: graft.text.UnicodeAnalyzer): Column =
+    toColumn(UnicodeTokenExplode(toExpression(text), analyzer))
 }
