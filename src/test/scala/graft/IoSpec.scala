@@ -86,4 +86,40 @@ class IoSpec extends AnyFunSuite {
     val lines = Files.readAllLines(files.head.toPath)
     assert(lines.get(0) == "a,b")
   }
+
+  test("env config: dotenv file parses into JDBC options, process env wins") {
+    val f = Files.createTempFile("graft_env", ".env")
+    Files.writeString(f,
+      """# database credentials (sample.env shape, main.py:27-37)
+        |DB_USER=alice
+        |export DB_PASS="s3cr=et"
+        |DB_HOST = 'db.internal'
+        |DB_PORT=5432
+        |
+        |DB_NAME=posts
+        |MALFORMED LINE NO EQUALS
+        |DB_NAME=posts_v2
+        |""".stripMargin)
+    try {
+      val conf = graft.io.EnvConfig.load(f.toString, env = Map("DB_PORT" -> "6000"))
+      assert(conf("DB_USER") == "alice")
+      assert(conf("DB_PASS") == "s3cr=et") // quotes stripped, value keeps '='
+      assert(conf("DB_HOST") == "db.internal")
+      assert(conf("DB_PORT") == "6000") // process env wins over the file
+      assert(conf("DB_NAME") == "posts_v2") // later duplicate wins
+      val Some((url, user, pass)) = graft.io.EnvConfig.jdbcConfig(conf)
+      assert(url == "jdbc:postgresql://db.internal:6000/posts_v2")
+      assert(user == "alice" && pass == "s3cr=et")
+      // plumbs into the partitioned JDBC reader without loss
+      val reader = JdbcSource.partitionedReader(
+        spark, url, "posts", "id", "0", "100", 4, user, pass)
+      assert(reader != null)
+    } finally Files.delete(f)
+  }
+
+  test("env config: missing file falls back to process env only") {
+    val conf = graft.io.EnvConfig.load("/nonexistent/.env", env = Map("DB_USER" -> "u"))
+    assert(conf == Map("DB_USER" -> "u"))
+    assert(graft.io.EnvConfig.jdbcConfig(conf).isEmpty)
+  }
 }
