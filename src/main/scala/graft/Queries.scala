@@ -198,6 +198,13 @@ object Queries {
       Some(graft.sql.SimilaritySql.annLshMultiProbe("embeddings",
         queryMod = 40, k = 5, nPlanes = 6, dim = 64))),
 
+    ("q44_kmeans_centroids",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.kmeansCentroids(Tables.embeddings(s, dir), "vec_id", "embedding",
+          centroidMod = 100, iters = 2),
+      Some(graft.sql.SimilaritySql.kmeansCentroids("embeddings",
+        centroidMod = 100, iters = 2, dim = 64))),
+
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),

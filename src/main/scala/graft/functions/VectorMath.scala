@@ -19,40 +19,49 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 object VectorMath {
 
   /** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), unrounded; null if either
-    * side is null. Arrays must be equal-length float arrays (embedding
-    * columns); mismatched lengths fold over the common prefix like
-    * `zip_with` does not — so we require equal length and fail loudly. */
+    * side is null. Each side may be array<float> (raw embeddings) or
+    * array<double> (derived centroids) — floats widen to double exactly, so
+    * the arithmetic is one contract regardless of storage type. Arrays must
+    * be equal length; we require it and fail loudly (`zip_with` would fold
+    * the common prefix silently). */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
 
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
       val ok = Seq(left, right).forall(_.dataType match {
-        case ArrayType(FloatType, _) => true
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
         case _ => false
       })
       if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity needs two array<float> columns, got " +
+        s"cosine_similarity needs array<float|double> columns, got " +
           s"${left.dataType} and ${right.dataType}")
     }
 
     protected override def nullSafeEval(a: Any, b: Any): Any =
-      VectorMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      VectorMath.cosine(a.asInstanceOf[ArrayData], elemIsFloat(left),
+        b.asInstanceOf[ArrayData], elemIsFloat(right))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.VectorMath.cosine($a, $b);")
+        s"${ev.value} = graft.functions.VectorMath.cosine($a, ${elemIsFloat(left)}, $b, ${elemIsFloat(right)});")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): CosineSimilarity =
       copy(left = newLeft, right = newRight)
   }
 
-  /** Shared kernel for interpreted eval and generated code. */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  /** Shared kernel for interpreted eval and generated code. The element-type
+    * flags are codegen-time literals, so JIT folds the branches away. */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"cosine_similarity: length mismatch ${n} vs ${b.numElements()}")
@@ -61,8 +70,8 @@ object VectorMath {
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y

@@ -192,6 +192,64 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF centroid TRAINING: fixed-iteration Lloyd k-means expressed
+    * entirely as DataFrame ops — no driver-side collect, ever. Upgrades
+    * [[annIvf]]'s id-sampled stand-in centroids to trained ones.
+    *
+    * Each iteration is two distributed steps:
+    *  1. assign — corpus × broadcast(centroids) cosine, per-vector argmax
+    *     (window rn=1; ties on the 6-dp score break by centroid id, so both
+    *     engines agree);
+    *  2. update — per-(cluster, dim) decimal-exact mean via posexplode
+    *     (exact under any partial-agg order), re-assembled in dim order,
+    *     rounded to 6 dp (the engine-wide cross-engine score contract).
+    *
+    * Initialization is deterministic (vectors with id % centroidMod == 0);
+    * clusters that lose all members drop out (standard Lloyd behavior).
+    * `iters` is fixed rather than convergence-tested: that keeps the oracle
+    * expressible (the DuckDB mirror unrolls the same iterations as CTEs)
+    * and bounds cost; convergence-driven training is the same loop with a
+    * count-based stop like [[DedupOps.connectedComponents]].
+    *
+    * 100 TB shape: centroids stay a small broadcast relation (k × dim
+    * doubles); the corpus is scanned once per iteration, shuffled once per
+    * iteration on (cluster, dim) for the partial-aggregated means. */
+  def kmeansCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one iteration")
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    var out: DataFrame = null
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("cid"))
+      val perDim = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+        .groupBy(col("cid"), (col("dim0") + 1).as("dim"))
+        .agg(
+          // float -> double -> decimal: exact widening then an exact,
+          // associative sum (see labelCentroidProfile)
+          round(sum(col("x").cast("double").cast("decimal(18,9)")).cast("double")
+            / count(lit(1)), 6).as("m"),
+          count(lit(1)).as("n"))
+      out = perDim
+        .groupBy("cid")
+        .agg(
+          array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"),
+          max(col("n")).as("n_vecs"))
+        .select(col("cid"), col("n_vecs"),
+          transform(col("pairs"), p => p.getField("m")).as("centroid"))
+      cents = out.select(col("cid"), col("centroid").as("cv"))
+    }
+    out.select(col("cid"), col("n_vecs"), col("centroid")).orderBy("cid")
+  }
+
   /** Per-label centroid profile: vector count and decimal-exact means of
     * the first two dimensions (component values cast to decimal before
     * summing — exact under any aggregation order). The full-centroid

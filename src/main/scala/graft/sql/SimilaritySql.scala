@@ -90,6 +90,32 @@ cand AS (SELECT q.query_id, a.id AS neighbor_id, ${cosSql("q.qv", "a.v", dim)} A
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
 SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
 
+  /** Fixed-iteration Lloyd k-means, UNROLLED: iteration t's assign/update
+    * become CTEs a{t}/d{t}/c{t+1}, mirroring
+    * [[graft.ops.SimilarityOps.kmeansCentroids]] step for step (6-dp
+    * rounded cosine assignment with cid tiebreak; decimal-exact per-dim
+    * means rounded to 6 dp; empty clusters drop out). */
+  def kmeansCentroids(table: String, centroidMod: Int, iters: Int, dim: Int): String = {
+    require(iters >= 1)
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),\n")
+    sb.append(s"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM $table WHERE vec_id % $centroidMod = 0)")
+    for (t <- 0 until iters) {
+      sb.append(s""",
+a$t AS (SELECT v, cid FROM (
+  SELECT e.v, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS rk
+  FROM e, c$t c) WHERE rk = 1),
+d$t AS (SELECT cid, i.i AS dim,
+    round(CAST(SUM(CAST(v[i.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS m,
+    COUNT(*) AS n
+  FROM a$t, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY cid, i.i),
+c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM d$t GROUP BY cid)""")
+    }
+    sb.append(s"\nSELECT cid, CAST(n_vecs AS BIGINT) AS n_vecs, cv AS centroid FROM c$iters ORDER BY cid")
+    sb.toString
+  }
+
   def labelCentroidProfile(table: String): String =
     s"""SELECT label, COUNT(*) AS n_vecs,
 round(CAST(SUM(CAST(embedding[1]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_d0,
