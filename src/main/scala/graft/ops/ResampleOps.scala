@@ -46,7 +46,11 @@ object ResampleOps {
   /** Trailing moving average over the gap-filled daily series: a
     * ROWS-frame window (k-1 preceding .. current) on the zero-filled
     * calendar — the gap-fill is what makes a rows-frame equal a
-    * days-frame. One window over the (small) aggregated series. */
+    * days-frame. The window is deliberately GLOBAL (unpartitioned,
+    * single-task): its input is the already-aggregated calendar, whose row
+    * count equals the number of DAYS in the span by construction — a few
+    * thousand rows even for a decade — never the fact table. The heavy
+    * lifting happened in resampleCount's distributed aggregate. */
   def movingAverageDaily(df: DataFrame, tsCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("bucket")).rowsBetween(-(k - 1), Window.currentRow)

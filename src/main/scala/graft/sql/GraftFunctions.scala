@@ -1,7 +1,8 @@
 package graft.sql
 
-import graft.functions.Generators.{ShingleExplode, TokenExplode}
+import graft.functions.Generators.{ShingleExplode, TokenExplode, UnicodeTokenExplode}
 import graft.functions.KeywordMatch.MultiKeywordTags
+import graft.functions.VectorMath.{CosineSimilarity, JaccardSimilarity}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -22,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression, they are not data):
   *   shingle_explode(text, w)
   *   token_explode(text, minLen, 'stop,words')
+  *   unicode_token_explode(text, minLen, 'stop,words')
   *   multi_keyword_tags(text, 'Label1:kw1,kw2;Label2:kw3')
+  *   cosine_similarity(vecA, vecB)   -- unrounded; round(...) in SQL if needed
+  *   jaccard_similarity(setA, setB)  -- unrounded; distinct-element arrays
   */
 object GraftFunctions {
 
@@ -68,6 +72,29 @@ object GraftFunctions {
         require(args.length == 2, "multi_keyword_tags(text, 'Label:kw1,kw2;...')")
         MultiKeywordTags(args.head,
           parseTaxonomy(litString(args(1), "multi_keyword_tags")))
+      }),
+    (FunctionIdentifier("unicode_token_explode"),
+      new ExpressionInfo(classOf[UnicodeTokenExplode].getName, "unicode_token_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "unicode_token_explode(text, minLen, 'stop,words')")
+        // default normalizer options; the full configuration (lemma map,
+        // spacing, repeats) is the Scala UnicodeAnalyzer API
+        UnicodeTokenExplode(args.head, graft.text.UnicodeAnalyzer(
+          stopwords = litString(args(2), "unicode_token_explode")
+            .split(",").toSeq.filter(_.nonEmpty),
+          minLen = litInt(args(1), "unicode_token_explode")))
+      }),
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(vecA, vecB)")
+        CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("jaccard_similarity"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaccard_similarity(setA, setB)")
+        JaccardSimilarity(args.head, args(1))
       })
   )
 

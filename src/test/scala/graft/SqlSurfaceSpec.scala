@@ -27,6 +27,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT multi_keyword_tags(text, 'Greek:beta,delta;Latin:qq') AS g FROM sql_surface_docs")
       .collect().map(_.getSeq[String](0).toList)
     assert(tags.head == List("Greek"))
+
+    val utoks = spark.sql(
+      "SELECT unicode_token_explode(text, 3, 'the') AS t FROM sql_surface_docs")
+      .collect().map(_.getString(0)).toList
+    assert(utoks == List("alpha", "beta", "gamma", "alpha", "beta"))
+
+    Seq((Array(1f, 0f), Array(1f, 0f), Array("a", "b"), Array("b", "c")))
+      .toDF("v1", "v2", "s1", "s2").createOrReplaceTempView("sql_surface_vecs")
+    val cos = spark.sql(
+      "SELECT round(cosine_similarity(v1, v2), 6) AS c, jaccard_similarity(s1, s2) AS j " +
+        "FROM sql_surface_vecs").collect().head
+    assert(cos.getDouble(0) == 1.0)
+    assert(math.abs(cos.getDouble(1) - 1.0 / 3.0) < 1e-12)
   }
 
   test("literal-alternation rlike rewrites to one Aho-Corasick pass") {
