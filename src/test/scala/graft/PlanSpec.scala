@@ -1,0 +1,72 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.{RelationalOps, SimilarityOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the engine relies
+  * on (scan-level filter pushdown, column pruning, broadcast dim joins,
+  * whole-stage codegen) must stay visible in `.explain("formatted")` — a
+  * silent regression here is invisible at test scale and a disaster at
+  * 100 TB. */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing summary: date filter reaches the parquet scan, columns pruned") {
+    val plan = formatted(
+      RelationalOps.pricingSummary(Tables.lineitem(spark, sf), "1998-09-01 00:00:00"))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"), s"shipdate not pushed down:\n$pushed")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // the scan must NOT read the join keys / unused columns
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_tax").foreach(c =>
+      assert(!read.contains(c), s"scan reads unused column $c:\n$read"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate").foreach(c =>
+      assert(read.contains(c), s"scan missing needed column $c:\n$read"))
+  }
+
+  test("event json stats: scan prunes to the three consumed columns") {
+    val read = formatted(RelationalOps.eventJsonStats(Tables.events(spark, sf)))
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    Seq("event_type", "props", "value").foreach(c =>
+      assert(read.contains(c), s"scan missing $c:\n$read"))
+    Seq("user_id", "event_id").foreach(c =>
+      assert(!read.contains(c), s"scan reads unused column $c:\n$read"))
+  }
+
+  test("aggregation pipelines run inside whole-stage codegen") {
+    // AQE materializes the final plan only at execution — run the query,
+    // then inspect the adaptive plan's final string for codegen spans
+    val df = RelationalOps.pricingSummary(Tables.lineitem(spark, sf), "1998-09-01 00:00:00")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen spans render as `*(n)` stage markers in the compact plan
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"no codegen span markers:\n${plan.take(800)}")
+  }
+
+  test("kmeans assignment broadcasts the centroid side every iteration") {
+    val plan = SimilarityOps
+      .kmeansCentroids(Tables.embeddings(spark, sf), "vec_id", "embedding",
+        centroidMod = 100, iters = 2)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastNestedLoopJoin|BroadcastExchange".r
+      .findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected per-iteration centroid broadcasts:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), "assignment must broadcast, not cartesian")
+  }
+
+  test("resample fact side joins the calendar without shuffling the counts") {
+    val plan = graft.ops.ResampleOps
+      .resampleCount(Tables.events(spark, sf), "ts", graft.ops.ResampleOps.Daily)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"calendar join should broadcast:\n${plan.take(800)}")
+  }
+}
