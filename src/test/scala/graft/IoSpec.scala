@@ -87,6 +87,48 @@ class IoSpec extends AnyFunSuite {
     assert(lines.get(0) == "a,b")
   }
 
+  test("jdbc: partitioned scan round-trips against an embedded Derby database") {
+    // Derby ships in /opt/spark/jars — a REAL database end for S1/W3, not
+    // just builder assertions. derby.system.home keeps derby.log out of cwd.
+    val home = Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE posts (id INT NOT NULL, text VARCHAR(100),
+        full_date TIMESTAMP, channel_username VARCHAR(50), views INT)""")
+      (0 until 100).foreach { i =>
+        val day = i % 28 + 1
+        val text = if (i % 10 == 9) "NULL" else s"'text $i'"
+        st.execute(s"INSERT INTO posts VALUES " +
+          s"($i, $text, TIMESTAMP('2024-01-${"%02d".format(day)} 10:00:00'), 'chan${i % 3}', ${i * 3})")
+      }
+    } finally conn.close()
+
+    val df = JdbcSource
+      .partitionedReader(spark, url, "posts", "id", "0", "100", 4, "", "")
+      .load()
+    assert(df.count() == 100)
+    // the month-loop replacement: 4 concurrent range slices of the id domain
+    assert(df.rdd.getNumPartitions == 4)
+    // predicate pushes into the database query path
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("views") >= 150).count() == 50)
+    // the reference's effective scan: projection + date window + not-null
+    // filter pushed into the DB as a dbtable subquery
+    val q = JdbcSource.postsQuery("posts", "full_date", "text",
+      "2024-01-01 00:00:00", "2024-01-08 00:00:00")
+    val sliced = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", s"($q) AS s").load()
+    val got = sliced.collect()
+    assert(got.nonEmpty && got.length < 100)
+    assert(sliced.columns.toSeq ==
+      Seq("TEXT", "FULL_DATE", "CHANNEL_USERNAME", "VIEWS").map(_.toLowerCase) ||
+      sliced.columns.toSeq == Seq("TEXT", "FULL_DATE", "CHANNEL_USERNAME", "VIEWS"))
+    assert(got.forall(_.getString(0) != null)) // not-null filter applied DB-side
+  }
+
   test("env config: dotenv file parses into JDBC options, process env wins") {
     val f = Files.createTempFile("graft_env", ".env")
     Files.writeString(f,
