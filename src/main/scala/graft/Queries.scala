@@ -171,6 +171,13 @@ object Queries {
         DedupOps.simhashFingerprints(Tables.documents(s, dir), "text", "doc_id", sampleMod = 10),
       Some(graft.sql.DedupSql.simhashFingerprints("documents", sampleMod = 10))),
 
+    ("q45_simhash_neardup",
+      (s: SparkSession, dir: String) =>
+        DedupOps.simhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
+          maxHamming = 5, nChunks = 6, nBits = 60, sampleMod = 2, limit = 50),
+      Some(graft.sql.DedupSql.simhashNearDupPairs("documents",
+        maxHamming = 5, nChunks = 6, nBits = 60, sampleMod = 2, limit = 50))),
+
     ("q23_jaccard_bruteforce",
       (s: SparkSession, dir: String) =>
         DedupOps.jaccardBruteForce(Tables.documents(s, dir), "text", "doc_id",

@@ -219,6 +219,52 @@ object DedupOps {
       .orderBy("id")
   }
 
+  /** SimHash near-duplicate pairs via HAMMING LSH — the lookup structure
+    * the per-row fingerprints exist for: the `nBits`-bit fingerprint splits
+    * into `nChunks` equal bit-chunks, and by pigeonhole two fingerprints
+    * within hamming distance < nChunks share at least one exact chunk — so
+    * candidate generation is a bucket join on (chunkIdx, chunkValue) and
+    * exact popcount verifies. Same groupBy-collect candidate shape (one
+    * shuffle, `maxBucket` cap) as [[minhashPairs]]; recall is guaranteed
+    * for pairs with hamming <= maxHamming when nChunks > maxHamming. */
+  def simhashNearDupPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 5, nChunks: Int = 6, nBits: Int = 60,
+      sampleMod: Int = 1, limit: Int = 50, maxBucket: Int = 1000): DataFrame = {
+    require(nChunks > maxHamming,
+      "pigeonhole recall guarantee needs nChunks > maxHamming")
+    require(nBits % nChunks == 0, "nBits must split evenly into nChunks")
+    val chunkBits = nBits / nChunks
+    val toks = tokenSet(col(textCol))
+    val fp = docs
+      .filter(col(textCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), simhash(col("toks"), nBits).as("fp"))
+    val chunks = fp.select(
+      col("id"),
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("fp"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ch"))
+      .select(col("id"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val cand = chunks
+      .groupBy("c", "v")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(Collections.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("id"), col("fp").as("fa")), col("doc_a") === col("id")).drop("id")
+      .join(fp.select(col("id"), col("fp").as("fb")), col("doc_b") === col("id")).drop("id")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+  }
+
   /** Brute-force all-pairs n-gram Jaccard over an id-sampled subset
     * (id % sampleMod == 0): the exact baseline the LSH path approximates.
     * Deliberately gated on the sample — never run all-pairs at scale. */

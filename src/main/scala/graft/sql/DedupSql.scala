@@ -80,6 +80,33 @@ SELECT id, CAST(list_sum(list_transform(range(0,60), b ->
   THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
 FROM hs ORDER BY id"""
 
+  /** SimHash hamming-LSH near-dup pairs — mirrors
+    * [[graft.ops.DedupOps.simhashNearDupPairs]]: same fingerprints, chunk
+    * bucket join on (chunkIdx, chunkValue) with the bucket cap, exact
+    * popcount verify. */
+  def simhashNearDupPairs(table: String, maxHamming: Int, nChunks: Int, nBits: Int,
+      sampleMod: Int, limit: Int, maxBucket: Int = 1000): String = {
+    val chunkBits = nBits / nChunks
+    val mask = (1L << chunkBits) - 1
+    s"""WITH toks AS (SELECT doc_id AS id, list_distinct($toks) AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
+hs AS (SELECT id, list_transform(tk, x -> ${h("x")}) AS hl FROM toks WHERE len(tk) > 0),
+fp AS (SELECT id, CAST(list_sum(list_transform(range(0,$nBits), b ->
+  CASE WHEN list_sum(list_transform(hl, v -> CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS fp FROM hs),
+chunks AS (SELECT id, cc.c AS c, (fp >> (cc.c * $chunkBits)) & $mask AS v
+  FROM fp, (SELECT unnest(range(0, $nChunks)) AS c) cc),
+ok AS (SELECT c, v FROM chunks GROUP BY c, v
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
+cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+  FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.id < y.id
+  JOIN ok o ON x.c = o.c AND x.v = o.v),
+vv AS (SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+  FROM cand c JOIN fp a ON c.doc_a = a.id JOIN fp b ON c.doc_b = b.id)
+SELECT doc_a, doc_b, hamming FROM vv WHERE hamming <= $maxHamming
+ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
+  }
+
   def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
 ${shingleCte(w)}

@@ -91,6 +91,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!capped.exists { case (a, b) => a < 100 && b < 100 })
   }
 
+  test("simhash hamming-LSH finds near-identical docs, excludes distant ones") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (2L, base),                       // identical pair (hamming 0)
+      (4L, base),
+      (6L, base + " extraword"),        // one extra token: small hamming
+      (8L, (100 to 140).map(i => s"zz$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val out = DedupOps.simhashNearDupPairs(df, "text", "doc_id",
+      maxHamming = 10, nChunks = 12, nBits = 60, sampleMod = 2, limit = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((2L, 4L)))
+    assert(out.find(t => t._1 == 2L && t._2 == 4L).get._3 == 0L) // identical -> hamming 0
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L), "unrelated doc must not pair")
+  }
+
   test("minhash pipeline has no driver-side collect and plans shuffles only on bucket keys") {
     val plan = DedupOps.minhashPairs(docs, "text", "doc_id").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join")
