@@ -80,4 +80,21 @@ object Pipeline {
     Sinks.writeReportCsv(report.wordFrequency, s"$outDir/word_frequency")
     Sinks.writeReportCsv(report.channelAudit, s"$outDir/channel_audit")
   }
+
+  /** S5 chart sinks: the reference's visualization set
+    * (`main.py:570-787` — industry/channel/word-frequency bar charts, the
+    * resampled trend plot) as dependency-free SVG
+    * ([[graft.io.ChartSink]]). */
+  def writeCharts(report: AnalysisReport, outDir: String): Unit = {
+    import graft.io.ChartSink
+    ChartSink.writeBarChart(report.industryCounts, "industry", "n_posts",
+      "Posts per industry", s"$outDir/1_industry_counts.svg")
+    ChartSink.writeBarChart(report.topChannelsByViews, "channel", "total_views",
+      "Top channels by views", s"$outDir/2_top_channels.svg")
+    ChartSink.writeBarChart(report.wordFrequency, "word", "n",
+      "Word frequency", s"$outDir/3_word_frequency.svg")
+    report.timeSeries.foreach(ts =>
+      ChartSink.writeLineChart(ts, "bucket", "n",
+        "Posts per week", s"$outDir/5_trend.svg"))
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.io.ChartSink
+import graft.io.Tables
+import graft.model.Defaults
+import graft.pipeline.Pipeline
+import graft.text.SimpleAnalyzer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S5 chart sink: SVG structure + pipeline integration. */
+class ChartSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bar chart: one bar per row, escaped labels, thousands-separated values") {
+    val svg = ChartSink.barChartSvg(
+      Seq(("alpha & <co>", 12345.0), ("بازار", 700.0), ("tiny", 3.0)), "T&C")
+    assert("<rect ".r.findAllIn(svg).length == 3)
+    assert(svg.contains("alpha &amp; &lt;co&gt;"))
+    assert(svg.contains("بازار")) // unicode labels render natively in SVG
+    assert(svg.contains(">12,345<"))
+    assert(svg.contains("T&amp;C"))
+    // widths proportional to values: the max bar is widest
+    val widths = "<rect [^/]*width=\"(\\d+)\"".r.findAllMatchIn(svg).map(_.group(1).toInt).toSeq
+    assert(widths.max == widths.head)
+  }
+
+  test("line chart: polyline with one point per row") {
+    val rows = (1 to 9).map(i => (s"d$i", i.toDouble))
+    val svg = ChartSink.lineChartSvg(rows, "trend")
+    val pts = "points=\"([^\"]+)\"".r.findFirstMatchIn(svg).get.group(1)
+    assert(pts.split(" ").length == 9)
+    assert(svg.contains("trend"))
+  }
+
+  test("pipeline chart sinks write the reference's visualization set as SVG") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val report = Pipeline.run(docs, Defaults.config, SimpleAnalyzer(Defaults.config.stopwords))
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_charts").toString
+      Pipeline.writeCharts(report, out)
+      Seq("1_industry_counts.svg", "2_top_channels.svg", "3_word_frequency.svg").foreach { f =>
+        val p = java.nio.file.Paths.get(s"$out/$f")
+        assert(java.nio.file.Files.exists(p), s"missing $f")
+        val svg = java.nio.file.Files.readString(p)
+        assert(svg.startsWith("<svg ") && svg.contains("<rect "), s"$f is not a bar chart")
+      }
+      // documents has no ts column -> no trend chart
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/5_trend.svg")))
+    } finally Pipeline.unpersist(report)
+  }
+}
