@@ -31,6 +31,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_posts"))
       .select(col("window.start").as("window_start"), col("industry"), col("n_posts"))
 
+  /** Stream-side A5 WORD-COUNT: the SAME analyzer (its Generator hot path
+    * included) tokenizes the stream, then a watermarked tumbling window
+    * counts per (window, word). Map-side partial aggregation reduces each
+    * micro-batch's token stream to its local vocabulary before the
+    * shuffle, and the watermark bounds the window state — the two things
+    * that make per-token streaming viable at firehose volume. */
+  def windowedWordFrequency(
+      posts: DataFrame, analyzer: graft.text.Analyzer,
+      textCol: String, tsCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    posts
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), analyzer.tokenRows(col(textCol)).as("word"))
+      .groupBy(window(col(tsCol), windowDur), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("word"), col("n"))
+
   /** Tumbling-window event counts + value sums per event type over the
     * events stream shape (event_id, ts, user_id, event_type, value). */
   def eventWindowStats(

@@ -30,6 +30,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed word frequency on a stream agrees with the batch analyzer") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the Unicode analyzer's Generator hot path, on a stream
+    val analyzer = graft.text.UnicodeAnalyzer(
+      stopwords = Seq("the"), lemmas = Map("کتاب‌ها" -> "کتاب"))
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val posts = in.toDF().toDF("text", "ts")
+    val out = StreamingOps.windowedWordFrequency(
+      posts, analyzer, "text", "ts", "1 minute", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wf_counts")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        ("the quick fox کتاب‌ها", ts(0)),
+        ("quick quick کتاب", ts(10)),
+        ("fox across windows", ts(70))) // next window
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT word, sum(n) FROM wf_counts GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = data.map(_._1).toDF("text")
+        .select(analyzer.tokenRows($"text").as("word"))
+        .groupBy("word").count().orderBy("word")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed == batch)
+      assert(streamed.toMap.apply("کتاب") == 2L) // ZWNJ lemma applied in-stream
+      // window boundary respected: 'fox' split across two windows
+      val foxWindows = spark.sql("SELECT count(*) FROM wf_counts WHERE word = 'fox'")
+        .collect().head.getLong(0)
+      assert(foxWindows == 2L)
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions when the watermark passes the gap") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
