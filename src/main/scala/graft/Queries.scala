@@ -205,6 +205,13 @@ object Queries {
       Some(graft.sql.SimilaritySql.annLshMultiProbe("embeddings",
         queryMod = 40, k = 5, nPlanes = 6, dim = 64))),
 
+    ("q46_ann_ivf_multiprobe",
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.annIvfMultiProbe(Tables.embeddings(s, dir), "vec_id", "embedding",
+          centroidMod = 50, queryMod = 40, k = 5, nprobe = 3),
+      Some(graft.sql.SimilaritySql.annIvfMultiProbe("embeddings",
+        centroidMod = 50, queryMod = 40, k = 5, nprobe = 3, dim = 64))),
+
     ("q44_kmeans_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.kmeansCentroids(Tables.embeddings(s, dir), "vec_id", "embedding",

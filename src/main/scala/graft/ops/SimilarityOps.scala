@@ -192,6 +192,37 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Multi-probe IVF: like [[annIvf]] but each query probes its `nprobe`
+    * NEAREST centroids' inverted lists instead of only its own — the
+    * standard IVF recall knob (recall rises toward brute force as nprobe →
+    * k-cells). The corpus is still assigned to exactly ONE list (crk=1), so
+    * probing n distinct cells can never duplicate a candidate; the probe
+    * fan-out lives on the small broadcast query side (queries × nprobe
+    * rows), mirroring [[annLshMultiProbe]]'s shape. */
+  def annIvfMultiProbe(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, queryMod: Int, k: Int, nprobe: Int): DataFrame = {
+    val cents = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crk") === 1).select(col("id"), col("v"), col("cid"))
+    val queries = ranked.filter(col("id") % queryMod === 0 && col("crk") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.select(col("id").as("neighbor_id"), col("v").as("nv"), col("cid"))
+      .join(broadcast(queries), "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** IVF centroid TRAINING: fixed-iteration Lloyd k-means expressed
     * entirely as DataFrame ops — no driver-side collect, ever. Upgrades
     * [[annIvf]]'s id-sampled stand-in centroids to trained ones.

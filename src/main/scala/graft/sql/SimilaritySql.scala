@@ -90,6 +90,24 @@ cand AS (SELECT q.query_id, a.id AS neighbor_id, ${cosSql("q.qv", "a.v", dim)} A
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
 SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
 
+  /** Multi-probe IVF oracle — mirrors
+    * [[graft.ops.SimilarityOps.annIvfMultiProbe]]: one shared
+    * centroid-distance ranking CTE; corpus keeps crk=1, queries keep
+    * crk<=nprobe. */
+  def annIvfMultiProbe(table: String, centroidMod: Int, queryMod: Int,
+      k: Int, nprobe: Int, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $centroidMod = 0),
+ac AS (SELECT e.vec_id AS id, e.v, c.cid, ${cosSql("e.v", "c.cv", dim)} AS ccos,
+  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM e, c),
+a AS (SELECT id, v, cid FROM ac WHERE crk = 1),
+q AS (SELECT id AS query_id, v AS qv, cid FROM ac WHERE id % $queryMod = 0 AND crk <= $nprobe),
+cand AS (SELECT q.query_id, a.id AS neighbor_id, ${cosSql("q.qv", "a.v", dim)} AS cos
+  FROM q JOIN a ON a.cid = q.cid AND a.id <> q.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
+SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
   /** Fixed-iteration Lloyd k-means, UNROLLED: iteration t's assign/update
     * become CTEs a{t}/d{t}/c{t+1}, mirroring
     * [[graft.ops.SimilarityOps.kmeansCentroids]] step for step (6-dp

@@ -94,6 +94,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe IVF recall is at least single-probe IVF recall") {
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 40, 5))
+    val single = hits(SimilarityOps.annIvf(emb, "vec_id", "embedding", 50, 40, 5))
+    val multi = hits(SimilarityOps.annIvfMultiProbe(emb, "vec_id", "embedding", 50, 40, 5, nprobe = 3))
+    val rs = (truth intersect single).size.toDouble / truth.size
+    val rm = (truth intersect multi).size.toDouble / truth.size
+    assert(rm >= rs, s"multi-probe IVF recall $rm < single-probe $rs")
+    // probing 3 cells must never yield duplicate (query, neighbor) pairs
+    val rows = SimilarityOps.annIvfMultiProbe(emb, "vec_id", "embedding", 50, 40, 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.distinct.length == rows.length)
+  }
+
   test("multi-probe LSH recall is at least single-probe recall") {
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
