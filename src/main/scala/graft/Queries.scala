@@ -338,7 +338,12 @@ GROUP BY segment ORDER BY segment""")),
     ("q31_modality_summary",
       (s: SparkSession, dir: String) =>
         MultimodalOps.modalitySummary(s, Tables.documents(s, dir), dim = 16),
-      Some(graft.sql.MultimodalSql.modalitySummary("documents")))
+      Some(graft.sql.MultimodalSql.modalitySummary("documents"))),
+
+    ("q47_frame_summary",
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.frameSummary(s, Tables.documents(s, dir), frameSize = 32, stride = 24),
+      Some(graft.sql.MultimodalSql.frameSummary("documents", frameSize = 32, stride = 24)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

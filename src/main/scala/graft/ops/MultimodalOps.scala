@@ -112,6 +112,32 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
+  /** Frame-sampling summary — the oracle-checked entry point for
+    * [[sampleFrames]]'s fan-out path: every `stride`-th `frameSize`-byte
+    * window of each payload gets the engine's rolling checksum, aggregated
+    * per modality. The flatMap fan-out (one media row → N frame rows) and
+    * the per-frame byte loop are exactly what a real video pipeline does
+    * between demux and per-frame inference. */
+  def frameSummary(
+      spark: SparkSession, docs: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    val frames = fromDocuments(spark, docs).flatMap { r =>
+      Iterator.range(0, math.max(0, r.content.length - frameSize + 1), stride).map { off =>
+        var c = 0L
+        var i = off
+        while (i < off + frameSize) { c = (c * 31 + (r.content(i) & 0xff)) & 0x7fffffffL; i += 1 }
+        (r.modality, c)
+      }
+    }.toDF("modality", "cs")
+    frames
+      .groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        min(col("cs")).as("min_checksum"),
+        max(col("cs")).as("max_checksum"))
+      .orderBy("modality")
+  }
+
   /** Per-modality feature summary — the query-shaped entry point:
     * byte/checksum stats per modality, deterministic ordering. */
   def modalitySummary(spark: SparkSession, docs: DataFrame, dim: Int): DataFrame = {

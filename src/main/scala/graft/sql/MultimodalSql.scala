@@ -7,6 +7,26 @@ package graft.sql
   * hash-checked end-to-end despite not being a SQL-shaped operator. */
 object MultimodalSql {
 
+  /** Frame-sampling oracle — mirrors
+    * [[graft.ops.MultimodalOps.frameSummary]]: every `stride`-th
+    * `frameSize`-byte window, same rolling checksum, per modality. The
+    * nested lambda (offsets list → per-frame checksum) avoids a lateral
+    * join; offsets are the same exclusive-stop range as the JVM side. */
+  def frameSummary(table: String, frameSize: Int, stride: Int): String =
+    s"""WITH m AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+  text FROM $table WHERE text IS NOT NULL),
+f0 AS (SELECT modality,
+  list_transform(range(0, greatest(strlen(text) - $frameSize + 1, 0), $stride), o ->
+    list_reduce(list_transform(range(o + 1, o + 1 + $frameSize),
+      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)),
+      (a, b) -> (a * 31 + b) & 2147483647)) AS css
+  FROM m),
+f AS (SELECT modality, unnest(css) AS cs FROM f0)
+SELECT modality, COUNT(*) AS n_frames,
+MIN(cs) AS min_checksum, MAX(cs) AS max_checksum
+FROM f GROUP BY modality ORDER BY modality"""
+
   def modalitySummary(table: String): String =
     s"""WITH m AS (SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -45,6 +45,19 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSeq == rows.indices)
   }
 
+  test("frame summary counts match the sampling arithmetic") {
+    val docs = Tables.documents(spark, sf)
+    val out = MultimodalOps.frameSummary(spark, docs, frameSize = 32, stride = 24).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    // total frames = sum over docs of the exclusive-stop stride count
+    import org.apache.spark.sql.functions._
+    val expected = docs.filter(col("text").isNotNull)
+      .select(length(col("text")).as("n")).collect()
+      .map(r => math.max(0, (r.getInt(0) - 32 + 1 + 23) / 24)).map(_.toLong).sum
+    assert(out.map(_.getLong(1)).sum == expected)
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(3))) // min <= max checksum
+  }
+
   test("modality summary partitions the corpus into three modalities") {
     val out = MultimodalOps.modalitySummary(spark, Tables.documents(spark, sf), 16).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
