@@ -46,6 +46,11 @@ class ChartSinkSpec extends AnyFunSuite {
       }
       // documents has no ts column -> no trend chart
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/5_trend.svg")))
+      // one per-industry word-frequency chart per taxonomy label
+      Defaults.config.taxonomy.industryNames.foreach { ind =>
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$out/4_word_frequency_$ind.svg")), s"missing chart for $ind")
+      }
     } finally Pipeline.unpersist(report)
   }
 }
