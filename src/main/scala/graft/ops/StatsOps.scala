@@ -71,7 +71,17 @@ object StatsOps {
   /** Channel audit (reference `export_channel_audit`, `main.py:894-923`):
     * for each industry's top-N channels by views, the top-M posts by views
     * with a 100-char snippet (newlines -> spaces, "..." suffix,
-    * `main.py:918` — P10 SUBSTR-PROJECT). Two windows, one shared input. */
+    * `main.py:918` — P10 SUBSTR-PROJECT). Two windows, one shared input.
+    *
+    * Deliberately TWO consumers of `exploded` (standalone, the corpus is
+    * scanned+tagged twice): the ranking branch's groupBy reduces map-side
+    * to the (industry, channel) domain, so its shuffle is tiny. The
+    * "single-pass" alternative — window-sum channel views over the raw
+    * rows, then distinct — was measured and rejected: the unframed window
+    * shuffles the ENTIRE corpus a second time (no partial aggregation),
+    * and column-pruning divergence between the branches defeats
+    * ReuseExchange anyway. In the composed pipeline the double scan
+    * disappears behind `Pipeline.run`'s cached clean+tag stage. */
   def channelAudit(exploded: DataFrame, cfg: AnalysisConfig, topChannels: Int, postsPerChannel: Int): DataFrame = {
     val m = cfg.posts
     val top = topChannelsByViews(exploded, cfg, topChannels).select("industry", "channel", "rk")
