@@ -31,6 +31,17 @@ object DedupOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact dedup for embedding corpora — the "exact-dedup-first" contract
+    * the LSH near-dup operators assume on dup-heavy data: key = md5 of the
+    * comma-joined float components (bit-exact: Float.toString round-trips),
+    * so byte-identical vectors collapse to the minimum-id survivor before
+    * any n²-per-bucket candidate generation runs. One shuffle on the
+    * 128-bit key. */
+  def exactDedupByVector(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    exactDedup(
+      emb.withColumn("__vkey", md5(concat_ws(",", col(vecCol).cast("array<string>")))),
+      "__vkey", idCol).drop("__vkey")
+
   /** Corpus duplication profile: total docs, distinct full texts, and
     * distinct `prefixLen`-token prefixes (content-defined key) — the
     * summary a dedup pass reports before/after. Single row. */

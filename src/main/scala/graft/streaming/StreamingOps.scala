@@ -61,6 +61,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop repeats of `keyCols` within the watermark
+    * horizon — the stream-side of [[graft.ops.DedupOps.exactDedup]] for
+    * ingest pipelines (an at-least-once source replays records; unbounded
+    * keep-all-keys state would OOM, so the watermark bounds the dedup
+    * state exactly like it bounds windows). The batch operator's
+    * deterministic-keeper guarantee becomes arrival-order keep-first here —
+    * the only definable semantics on an unbounded stream. */
+  def streamingExactDedup(
+      events: DataFrame, tsCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // --- Stateful sessionization -------------------------------------------
 
   /** Input event for sessionization. Carries the event-time column itself:

@@ -31,6 +31,16 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(truth.subsetOf(lsh), s"LSH missed: ${truth -- lsh}")
   }
 
+  test("exactDedupByVector collapses byte-identical embeddings to the min id") {
+    import spark.implicits._
+    val v1 = Array(1.5f, -2.25f, 3.0f)
+    val v2 = Array(1.5f, -2.25f, 3.0001f)
+    val df = Seq((7L, v1), (3L, v1), (5L, v2)).toDF("vec_id", "embedding")
+    val out = DedupOps.exactDedupByVector(df, "vec_id", "embedding")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(3L, 5L)) // 7 collapses into 3; near-identical v2 survives
+  }
+
   test("exactDedupReport groups by token prefix with deterministic keeper") {
     import spark.implicits._
     val df = Seq(

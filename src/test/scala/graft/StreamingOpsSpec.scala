@@ -88,6 +88,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps the first arrival of each key") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = in.toDF().toDF("key", "ts", "payload")
+    val out = StreamingOps.streamingExactDedup(events, "ts", "1 minute", Seq("key"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(100), "first"), (2L, ts(101), "only"))
+      q.processAllAvailable()
+      in.addData((1L, ts(102), "replay")) // duplicate key within watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, payload FROM dedup_stream ORDER BY key")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "first"), (2L, "only")))
+    } finally q.stop()
+  }
+
   test("file-source stream over events.parquet matches the batch aggregate") {
     val sf = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
