@@ -72,12 +72,19 @@ object TextHash {
     hash60(concat_ws(",", (0 until r).map(o => element_at(sig, b * r + o + 1).cast("string")): _*))
 
   /** 60-bit SimHash over a token array: bit b of the result is set iff more
-    * token hashes have bit b set than clear. Token hashes are computed once
-    * per row; the per-bit tally is exact integer arithmetic
-    * (order-independent). `nBits` kept small enough that the generated code
-    * stays manageable; the bit loop is unrolled Scala-side because Spark's
-    * shift functions take literal shift amounts. */
-  def simhash(toks: Column, nBits: Int = 60): Column = {
+    * token hashes have bit b set than clear. Fused codegen'd kernel
+    * ([[VectorMath.SimHashFingerprint]]): each token is md5'd ONCE and all
+    * bit tallies update in one pass — the HOF formulation ([[simhashHof]])
+    * re-evaluates the interpreted hash array once per bit (measured ~4×
+    * slower end-to-end on the fingerprint queries). */
+  def simhash(toks: Column, nBits: Int = 60): Column =
+    VectorMath.simhashFingerprint(toks, nBits)
+
+  /** The HOF reference formulation of [[simhash]] — kept as the executable
+    * specification the kernel is property-tested against (same md5-derived
+    * hash60, same majority rule, same tie behavior: a zero tally clears the
+    * bit). */
+  def simhashHof(toks: Column, nBits: Int = 60): Column = {
     val hs = transform(toks, t => hash60(t))
     (0 until nBits).map { b =>
       when(

@@ -237,7 +237,12 @@ object DedupOps {
     * candidate generation is a bucket join on (chunkIdx, chunkValue) and
     * exact popcount verifies. Same groupBy-collect candidate shape (one
     * shuffle, `maxBucket` cap) as [[minhashPairs]]; recall is guaranteed
-    * for pairs with hamming <= maxHamming when nChunks > maxHamming. */
+    * for pairs with hamming <= maxHamming when nChunks > maxHamming.
+    *
+    * The 8-byte fingerprint rides THROUGH the bucket shuffle as a struct
+    * member, so pair verification is pure popcount on bucket-local data —
+    * no verify joins, and the fingerprint pipeline (the expensive per-token
+    * md5 pass) is evaluated exactly once. */
   def simhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 5, nChunks: Int = 6, nBits: Int = 60,
@@ -253,24 +258,22 @@ object DedupOps {
       .filter(size(col("toks")) > 0)
       .select(col("id"), simhash(col("toks"), nBits).as("fp"))
     val chunks = fp.select(
-      col("id"),
+      col("id"), col("fp"),
       explode(array((0 until nChunks).map(c =>
         struct(lit(c).as("c"),
           shiftright(col("fp"), c * chunkBits)
             .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ch"))
-      .select(col("id"), col("ch.c").as("c"), col("ch.v").as("v"))
-    val cand = chunks
+      .select(col("id"), col("fp"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks
       .groupBy("c", "v")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(Collections.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      // sort_array on array<struct<id,fp>> orders by id (unique first field)
+      .agg(sort_array(collect_list(struct(col("id"), col("fp")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(explode(Collections.orderedPairs(col("ms"))).as("p"))
+      .select(col("p.a.id").as("doc_a"), col("p.b.id").as("doc_b"),
+        bit_count(col("p.a.fp").bitwiseXOR(col("p.b.fp"))).cast("long").as("hamming"))
+      // the same pair can collide in several chunks — dedup before filter
       .distinct()
-    cand
-      .join(fp.select(col("id"), col("fp").as("fa")), col("doc_a") === col("id")).drop("id")
-      .join(fp.select(col("id"), col("fp").as("fb")), col("doc_b") === col("id")).drop("id")
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(limit)

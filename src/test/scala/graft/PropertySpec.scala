@@ -110,6 +110,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: fused simhash kernel matches the HOF reference formulation") {
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val df = texts.filter(_.trim.nonEmpty).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      if (df.count() > 0) {
+        val both = df
+          .select(col("id"),
+            TextHash.simhash(TextHash.tokenSet(col("t"))).as("fused"),
+            TextHash.simhashHof(TextHash.tokenSet(col("t"))).as("hof"))
+          .collect()
+        both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+          s"kernel/HOF simhash diverge for id ${r.getLong(0)}"))
+      }
+    }
+  }
+
   test("property: exact dedup keeps exactly one row per key, the minimum id") {
     forAll(corpusGen) { texts =>
       import spark.implicits._
