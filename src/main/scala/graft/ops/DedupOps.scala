@@ -101,7 +101,6 @@ object DedupOps {
       minJaccard: Double = 0.0, limit: Int = 50,
       maxBucket: Int = 1000): DataFrame = {
     val k = nBands * r
-    val sh = shingled(docs, textCol, idCol, w)
     // Signature as an AGGREGATION over generator output: ShingleExplode
     // emits each doc's distinct shingles in one JVM pass (no intermediate
     // array column — see graft.functions.Generators for why that matters),
@@ -138,10 +137,21 @@ object DedupOps {
       .select(explode(Collections.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+    // Verify on shingles recomputed from the RAW TEXT of candidate pairs
+    // only: exact Jaccard needs shingle STRINGS (no md5), and candidates
+    // are pair-scale, so joining the bare text column twice and shingling
+    // inside the (tiny) joined relation keeps the corpus-wide work to the
+    // single signature pass above — the earlier formulation re-ran the
+    // full-corpus shingle pipeline once per join side.
+    val docsText = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+    def shOf(t: Column) = shingles(tokens(t), w)
     cand
-      .join(sh.select(col("id"), col("sh").as("sh_a")), col("doc_a") === col("id")).drop("id")
-      .join(sh.select(col("id"), col("sh").as("sh_b")), col("doc_b") === col("id")).drop("id")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(docsText, col("doc_a") === col("id")).drop("id")
+      .withColumnRenamed("__txt", "__ta")
+      .join(docsText, col("doc_b") === col("id")).drop("id")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(shOf(col("__ta")), shOf(col("__txt"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(limit)
