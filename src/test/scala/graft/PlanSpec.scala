@@ -62,6 +62,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "assignment must broadcast, not cartesian")
   }
 
+  test("simhash near-dup reads the corpus exactly once (fingerprints ride the bucket)") {
+    val plan = graft.ops.DedupOps
+      .simhashNearDupPairs(Tables.documents(spark, sf), "text", "doc_id",
+        maxHamming = 5, nChunks = 6, nBits = 60, sampleMod = 2, limit = 50)
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(scans == 1, s"expected a single corpus scan, got $scans")
+  }
+
   test("resample fact side joins the calendar without shuffling the counts") {
     val plan = graft.ops.ResampleOps
       .resampleCount(Tables.events(spark, sf), "ts", graft.ops.ResampleOps.Daily)
