@@ -93,6 +93,15 @@ object Queries {
         ResampleOps.resampleCount(Tables.events(s, dir), "ts", ResampleOps.Monthly),
       Some(graft.sql.OracleSql.resampleCount("events", "ts", "month", "INTERVAL 1 MONTH"))),
 
+    ("q48_resample_value_daily",
+      (s: SparkSession, dir: String) =>
+        ResampleOps.resampleAgg(Tables.events(s, dir), "ts", ResampleOps.Daily, Seq(
+          (count(lit(1)), "n", lit(0L)),
+          (sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)"), "total_value",
+            lit(BigDecimal(0)).cast("decimal(38,6)")))),
+      Some(graft.sql.OracleSql.resampleValueAgg(
+        "events", "ts", "value", "day", "INTERVAL 1 DAY"))),
+
     ("q10_channel_audit",
       (s: SparkSession, dir: String) =>
         StatsOps.channelAudit(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg), cfg, 5, 3)
