@@ -83,10 +83,12 @@ object KeywordOps {
       KeywordMatch.multiKeywordTags(col(textCol), taxonomy.industries))
 
   /** P8 OR-ACROSS-COLUMNS — "globally relevant" mask: any industry matched
-    * (reference `main.py:547-550`). Array form: non-empty tag array. */
+    * (reference `main.py:547-550`, `is_Industry1 OR is_Industry2 OR ...`).
+    * Semantically identical to the first-pass [[keywordFilter]] (both are
+    * "any keyword of any industry hits") — delegated so the two reference
+    * call sites stay one implementation. */
   def anyIndustry(df: DataFrame, taxonomy: Taxonomy, textCol: String): DataFrame =
-    df.filter(col(textCol).isNotNull &&
-      size(KeywordMatch.multiKeywordTags(col(textCol), unionTaxonomy(taxonomy))) > 0)
+    keywordFilter(df, taxonomy, textCol)
 
   /** Clean + tag + explode to one row per (post, industry): the shared input
     * of every per-industry report. One pass over the data regardless of the

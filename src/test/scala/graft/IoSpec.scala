@@ -129,6 +129,18 @@ class IoSpec extends AnyFunSuite {
     assert(got.forall(_.getString(0) != null)) // not-null filter applied DB-side
   }
 
+  test("distributed csv export writes one headered file per partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv_dist").toString + "/export"
+    Sinks.writeCsv((1 to 20).map(i => (i, s"v$i")).toDF("a", "b").repartition(3), dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 3)
+    val all = files.flatMap(f => scala.jdk.CollectionConverters
+      .ListHasAsScala(Files.readAllLines(f.toPath)).asScala)
+    assert(all.count(_ == "a,b") == 3) // header per file
+    assert(all.length == 20 + 3)
+  }
+
   test("env config: dotenv file parses into JDBC options, process env wins") {
     val f = Files.createTempFile("graft_env", ".env")
     Files.writeString(f,

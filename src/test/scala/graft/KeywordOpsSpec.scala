@@ -49,6 +49,15 @@ class KeywordOpsSpec extends AnyFunSuite {
     assert(rows == Set((1L, true, false), (2L, true, false), (4L, true, true)))
   }
 
+  test("anyIndustry (P8 any-match mask) equals the first-pass keyword filter") {
+    val viaAny = KeywordOps.anyIndustry(posts, tax, "text").select("id").as[Long].collect().toSet
+    val viaFilter = KeywordOps.keywordFilter(posts, tax, "text").select("id").as[Long].collect().toSet
+    assert(viaAny == viaFilter)
+    // pre-blacklist/pre-noise: any LITERAL keyword hit (row 3 'aab' must
+    // not match the escaped 'a+b'; nulls and no-hit rows drop)
+    assert(viaAny == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("resample zero-fills interior gaps") {
     val ts = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),

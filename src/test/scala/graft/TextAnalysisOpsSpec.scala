@@ -43,6 +43,23 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("total_ws_tokens") == r.getAs[Long]("total_bpe_tokens"))
   }
 
+  test("A6 dynamic stopwords: channel names disappear from word counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val posts = Seq(
+      (1L, "TechDaily covers alpha news", "TechDaily", 5L),
+      (2L, "alpha beats techdaily again", "TechDaily", 6L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val cfg = graft.model.Defaults.config
+    val augmented = graft.text.TextOps.augmentStopwordsWithChannels(posts, "source", cfg)
+    val words = graft.text.TextOps.wordFrequency(posts, "text", augmented, 50)
+      .collect().map(_.getString(0)).toSet
+    assert(!words.contains("techdaily"), "channel self-mentions must be stopworded")
+    assert(words.contains("alpha"))
+    // static stopwords survive the augmentation
+    assert(cfg.stopwords.forall(s => !words.contains(s)))
+  }
+
   test("fingerprints are order-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
