@@ -19,9 +19,10 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("oracle keys are a subset of query keys") {
-    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(extra.isEmpty, s"oracleSql keys without a query impl: $extra")
+  test("every query is oracle-checked and every oracle has an impl") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"impl-only: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
+        s"oracle-only: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
   }
 
   test("q01 covers all five industries") {
