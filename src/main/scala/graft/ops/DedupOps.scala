@@ -184,6 +184,15 @@ object DedupOps {
       .select(col("src").as("node"),
         least(col("src"), col("__min_nbr")).as("cluster_id"))
       .cache()
+    // Convergence via the label-sum invariant: min-label propagation only
+    // ever DECREASES a node's label and never changes the node set, so the
+    // exact (decimal, overflow-proof) sum of labels is strictly decreasing
+    // until the fixpoint — equal consecutive sums ⟺ no label changed. One
+    // plain aggregate per iteration instead of a propagated⋈labels
+    // change-count join (drops a shuffle+join from every round).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -204,14 +213,11 @@ object DedupOps {
           computed.unpersist()
           cp
         } else computed
-      // convergence check: one count, no collect of the data itself
-      val changed = propagated.as("p")
-        .join(labels.as("l"), col("p.node") === col("l.node"))
-        .filter(col("p.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count()
+      val s = labelSum(propagated)
       labels.unpersist()
       labels = propagated
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     edges.unpersist()
