@@ -121,7 +121,8 @@ GROUP BY event_type, bin_lo ORDER BY event_type, bin_lo"""
 g AS (SELECT *, SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
   ROWS UNBOUNDED PRECEDING) AS session_id FROM e)
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-  epoch_us(MIN(ts)) AS session_start, epoch_us(MAX(ts)) AS session_end,
+  epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start,
+  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
