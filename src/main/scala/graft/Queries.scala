@@ -278,6 +278,12 @@ GROUP BY segment ORDER BY segment""")),
         ResampleOps.movingAverageDaily(Tables.events(s, dir), "ts", k = 7),
       Some(graft.sql.OracleSql.movingAverageDaily("events", "ts", k = 7))),
 
+    ("q49_value_percentiles",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.valuePercentiles(Tables.events(s, dir), "event_type", "value",
+          Seq(0.25, 0.5, 0.75, 0.99)),
+      Some(graft.sql.RelationalSql.valuePercentiles(Seq(0.25, 0.5, 0.75, 0.99)))),
+
     ("q41_value_histogram",
       (s: SparkSession, dir: String) =>
         RelationalOps.valueHistogram(Tables.events(s, dir), "event_type", "value", width = 5),

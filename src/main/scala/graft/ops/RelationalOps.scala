@@ -174,6 +174,31 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bin_lo")
 
+  /** EXACT percentile profile per group: linear-interpolated quantiles via
+    * Spark's exact `percentile` aggregate (NOT `percentile_approx` — the
+    * approximate sketch is engine-specific and not oracle-matchable; the
+    * exact form is deterministic and agrees with `quantile_cont`
+    * cross-engine at 6 dp). Exact percentiles buffer each group's values —
+    * the documented trade: use this on bounded-cardinality metric columns,
+    * reach for `percentile_approx` when a sketch is acceptable and groups
+    * are unbounded. */
+  def valuePercentiles(events: DataFrame, typeCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val pctArr = percentile(
+      col(valueCol), array(ps.map(lit): _*)).as("__ps")
+    events
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(pctArr)
+      .select(
+        col("event_type") +:
+          ps.zipWithIndex.map { case (p, i) =>
+            round(element_at(col("__ps"), i + 1), 6)
+              .as(s"p${(p * 100).round}")
+          }: _*)
+      .orderBy("event_type")
+  }
+
   /** U2 set-ops surface: customers who placed BOTH a finished ('F') and an
     * open ('O') order (INTERSECT), excluding anyone with an urgent order
     * (EXCEPT). Spark plans INTERSECT/EXCEPT as left-semi/left-anti

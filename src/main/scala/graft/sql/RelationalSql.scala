@@ -101,6 +101,17 @@ WHERE EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '$cutoff')
 GROUP BY n.n_name ORDER BY nation_name"""
 
+  /** Exact interpolated quantiles — mirrors
+    * [[graft.ops.RelationalOps.valuePercentiles]] (`quantile_cont` ≡
+    * Spark's exact `percentile`, both linear interpolation, 6-dp rounded). */
+  def valuePercentiles(ps: Seq[Double]): String = {
+    val cols = ps.map(p =>
+      s"round(quantile_cont(value, $p), 6) AS p${(p * 100).round}").mkString(",\n")
+    s"""SELECT event_type,
+$cols
+FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"""
+  }
+
   def valueHistogram(width: Int): String =
     s"""SELECT event_type, CAST(floor(value / $width) * $width AS BIGINT) AS bin_lo,
 COUNT(*) AS n FROM events WHERE value IS NOT NULL
