@@ -284,6 +284,11 @@ GROUP BY segment ORDER BY segment""")),
           Seq(0.25, 0.5, 0.75, 0.99)),
       Some(graft.sql.RelationalSql.valuePercentiles(Seq(0.25, 0.5, 0.75, 0.99)))),
 
+    ("q50_moment_stats",
+      (s: SparkSession, dir: String) =>
+        RelationalOps.momentStats(Tables.events(s, dir), "event_type", "value"),
+      Some(graft.sql.RelationalSql.momentStats)),
+
     ("q41_value_histogram",
       (s: SparkSession, dir: String) =>
         RelationalOps.valueHistogram(Tables.events(s, dir), "event_type", "value", width = 5),

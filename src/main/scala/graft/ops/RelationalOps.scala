@@ -199,6 +199,33 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** Distributed moment statistics (count/mean/variance/stddev) per group,
+    * DETERMINISTIC under any partitioning: the naive `stddev` aggregate
+    * folds doubles in partition order (nondeterministic at 1000 executors);
+    * here the two moments accumulate as EXACT decimals (associative), and
+    * doubles enter only in the final per-group scalar formula — identical
+    * IEEE expression on both engine and oracle sides. */
+  def momentStats(events: DataFrame, typeCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    events
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).as("__s"),
+        sum((v * v).cast("decimal(38,12)")).as("__s2"))
+      .select(
+        col("event_type"), col("n"),
+        round(col("__s").cast("double") / col("n"), 6).as("mean"),
+        round((col("__s2").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double") / col("n")) / col("n"), 6)
+          .as("variance"),
+        round(sqrt((col("__s2").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double") / col("n")) / col("n")), 6)
+          .as("stddev"))
+      .orderBy("event_type")
+  }
+
   /** U2 set-ops surface: customers who placed BOTH a finished ('F') and an
     * open ('O') order (INTERSECT), excluding anyone with an urgent order
     * (EXCEPT). Spark plans INTERSECT/EXCEPT as left-semi/left-anti

@@ -112,6 +112,20 @@ $cols
 FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"""
   }
 
+  /** Exact-decimal-moment statistics — mirrors
+    * [[graft.ops.RelationalOps.momentStats]]: decimal sums, identical final
+    * double formula, population variance. */
+  def momentStats: String =
+    """WITH m AS (SELECT event_type, COUNT(*) AS n,
+  SUM(CAST(value AS DECIMAL(18,6))) AS s,
+  SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, n,
+round(CAST(s AS DOUBLE) / n, 6) AS mean,
+round((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 6) AS variance,
+round(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 6) AS stddev
+FROM m ORDER BY event_type"""
+
   def valueHistogram(width: Int): String =
     s"""SELECT event_type, CAST(floor(value / $width) * $width AS BIGINT) AS bin_lo,
 COUNT(*) AS n FROM events WHERE value IS NOT NULL
