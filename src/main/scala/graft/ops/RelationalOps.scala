@@ -9,12 +9,11 @@ import org.apache.spark.sql.functions._
   * must provide the full join/agg surface per BASELINE.json "SQL analytics").
   *
   * Determinism-for-oracle notes (and good large-scale hygiene generally):
-  *  - Money aggregates are summed as DECIMAL, never DOUBLE: double addition
-  *    is order-dependent, and at 1000 executors partial-agg order is
-  *    nondeterministic run to run. Decimal sums are exact and associative.
-  *    Operands are cast to decimal BEFORE any arithmetic (the testdata's
-  *    money columns are exact 2-decimal values, so the cast is lossless)
-  *    and products stay in decimal — no double rounding anywhere.
+  *  - Money aggregates are never summed as DOUBLE: double addition is
+  *    order-dependent, and at 1000 executors partial-agg order is
+  *    nondeterministic run to run. Per-row values are rounded in DECIMAL
+  *    (deterministic, engine-agreed), then scaled to exact int64 and summed
+  *    as BIGINT — exact, associative, and single-representation (see [[e2]]).
   *  - Every output ends in a total ORDER BY with tiebreakers.
   *
   * Scale notes:
@@ -36,16 +35,33 @@ object RelationalOps {
     */
   private def cents(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
-  /** Canonical output width for money sums: Spark's sum(decimal(p,s)) is
-    * decimal(p+10,s) while DuckDB's is decimal(38,s) — a final explicit cast
-    * to the SAME decimal(38,s) on both engine and oracle sides makes the
-    * arrow representation identical (values are unchanged: widening only). */
-  private def money(c: org.apache.spark.sql.Column, scale: Int) =
-    c.cast(s"decimal(38,$scale)")
-
   /** price * (1 - discount), computed entirely in decimal: scale-4 exact. */
   private def discounted(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
     cents(price) * (lit(1).cast("decimal(18,2)") - cents(disc))
+
+  /** Oracle-facing money outputs are SCALED-INTEGER BIGINTs (`*_e2` = cents,
+    * `*_e4` = 10^-4 units, `*_e6` = 10^-6 units), NOT decimals: an int64 has
+    * exactly one representation in every engine and every client layer.
+    * Decimal outputs do NOT survive the comparison path even when the
+    * decimal types are forced identical on both sides — DuckDB's client
+    * conversion exports DECIMAL as float64 while a parquet decimal becomes
+    * an exact scaled value, so `101951.000000` vs `101951.0` hash-differ.
+    * The per-row value is rounded to the target scale in decimal first
+    * (deterministic, engine-agreed), scaled by an exact power of ten, and
+    * summed as int64 — associative and partition-order-independent.
+    * (Int64 headroom: a per-row e4 money value is < 10^9, so overflow needs
+    * > 10^9 rows IN ONE GROUP; for full-corpus ungrouped sums at extreme
+    * scale, aggregate in decimal internally and scale only for export.) */
+  private def e2(c: org.apache.spark.sql.Column) =
+    (cents(c) * 100).cast("long")
+
+  /** Per-row `price*(1-disc)` as an exact ×10^4 scaled integer. */
+  private def discountedE4(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
+    (discounted(price, disc) * 10000).cast("long")
+
+  /** Per-row scale-6 value as an exact ×10^6 scaled integer. */
+  private def e6(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,6)") * 1000000).cast("long")
 
   /** TPC-H Q1-style pricing summary over lineitem up to a ship-date cutoff.
     * One shuffle (4-group hash agg with map-side partials). */
@@ -55,8 +71,8 @@ object RelationalOps {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).cast("long").as("sum_qty"),
-        money(sum(cents(col("l_extendedprice"))), 2).as("sum_base_price"),
-        money(sum(discounted(col("l_extendedprice"), col("l_discount"))), 4).as("sum_disc_price"),
+        sum(e2(col("l_extendedprice"))).as("sum_base_price_e2"),
+        sum(discountedE4(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price_e4"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -98,8 +114,8 @@ object RelationalOps {
         when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
           .otherwise(col("o_orderpriority")).as("priority"),
         count(lit(1)).as("n_orders"),
-        money(sum(cents(col("o_totalprice"))), 2).as("total_price"))
-      .select("status", "priority", "n_orders", "total_price")
+        sum(e2(col("o_totalprice"))).as("total_price_e2"))
+      .select("status", "priority", "n_orders", "total_price_e2")
       .orderBy("status", "priority")
 
   /** Top-K customers by total spend per market segment: shuffle agg to the
@@ -107,14 +123,14 @@ object RelationalOps {
   def topCustomersPerSegment(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {
     val spend = orders
       .groupBy("o_custkey")
-      .agg(sum(cents(col("o_totalprice"))).as("total_spend"),
+      .agg(sum(e2(col("o_totalprice"))).as("total_spend_e2"),
         count(lit(1)).as("n_orders"))
     val w = Window.partitionBy(col("segment"))
-      .orderBy(col("total_spend").desc, col("custkey").asc)
+      .orderBy(col("total_spend_e2").desc, col("custkey").asc)
     customer
       .join(spend, col("c_custkey") === col("o_custkey"))
       .select(col("c_mktsegment").as("segment"), col("c_custkey").as("custkey"),
-        col("c_name").as("name"), money(col("total_spend"), 2).as("total_spend"),
+        col("c_name").as("name"), col("total_spend_e2"),
         col("n_orders"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -131,7 +147,7 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),
-        money(sum(col("value").cast("decimal(18,6)")), 6).as("sum_value"))
+        sum(e6(col("value"))).as("sum_value_e6"))
       .orderBy("event_type")
 
   /** Brand-level lineitem stats: fact⋈dim join on partkey, broadcast part
@@ -144,7 +160,7 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n_lineitems"),
         sum(col("l_quantity")).cast("long").as("sum_qty"),
-        money(sum(cents(col("l_extendedprice"))), 2).as("sum_price"))
+        sum(e2(col("l_extendedprice"))).as("sum_price_e2"))
       .orderBy("brand")
 
   /** Customers with no orders after a cutoff date: LEFT ANTI join (the
@@ -182,8 +198,21 @@ object RelationalOps {
     * the documented trade: use this on bounded-cardinality metric columns,
     * reach for `percentile_approx` when a sketch is acceptable and groups
     * are unbounded. */
+  /** Column label for percentile `p` ∈ [0,1]: `p25`, `p99`, `p99_5` (the
+    * full decimal survives — `p0.995` and `p1.0` must not collide, and
+    * fractional percents must not silently round). Single source of truth
+    * for BOTH the Spark side and the DuckDB oracle mirror, so the two
+    * labelings cannot drift. */
+  def percentileLabel(p: Double): String = {
+    require(p >= 0 && p <= 1, s"percentile out of [0,1]: $p")
+    val pct = (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros
+    "p" + pct.toPlainString.replace(".", "_")
+  }
+
   def valuePercentiles(events: DataFrame, typeCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
+    val labels = ps.map(percentileLabel)
+    require(labels.distinct.size == labels.size, s"duplicate percentile labels: $labels")
     val pctArr = percentile(
       col(valueCol), array(ps.map(lit): _*)).as("__ps")
     events
@@ -192,9 +221,8 @@ object RelationalOps {
       .agg(pctArr)
       .select(
         col("event_type") +:
-          ps.zipWithIndex.map { case (p, i) =>
-            round(element_at(col("__ps"), i + 1), 6)
-              .as(s"p${(p * 100).round}")
+          labels.zipWithIndex.map { case (label, i) =>
+            round(element_at(col("__ps"), i + 1), 6).as(label)
           }: _*)
       .orderBy("event_type")
   }
@@ -217,11 +245,14 @@ object RelationalOps {
       .select(
         col("event_type"), col("n"),
         round(col("__s").cast("double") / col("n"), 6).as("mean"),
-        round((col("__s2").cast("double")
-          - col("__s").cast("double") * col("__s").cast("double") / col("n")) / col("n"), 6)
-          .as("variance"),
-        round(sqrt((col("__s2").cast("double")
+        // Clamp at 0: for a near-constant group the double expression can go
+        // slightly negative, and sqrt would yield NaN — which breaks any
+        // equality-based comparison (NaN != NaN). Same clamp oracle-side.
+        round(greatest(lit(0d), (col("__s2").cast("double")
           - col("__s").cast("double") * col("__s").cast("double") / col("n")) / col("n")), 6)
+          .as("variance"),
+        round(sqrt(greatest(lit(0d), (col("__s2").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double") / col("n")) / col("n"))), 6)
           .as("stddev"))
       .orderBy("event_type")
   }
@@ -262,11 +293,11 @@ object RelationalOps {
   def topSuppliers(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, k: Int): DataFrame =
     lineitem
       .groupBy("l_suppkey")
-      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .agg(sum(discountedE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").as("suppkey"), col("s_name").as("supplier_name"),
-        col("n_name").as("nation_name"), money(col("revenue"), 4).as("revenue"))
-      .orderBy(col("revenue").desc, col("suppkey").asc)
+        col("n_name").as("nation_name"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("suppkey").asc)
       .limit(k)
 }

@@ -35,7 +35,12 @@ object SessionOps {
         unix_micros(min(col(tsCol))).as("session_start"),
         unix_micros(max(col(tsCol))).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
+        // Scaled-int ×10^6 BIGINT, not decimal: per-row decimal(18,6)
+        // rounding (engine-agreed) then an exact int64 sum — one
+        // representation everywhere (decimals export as float64 from the
+        // oracle client and hash-diverge on trailing zeros).
+        sum((col(valueCol).cast("decimal(18,6)") * 1000000).cast("long"))
+          .as("total_value_e6"))
       .orderBy(col("user_id"), col("session_id"))
   }
 }

@@ -2,26 +2,35 @@ package graft.sql
 
 /** DuckDB oracle SQL for the relational (TPC-H-ish) query family.
   *
-  * Mirrors [[graft.ops.RelationalOps]] exactly: money arithmetic is decimal
-  * end-to-end — cast the raw double column to DECIMAL(18,2) first (the raw
-  * values carry sub-cent noise, so this cast ROUNDS, identically in both
-  * engines), then multiply/sum in decimal — so both engines produce
-  * identical exact values regardless of aggregation order. Every aggregate
-  * output carries an explicit CAST to the same decimal(38,s)/BIGINT type the
-  * Spark side emits: implicit SUM result widths differ per engine (and per
-  * engine VERSION), and the driver compares representations, not just
-  * values.
+  * Mirrors [[graft.ops.RelationalOps]] exactly: per-row money values are
+  * rounded in DECIMAL first — cast the raw double column to DECIMAL(18,2)
+  * (the raw values carry sub-cent noise, so this cast ROUNDS, identically in
+  * both engines) — then scaled by an exact power of ten to BIGINT and summed
+  * as int64 (`*_e2`/`*_e4`/`*_e6` scaled-integer outputs). NO decimal
+  * columns reach the output: DuckDB's client layer exports DECIMAL as
+  * float64 while parquet decimals stay exact scaled values, so decimal
+  * outputs hash-diverge on trailing zeros/width even when the values are
+  * identical. An int64 has one representation everywhere.
   */
 object RelationalSql {
 
   private val disc =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** Per-row ×10^4 scaled-integer `price*(1-disc)` (exact: `disc` has scale 4). */
+  private val discE4 = s"CAST($disc * 10000 AS BIGINT)"
+
+  /** Per-row ×100 scaled-integer money value (round to cents, then exact). */
+  private def e2(col: String) = s"CAST(CAST($col AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Per-row ×10^6 scaled-integer value (round to scale 6, then exact). */
+  private def e6(col: String) = s"CAST(CAST($col AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
   def pricingSummary(cutoff: String): String =
     s"""SELECT l_returnflag, l_linestatus,
 CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-CAST(SUM($disc) AS DECIMAL(38,4)) AS sum_disc_price,
+CAST(SUM(${e2("l_extendedprice")}) AS BIGINT) AS sum_base_price_e2,
+CAST(SUM($discE4) AS BIGINT) AS sum_disc_price_e4,
 COUNT(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
@@ -45,33 +54,33 @@ GROUP BY r.r_name, n.n_name ORDER BY region_name, nation_name"""
 CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
 CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
 COUNT(*) AS n_orders,
-CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_price_e2
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY status, priority"""
 
   def topCustomersPerSegment(k: Int): String =
     s"""WITH spend AS (
-  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend, COUNT(*) AS n_orders
+  SELECT o_custkey, CAST(SUM(${e2("o_totalprice")}) AS BIGINT) AS total_spend_e2, COUNT(*) AS n_orders
   FROM orders GROUP BY o_custkey),
 ranked AS (
   SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey, c.c_name AS name,
-         s.total_spend, s.n_orders,
-         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment ORDER BY s.total_spend DESC, c.c_custkey ASC) AS rk
+         s.total_spend_e2, s.n_orders,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment ORDER BY s.total_spend_e2 DESC, c.c_custkey ASC) AS rk
   FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey)
-SELECT segment, custkey, name, CAST(total_spend AS DECIMAL(38,2)) AS total_spend,
+SELECT segment, custkey, name, total_spend_e2,
 n_orders, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= $k ORDER BY segment, rk"""
 
   def eventJsonStats: String =
-    """SELECT event_type, COUNT(*) AS n_events,
-CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+    s"""SELECT event_type, COUNT(*) AS n_events,
+CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+CAST(SUM(${e6("value")}) AS BIGINT) AS sum_value_e6
 FROM events GROUP BY event_type ORDER BY event_type"""
 
   def brandStats: String =
-    """SELECT p.p_brand AS brand, COUNT(*) AS n_lineitems,
+    s"""SELECT p.p_brand AS brand, COUNT(*) AS n_lineitems,
 CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
-CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+CAST(SUM(${e2("l.l_extendedprice")}) AS BIGINT) AS sum_price_e2
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY brand"""
 
@@ -149,15 +158,15 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start,
   epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+  CAST(SUM(${e6("value")}) AS BIGINT) AS total_value_e6
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
   def topSuppliers(k: Int): String =
     s"""WITH rev AS (
-  SELECT l_suppkey, SUM($disc) AS revenue FROM lineitem GROUP BY l_suppkey)
+  SELECT l_suppkey, CAST(SUM($discE4) AS BIGINT) AS revenue_e4 FROM lineitem GROUP BY l_suppkey)
 SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name, n.n_name AS nation_name,
-CAST(r.revenue AS DECIMAL(38,4)) AS revenue
+r.revenue_e4
 FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
-ORDER BY r.revenue DESC, suppkey ASC LIMIT $k"""
+ORDER BY r.revenue_e4 DESC, suppkey ASC LIMIT $k"""
 }
