@@ -97,8 +97,10 @@ object Queries {
       (s: SparkSession, dir: String) =>
         ResampleOps.resampleAgg(Tables.events(s, dir), "ts", ResampleOps.Daily, Seq(
           (count(lit(1)), "n", lit(0L)),
-          (sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)"), "total_value",
-            lit(BigDecimal(0)).cast("decimal(38,6)")))),
+          // scaled-int ×10^6 BIGINT, not decimal — decimal outputs
+          // hash-diverge at the gate (see RelationalSql doc)
+          (sum((col("value").cast("decimal(18,6)") * 1000000).cast("long")),
+            "total_value_e6", lit(0L)))),
       Some(graft.sql.OracleSql.resampleValueAgg(
         "events", "ts", "value", "day", "INTERVAL 1 DAY"))),
 
@@ -222,11 +224,13 @@ object Queries {
         centroidMod = 50, queryMod = 40, k = 5, nprobe = 3, dim = 64))),
 
     ("q44_kmeans_centroids",
+      // flat (cid, dim, mean, n_vecs) catalog shape — array columns cannot
+      // be gate-compared (harness sorts columns; arrays are unhashable)
       (s: SparkSession, dir: String) =>
-        SimilarityOps.kmeansCentroids(Tables.embeddings(s, dir), "vec_id", "embedding",
-          centroidMod = 100, iters = 2),
+        SimilarityOps.kmeansCentroidsFlat(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, iters = 2),
       Some(graft.sql.SimilaritySql.kmeansCentroids("embeddings",
-        centroidMod = 100, iters = 2, dim = 64))),
+        k = 5, iters = 2, dim = 64))),
 
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
@@ -265,11 +269,14 @@ object Queries {
           .groupBy(col("c_mktsegment").as("segment"))
           .agg(
             count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_price"))
+            // scaled-int ×10^2 BIGINT, not decimal — decimal outputs
+            // hash-diverge at the gate (see RelationalSql doc)
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .as("total_price_e2"))
           .orderBy("segment")
       },
       Some("""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
-CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_price_e2
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY segment ORDER BY segment""")),
 

@@ -235,8 +235,11 @@ object SimilarityOps {
     *     (exact under any partial-agg order), re-assembled in dim order,
     *     rounded to 6 dp (the engine-wide cross-engine score contract).
     *
-    * Initialization is deterministic (vectors with id % centroidMod == 0);
-    * clusters that lose all members drop out (standard Lloyd behavior).
+    * Initialization is deterministic AND bounded: the k lowest-id vectors
+    * seed the k centroids, so the per-iteration broadcast stays k × dim
+    * doubles no matter how large the corpus grows (an id-mod seed would
+    * scale the centroid count — and the broadcast — with the corpus).
+    * Clusters that lose all members drop out (standard Lloyd behavior).
     * `iters` is fixed rather than convergence-tested: that keeps the oracle
     * expressible (the DuckDB mirror unrolls the same iterations as CTEs)
     * and bounds cost; convergence-driven training is the same loop with a
@@ -247,10 +250,11 @@ object SimilarityOps {
     * iteration on (cluster, dim) for the partial-aggregated means. */
   def kmeansCentroids(
       emb: DataFrame, idCol: String, vecCol: String,
-      centroidMod: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "kmeans needs at least one iteration")
+    require(k >= 1, "kmeans needs at least one centroid")
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    var cents = emb.filter(col(idCol) % centroidMod === 0)
+    var cents = emb.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     var out: DataFrame = null
     for (_ <- 0 until iters) {
@@ -280,6 +284,21 @@ object SimilarityOps {
     }
     out.select(col("cid"), col("n_vecs"), col("centroid")).orderBy("cid")
   }
+
+  /** Catalog shape of [[kmeansCentroids]]: one row per (cluster, dimension)
+    * with scalar columns only. Array columns cannot be gate-compared (the
+    * correctness harness sorts output columns and arrays are unhashable
+    * there), so the array form above stays library-API-only and the
+    * declared query uses this flattening. */
+  def kmeansCentroidsFlat(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    kmeansCentroids(emb, idCol, vecCol, k, iters)
+      .select(col("cid"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("dim0", "mean")))
+      .select(col("cid"), (col("dim0") + 1).cast("long").as("dim"),
+        col("mean"), col("n_vecs"))
+      .orderBy("cid", "dim")
 
   /** Per-label centroid profile: vector count and decimal-exact means of
     * the first two dimensions (component values cast to decimal before

@@ -105,17 +105,19 @@ cnt AS (SELECT CAST(date_trunc('$truncUnit', $tsCol) AS DATE) AS bucket, COUNT(*
 SELECT cal.bucket AS bucket, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n FROM cal LEFT JOIN cnt ON cal.bucket = cnt.bucket ORDER BY bucket"""
 
   /** Generic resample-aggregate oracle — mirrors
-    * [[graft.ops.ResampleOps.resampleAgg]] with count + decimal-exact value
-    * sum per bucket, zero-filled. */
+    * [[graft.ops.ResampleOps.resampleAgg]] with count + ×10^6 scaled-int
+    * value sum per bucket, zero-filled. Per-row DECIMAL(18,6) rounding then
+    * an exact int64 sum, matching the engine side (no decimal reaches the
+    * output — see [[RelationalSql]] doc). */
   def resampleValueAgg(table: String, tsCol: String, valueCol: String,
       truncUnit: String, stepSql: String): String =
     s"""WITH b AS (SELECT CAST(date_trunc('$truncUnit', MIN($tsCol)) AS DATE) AS lo, CAST(date_trunc('$truncUnit', MAX($tsCol)) AS DATE) AS hi FROM $table WHERE $tsCol IS NOT NULL),
 cal AS (SELECT CAST(unnest(generate_series(lo, hi, $stepSql)) AS DATE) AS bucket FROM b),
 agg AS (SELECT CAST(date_trunc('$truncUnit', $tsCol) AS DATE) AS bucket, COUNT(*) AS n,
-  CAST(SUM(CAST($valueCol AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+  SUM(CAST(CAST($valueCol AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS total_value_e6
   FROM $table WHERE $tsCol IS NOT NULL GROUP BY 1)
 SELECT cal.bucket AS bucket, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
-CAST(COALESCE(agg.total_value, 0) AS DECIMAL(38,6)) AS total_value
+CAST(COALESCE(agg.total_value_e6, 0) AS BIGINT) AS total_value_e6
 FROM cal LEFT JOIN agg ON cal.bucket = agg.bucket ORDER BY bucket"""
 
   /** Moving average over the gap-filled daily series (ROWS frame). */

@@ -110,14 +110,15 @@ SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk
 
   /** Fixed-iteration Lloyd k-means, UNROLLED: iteration t's assign/update
     * become CTEs a{t}/d{t}/c{t+1}, mirroring
-    * [[graft.ops.SimilarityOps.kmeansCentroids]] step for step (6-dp
+    * [[graft.ops.SimilarityOps.kmeansCentroidsFlat]] step for step (6-dp
     * rounded cosine assignment with cid tiebreak; decimal-exact per-dim
-    * means rounded to 6 dp; empty clusters drop out). */
-  def kmeansCentroids(table: String, centroidMod: Int, iters: Int, dim: Int): String = {
+    * means rounded to 6 dp; empty clusters drop out; k lowest-id seeds;
+    * flat (cid, dim, mean, n_vecs) output — the catalog shape). */
+  def kmeansCentroids(table: String, k: Int, iters: Int, dim: Int): String = {
     require(iters >= 1)
     val sb = new StringBuilder
     sb.append(s"WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),\n")
-    sb.append(s"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM $table WHERE vec_id % $centroidMod = 0)")
+    sb.append(s"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM $table ORDER BY vec_id ASC LIMIT $k)")
     for (t <- 0 until iters) {
       sb.append(s""",
 a$t AS (SELECT v, cid FROM (
@@ -130,7 +131,7 @@ d$t AS (SELECT cid, i.i AS dim,
   FROM a$t, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY cid, i.i),
 c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM d$t GROUP BY cid)""")
     }
-    sb.append(s"\nSELECT cid, CAST(n_vecs AS BIGINT) AS n_vecs, cv AS centroid FROM c$iters ORDER BY cid")
+    sb.append(s"\nSELECT cid, CAST(dim AS BIGINT) AS dim, m AS mean, CAST(n AS BIGINT) AS n_vecs FROM d${iters - 1} ORDER BY cid, dim")
     sb.toString
   }
 

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural gate-compatibility lint over the WHOLE declared catalog.
+  *
+  * The external correctness harness compares engine output to the DuckDB
+  * oracle through a pandas round-trip, which is lossy or fatal for several
+  * Spark types regardless of value equality:
+  *   - DecimalType: the oracle client exports DECIMAL as float64 while
+  *     parquet decimals stay exact scaled values → hash-diverges on
+  *     trailing zeros/width (cost: 8 red gate rows across rounds 2-4).
+  *   - ArrayType/MapType: pandas sorts output columns; numpy arrays and
+  *     dicts are unhashable → the harness ERRORS (cost: q44 in round 4).
+  *   - TimestampType: parquet timestamp-unit variance (µs vs ns) across
+  *     engines; the catalog uses DATE buckets or epoch-µs BIGINTs instead.
+  *
+  * This asserts, schema-only (no job runs — analysis is enough), that no
+  * declared query can ever reach the gate with one of those types again.
+  * Money/value outputs must be ×10^n scaled-integer BIGINT; vectors must be
+  * flattened to per-dimension rows.
+  */
+class CatalogLintSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def banned(dt: DataType, path: String): Seq[String] = dt match {
+    case _: DecimalType   => Seq(s"$path: decimal")
+    case _: TimestampType => Seq(s"$path: timestamp")
+    case a: ArrayType     => Seq(s"$path: array")
+    case m: MapType       => Seq(s"$path: map")
+    case s: StructType    => s.fields.toSeq.flatMap(f => banned(f.dataType, s"$path.${f.name}"))
+    case _                => Nil
+  }
+
+  test("no declared query emits decimal/array/map/timestamp output columns") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      q(spark, sf).schema.fields.toSeq
+        .flatMap(f => banned(f.dataType, f.name))
+        .map(v => s"$name/$v")
+    }
+    assert(offenders.isEmpty,
+      s"gate-incompatible output columns:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("every declared query with an oracle aliases the same column names on both sides") {
+    // cheap drift guard: each oracle's final SELECT must mention every
+    // engine-side output column name (the driver sorts columns by name
+    // before hashing, so a rename on one side is an automatic red row)
+    val oracles = SparkEntry.oracleSql
+    val misses = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      oracles.get(name).toSeq.flatMap { sql =>
+        val lower = sql.toLowerCase
+        q(spark, sf).schema.fieldNames.toSeq
+          .filterNot(c => lower.contains(c.toLowerCase))
+          .map(c => s"$name: engine column `$c` absent from oracle SQL")
+      }
+    }
+    assert(misses.isEmpty, s"engine/oracle column drift:\n  ${misses.mkString("\n  ")}")
+  }
+}

@@ -54,7 +54,7 @@ class PlanSpec extends AnyFunSuite {
   test("kmeans assignment broadcasts the centroid side every iteration") {
     val plan = SimilarityOps
       .kmeansCentroids(Tables.embeddings(spark, sf), "vec_id", "embedding",
-        centroidMod = 100, iters = 2)
+        k = 5, iters = 2)
       .queryExecution.executedPlan.toString
     val broadcasts = "BroadcastNestedLoopJoin|BroadcastExchange".r
       .findAllIn(plan).length

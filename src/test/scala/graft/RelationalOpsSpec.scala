@@ -36,8 +36,8 @@ class RelationalOpsSpec extends AnyFunSuite {
       .collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
       assert(rs.length <= 5)
-      val spend = rs.sortBy(_.getLong(5)).map(_.getDecimal(3))
-      spend.zip(spend.tail).foreach { case (a, b) => assert(a.compareTo(b) >= 0) }
+      val spend = rs.sortBy(_.getLong(5)).map(_.getLong(3))
+      spend.zip(spend.tail).foreach { case (a, b) => assert(a >= b) }
     }
   }
 

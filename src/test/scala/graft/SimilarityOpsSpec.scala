@@ -122,22 +122,22 @@ class SimilarityOpsSpec extends AnyFunSuite {
 
   test("kmeans training: counts conserve the corpus, centroids land on cluster means") {
     import spark.implicits._
-    // two tight clusters around +e1 and -e1; centroidMod=4 seeds one init
-    // centroid inside each cluster (ids 4 and 8)
+    // two tight clusters around +e1 and -e1; the k=2 lowest-id seeds land
+    // one inside each cluster (ids 1 and 2)
     def v(base: Float, eps: Float) = Array.tabulate(4)(i => if (i == 0) base else eps)
     val df = Seq(
-      (1L, v(1f, 0.01f)), (2L, v(1f, 0.02f)), (3L, v(1f, 0.03f)), (4L, v(1f, 0.04f)),
-      (5L, v(-1f, 0.01f)), (6L, v(-1f, 0.02f)), (7L, v(-1f, 0.03f)), (8L, v(-1f, 0.04f)))
+      (1L, v(1f, 0.01f)), (3L, v(1f, 0.02f)), (5L, v(1f, 0.03f)), (7L, v(1f, 0.04f)),
+      (2L, v(-1f, 0.01f)), (4L, v(-1f, 0.02f)), (6L, v(-1f, 0.03f)), (8L, v(-1f, 0.04f)))
       .toDF("vec_id", "embedding")
     val out = SimilarityOps
-      .kmeansCentroids(df, "vec_id", "embedding", centroidMod = 4, iters = 2)
+      .kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = 2)
       .collect()
     assert(out.length == 2)
     assert(out.map(_.getLong(1)).sum == 8) // every vector assigned exactly once
     out.foreach(r => assert(r.getSeq[Double](2).length == 4))
     // first components: each cluster's mean of four identical base values
     val first = out.map(r => r.getLong(0) -> r.getSeq[Double](2).head).toMap
-    assert(first(4L) == 1.0 && first(8L) == -1.0)
+    assert(first(1L) == 1.0 && first(2L) == -1.0)
     // off-axis components are the exact 6-dp mean of the epsilons
     assert(out.forall(r => r.getSeq[Double](2).tail.forall(_ == 0.025)))
   }

@@ -139,7 +139,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect()
       // session bounds are epoch-µs BIGINTs; the streaming side reports ms
       .map(r => (r.getLong(0), r.getLong(2) / 1000, r.getLong(3) / 1000,
-        r.getLong(4), r.getDecimal(5).doubleValue))
+        r.getLong(4), r.getLong(5) / 1e6))
       .toSet
     // streaming (sentinel event closes all sessions via watermark)
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
