@@ -83,6 +83,92 @@ $xLabels
 """
   }
 
+  /** A word placed by the cloud layout: center coordinates, the estimated
+    * bounding box used for collision, and the chosen font size. */
+  final case class PlacedWord(word: String, freq: Double,
+      x: Double, y: Double, boxW: Double, boxH: Double, fontSize: Int)
+
+  /** Deterministic wordcloud layout — the reference's fourth chart family
+    * (`/root/reference/main.py:766-787`: WordCloud 1920×1080, max_words=100,
+    * viridis colormap over the word-frequency report). The PNG renderer is
+    * presentation-scope (SURVEY §2.1 S5); what the engine reproduces is the
+    * layout semantics: font size grows with sqrt(frequency) between a min
+    * and max, words placed largest-first on an Archimedean spiral from the
+    * canvas center, first non-colliding, in-bounds spot wins. No randomness
+    * anywhere, so the same report renders the same cloud on every run and
+    * every executor — a seeded-RNG layout would break golden-file tests.
+    *
+    * Collision uses an estimated glyph box (0.62 em advance per code point)
+    * — the same estimate the renderer and the spec share, so "no overlaps"
+    * is checkable without font metrics. Words that find no free spot within
+    * the step budget are dropped, mirroring WordCloud's own best-effort
+    * packing. Input is a top-K report (bounded, tens of rows). */
+  def wordCloudLayout(
+      words: Seq[(String, Double)], width: Int, height: Int,
+      maxWords: Int = 100, minFont: Int = 12, maxFont: Int = 64,
+      topMargin: Int = 56): Seq[PlacedWord] = {
+    val take = words.filter(_._2 > 0).sortBy { case (w, v) => (-v, w) }.take(maxWords)
+    if (take.isEmpty) return Nil
+    val sMin = math.sqrt(take.map(_._2).min)
+    val sMax = math.sqrt(take.map(_._2).max)
+    def fontOf(v: Double): Int =
+      if (sMax == sMin) maxFont
+      else (minFont + (math.sqrt(v) - sMin) / (sMax - sMin) * (maxFont - minFont)).round.toInt
+    val cx = width / 2.0
+    val cy = topMargin + (height - topMargin) / 2.0
+    val pad = 3.0
+    val placed = scala.collection.mutable.ArrayBuffer.empty[PlacedWord]
+    def collides(x: Double, y: Double, w: Double, h: Double): Boolean =
+      placed.exists(p =>
+        math.abs(x - p.x) * 2 < w + p.boxW + pad &&
+        math.abs(y - p.y) * 2 < h + p.boxH + pad)
+    take.foreach { case (word, v) =>
+      val fs = fontOf(v)
+      val w = 0.62 * fs * word.codePointCount(0, word.length)
+      val h = fs * 1.1
+      var theta = 0.0
+      var done = false
+      var steps = 0
+      while (!done && steps < 6000) {
+        val r = 2.0 * theta
+        val x = cx + r * math.cos(theta)
+        val y = cy + r * math.sin(theta)
+        val inside = x - w / 2 >= 2 && x + w / 2 <= width - 2 &&
+          y - h / 2 >= topMargin && y + h / 2 <= height - 2
+        if (inside && !collides(x, y, w, h)) {
+          placed += PlacedWord(word, v, x, y, w, h, fs)
+          done = true
+        }
+        theta += 0.31
+        steps += 1
+      }
+    }
+    placed.toSeq
+  }
+
+  /** Viridis-like fixed palette (reference colormap, `main.py:775`),
+    * cycled deterministically by placement order. */
+  private val cloudPalette = Vector(
+    "#440154", "#46327e", "#365c8d", "#277f8e",
+    "#1fa187", "#4ac16d", "#a0da39", "#fde725")
+
+  /** Wordcloud SVG over a (word, frequency) report. */
+  def wordCloudSvg(
+      words: Seq[(String, Double)], title: String,
+      width: Int = 960, height: Int = 540, maxWords: Int = 100): String = {
+    val texts = wordCloudLayout(words, width, height, maxWords).zipWithIndex
+      .map { case (p, i) =>
+        val color = cloudPalette(i % cloudPalette.size)
+        s"""  <text x="${p.x.round}" y="${(p.y + p.fontSize * 0.35).round}" text-anchor="middle" font-size="${p.fontSize}" fill="$color">${esc(p.word)}</text>"""
+      }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" font-family="sans-serif">
+  <rect x="0" y="0" width="$width" height="$height" fill="white"/>
+  <text x="${width / 2}" y="32" text-anchor="middle" font-size="22" font-weight="bold">${esc(title)}</text>
+$texts
+</svg>
+"""
+  }
+
   /** First `maxRows` of an already-ordered 2-column report as (label, value)
     * pairs; the bounded collect is the sink's contract (see class doc). */
   private def reportRows(df: DataFrame, labelCol: String, valueCol: String,
@@ -102,6 +188,11 @@ $xLabels
   def writeLineChart(df: DataFrame, labelCol: String, valueCol: String,
       title: String, path: String, maxRows: Int = 500): Unit =
     writeSvg(path, lineChartSvg(reportRows(df, labelCol, valueCol, maxRows), title))
+
+  def writeWordCloud(df: DataFrame, wordCol: String, freqCol: String,
+      title: String, path: String, maxWords: Int = 100): Unit =
+    writeSvg(path, wordCloudSvg(reportRows(df, wordCol, freqCol, maxWords), title,
+      maxWords = maxWords))
 
   private def writeSvg(path: String, svg: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -93,6 +93,10 @@ object Pipeline {
       "Top channels by views", s"$outDir/2_top_channels.svg")
     ChartSink.writeBarChart(report.wordFrequency, "word", "n",
       "Word frequency", s"$outDir/3_word_frequency.svg")
+    // the reference pairs every frequency bar chart with a wordcloud
+    // (`main.py:766-787`) — same report relation, layout-only sink
+    ChartSink.writeWordCloud(report.wordFrequency, "word", "n",
+      "Word cloud", s"$outDir/4_wordcloud.svg")
     report.timeSeries.foreach(ts =>
       ChartSink.writeLineChart(ts, "bucket", "n",
         "Posts per week", s"$outDir/5_trend.svg"))
