@@ -1,22 +1,25 @@
 #!/usr/bin/env python3
-"""Strict local mirror of the driver's correctness gate.
+"""Local mirror of the driver's correctness gate — two passes per query.
 
-Runs each oracle SQL in DuckDB and compares it to graft.Verify's parquet
-output at the ARROW level:
-  - canonical column types: decimal precision/scale, timestamp unit,
-    int width, float width (string/large_string unified — an export
-    artifact, not a semantic difference);
-  - exact values: no float rounding, timestamps compared as raw int64 in
-    their (already type-checked) unit, decimals as exact Decimals.
+Pass 1 (arrow-exact): runs each oracle SQL in DuckDB and compares it to
+graft.Verify's parquet output at the ARROW level — canonical column
+types and exact values (no float rounding, decimals as exact Decimals).
 
-This is strictly STRONGER than any value-level hash: if this script says
-OK, both sides are representation-identical and the driver's
-sort-columns-then-hash compare must also match.
+Pass 2 (driver-path): replays the DRIVER's comparison route, which pass 1
+does not predict: the driver loads both sides through pandas (DuckDB
+`.df()` exports DECIMAL as float64 while parquet decimals stay exact
+Decimal objects; numpy arrays are unhashable in a sort), sorts columns
+by name, sorts rows, and compares values. Rounds 2-4 proved arrow-OK
+does NOT imply driver-OK for decimal/array outputs — this pass fails
+exactly where the driver would. Date/datetime columns are normalized to
+ISO strings first (a dtype artifact of the two loaders that the real
+driver tolerates — q07-q09/q40 are gate-green with DATE buckets).
 
 Usage: oracle_check.py <sfDir> <verifyOutDir> [only_query ...]
 """
 import sys, json, glob
 import duckdb
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -69,6 +72,37 @@ def rows_of(tbl: pa.Table):
     return names, rows
 
 
+def driver_path_diff(files, sql):
+    """Replay the driver's pandas comparison; return None if it matches,
+    else a short description of the first divergence."""
+    sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    odf = con.execute(sql).df()
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"
+
+    def normalize(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            # loader dtype artifact the driver tolerates: dates arrive as
+            # datetime64 from duckdb but object(date) from parquet
+            if str(df[c].dtype).startswith("datetime64") or (
+                    df[c].dtype == object and df[c].map(
+                        lambda x: hasattr(x, "isoformat"), na_action="ignore").all()):
+                df[c] = df[c].map(lambda x: str(x)[:10], na_action="ignore")
+        return df.sort_values(by=sorted(df.columns)).reset_index(drop=True)
+
+    sdf, odf = normalize(sdf), normalize(odf)  # raises where the driver errors
+    if len(sdf) != len(odf):
+        return f"rowcount spark={len(sdf)} duckdb={len(odf)}"
+    h1 = pd.util.hash_pandas_object(sdf).sum()
+    h2 = pd.util.hash_pandas_object(odf).sum()
+    if h1 != h2:
+        diff = [c for c in sdf.columns if not sdf[c].equals(odf[c])]
+        kinds = [f"{c}({sdf.dtypes[c]}/{odf.dtypes[c]})" for c in diff]
+        return f"hash mismatch in {kinds}"
+    return None
+
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
@@ -98,6 +132,13 @@ for name, sql in sorted(oracle.items()):
     if srows != drows:
         bad = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
         print(f"FAIL {name}: value mismatch, first diffs (spark, duckdb): {bad}")
+        fails += 1; continue
+    try:
+        pdiff = driver_path_diff(files, sql)
+    except Exception as e:
+        pdiff = f"driver harness would ERROR: {type(e).__name__}: {str(e)[:120]}"
+    if pdiff:
+        print(f"FAIL {name}: arrow-exact OK but driver-path diverges: {pdiff}")
         fails += 1; continue
     print(f"OK   {name} ({s.num_rows} rows)")
 print("ALL OK" if fails == 0 else f"{fails} FAILURES")
