@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce to the target partition size instead of max parallelism
+      // (the Spark tuning guide's own recommendation): post-shuffle stages
+      // over small intermediates collapse to few tasks, cutting per-task
+      // overhead locally AND scheduler pressure on a 1000-executor cluster
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
