@@ -31,8 +31,21 @@ object Tables {
     * sf0.1: q12 0.23s raw vs 0.59s rebalanced). */
   private val computeHeavy = Set("documents", "embeddings")
 
+  /** Test-only chaos hook: when `graft.test.repartition` is set to n > 0,
+    * every table is hash-repartitioned on all of its columns into n
+    * partitions right after the scan. Downstream results must be IDENTICAL
+    * with or without it — that is the engine's distributed-determinism
+    * contract (partial aggregation order, window ties, LSH bucket fills
+    * and iteration schedules must not leak partitioning into values).
+    * `CatalogDeterminismSpec` runs the whole catalog both ways. Never set
+    * outside tests. */
+  private val testRepartitionKey = "graft.test.repartition"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val testParts = spark.conf.get(testRepartitionKey, "0").toInt
+    if (testParts > 0)
+      return df.repartition(testParts, df.columns.map(org.apache.spark.sql.functions.col): _*)
     val cores = spark.sparkContext.defaultParallelism
     if (computeHeavy.contains(name) && df.rdd.getNumPartitions < cores)
       df.repartition(cores)
