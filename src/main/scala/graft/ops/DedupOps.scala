@@ -191,7 +191,10 @@ object DedupOps {
     // plain aggregate per iteration instead of a propagated⋈labels
     // change-count join (drops a shuffle+join from every round).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+      // coalesce: SUM over an empty graph is null — treat as 0 so the empty
+      // input converges on the first check instead of NPE-ing
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s")).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

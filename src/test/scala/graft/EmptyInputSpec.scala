@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input robustness over the WHOLE declared catalog.
+  *
+  * A 100 TB pipeline hits empty inputs constantly — a filter that matches
+  * nothing, a date window with no data, a tenant with no rows. Every
+  * declared query must return an EMPTY, schema-stable result on empty
+  * tables, never throw. The classic traps this guards: aggregate-derived
+  * bounds going null (resample's min/max calendar), seed selection from an
+  * empty corpus (k-means), convergence checks on null aggregates
+  * (connected components), and windows/percentiles over zero groups.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    // events needs its nanos conf before a raw read (set by Tables.events;
+    // set here too so table order cannot matter)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.io.Tables.names.foreach { n =>
+      spark.read.parquet(s"$sf/$n.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
+
+  // Queries whose SQL semantics yield rows even from empty inputs, with
+  // the row count their DuckDB oracle produces on empty tables (verified
+  // directly): global aggregates return one zero-row; the keyword
+  // breakdown is driven by the 15-entry taxonomy dim, not the fact side.
+  private val nonEmptyOnEmpty = Map(
+    "q05_keyword_breakdown" -> 15L,
+    "q20_dedup_stats" -> 1L,
+    "q29_token_stats" -> 1L)
+
+  test("every declared query matches its oracle's empty-input semantics, never throws") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      try {
+        val n = q(spark, emptyDir).count()
+        val want = nonEmptyOnEmpty.getOrElse(name, 0L)
+        if (n == want) None
+        else Some(s"$name: produced $n rows from empty inputs, oracle produces $want")
+      } catch {
+        case e: Throwable => Some(s"$name: threw ${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
+    }
+    assert(failures.isEmpty, s"empty-input failures:\n  ${failures.mkString("\n  ")}")
+  }
+}
