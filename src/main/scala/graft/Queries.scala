@@ -232,6 +232,15 @@ object Queries {
       Some(graft.sql.SimilaritySql.kmeansCentroids("embeddings",
         k = 5, iters = 2, dim = 64))),
 
+    ("q51_pq_ann",
+      // product-quantization ANN: train per-subspace codebooks, encode,
+      // asymmetric-distance top-k — all-BIGINT output (adist_e6 scaled-int)
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.pqAnn(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, m = 2, ksub = 4, iters = 2, queryMod = 40, k = 5),
+      Some(graft.sql.SimilaritySql.pqAnn("embeddings",
+        dim = 64, m = 2, ksub = 4, iters = 2, queryMod = 40, k = 5))),
+
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),

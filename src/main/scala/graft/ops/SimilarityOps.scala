@@ -300,6 +300,133 @@ object SimilarityOps {
         col("mean"), col("n_vecs"))
       .orderBy("cid", "dim")
 
+  /** Squared L2 distance of two double-array columns, rounded to 6 dp.
+    * zip_with + sequential left-to-right fold: same evaluation order as
+    * the oracle's list_transform/list_sum, so the doubles agree bit-wise. */
+  private def l2sq(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** 6-dp double -> exact ×10^6 scaled-int BIGINT (the engine-wide
+    * money/score output contract; sums of these are exact and
+    * order-independent, unlike sums of doubles). */
+  private def e6(d: Column): Column =
+    (d.cast("decimal(18,6)") * 1000000).cast("long")
+
+  /** Sub-vector rows for product quantization: one row per (vector,
+    * subspace) with the contiguous L-dim slice as double. */
+  private def pqSubvectors(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subLen: Int): DataFrame =
+    emb.select(col(idCol).as("id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col(vecCol).as("v"))
+      .select(col("id"), col("sub"),
+        transform(slice(col("v"), col("sub") * subLen + lit(1), lit(subLen)),
+          x => x.cast("double")).as("sv"))
+
+  /** PRODUCT QUANTIZATION codebook training (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    * vector into `m` contiguous subspaces of dim/m components and train an
+    * INDEPENDENT `ksub`-centroid Lloyd codebook per subspace — all
+    * subspaces in one DataFrame loop (`sub` is a column, never a driver
+    * loop). Same deterministic contract as [[kmeansCentroids]]: `ksub`
+    * lowest-id seed vectors, 6-dp squared-L2 assignment with centroid-id
+    * tiebreak, decimal-exact per-dimension means.
+    *
+    * 100 TB shape: this is THE billion-vector scale path — codes compress
+    * each vector to m small ints (vs 4·dim bytes of floats), the codebook
+    * relation stays m × ksub × (dim/m) doubles (a trivial broadcast), and
+    * search never touches raw corpus vectors again. Returns
+    * (sub, cid, cv, n_vecs). */
+  def pqTrainCodebooks(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(ksub >= 1 && iters >= 1, "pq needs >=1 centroid and >=1 iteration")
+    val subLen = dim / m
+    val subs = pqSubvectors(emb, idCol, vecCol, m, subLen)
+    var cents = pqSubvectors(emb.orderBy(col(idCol).asc).limit(ksub), idCol, vecCol, m, subLen)
+      .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
+    var out: DataFrame = null
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("id"), col("sub"))
+        .orderBy(col("d").asc, col("cid").asc)
+      val assigned = subs.join(broadcast(cents), "sub")
+        .select(col("id"), col("sub"), col("sv"), col("cid"),
+          l2sq(col("sv"), col("cv")).as("d"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("sub"), col("sv"), col("cid"))
+      val perDim = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim0", "x")))
+        .groupBy(col("sub"), col("cid"), col("dim0"))
+        .agg(
+          round(sum(col("x").cast("decimal(18,9)")).cast("double")
+            / count(lit(1)), 6).as("mu"),
+          count(lit(1)).as("n"))
+      out = perDim
+        .groupBy("sub", "cid")
+        .agg(
+          array_sort(collect_list(struct(col("dim0"), col("mu")))).as("pairs"),
+          max(col("n")).as("n_vecs"))
+        .select(col("sub"), col("cid"), col("n_vecs"),
+          transform(col("pairs"), p => p.getField("mu")).as("cv"))
+      cents = out.select(col("sub"), col("cid"), col("cv"))
+    }
+    out.orderBy("sub", "cid")
+  }
+
+  /** PQ encoding: each vector becomes `m` rows (id, sub, code) — the code
+    * is the nearest codebook centroid per subspace (6-dp L2, cid
+    * tiebreak). At scale this table replaces the raw vectors for search:
+    * m small ints per vector. */
+  def pqEncode(
+      emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subs = pqSubvectors(emb, idCol, vecCol, m, dim / m)
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d").asc, col("cid").asc)
+    subs.join(broadcast(codebooks.select(col("sub"), col("cid"), col("cv"))), "sub")
+      .select(col("id"), col("sub"), col("cid"),
+        l2sq(col("sv"), col("cv")).as("d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("sub"), col("cid").as("code"))
+  }
+
+  /** PQ top-k ANN by asymmetric distance (ADC): the approximate distance
+    * from query q to vector x is the sum over subspaces of the exact
+    * distance from q's subvector to x's ASSIGNED CENTROID — so search
+    * joins the tiny codes table against a per-query lookup table
+    * (|queries| × m × ksub rows, broadcast) and never reads corpus
+    * vectors. Per-sub distances are ×10^6 scaled-int, so the m-term sum
+    * is exact and aggregation-order-independent; output is all-BIGINT
+    * (query_id, neighbor_id, adist_e6, rk).
+    *
+    * Trains + encodes + searches in one call — the catalog entry; the
+    * pieces above are the library API for reusing a trained codebook. */
+  def pqAnn(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int,
+      queryMod: Int, k: Int): DataFrame = {
+    val codebooks = pqTrainCodebooks(emb, idCol, vecCol, dim, m, ksub, iters)
+    val codes = pqEncode(emb, idCol, vecCol, codebooks, dim, m)
+    val lut = pqSubvectors(
+        emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, m, dim / m)
+      .join(broadcast(codebooks.select(col("sub"), col("cid"), col("cv"))), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("cid"),
+        e6(l2sq(col("sv"), col("cv"))).as("d_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_e6").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d_e6")).as("adist_e6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Per-label centroid profile: vector count and decimal-exact means of
     * the first two dimensions (component values cast to decimal before
     * summing — exact under any aggregation order). The full-centroid

@@ -135,6 +135,51 @@ c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM d$t 
     sb.toString
   }
 
+  /** 6-dp squared L2 over two 1-indexed DOUBLE[] slices of length `len`. */
+  private def l2Sql(a: String, b: String, len: Int): String =
+    s"round(list_sum(list_transform(range(1, ${len + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"
+
+  /** Product-quantization ANN, UNROLLED — mirrors
+    * [[graft.ops.SimilarityOps.pqAnn]] step for step: per-subspace Lloyd
+    * codebooks (ksub lowest-id seeds, 6-dp L2 assignment with cid
+    * tiebreak, decimal-exact means), PQ encoding, then asymmetric-distance
+    * top-k over the codes with ×10^6 scaled-int per-sub distances (the
+    * m-term sum is an exact BIGINT on both engines). */
+  def pqAnn(table: String, dim: Int, m: Int, ksub: Int, iters: Int,
+      queryMod: Int, k: Int): String = {
+    require(iters >= 1 && dim % m == 0)
+    val len = dim / m
+    def assign(cents: String) =
+      s"""(SELECT s.id, s.sub, s.sv, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY s.id, s.sub ORDER BY ${l2Sql("s.sv", "c.cv", len)} ASC, c.cid ASC) AS rk
+  FROM s JOIN $cents c ON c.sub = s.sub) WHERE rk = 1"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),
+s AS (SELECT e.id, sub.s AS sub, e.v[sub.s * $len + 1 : sub.s * $len + $len] AS sv
+  FROM e, (SELECT unnest(range(0, $m)) AS s) sub),
+seed AS (SELECT id FROM e ORDER BY id ASC LIMIT $ksub),
+c0 AS (SELECT s.sub, s.id AS cid, s.sv AS cv FROM s JOIN seed ON seed.id = s.id)""")
+    for (t <- 0 until iters) {
+      sb.append(s""",
+a$t AS (SELECT sub, sv, cid FROM ${assign(s"c$t")}),
+d$t AS (SELECT sub, cid, i.i AS dim,
+    round(CAST(SUM(CAST(sv[i.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mu
+  FROM a$t, (SELECT unnest(range(1, ${len + 1})) AS i) i GROUP BY sub, cid, i.i),
+c${t + 1} AS (SELECT sub, cid, list(mu ORDER BY dim) AS cv FROM d$t GROUP BY sub, cid)""")
+    }
+    sb.append(s""",
+codes AS (SELECT id, sub, cid AS code FROM ${assign(s"c$iters")}),
+lut AS (SELECT s.id AS query_id, s.sub, c.cid,
+    CAST(CAST(${l2Sql("s.sv", "c.cv", len)} AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS d_e6
+  FROM s JOIN c$iters c ON c.sub = s.sub WHERE s.id % $queryMod = 0),
+scores AS (SELECT l.query_id, cd.id AS neighbor_id, CAST(SUM(l.d_e6) AS BIGINT) AS adist_e6
+  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cid = cd.code AND l.query_id <> cd.id
+  GROUP BY l.query_id, cd.id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC) AS rk FROM scores)
+SELECT query_id, neighbor_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk""")
+    sb.toString
+  }
+
   def labelCentroidProfile(table: String): String =
     s"""SELECT label, COUNT(*) AS n_vecs,
 round(CAST(SUM(CAST(embedding[1]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_d0,

@@ -142,6 +142,31 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getSeq[Double](2).tail.forall(_ == 0.025)))
   }
 
+  test("pq: codebooks partition each subspace, codes compress, ADC ranks the true neighbor first") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 subspaces of 2 dims; two tight groups per subspace
+    def v(a: Float, b: Float) = Array(a, a, b, b)
+    val df = Seq(
+      (1L, v(1f, 8f)), (2L, v(1.1f, 8.1f)), (3L, v(5f, 2f)), (4L, v(5.1f, 2.1f)),
+      (5L, v(1.05f, 8.05f)), (6L, v(5.05f, 2.05f)))
+      .toDF("vec_id", "embedding")
+    val books = SimilarityOps.pqTrainCodebooks(df, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 2).collect()
+    // 2 subspaces x <=2 centroids, each centroid a 2-dim mean vector
+    assert(books.map(_.getInt(0)).toSet == Set(0, 1))
+    books.foreach(r => assert(r.getSeq[Double](3).length == 2))
+    val codes = SimilarityOps.pqEncode(df, "vec_id", "embedding",
+      SimilarityOps.pqTrainCodebooks(df, "vec_id", "embedding", 4, 2, 2, 2), 4, 2)
+      .collect()
+    assert(codes.length == 12) // 6 vectors x 2 subspaces: m ints per vector
+    // ADC: with queryMod=5, query 5 is a {1,2}-group member; its nearest
+    // ADC neighbors must be the same-group vectors 1 and 2 before 3/4/6
+    val ann = SimilarityOps.pqAnn(df, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 2, queryMod = 5, k = 3).collect()
+    val q5 = ann.filter(_.getLong(0) == 5L).sortBy(_.getLong(3)).map(_.getLong(1))
+    assert(q5.take(2).toSet == Set(1L, 2L), s"ADC misranked: ${q5.mkString(",")}")
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 100, 10)
       .queryExecution.executedPlan.toString
