@@ -289,6 +289,28 @@ CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY segment ORDER BY segment""")),
 
+    ("q52_asof_join",
+      // point-in-time lookup: each purchase matched to the user's latest
+      // click at-or-before it; flat epoch-µs/scaled-int output (the
+      // asof_match struct is library-API-only)
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+        AsofOps.asofJoin(
+            ev.filter(col("event_type") === "purchase")
+              .select("user_id", "ts", "event_id"),
+            ev.filter(col("event_type") === "click")
+              .select("user_id", "ts", "event_id", "value"),
+            "user_id", "ts", "event_id", Seq("value"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("asof_match.event_id").as("matched_event_id"),
+            unix_micros(col("asof_match.ts")).as("matched_ts_us"),
+            (col("asof_match.value").cast("decimal(18,6)") * 1000000)
+              .cast("long").as("matched_value_e6"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(graft.sql.OracleSql.asofEventJoin("purchase", "click"))),
+
     ("q40_moving_average",
       (s: SparkSession, dir: String) =>
         ResampleOps.movingAverageDaily(Tables.events(s, dir), "ts", k = 7),

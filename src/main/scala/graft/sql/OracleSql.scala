@@ -120,6 +120,26 @@ SELECT cal.bucket AS bucket, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
 CAST(COALESCE(agg.total_value_e6, 0) AS BIGINT) AS total_value_e6
 FROM cal LEFT JOIN agg ON cal.bucket = agg.bucket ORDER BY bucket"""
 
+  /** As-of join oracle: DuckDB's NATIVE `ASOF JOIN` — an INDEPENDENT
+    * implementation of the semantics of [[graft.ops.AsofOps.asofJoin]]
+    * (at-or-before inclusive; equal-ts build rows deduplicated to the max
+    * event_id, the same tiebreak the engine's running window applies).
+    * Timestamps become epoch-µs BIGINTs on both sides (`CAST(ts AS
+    * TIMESTAMP)` truncates ns→µs exactly like Spark's `ts div 1000`);
+    * the matched value is ×10^6 scaled-int. */
+  def asofEventJoin(probeType: String, buildType: String): String =
+    s"""WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id, value
+  FROM events WHERE event_type = '$buildType' AND ts IS NOT NULL),
+b1 AS (SELECT user_id, t, event_id, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, t ORDER BY event_id DESC) AS rn FROM b) WHERE rn = 1),
+p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+  FROM events WHERE event_type = '$probeType' AND ts IS NOT NULL)
+SELECT p.user_id AS user_id, p.event_id AS event_id, p.t AS ts_us,
+  b1.event_id AS matched_event_id, b1.t AS matched_ts_us,
+  CAST(CAST(b1.value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS matched_value_e6
+FROM p ASOF LEFT JOIN b1 ON p.user_id = b1.user_id AND p.t >= b1.t
+ORDER BY user_id, event_id"""
+
   /** Moving average over the gap-filled daily series (ROWS frame). */
   def movingAverageDaily(table: String, tsCol: String, k: Int): String =
     s"""WITH series AS (${resampleCount(table, tsCol, "day", "INTERVAL 1 DAY")})

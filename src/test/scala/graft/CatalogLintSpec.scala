@@ -28,9 +28,11 @@ class CatalogLintSpec extends AnyFunSuite {
   private def banned(dt: DataType, path: String): Seq[String] = dt match {
     case _: DecimalType   => Seq(s"$path: decimal")
     case _: TimestampType => Seq(s"$path: timestamp")
-    case a: ArrayType     => Seq(s"$path: array")
-    case m: MapType       => Seq(s"$path: map")
-    case s: StructType    => s.fields.toSeq.flatMap(f => banned(f.dataType, s"$path.${f.name}"))
+    case _: ArrayType     => Seq(s"$path: array")
+    case _: MapType       => Seq(s"$path: map")
+    // structs arrive in pandas as dicts — unorderable in the harness sort,
+    // same failure class as arrays; flatten to scalar columns instead
+    case _: StructType    => Seq(s"$path: struct")
     case _                => Nil
   }
 
