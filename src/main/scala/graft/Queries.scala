@@ -311,6 +311,28 @@ GROUP BY segment ORDER BY segment""")),
       },
       Some(graft.sql.OracleSql.asofEventJoin("purchase", "click"))),
 
+    ("q53_open_order_lines_daily",
+      // range join: for each calendar day, how many order lines were open
+      // (ordered at-or-before, shipped at-or-after) — bucketized equi-join,
+      // never a cartesian range filter
+      (s: SparkSession, dir: String) => {
+        val iv = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("hi"))
+          .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), to_date(col("o_orderdate")).as("lo")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("lo"), col("hi"))
+        val cal = iv.agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        cal.join(
+            RangeOps.pointInIntervalCounts(cal, "day", iv, "lo", "hi", bucketDays = 30)
+              .withColumnRenamed("n", "n_open"),
+            Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_open"), lit(0L)).as("n_open"))
+          .orderBy("day")
+      },
+      Some(graft.sql.OracleSql.openOrderLinesDaily)),
+
     ("q40_moving_average",
       (s: SparkSession, dir: String) =>
         ResampleOps.movingAverageDaily(Tables.events(s, dir), "ts", k = 7),

@@ -140,6 +140,22 @@ SELECT p.user_id AS user_id, p.event_id AS event_id, p.t AS ts_us,
 FROM p ASOF LEFT JOIN b1 ON p.user_id = b1.user_id AND p.t >= b1.t
 ORDER BY user_id, event_id"""
 
+  /** Range-join oracle: daily count of open order lines (ordered, not yet
+    * shipped) — a plain BETWEEN join over the data-derived calendar,
+    * zero-filled. DuckDB plans this as an IEJoin; the engine side
+    * ([[graft.ops.RangeOps.pointInIntervalCounts]]) uses the bucketized
+    * equi-join — independent algorithms, identical semantics. */
+  def openOrderLinesDaily: String =
+    s"""WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS lo, CAST(l.l_shipdate AS DATE) AS hi
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    AND CAST(o.o_orderdate AS DATE) <= CAST(l.l_shipdate AS DATE)),
+b AS (SELECT MIN(lo) AS lo, MAX(hi) AS hi FROM iv),
+cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+cnt AS (SELECT cal.day AS day, COUNT(*) AS n FROM cal JOIN iv ON cal.day BETWEEN iv.lo AND iv.hi GROUP BY 1)
+SELECT cal.day AS day, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_open
+FROM cal LEFT JOIN cnt ON cal.day = cnt.day ORDER BY day"""
+
   /** Moving average over the gap-filled daily series (ROWS frame). */
   def movingAverageDaily(table: String, tsCol: String, k: Int): String =
     s"""WITH series AS (${resampleCount(table, tsCol, "day", "INTERVAL 1 DAY")})
