@@ -254,35 +254,97 @@ object SimilarityOps {
     require(iters >= 1, "kmeans needs at least one iteration")
     require(k >= 1, "kmeans needs at least one centroid")
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    var cents = emb.orderBy(col(idCol).asc).limit(k)
-      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    var cents = kmeansSeed(emb, idCol, vecCol, k)
     var out: DataFrame = null
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("v"), col("cid"))
-      val perDim = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
-        .groupBy(col("cid"), (col("dim0") + 1).as("dim"))
-        .agg(
-          // float -> double -> decimal: exact widening then an exact,
-          // associative sum (see labelCentroidProfile)
-          round(sum(col("x").cast("double").cast("decimal(18,9)")).cast("double")
-            / count(lit(1)), 6).as("m"),
-          count(lit(1)).as("n"))
-      out = perDim
-        .groupBy("cid")
-        .agg(
-          array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"),
-          max(col("n")).as("n_vecs"))
-        .select(col("cid"), col("n_vecs"),
-          transform(col("pairs"), p => p.getField("m")).as("centroid"))
+      out = lloydStep(vecs, cents)
       cents = out.select(col("cid"), col("centroid").as("cv"))
     }
     out.select(col("cid"), col("n_vecs"), col("centroid")).orderBy("cid")
+  }
+
+  /** The k lowest-id vectors as the deterministic, bounded seed. */
+  private def kmeansSeed(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    emb.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+
+  /** One Lloyd iteration (assign + decimal-exact update) over centroids
+    * `cents` (cid, cv). Returns (cid, n_vecs, centroid) — the shared body
+    * of [[kmeansCentroids]] and [[kmeansCentroidsConverged]], factored so
+    * the two training modes cannot drift. */
+  private def lloydStep(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("v"), col("cid"))
+    val perDim = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy(col("cid"), (col("dim0") + 1).as("dim"))
+      .agg(
+        // float -> double -> decimal: exact widening then an exact,
+        // associative sum (see labelCentroidProfile)
+        round(sum(col("x").cast("double").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("m"),
+        count(lit(1)).as("n"))
+    perDim
+      .groupBy("cid")
+      .agg(
+        array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"),
+        max(col("n")).as("n_vecs"))
+      .select(col("cid"), col("n_vecs"),
+        transform(col("pairs"), p => p.getField("m")).as("centroid"))
+  }
+
+  /** Convergence-driven Lloyd training: the same assign/update step as
+    * [[kmeansCentroids]], stopped as soon as no centroid's squared-L2
+    * movement between consecutive iterations exceeds `tol` (and no cluster
+    * was dropped that round), up to `maxIters`. Returns the centroid frame
+    * plus the number of iterations actually run.
+    *
+    * Library surface only: the fixed-iteration form stays the
+    * oracle-checked catalog entry because an unrolled-CTE oracle cannot
+    * express a data-dependent stop. Unlike the fixed form — whose
+    * iterations fold into ONE lazy plan executed once at the end — a
+    * convergence test forces a materialization per iteration, so each
+    * round is `localCheckpoint`ed to keep lineage (and planning cost)
+    * flat, and the movement check is an O(k) aggregate over the two
+    * broadcast-sized centroid frames, never a corpus-sized collect.
+    *
+    * 100 TB shape: identical per-iteration cost to [[kmeansCentroids]]
+    * (one corpus scan + one (cluster, dim) shuffle) plus a k-row join;
+    * the win is not running iterations the centroids no longer need. */
+  def kmeansCentroidsConverged(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIters: Int, tol: Double = 1e-9): (DataFrame, Int) = {
+    require(maxIters >= 1, "kmeans needs at least one iteration")
+    require(k >= 1, "kmeans needs at least one centroid")
+    require(tol >= 0, "tol must be non-negative")
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents = kmeansSeed(emb, idCol, vecCol, k).localCheckpoint()
+    var out: DataFrame = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val stepped = lloydStep(vecs, cents).localCheckpoint()
+      val next = stepped.select(col("cid"), col("centroid").as("cv"))
+      // movement: inner-join old/new on cid — a dropped cluster shrinks
+      // the join below the old count, which we treat as "still moving"
+      val sq = zip_with(col("o.cv"), col("n.cv"),
+        (a, b) => (a - b) * (a - b))
+      val m = cents.as("o").join(next.as("n"), "cid")
+        .agg(count(lit(1)).as("paired"),
+          coalesce(max(seqSum(sq)), lit(0.0)).as("maxMove"))
+        .head()
+      val oldCount = cents.count()
+      converged = m.getLong(0) == oldCount && m.getDouble(1) <= tol
+      cents = next
+      out = stepped
+      iter += 1
+    }
+    (out.select(col("cid"), col("n_vecs"), col("centroid")).orderBy("cid"), iter)
   }
 
   /** Catalog shape of [[kmeansCentroids]]: one row per (cluster, dimension)

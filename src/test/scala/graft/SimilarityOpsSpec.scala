@@ -142,6 +142,33 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getSeq[Double](2).tail.forall(_ == 0.025)))
   }
 
+  test("converged kmeans stops early on a stable clustering and matches the fixed form") {
+    import spark.implicits._
+    def v(base: Float, eps: Float) = Array.tabulate(4)(i => if (i == 0) base else eps)
+    val df = Seq(
+      (1L, v(1f, 0.01f)), (3L, v(1f, 0.02f)), (5L, v(1f, 0.03f)), (7L, v(1f, 0.04f)),
+      (2L, v(-1f, 0.01f)), (4L, v(-1f, 0.02f)), (6L, v(-1f, 0.03f)), (8L, v(-1f, 0.04f)))
+      .toDF("vec_id", "embedding")
+    // well-separated clusters stabilize after iteration 2 (iteration 1 moves
+    // seeds to the means; iteration 2 re-derives identical means) — the
+    // convergence test must detect that and not run to maxIters
+    val (centsDf, iters) = SimilarityOps
+      .kmeansCentroidsConverged(df, "vec_id", "embedding", k = 2, maxIters = 10)
+    assert(iters < 10, s"never detected convergence (ran all $iters iterations)")
+    val conv = centsDf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).sortBy(_._1)
+    val fixed = SimilarityOps
+      .kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = iters)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).sortBy(_._1)
+    assert(conv.toSeq == fixed.toSeq,
+      "converged training must equal the fixed form run for the same iterations")
+    // an infinite tolerance means any first step counts as converged
+    val (_, one) = SimilarityOps.kmeansCentroidsConverged(
+      df, "vec_id", "embedding", k = 2, maxIters = 10, tol = Double.MaxValue)
+    assert(one == 1)
+  }
+
   test("pq: codebooks partition each subspace, codes compress, ADC ranks the true neighbor first") {
     import spark.implicits._
     // 4-dim vectors, m=2 subspaces of 2 dims; two tight groups per subspace
