@@ -269,6 +269,24 @@ object Queries {
         TextAnalysisOps.fingerprints(Tables.documents(s, dir), "text", "doc_id"),
       Some(graft.sql.TextAnalysisSql.fingerprints("documents"))),
 
+    ("q54_repetition_profile",
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.repetitionProfile(Tables.documents(s, dir), "text", "doc_id"),
+      Some(graft.sql.TextAnalysisSql.repetitionProfile("documents"))),
+
+    ("q55_stratified_sample",
+      // reproducible corpus mix: hash-sample 7/10 of documents, then cap
+      // each source's contribution at 20 (lowest md5 first) — both stages
+      // deterministic under any partitioning and engine
+      (s: SparkSession, dir: String) =>
+        SampleOps.stratifiedQuota(
+            SampleOps.hashSample(Tables.documents(s, dir), "doc_id", num = 7, den = 10),
+            "source", "doc_id", n = 20)
+          .select(col("source"), col("doc_id"), col("rk"))
+          .orderBy("source", "rk"),
+      Some(graft.sql.SampleSql.stratifiedSample("documents", "source", "doc_id",
+        num = 7, den = 10, n = 20))),
+
     ("q42_salted_segment_revenue",
       (s: SparkSession, dir: String) => {
         val orders = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")

@@ -218,9 +218,55 @@ object Generators {
       copy(child = newChild)
   }
 
+  /** Every w-gram OCCURRENCE of the whitespace-tokenized text, in order
+    * (multiset — repetition metrics need duplicates, unlike
+    * [[ShingleExplode]]'s distinct set). Same tokenization contract:
+    * split on space runs, drop empties; under `w` tokens emits nothing. */
+  case class NgramExplode(child: Expression, w: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(w >= 1, s"ngram width must be >= 1, got $w")
+
+    override def elementSchema: StructType =
+      StructType(StructField("ngram", StringType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_explode needs a string column, got ${child.dataType}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = v.asInstanceOf[UTF8String].toString.split(" +")
+        .filter(_.nonEmpty)
+      if (toks.length < w) return Nil
+      val out = new Array[InternalRow](toks.length - w + 1)
+      var i = 0
+      while (i <= toks.length - w) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var o = 1
+        while (o < w) { sb.append(' ').append(toks(i + o)); o += 1 }
+        out(i) = InternalRow(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NgramExplode =
+      copy(child = newChild)
+  }
+
   /** Column API: one row per distinct w-shingle of `text`. */
   def shingleExplode(text: Column, w: Int): Column =
     toColumn(ShingleExplode(toExpression(text), w))
+
+  /** Column API: one row per w-gram occurrence of `text` (multiset). */
+  def ngramExplode(text: Column, w: Int): Column =
+    toColumn(NgramExplode(toExpression(text), w))
 
   /** Column API: one row per surviving analyzer token of `text`. */
   def tokenExplode(text: Column, minLen: Int, stopwords: Seq[String]): Column =

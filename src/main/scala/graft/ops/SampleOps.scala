@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mix construction.
+  *
+  * `df.sample()` draws from per-partition RNG streams, so the selected
+  * rows change with seed AND physical partitioning — useless for
+  * reproducible corpus mixes or cross-engine verification. These
+  * operators derive every keep/order decision from md5 of a stable key:
+  * the same rows fall out on any cluster layout, any engine (the DuckDB
+  * oracle mirrors the same expressions verbatim).
+  *
+  * Properties that matter for corpus curation:
+  *  - NESTING: `hashSample(num1/den)` ⊆ `hashSample(num2/den)` whenever
+  *    num1 <= num2 — shrinking the fraction shrinks the sample in place,
+  *    so a 1% / 10% / 100% scaling-law data ladder is three thresholds
+  *    over ONE pass, each rung a strict subset of the next;
+  *  - DISTRIBUTION over union: sampling commutes with unioning shards;
+  *  - map-only: no shuffle, no state, pushes down past nothing it
+  *    shouldn't (the filter is a plain deterministic predicate).
+  */
+object SampleOps {
+
+  /** First 8 hex chars of md5(key) — lexicographic order on equal-length
+    * lowercase hex IS numeric order on the 32-bit value, and Spark and
+    * DuckDB both compare ASCII strings bytewise. */
+  private def hashKey(k: Column): Column = substring(md5(k.cast("string")), 1, 8)
+
+  /** The 8-hex-digit threshold under which a 32-bit hash falls with
+    * probability num/den (exact integer arithmetic; num < den so the
+    * result always fits 8 digits and string-compares correctly). */
+  private[graft] def hexThreshold(num: Long, den: Long): String = {
+    require(num >= 0 && den > 0 && num < den, s"fraction must be in [0, 1): $num/$den")
+    f"${((BigInt(1) << 32) * num / den).toLong}%08x"
+  }
+
+  /** Deterministic Bernoulli-style sample: keep a row iff the md5 bucket
+    * of its key falls under fraction num/den of the hash space.
+    * num == den short-circuits to the full input. */
+  def hashSample(df: DataFrame, keyCol: String, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"fraction must be in [0, 1]: $num/$den")
+    if (num == den) df
+    else df.filter(hashKey(col(keyCol)) < lit(hexThreshold(num, den)))
+  }
+
+  /** Per-group deterministic quota: up to `n` rows per group, chosen by
+    * ascending (md5(key), key) — an unbiased, reproducible per-stratum
+    * subsample; the "cap each source's contribution" mix primitive.
+    * Appends a dense 1-based `rk` rank within the group.
+    *
+    * One shuffle on the group key. At 100 TB, groups can dwarf `n`; since
+    * the quota keeps the n LOWEST hashes and [[hashSample]] keeps hashes
+    * under a threshold, pre-filtering with `hashSample(keyCol, num, den)`
+    * yields the IDENTICAL result as long as every group retains >= n
+    * rows — a cheap map-side filter that shrinks the window's sort input
+    * by den/num before the shuffle. */
+  def stratifiedQuota(
+      df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, "quota must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashKey(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+  }
+}

@@ -109,6 +109,43 @@ object TextAnalysisOps {
         round(sum(col("ws")).cast("double") / count(lit(1)), 6).as("avg_ws_tokens"))
   }
 
+  /** Per-document repetition profile over token bigrams — the Gopher-rule
+    * style repetitiousness signal for training-data quality filtering
+    * (cf. reference quality heuristics, `main.py` keyword-noise family):
+    * `top_bigram_ratio` (share of the single most frequent bigram) and
+    * `dup_bigram_ratio` (share of bigrams occurring more than once), both
+    * over ALL bigram occurrences, not distinct bigrams. Documents with
+    * fewer than two tokens have no bigrams and are absent.
+    *
+    * Shape: one corpus scan, bigram occurrences emitted by the
+    * [[graft.functions.Generators.NgramExplode]] generator (no
+    * intermediate array column, so `InferFiltersFromGenerate` has nothing
+    * to inline — the explode(HOF) re-evaluation trap documented in
+    * `Generators`), then counted with a partial-aggregating groupBy on
+    * (doc, bigram) — the count shuffle carries one row per DISTINCT
+    * bigram per doc, so highly repetitive documents (the ones this op
+    * exists to catch) shuffle the LEAST. Integer counts; ratios are
+    * count/count doubles rounded to 6 dp (cross-engine deterministic). */
+  def repetitionProfile(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 2).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("__top"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("__dup"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(col("__top").cast("double") / col("n_bigrams"), 6).as("top_bigram_ratio"),
+        round(col("__dup").cast("double") / col("n_bigrams"), 6).as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash document fingerprint: polynomial fold of per-token
     * md5-derived hashes mod 2^31-1 (base 131). Order-sensitive (unlike the
     * SimHash/MinHash set signatures) — two docs with the same tokens in a

@@ -1,0 +1,25 @@
+package graft.sql
+
+import graft.ops.SampleOps
+
+/** DuckDB mirrors of [[graft.ops.SampleOps]] — same md5-substring hash,
+  * same hex threshold literal, same (hash, key) quota order, so both
+  * engines select the identical row set. */
+object SampleSql {
+
+  private def h(key: String) = s"substr(md5(CAST($key AS VARCHAR)), 1, 8)"
+
+  /** [[graft.ops.SampleOps.hashSample]] (num/den of `table` by `keyCol`)
+    * then [[graft.ops.SampleOps.stratifiedQuota]] (`n` per `groupCol`). */
+  def stratifiedSample(
+      table: String, groupCol: String, keyCol: String,
+      num: Long, den: Long, n: Int): String = {
+    val t = SampleOps.hexThreshold(num, den)
+    s"""WITH s AS (SELECT $groupCol, $keyCol, ${h(keyCol)} AS hk FROM $table
+  WHERE ${h(keyCol)} < '$t'),
+q AS (SELECT $groupCol, $keyCol,
+  ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY hk ASC, $keyCol ASC) AS rk FROM s)
+SELECT $groupCol, $keyCol, CAST(rk AS BIGINT) AS rk FROM q
+WHERE rk <= $n ORDER BY $groupCol, rk"""
+  }
+}

@@ -54,6 +54,22 @@ CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
 CAST(MAX(ws) AS BIGINT) AS max_ws_tokens,
 round(SUM(ws)::DOUBLE / COUNT(*), 6) AS avg_ws_tokens FROM t"""
 
+  /** Bigram-repetition mirror of
+    * [[graft.ops.TextAnalysisOps.repetitionProfile]]: every bigram
+    * OCCURRENCE (multiset, unlike the dedup shingle CTEs' list_distinct);
+    * integer counts, ratios rounded to 6 dp. */
+  def repetitionProfile(table: String): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM t WHERE len(tk) >= 2),
+g AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS mx,
+  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup FROM g GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  round(mx::DOUBLE / n_bigrams, 6) AS top_bigram_ratio,
+  round(dup::DOUBLE / n_bigrams, 6) AS dup_bigram_ratio
+FROM a ORDER BY doc_id"""
+
   def fingerprints(table: String): String =
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 h AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hl

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.SampleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling: threshold exactness, nesting, partition
+  * independence, per-group quotas. */
+class SampleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (1L to n.toLong).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+  }
+
+  test("hexThreshold is exact integer arithmetic") {
+    assert(SampleOps.hexThreshold(1, 2) == "80000000")
+    assert(SampleOps.hexThreshold(7, 10) == "b3333333")
+    assert(SampleOps.hexThreshold(0, 10) == "00000000")
+    intercept[IllegalArgumentException](SampleOps.hexThreshold(3, 2))
+  }
+
+  test("hashSample hits the requested fraction within Bernoulli tolerance") {
+    val n = 4000
+    val kept = SampleOps.hashSample(ids(n), "id", 3, 10).count()
+    // 3 sigma for Binomial(4000, 0.3) is ~87
+    assert(math.abs(kept - 1200L) < 150, s"kept $kept of $n at 3/10")
+  }
+
+  test("samples nest: the 1/10 sample is a strict subset of the 5/10 sample") {
+    val df = ids(2000)
+    val small = SampleOps.hashSample(df, "id", 1, 10).select("id").collect().map(_.getLong(0)).toSet
+    val large = SampleOps.hashSample(df, "id", 5, 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large) && small.nonEmpty && small.size < large.size)
+  }
+
+  test("sampling and quotas are invariant under repartitioning") {
+    val df = ids(1000)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(key(SampleOps.hashSample(df, "id", 3, 10)) ==
+      key(SampleOps.hashSample(df.repartition(17), "id", 3, 10)))
+    assert(key(SampleOps.stratifiedQuota(df, "grp", "id", 7)) ==
+      key(SampleOps.stratifiedQuota(df.repartition(17), "grp", "id", 7)))
+  }
+
+  test("stratifiedQuota caps every group at n with dense ranks from 1") {
+    val out = SampleOps.stratifiedQuota(ids(1000), "grp", "id", 7)
+    val perGroup = out.groupBy("grp")
+      .agg(count(lit(1)).as("c"), min("rk").as("lo"), max("rk").as("hi"))
+      .collect()
+    assert(perGroup.length == 5)
+    perGroup.foreach { r =>
+      assert(r.getLong(1) == 7 && r.getLong(2) == 1L && r.getLong(3) == 7L)
+    }
+    // quota of a group smaller than n keeps the whole group
+    val tiny = SampleOps.stratifiedQuota(ids(3), "grp", "id", 7)
+    assert(tiny.count() == 3)
+  }
+
+  test("pre-filtering with hashSample does not change the quota result when groups stay >= n") {
+    val df = ids(1000)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = key(SampleOps.stratifiedQuota(df, "grp", "id", 5))
+    val prefiltered = key(SampleOps.stratifiedQuota(
+      SampleOps.hashSample(df, "id", 5, 10), "grp", "id", 5))
+    assert(direct == prefiltered)
+  }
+}

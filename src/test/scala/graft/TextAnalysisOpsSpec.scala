@@ -60,6 +60,33 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(cfg.stopwords.forall(s => !words.contains(s)))
   }
 
+  test("repetition profile: hand-computed bigram ratios, multiset not distinct") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> n=5, top=3 (a b), dup=5
+      (1L, "a b a b a b"),
+      // all-distinct bigrams: top ratio 1/3, dup 0
+      (2L, "w x y z"),
+      // one token -> no bigrams -> absent
+      (3L, "solo"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.repetitionProfile(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((5L, 0.6, 1.0)))
+    assert(out(2L) == ((3L, 0.333333, 0.0)))
+  }
+
+  test("repetition profile flags the repetitive corpus doc above the clean one") {
+    val prof = TextAnalysisOps.repetitionProfile(docs, "text", "doc_id")
+    assert(prof.count() > 0)
+    val r = prof.agg(org.apache.spark.sql.functions.max("dup_bigram_ratio"),
+      org.apache.spark.sql.functions.min("dup_bigram_ratio")).head
+    assert(r.getDouble(0) >= r.getDouble(1) && r.getDouble(0) <= 1.0 && r.getDouble(1) >= 0.0)
+  }
+
   test("fingerprints are order-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
