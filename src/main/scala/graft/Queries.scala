@@ -287,6 +287,11 @@ object Queries {
       Some(graft.sql.SampleSql.stratifiedSample("documents", "source", "doc_id",
         num = 7, den = 10, n = 20))),
 
+    ("q56_tfidf_top_terms",
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.tfIdfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3),
+      Some(graft.sql.TextAnalysisSql.tfIdfTopTerms("documents", k = 3))),
+
     ("q42_salted_segment_revenue",
       (s: SparkSession, dir: String) => {
         val orders = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")

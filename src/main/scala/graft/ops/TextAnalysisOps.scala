@@ -146,6 +146,40 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** Top-k characteristic terms per document by tf-idf with a RATIONAL
+    * idf (`n_docs / df`): `ln` is not correctly-rounded-guaranteed in
+    * either engine (JVM `Math.log` vs libm), so the log form cannot be
+    * bit-stable cross-engine, while `+ - * /` are IEEE exact-rounded —
+    * `score = (tf * n_docs) / df` computed in the same operation order on
+    * both sides is bit-identical. Rare-term up-weighting (the point of
+    * idf) is preserved; the ln form is a one-line swap for library use.
+    *
+    * Shape: one corpus scan → (doc, term) count shuffle → term-keyed df
+    * join (term cardinality ≪ token occurrences after the partial agg) →
+    * per-doc top-k window. The scalar corpus count rides in via a
+    * broadcast 1-row cross join, never a collect. */
+  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+        round((col("tf") * col("n_docs")).cast("double") / col("df_docs"), 6).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df_docs"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Rolling-hash document fingerprint: polynomial fold of per-token
     * md5-derived hashes mod 2^31-1 (base 131). Order-sensitive (unlike the
     * SimHash/MinHash set signatures) — two docs with the same tokens in a

@@ -70,6 +70,22 @@ SELECT doc_id, n_bigrams,
   round(dup::DOUBLE / n_bigrams, 6) AS dup_bigram_ratio
 FROM a ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.tfIdfTopTerms]]: rational idf,
+    * identical `(tf * n)::DOUBLE / df` operation order (bit-stable — see
+    * the op's scaladoc on why not `ln`). */
+  def tfIdfTopTerms(table: String, k: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+  round((tf.tf * n.n_docs)::DOUBLE / df.df_docs, 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk FROM s)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, CAST(tf AS BIGINT) AS tf,
+  CAST(df_docs AS BIGINT) AS df_docs, score
+FROM r WHERE rk <= $k ORDER BY doc_id, rk"""
+
   def fingerprints(table: String): String =
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 h AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hl

@@ -87,6 +87,25 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(r.getDouble(0) >= r.getDouble(1) && r.getDouble(0) <= 1.0 && r.getDouble(1) >= 0.0)
   }
 
+  test("tf-idf: corpus-wide terms score below rare ones, k caps each doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat"),      // "the" in every doc (df=3), cat/sat rare
+      (2L, "the dog ran ran"),  // tf boosts "ran"
+      (3L, "the bird"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.tfIdfTopTerms(df, "text", "doc_id", k = 2).collect()
+    // every doc capped at k
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+    val doc1 = out.filter(_.getLong(0) == 1L).map(r => (r.getString(2), r.getDouble(5)))
+    // rare terms (idf = 3/1) outrank the ubiquitous "the" (idf = 3/3)
+    assert(doc1.map(_._1).toSet == Set("cat", "sat"))
+    assert(doc1.forall(_._2 == 3.0)) // tf=1 * n=3 / df=1
+    // doc 2's top term is "ran": tf=2 * 3 / 1 = 6
+    val top2 = out.filter(r => r.getLong(0) == 2L && r.getLong(1) == 1L).head
+    assert(top2.getString(2) == "ran" && top2.getDouble(5) == 6.0)
+  }
+
   test("fingerprints are order-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
