@@ -335,9 +335,9 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.OracleSql.asofEventJoin("purchase", "click"))),
 
     ("q53_open_order_lines_daily",
-      // range join: for each calendar day, how many order lines were open
-      // (ordered at-or-before, shipped at-or-after) — bucketized equi-join,
-      // never a cartesian range filter
+      // range-join count: for each calendar day, how many order lines were
+      // open (ordered at-or-before, shipped at-or-after) — sweep-line delta
+      // sum, never a cartesian range filter nor a pair materialization
       (s: SparkSession, dir: String) => {
         val iv = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), to_date(col("l_shipdate")).as("hi"))
@@ -348,7 +348,7 @@ GROUP BY segment ORDER BY segment""")),
         val cal = iv.agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
           .select(explode(sequence(col("lo"), col("hi"))).as("day"))
         cal.join(
-            RangeOps.pointInIntervalCounts(cal, "day", iv, "lo", "hi", bucketDays = 30)
+            RangeOps.pointInIntervalCounts(cal, "day", iv, "lo", "hi")
               .withColumnRenamed("n", "n_open"),
             Seq("day"), "left")
           .select(col("day"), coalesce(col("n_open"), lit(0L)).as("n_open"))
