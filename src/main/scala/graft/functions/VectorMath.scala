@@ -86,6 +86,69 @@ object VectorMath {
     org.apache.spark.sql.functions.round(
       toColumn(CosineSimilarity(toExpression(a), toExpression(b))), 6)
 
+  /** Squared L2 distance Σ(aᵢ−bᵢ)², unrounded; null if either side is
+    * null. Same fused-loop rationale and float/double widening contract
+    * as [[CosineSimilarity]]; the sum runs sequentially left-to-right,
+    * bit-identical to the `zip_with`+`aggregate` HOF formulation and the
+    * DuckDB `list_transform`/`list_reduce` oracle. */
+  case class L2Squared(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_squared needs array<float|double> columns, got " +
+          s"${left.dataType} and ${right.dataType}")
+    }
+
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      VectorMath.l2sq(a.asInstanceOf[ArrayData], elemIsFloat(left),
+        b.asInstanceOf[ArrayData], elemIsFloat(right))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorMath.l2sq($a, ${elemIsFloat(left)}, $b, ${elemIsFloat(right)});")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): L2Squared =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Shared kernel for interpreted eval and generated code. */
+  def l2sq(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"l2_squared: length mismatch ${n} vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Column API: squared L2 rounded to 6 dp (engine-wide score
+    * contract). */
+  def l2Squared(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.round(
+      toColumn(L2Squared(toExpression(a), toExpression(b))), 6)
+
   /** Random-hyperplane LSH bucket: bit p of the result is set iff
     * dot(vec, planes(p)) > 0. Planes travel as a reference object into
     * generated code — no per-plane literal-array columns, no interpreted

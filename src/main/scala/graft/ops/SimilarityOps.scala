@@ -362,12 +362,13 @@ object SimilarityOps {
         col("mean"), col("n_vecs"))
       .orderBy("cid", "dim")
 
-  /** Squared L2 distance of two double-array columns, rounded to 6 dp.
-    * zip_with + sequential left-to-right fold: same evaluation order as
-    * the oracle's list_transform/list_sum, so the doubles agree bit-wise. */
+  /** Squared L2 distance of two array columns, rounded to 6 dp. One fused
+    * codegen'd loop ([[graft.functions.VectorMath.L2Squared]]) with the
+    * same sequential left-to-right evaluation order as the HOF
+    * formulation and the oracle's list_transform/list_sum — bit-wise
+    * agreement, none of the interpreted per-component lambda dispatch. */
   private def l2sq(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x), 6)
+    graft.functions.VectorMath.l2Squared(a, b)
 
   /** 6-dp double -> exact ×10^6 scaled-int BIGINT (the engine-wide
     * money/score output contract; sums of these are exact and

@@ -1,8 +1,8 @@
 package graft.sql
 
-import graft.functions.Generators.{ShingleExplode, TokenExplode, UnicodeTokenExplode}
+import graft.functions.Generators.{NgramExplode, ShingleExplode, TokenExplode, UnicodeTokenExplode}
 import graft.functions.KeywordMatch.MultiKeywordTags
-import graft.functions.VectorMath.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.VectorMath.{CosineSimilarity, JaccardSimilarity, L2Squared}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -25,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   token_explode(text, minLen, 'stop,words')
   *   unicode_token_explode(text, minLen, 'stop,words')
   *   multi_keyword_tags(text, 'Label1:kw1,kw2;Label2:kw3')
+  *   ngram_explode(text, w)          -- every w-gram occurrence (multiset)
   *   cosine_similarity(vecA, vecB)   -- unrounded; round(...) in SQL if needed
+  *   l2_squared(vecA, vecB)          -- unrounded; round(...) in SQL if needed
   *   jaccard_similarity(setA, setB)  -- unrounded; distinct-element arrays
   */
 object GraftFunctions {
@@ -84,11 +86,23 @@ object GraftFunctions {
             .split(",").toSeq.filter(_.nonEmpty),
           minLen = litInt(args(1), "unicode_token_explode")))
       }),
+    (FunctionIdentifier("ngram_explode"),
+      new ExpressionInfo(classOf[NgramExplode].getName, "ngram_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ngram_explode(text, w)")
+        NgramExplode(args.head, litInt(args(1), "ngram_explode"))
+      }),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity(vecA, vecB)")
         CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("l2_squared"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "l2_squared(vecA, vecB)")
+        L2Squared(args.head, args(1))
       }),
     (FunctionIdentifier("jaccard_similarity"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_similarity"),

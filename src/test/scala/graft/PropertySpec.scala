@@ -127,6 +127,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: fused l2 kernel is bit-identical to the HOF formulation") {
+    val vecGen = Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 7.0f)).flatMap(a =>
+        Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 7.0f)).map(b => (a, b))))
+    forAll(Gen.nonEmptyListOf(vecGen)) { pairs =>
+      import spark.implicits._
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+        .toDF("id", "a", "b")
+      val hof = aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      df.select(col("id"),
+          graft.functions.VectorMath.l2Squared(col("a"), col("b")).as("fused"),
+          round(hof, 6).as("ref"))
+        .collect()
+        .foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+          s"kernel/HOF l2 diverge for id ${r.getLong(0)}"))
+    }
+  }
+
   test("property: exact dedup keeps exactly one row per key, the minimum id") {
     forAll(corpusGen) { texts =>
       import spark.implicits._

@@ -40,6 +40,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "FROM sql_surface_vecs").collect().head
     assert(cos.getDouble(0) == 1.0)
     assert(math.abs(cos.getDouble(1) - 1.0 / 3.0) < 1e-12)
+
+    val l2 = spark.sql(
+      "SELECT l2_squared(v1, array(0.0D, 2.0D)) AS d FROM sql_surface_vecs")
+      .collect().head.getDouble(0)
+    assert(l2 == 5.0) // (1-0)^2 + (0-2)^2
+
+    val ngrams = spark.sql(
+      "SELECT ngram_explode(text, 2) AS g FROM sql_surface_docs")
+      .collect().map(_.getString(0))
+    assert(ngrams.length > 0 && ngrams.forall(_.split(" ").length == 2))
   }
 
   test("literal-alternation rlike rewrites to one Aho-Corasick pass") {
