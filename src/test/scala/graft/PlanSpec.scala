@@ -73,6 +73,38 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single corpus scan, got $scans")
   }
 
+  test("fact-dim shuffle joins are eligible for runtime bloom-filter injection") {
+    // At 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter (Spark's InjectRuntimeFilter). The default
+    // thresholds (10 GB application-side scan) are right for production
+    // and unreachable at test scale, so this test lowers them to prove
+    // the ENGINE'S join shape qualifies: equi-join keys, a selective
+    // non-join predicate on the creation side, shuffle join. If a future
+    // refactor breaks eligibility (e.g. wraps the join key in an
+    // expression), this fails.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 200000.0)
+        .select("o_orderkey")
+      val q = li.join(ord,
+        li("l_orderkey") === ord("o_orderkey")).groupBy("l_orderkey").count()
+      val optimized = q.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(optimized.contains("bloom"),
+        s"runtime bloom filter not injected:\n${optimized.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("resample fact side joins the calendar without shuffling the counts") {
     val plan = graft.ops.ResampleOps
       .resampleCount(Tables.events(spark, sf), "ts", graft.ops.ResampleOps.Daily)
