@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
   private val cfg = Defaults.config
+
+  /** q57's mix: keep all of src0, 1/2 of src1, 1/4 of src2, 3/4 of src3;
+    * every other source is dropped. */
+  private[graft] val mixFractions: Map[String, (Long, Long)] = Map(
+    "src0" -> ((1L, 1L)), "src1" -> ((1L, 2L)),
+    "src2" -> ((1L, 4L)), "src3" -> ((3L, 4L)))
   private val analyzer = SimpleAnalyzer(cfg.stopwords)
 
   /** Unicode/Persian fixture for q43: a deterministic phrase keyed on
@@ -291,6 +297,19 @@ object Queries {
       (s: SparkSession, dir: String) =>
         TextAnalysisOps.tfIdfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3),
       Some(graft.sql.TextAnalysisSql.tfIdfTopTerms("documents", k = 3))),
+
+    ("q57_weighted_mix",
+      // DoReMi-style source reweighting: keep all of src0, 1/2 of src1,
+      // 1/4 of src2, 3/4 of src3, drop everything else — one map-only
+      // pass; per-source count + key checksum proves the exact row set
+      (s: SparkSession, dir: String) =>
+        SampleOps.weightedMix(Tables.documents(s, dir), "source", "doc_id",
+            Queries.mixFractions)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("key_sum"))
+          .orderBy("source"),
+      Some(graft.sql.SampleSql.weightedMixProfile("documents", "source", "doc_id",
+        Queries.mixFractions))),
 
     ("q42_salted_segment_revenue",
       (s: SparkSession, dir: String) => {

@@ -46,6 +46,32 @@ object SampleOps {
     else df.filter(hashKey(col(keyCol)) < lit(hexThreshold(num, den)))
   }
 
+  /** Weighted corpus mix: per-group sampling fractions applied in ONE
+    * map-only pass — the "reweight sources for training" primitive (cap
+    * web crawl at 30%, keep all code, …). Each group's fraction is its
+    * own md5 threshold, looked up from a broadcast weights relation;
+    * groups absent from `fractions` are DROPPED (explicit mix contract).
+    * Inherits [[hashSample]]'s nesting: raising one source's fraction
+    * only ADDS rows of that source, so mixes are monotonically tunable
+    * without resampling the rest. */
+  def weightedMix(
+      df: DataFrame, groupCol: String, keyCol: String,
+      fractions: Map[String, (Long, Long)]): DataFrame = {
+    require(fractions.nonEmpty, "weightedMix needs at least one group fraction")
+    val thresholds = fractions.toSeq.sortBy(_._1).map { case (g, (num, den)) =>
+      require(num >= 0 && den > 0 && num <= den, s"fraction $num/$den for group $g")
+      // num == den -> threshold above every 8-hex-digit hash (full keep)
+      g -> (if (num == den) "g" else hexThreshold(num, den))
+    }
+    val thresholdOf = thresholds.tail.foldLeft(
+      when(col(groupCol) === thresholds.head._1, lit(thresholds.head._2))) {
+      case (acc, (g, t)) => acc.when(col(groupCol) === g, lit(t))
+    }
+    df.withColumn("__thr", thresholdOf)
+      .filter(col("__thr").isNotNull && hashKey(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Per-group deterministic quota: up to `n` rows per group, chosen by
     * ascending (md5(key), key) — an unbiased, reproducible per-stratum
     * subsample; the "cap each source's contribution" mix primitive.

@@ -9,6 +9,23 @@ object SampleSql {
 
   private def h(key: String) = s"substr(md5(CAST($key AS VARCHAR)), 1, 8)"
 
+  /** Mirror of [[graft.ops.SampleOps.weightedMix]] aggregated per group:
+    * row count + key checksum (identity-sensitive — a different selected
+    * row set with the same cardinality still fails). Groups without a
+    * fraction fall out via the ELSE-less CASE (NULL comparison). */
+  def weightedMixProfile(
+      table: String, groupCol: String, keyCol: String,
+      fractions: Map[String, (Long, Long)]): String = {
+    val cases = fractions.toSeq.sortBy(_._1).map { case (g, (num, den)) =>
+      val t = if (num == den) "g" else SampleOps.hexThreshold(num, den)
+      s"WHEN '$g' THEN '$t'"
+    }.mkString(" ")
+    s"""WITH f AS (SELECT $groupCol, $keyCol FROM $table
+  WHERE ${h(keyCol)} < CASE $groupCol $cases END)
+SELECT $groupCol, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM($keyCol) AS BIGINT) AS key_sum
+FROM f GROUP BY $groupCol ORDER BY $groupCol"""
+  }
+
   /** [[graft.ops.SampleOps.hashSample]] (num/den of `table` by `keyCol`)
     * then [[graft.ops.SampleOps.stratifiedQuota]] (`n` per `groupCol`). */
   def stratifiedSample(

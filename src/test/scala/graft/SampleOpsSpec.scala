@@ -59,6 +59,23 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("weightedMix applies each group's own fraction and drops unlisted groups") {
+    val df = ids(2000) // groups g0..g4, 400 rows each
+    val mix = SampleOps.weightedMix(df, "grp", "id",
+      Map("g0" -> ((1L, 1L)), "g1" -> ((1L, 2L)), "g2" -> ((0L, 5L))))
+    val counts = mix.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("g0", "g1")) // g2 sampled to 0, g3/g4 unlisted
+    assert(counts("g0") == 400L) // full keep
+    assert(math.abs(counts("g1") - 200L) < 60) // ~1/2 of 400
+    // per-group selection is hashSample's: same rows as sampling g1 alone
+    val direct = SampleOps.hashSample(df.filter(col("grp") === "g1"), "id", 1, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mixed = mix.filter(col("grp") === "g1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mixed == direct)
+  }
+
   test("pre-filtering with hashSample does not change the quota result when groups stay >= n") {
     val df = ids(1000)
     def key(d: org.apache.spark.sql.DataFrame) =
