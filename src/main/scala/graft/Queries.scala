@@ -298,6 +298,22 @@ object Queries {
         TextAnalysisOps.tfIdfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3),
       Some(graft.sql.TextAnalysisSql.tfIdfTopTerms("documents", k = 3))),
 
+    ("q58_percentile_clip",
+      // nearest-rank [p10, p90] length clip over documents, per-source
+      // survivor profile — integer-exact bounds, no interpolated doubles
+      // in the filter predicate
+      (s: SparkSession, dir: String) =>
+        RelationalOps.percentileClip(Tables.documents(s, dir), "n_chars",
+            pLo = 10, pHi = 90)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("n_chars")).as("min_metric"),
+            max(col("n_chars")).as("max_metric"),
+            sum(col("doc_id")).as("key_sum"))
+          .orderBy("source"),
+      Some(graft.sql.RelationalSql.percentileClipProfile(
+        "documents", "n_chars", "source", "doc_id", pLo = 10, pHi = 90))),
+
     ("q57_weighted_mix",
       // DoReMi-style source reweighting: keep all of src0, 1/2 of src1,
       // 1/4 of src2, 3/4 of src3, drop everything else — one map-only

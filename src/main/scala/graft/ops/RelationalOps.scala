@@ -227,6 +227,48 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** Nearest-rank percentile clip: keep rows whose INTEGER metric lies
+    * within the [pLo%, pHi%] nearest-rank percentiles (value at rank
+    * ⌈p·n/100⌉) — the "drop the freak tails before training" quality
+    * filter. Interpolated percentiles (`quantile_cont`) are doubles whose
+    * last-ulp placement differs between engines, which is fatal inside a
+    * FILTER predicate (membership flips); nearest-rank is pure integer
+    * selection, exact everywhere.
+    *
+    * Scale shape: NO global sort and NO global row_number over rows —
+    * bounds come from a cumulative count over the DISTINCT metric values
+    * (a groupBy histogram, then one ordered window over the value axis,
+    * which is bounded by metric cardinality — document lengths, token
+    * counts — not corpus size), then ride back in via a broadcast 1-row
+    * cross join. The ranks use integer ceiling division only. */
+  def percentileClip(
+      df: DataFrame, metricCol: String, pLo: Int, pHi: Int): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 100, s"bad percent range [$pLo, $pHi]")
+    val hist = df
+      .filter(col(metricCol).isNotNull)
+      .groupBy(col(metricCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy(col("__v")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    // rank k_p = ceil(p*n/100) via integer DIV only (double division
+    // would silently lose exactness once p*n passes 2^53)
+    val bounds = cum
+      .select(col("__v"), col("__cum"),
+        expr(s"(__n * $pLo + 99) DIV 100").as("__klo"),
+        expr(s"(__n * $pHi + 99) DIV 100").as("__khi"))
+      .agg(
+        min(when(col("__cum") >= col("__klo"), col("__v"))).as("__lo"),
+        min(when(col("__cum") >= col("__khi"), col("__v"))).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(metricCol).between(col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Distributed moment statistics (count/mean/variance/stddev) per group,
     * DETERMINISTIC under any partitioning: the naive `stddev` aggregate
     * folds doubles in partition order (nondeterministic at 1000 executors);

@@ -146,6 +146,25 @@ GROUP BY event_type, bin_lo ORDER BY event_type, bin_lo"""
     * raw int64 has one representation in every engine (Spark's parquet
     * writer emits INT96/ns-flavored timestamps, DuckDB µs — emitting the
     * number instead of the timestamp sidesteps the unit entirely). */
+  /** Mirror of [[graft.ops.RelationalOps.percentileClip]] aggregated per
+    * group: same distinct-value cumulative histogram, same integer
+    * ceiling-division ranks (`//`), nearest-rank bounds — no interpolated
+    * doubles anywhere near the filter predicate. */
+  def percentileClipProfile(
+      table: String, metricCol: String, groupCol: String, keyCol: String,
+      pLo: Int, pHi: Int): String =
+    s"""WITH h AS (SELECT $metricCol AS v, COUNT(*) AS c FROM $table
+  WHERE $metricCol IS NOT NULL GROUP BY 1),
+cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h),
+b AS (SELECT MIN(CASE WHEN cum >= (n * $pLo + 99) // 100 THEN v END) AS lo,
+  MIN(CASE WHEN cum >= (n * $pHi + 99) // 100 THEN v END) AS hi FROM cm)
+SELECT d.$groupCol AS $groupCol, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(d.$metricCol) AS BIGINT) AS min_metric,
+  CAST(MAX(d.$metricCol) AS BIGINT) AS max_metric,
+  CAST(SUM(d.$keyCol) AS BIGINT) AS key_sum
+FROM $table d, b WHERE d.$metricCol BETWEEN b.lo AND b.hi
+GROUP BY 1 ORDER BY 1"""
+
   def sessionizeBatch(gapSeconds: Long): String =
     s"""WITH e AS (SELECT user_id, ts, event_id, value,
   CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL

@@ -63,4 +63,23 @@ class RelationalOpsSpec extends AnyFunSuite {
       col("c_custkey") === col("o_custkey"), "left_semi").count()
     assert(inactive + active == customers)
   }
+
+  test("percentile clip: nearest-rank bounds match the sorted-rank definition") {
+    import spark.implicits._
+    // 100 rows with metric 1..100 -> p10 bound = value at rank 10 = 10,
+    // p90 bound = value at rank 90 = 90; survivors are exactly 10..90
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "m")
+    val kept = RelationalOps.percentileClip(df, "m", 10, 90)
+      .select("m").collect().map(_.getLong(0)).sorted
+    assert(kept.head == 10L && kept.last == 90L && kept.length == 81)
+    // duplicates: ranks count occurrences, not distinct values
+    val dup = Seq.fill(97)(5L).zipWithIndex.map { case (m, i) => (i.toLong, m) } ++
+      Seq((97L, 1L), (98L, 2L), (99L, 100L))
+    val keptDup = RelationalOps.percentileClip(dup.toDF("id", "m"), "m", 10, 90)
+      .select("m").collect().map(_.getLong(0))
+    // p10 rank 10 and p90 rank 90 both land inside the run of 5s
+    assert(keptDup.forall(_ == 5L) && keptDup.length == 97)
+    // full range keeps everything
+    assert(RelationalOps.percentileClip(df, "m", 0, 100).count() == 100)
+  }
 }
