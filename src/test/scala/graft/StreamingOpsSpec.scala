@@ -124,6 +124,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deterministic hash sampling selects the identical row set on a stream") {
+    // SampleOps.hashSample is a stateless md5-threshold predicate, so it
+    // applies to streams UNCHANGED (df.sample's per-partition RNG cannot
+    // even be reasoned about under micro-batching) — curation decisions
+    // replay identically in batch backfill and live streaming.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 500L).toList
+    val input = MemoryStream[Long]
+    input.addData(rows.take(200))
+    val sampled = graft.ops.SampleOps.hashSample(
+      input.toDF().withColumnRenamed("value", "id"), "id", 3, 10)
+    val q = sampled.writeStream.format("memory").queryName("stream_sample")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(rows.drop(200)) // second micro-batch: same predicate
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT id FROM stream_sample")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.SampleOps.hashSample(
+        rows.toDF("id"), "id", 3, 10).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on the same events") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
