@@ -201,6 +201,19 @@ object Queries {
           w = 3, sampleMod = 20, limit = 50),
       Some(graft.sql.DedupSql.jaccardBruteForce("documents", w = 3, sampleMod = 20, limit = 50))),
 
+    ("q59_contamination",
+      // benchmark decontamination: every 20th doc plays the eval set;
+      // corpus docs are flagged by distinct 3-gram overlap against the
+      // broadcast benchmark shingle union
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.contaminationReport(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", w = 3)
+      },
+      Some(graft.sql.DedupSql.contamination("documents", w = 3, benchMod = 20))),
+
     // --- Similarity search over embeddings (SimilarityOps) ---
 
     ("q24_ann_bruteforce",

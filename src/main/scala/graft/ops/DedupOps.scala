@@ -303,6 +303,42 @@ object DedupOps {
       .limit(limit)
   }
 
+  /** Benchmark DECONTAMINATION report: for every corpus document, the
+    * count and share of its distinct w-gram shingles that also occur
+    * anywhere in the benchmark set — the train/eval overlap check every
+    * serious training-data pipeline runs before training. Only
+    * contaminated documents (overlap > 0) are returned; callers anti-join
+    * the flagged ids to scrub.
+    *
+    * Scale shape: the benchmark side (eval sets: thousands of docs) is
+    * reduced to its DISTINCT shingle strings and BROADCAST; the corpus
+    * streams once through [[graft.functions.Generators.ShingleExplode]]
+    * into a broadcast left join + one (doc) groupBy — no corpus×corpus
+    * pair ever exists, and the corpus side never shuffles its text. */
+  def contaminationReport(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, w: Int): DataFrame = {
+    val benchShingles = bench
+      .filter(col(textCol).isNotNull)
+      .select(Generators.shingleExplode(col(textCol), w).as("__s"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        Generators.shingleExplode(col(textCol), w).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+          .as("overlap_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Brute-force all-pairs n-gram Jaccard over an id-sampled subset
     * (id % sampleMod == 0): the exact baseline the LSH path approximates.
     * Deliberately gated on the sample — never run all-pairs at scale. */

@@ -107,6 +107,27 @@ SELECT doc_a, doc_b, hamming FROM vv WHERE hamming <= $maxHamming
 ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
   }
 
+  /** Mirror of [[graft.ops.DedupOps.contaminationReport]] with the
+    * benchmark/corpus split expressed as `keyCol % benchMod` (= 0 →
+    * benchmark, ≠ 0 → corpus): per corpus doc, distinct-shingle overlap
+    * against the union of all benchmark shingles. */
+  def contamination(table: String, w: Int, benchMod: Int): String =
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $benchMod <> 0),
+${shingleCte(w)},
+btoks AS (SELECT doc_id AS id, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $benchMod = 0),
+bs AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk)-${w - 2}),
+    i -> ${(0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")}))) AS s
+  FROM btoks WHERE len(tk) >= $w),
+ds AS (SELECT id, unnest(s) AS s FROM sh),
+m AS (SELECT ds.id, COUNT(*) AS n_shingles, COUNT(bs.s) AS n_overlap
+  FROM ds LEFT JOIN bs ON ds.s = bs.s GROUP BY ds.id)
+SELECT id AS doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(n_overlap AS BIGINT) AS n_overlap,
+  round(n_overlap::DOUBLE / n_shingles, 6) AS overlap_ratio
+FROM m WHERE n_overlap > 0 ORDER BY doc_id"""
+
   def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
 ${shingleCte(w)}

@@ -119,6 +119,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L), "unrelated doc must not pair")
   }
 
+  test("contamination report: hand-computed overlaps, clean docs absent, benchmark broadcast") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox runs"), // shares shingles "the quick brown", "quick brown fox"
+      (2L, "a wholly different text entirely"), // clean
+      (3L, "the quick brown fox jumps high"), // shares 3 of its 4 shingles
+      (4L, "xx yy")) // under w tokens -> no shingles -> absent
+      .toDF("doc_id", "text")
+    val rep = DedupOps.contaminationReport(corpus, bench, "text", "doc_id", w = 3)
+    val rows = rep.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(1L, 3L))
+    assert(rows(1L) == ((3L, 2L, 0.666667)))
+    assert(rows(3L) == ((4L, 3L, 0.75)))
+    // the benchmark side must broadcast — the corpus never shuffles for it
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark join not broadcast:\n${plan.take(600)}")
+  }
+
   test("minhash pipeline has no driver-side collect and plans shuffles only on bucket keys") {
     val plan = DedupOps.minhashPairs(docs, "text", "doc_id").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join")
