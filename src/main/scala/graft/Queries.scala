@@ -201,6 +201,27 @@ object Queries {
           w = 3, sampleMod = 20, limit = 50),
       Some(graft.sql.DedupSql.jaccardBruteForce("documents", w = 3, sampleMod = 20, limit = 50))),
 
+    ("q60_sequence_packing",
+      // context-window packing plan: spread docs over 8 md5 buckets,
+      // concatenate per bucket in (md5, id) order, bin by 256-token start
+      // offset; per-bin profile pins exact membership via the id checksum
+      (s: SparkSession, dir: String) => {
+        val withTokens = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+        SampleOps.packSequences(withTokens, "doc_id", "n_tokens",
+            budget = 256L, nBuckets = 8)
+          .groupBy("bucket", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens_packed"),
+            sum(col("doc_id")).as("key_sum"))
+          .orderBy("bucket", "bin")
+      },
+      Some(graft.sql.SampleSql.packingProfile("documents", "doc_id",
+        tokenExpr = "len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))",
+        budget = 256L, nBuckets = 8))),
+
     ("q59_contamination",
       // benchmark decontamination: every 20th doc plays the eval set;
       // corpus docs are flagged by distinct 3-gram overlap against the

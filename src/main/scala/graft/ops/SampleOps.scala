@@ -72,6 +72,43 @@ object SampleOps {
       .drop("__thr")
   }
 
+  /** Sequence PACKING plan: assign documents to fixed-token-budget bins
+    * (context windows) under the concatenate-and-split model GPT-style
+    * packers use — within a shard, documents are concatenated in
+    * deterministic key order and a document's bin is the budget window
+    * its START offset falls in (so a document may straddle the boundary
+    * into its bin's tail, exactly like tokens crossing a context-window
+    * split). Returns the input plus (bucket, bin) — callers group by them
+    * to materialize packed sequences.
+    *
+    * Scale contract: packing is inherently sequential, so the GLOBAL
+    * greedy order cannot be distributed; instead documents are first
+    * spread across `nBuckets` md5 buckets and packed WITHIN each bucket
+    * independently — the cumulative-sum window partitions by bucket
+    * (parallel, bounded state), matching how production packers shard.
+    * Deterministic: bucket and order both derive from md5(key). Fill
+    * efficiency is within a doc of greedy-per-bucket; bin ids are
+    * (bucket, bin-within-bucket) pairs. `tokenCol` is a precomputed
+    * integer length — counting tokens is [[graft.ops.TextAnalysisOps]]'
+    * job, packing composes downstream of it. */
+  def packSequences(
+      df: DataFrame, keyCol: String, tokenCol: String,
+      budget: Long, nBuckets: Int): DataFrame = {
+    require(budget >= 1, "token budget must be >= 1")
+    require(nBuckets >= 1, "need at least one bucket")
+    val bucket = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(nBuckets))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(hashKey(col(keyCol)).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bucket", bucket)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      // the bin is how many full budgets the PRECEDING docs consumed:
+      // ceil-free integer division of the exclusive running total
+      .withColumn("bin", expr(s"(__cum - $tokenCol) DIV ${budget}"))
+      .drop("__cum")
+  }
+
   /** Per-group deterministic quota: up to `n` rows per group, chosen by
     * ascending (md5(key), key) — an unbiased, reproducible per-stratum
     * subsample; the "cap each source's contribution" mix primitive.

@@ -26,6 +26,27 @@ SELECT $groupCol, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM($keyCol) AS BIGIN
 FROM f GROUP BY $groupCol ORDER BY $groupCol"""
   }
 
+  /** Mirror of [[graft.ops.SampleOps.packSequences]] aggregated per bin:
+    * same md5 bucket spread, same (md5, key) concatenation order, same
+    * start-offset integer division; n_docs + token total + key checksum
+    * pin the exact per-bin membership. `tokenExpr` is the token-count SQL
+    * for one row of `table`. */
+  def packingProfile(
+      table: String, keyCol: String, tokenExpr: String,
+      budget: Long, nBuckets: Int): String =
+    s"""WITH d AS (SELECT $keyCol, $tokenExpr AS n_tokens,
+  ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 8))::BIGINT AS h32,
+  ${h(keyCol)} AS hk
+  FROM $table WHERE text IS NOT NULL),
+p AS (SELECT $keyCol, n_tokens, h32 % $nBuckets AS bucket,
+  SUM(n_tokens) OVER (PARTITION BY h32 % $nBuckets ORDER BY hk, $keyCol
+    ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+b AS (SELECT bucket, CAST((cum - n_tokens) // $budget AS BIGINT) AS bin, n_tokens, $keyCol FROM p)
+SELECT bucket, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed,
+  CAST(SUM($keyCol) AS BIGINT) AS key_sum
+FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** [[graft.ops.SampleOps.hashSample]] (num/den of `table` by `keyCol`)
     * then [[graft.ops.SampleOps.stratifiedQuota]] (`n` per `groupCol`). */
   def stratifiedSample(

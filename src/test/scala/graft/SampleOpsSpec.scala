@@ -59,6 +59,37 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("packSequences: start-offset bins reproduce a driver-side replay, bounded per-bin mass") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i % 37) + 3)).toDF("id", "toks")
+    val budget = 50L
+    val out = SampleOps.packSequences(df, "id", "toks", budget, nBuckets = 4)
+      .select("bucket", "bin", "id", "toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay: same md5 order per bucket, sequential offset division
+    def hex8(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    }
+    val expected = out.groupBy(_._1).toSeq.flatMap { case (bucket, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (hex8(r._3), r._3)).toSeq.map { case (_, _, id, toks) =>
+        val bin = cum / budget
+        cum += toks
+        (bucket, id) -> bin
+      }
+    }.toMap
+    out.foreach { case (bucket, bin, id, _) =>
+      assert(expected((bucket, id)) == bin, s"doc $id in bucket $bucket: bin $bin")
+    }
+    // buckets are md5-spread: all 4 used; every bucket's hex8 assignment matches
+    assert(out.map(_._1).distinct.length == 4)
+    // concatenation model: a bin's token mass is < budget + its last doc
+    val mass = out.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._4).sum)
+    val maxDoc = 39L
+    mass.foreach { case (k, m) => assert(m < budget + maxDoc, s"bin $k mass $m") }
+  }
+
   test("weightedMix applies each group's own fraction and drops unlisted groups") {
     val df = ids(2000) // groups g0..g4, 400 rows each
     val mix = SampleOps.weightedMix(df, "grp", "id",
