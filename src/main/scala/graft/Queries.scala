@@ -414,6 +414,10 @@ GROUP BY segment ORDER BY segment""")),
             .select(col("o_orderkey"), to_date(col("o_orderdate")).as("lo")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("lo"), col("hi"))
+          // the oracle bounds its calendar over VALIDATED intervals; apply
+          // the same validity filter before min/max so a malformed row
+          // (ship before order) cannot widen the engine's calendar alone
+          .filter(col("lo").isNotNull && col("hi").isNotNull && col("lo") <= col("hi"))
         val cal = iv.agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
           .select(explode(sequence(col("lo"), col("hi"))).as("day"))
         cal.join(

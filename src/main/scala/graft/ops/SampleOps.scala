@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * the same rows fall out on any cluster layout, any engine (the DuckDB
   * oracle mirrors the same expressions verbatim).
   *
+  * CONTRACT: `keyCol` must be UNIQUE per row (a document/record id).
+  * [[hashSample]] and [[weightedMix]] only weaken gracefully (duplicate
+  * keys keep or drop together), but [[stratifiedQuota]] and
+  * [[packSequences]] order by (md5(key), key) — duplicate keys tie both
+  * sort keys, and a tied window order is partition-dependent, which
+  * forfeits exactly the determinism this module exists to provide.
+  *
   * Properties that matter for corpus curation:
   *  - NESTING: `hashSample(num1/den)` ⊆ `hashSample(num2/den)` whenever
   *    num1 <= num2 — shrinking the fraction shrinks the sample in place,

@@ -330,16 +330,22 @@ object SimilarityOps {
     while (iter < maxIters && !converged) {
       val stepped = lloydStep(vecs, cents).localCheckpoint()
       val next = stepped.select(col("cid"), col("centroid").as("cv"))
-      // movement: inner-join old/new on cid — a dropped cluster shrinks
-      // the join below the old count, which we treat as "still moving"
+      // movement: full-outer-join old/new on cid and read old count,
+      // paired count, and max movement from ONE aggregate (one driver
+      // action per iteration — a separate cents.count() would pay the
+      // job-launch floor twice per round). A dropped cluster leaves
+      // paired < nOld, which we treat as "still moving".
       val sq = zip_with(col("o.cv"), col("n.cv"),
         (a, b) => (a - b) * (a - b))
-      val m = cents.as("o").join(next.as("n"), "cid")
-        .agg(count(lit(1)).as("paired"),
+      val m = cents.as("o")
+        .join(next.as("n"), col("o.cid") === col("n.cid"), "full_outer")
+        .agg(
+          count(col("o.cid")).as("nOld"),
+          count(when(col("o.cid").isNotNull && col("n.cid").isNotNull, lit(1)))
+            .as("paired"),
           coalesce(max(seqSum(sq)), lit(0.0)).as("maxMove"))
         .head()
-      val oldCount = cents.count()
-      converged = m.getLong(0) == oldCount && m.getDouble(1) <= tol
+      converged = m.getLong(0) == m.getLong(1) && m.getDouble(2) <= tol
       cents = next
       out = stepped
       iter += 1

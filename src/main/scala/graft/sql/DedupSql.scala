@@ -14,10 +14,10 @@ object DedupSql {
 
   private val toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
 
-  private def shingleCte(w: Int): String = {
+  private def shingleCte(w: Int, src: String = "toks", name: String = "sh"): String = {
     val parts = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
     // range() is stop-EXCLUSIVE: 1..len-(w-1) inclusive needs stop len-(w-2)
-    s"sh AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $parts)) AS s FROM toks WHERE len(tk) >= $w)"
+    s"$name AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $parts)) AS s FROM $src WHERE len(tk) >= $w)"
   }
 
   def dedupStats(table: String, prefixLen: Int): String =
@@ -117,9 +117,8 @@ ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
 ${shingleCte(w)},
 btoks AS (SELECT doc_id AS id, $toks AS tk FROM $table
   WHERE text IS NOT NULL AND doc_id % $benchMod = 0),
-bs AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk)-${w - 2}),
-    i -> ${(0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")}))) AS s
-  FROM btoks WHERE len(tk) >= $w),
+${shingleCte(w, src = "btoks", name = "bsh")},
+bs AS (SELECT DISTINCT unnest(s) AS s FROM bsh),
 ds AS (SELECT id, unnest(s) AS s FROM sh),
 m AS (SELECT ds.id, COUNT(*) AS n_shingles, COUNT(bs.s) AS n_overlap
   FROM ds LEFT JOIN bs ON ds.s = bs.s GROUP BY ds.id)

@@ -143,8 +143,8 @@ ORDER BY user_id, event_id"""
   /** Range-join oracle: daily count of open order lines (ordered, not yet
     * shipped) — a plain BETWEEN join over the data-derived calendar,
     * zero-filled. DuckDB plans this as an IEJoin; the engine side
-    * ([[graft.ops.RangeOps.pointInIntervalCounts]]) uses the bucketized
-    * equi-join — independent algorithms, identical semantics. */
+    * ([[graft.ops.RangeOps.pointInIntervalCounts]]) uses the sweep-line
+    * delta sum — independent algorithms, identical semantics. */
   def openOrderLinesDaily: String =
     s"""WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS lo, CAST(l.l_shipdate AS DATE) AS hi
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

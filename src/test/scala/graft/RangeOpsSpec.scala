@@ -27,11 +27,13 @@ class RangeOpsSpec extends AnyFunSuite {
 
   private def bruteForceCounts(
       points: org.apache.spark.sql.DataFrame,
-      intervals: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      intervals: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    val ivRows = intervals.collect()
     points.collect().map(_.getDate(0)).map { p =>
-      p.toString -> intervals.collect().count(r =>
+      p.toString -> ivRows.count(r =>
         !p.before(r.getDate(0)) && !p.after(r.getDate(1))).toLong
     }.filter(_._2 > 0).toMap
+  }
 
   test("sweep-line counts equal the brute-force BETWEEN counts, bounds inclusive") {
     val (points, intervals) = fixture
