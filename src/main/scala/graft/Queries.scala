@@ -496,6 +496,18 @@ GROUP BY segment ORDER BY segment""")),
         DedupOps.exactDedupReport(Tables.documents(s, dir), "text", "doc_id", prefixLen = 8),
       Some(graft.sql.DedupSql.exactDedupReport("documents", prefixLen = 8))),
 
+    ("q61_prioritized_dedup",
+      // source-priority dedup: among duplicate prefixes keep the copy
+      // whose source has the lowest numeric suffix (src0 beats src19),
+      // id as the in-tier tiebreak — struct-min aggregate, no window
+      (s: SparkSession, dir: String) =>
+        DedupOps.prioritizedDedupReport(
+          Tables.documents(s, dir)
+            .withColumn("src_rank", substring(col("source"), 4, 10).cast("long")),
+          "text", "doc_id", "src_rank", prefixLen = 8),
+      Some(graft.sql.DedupSql.prioritizedDedupReport("documents",
+        priorityExpr = "CAST(substr(source, 4) AS BIGINT)", prefixLen = 8))),
+
     ("q43_unicode_word_frequency",
       (s: SparkSession, dir: String) => {
         val px = element_at(

@@ -76,6 +76,33 @@ object DedupOps {
       .orderBy("keeper_id")
   }
 
+  /** PRIORITIZED exact dedup report: like [[exactDedupReport]], but the
+    * keeper of each duplicate group is the copy with the LOWEST
+    * (priority, id) — "keep the wiki copy over the crawl copy" curation
+    * semantics, with the id as the deterministic tiebreak inside a
+    * priority tier. Implemented as a lexicographic struct-min AGGREGATE
+    * (partial-agg/map-side combinable, one shuffle on the key), not a
+    * per-group row_number window — at 100 TB the window form re-sorts
+    * every group while the min folds. */
+  def prioritizedDedupReport(
+      docs: DataFrame, textCol: String, idCol: String, priorityCol: String,
+      prefixLen: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull && col(priorityCol).isNotNull)
+      .select(
+        concat_ws(" ", slice(toks, 1, prefixLen)).as("__key"),
+        struct(col(priorityCol).as("p"), col(idCol).as("id")).as("__pk"))
+      .groupBy("__key")
+      .agg(min(col("__pk")).as("__best"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select(
+        col("__best.id").as("keeper_id"),
+        col("__best.p").as("keeper_priority"),
+        col("n_copies"))
+      .orderBy("keeper_id")
+  }
+
   /** Tokenized + shingled view of a corpus: (id, shingles) for docs with at
     * least `w` tokens. Shared by the MinHash and Jaccard paths. */
   def shingled(docs: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {

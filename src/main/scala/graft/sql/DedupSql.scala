@@ -107,6 +107,23 @@ SELECT doc_a, doc_b, hamming FROM vv WHERE hamming <= $maxHamming
 ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
   }
 
+  /** Mirror of [[graft.ops.DedupOps.prioritizedDedupReport]]: same token
+    * prefix key, keeper = min (priority, id) per group — expressed as a
+    * window rank (DuckDB has no struct-min ordering guarantee to lean
+    * on), identical selection. `priorityExpr` is the per-row priority
+    * SQL. */
+  def prioritizedDedupReport(
+      table: String, priorityExpr: String, prefixLen: Int): String =
+    s"""WITH t AS (SELECT doc_id AS id, $priorityExpr AS prio,
+  array_to_string(($toks)[1:$prefixLen], ' ') AS k
+  FROM $table WHERE text IS NOT NULL AND $priorityExpr IS NOT NULL),
+r AS (SELECT id, prio, k,
+  ROW_NUMBER() OVER (PARTITION BY k ORDER BY prio, id) AS rk,
+  COUNT(*) OVER (PARTITION BY k) AS c FROM t)
+SELECT id AS keeper_id, CAST(prio AS BIGINT) AS keeper_priority,
+  CAST(c AS BIGINT) AS n_copies
+FROM r WHERE rk = 1 AND c >= 2 ORDER BY keeper_id"""
+
   /** Mirror of [[graft.ops.DedupOps.contaminationReport]] with the
     * benchmark/corpus split expressed as `keyCol % benchMod` (= 0 →
     * benchmark, ≠ 0 → corpus): per corpus doc, distinct-shingle overlap

@@ -119,6 +119,25 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L), "unrelated doc must not pair")
   }
 
+  test("prioritized dedup keeps the lowest (priority, id) copy per duplicate group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text here", 5L),  // dup group A: id 1 prio 5
+      (2L, "same text here", 2L),  //   keeper: prio 2 beats prio 5
+      (3L, "same text here", 2L),  //   ...but id 2 < id 3 inside the tier
+      (4L, "uniq one", 0L),        // singleton -> absent
+      (5L, "other dup", 7L),       // dup group B: equal prio ->
+      (6L, "other dup", 7L))       //   min id 5 wins
+      .toDF("doc_id", "text", "prio")
+    val out = DedupOps.prioritizedDedupReport(df, "text", "doc_id", "prio", prefixLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 2L, 3L), (5L, 7L, 2L)))
+    // plain exactDedupReport would have kept id 1 for group A
+    val plain = DedupOps.exactDedupReport(df, "text", "doc_id", prefixLen = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 5L))
+  }
+
   test("contamination report: hand-computed overlaps, clean docs absent, benchmark broadcast") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
