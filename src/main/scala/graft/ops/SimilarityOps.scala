@@ -477,7 +477,12 @@ object SimilarityOps {
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ksub: Int, iters: Int,
       queryMod: Int, k: Int): DataFrame = {
+    // materialize the trained codebooks ONCE (m × ksub rows): they feed
+    // both the encode branch and the query LUT branch, and without the
+    // checkpoint each branch embeds — and re-executes — the whole
+    // iters-deep training DAG over the corpus
     val codebooks = pqTrainCodebooks(emb, idCol, vecCol, dim, m, ksub, iters)
+      .localCheckpoint()
     val codes = pqEncode(emb, idCol, vecCol, codebooks, dim, m)
     val lut = pqSubvectors(
         emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, m, dim / m)

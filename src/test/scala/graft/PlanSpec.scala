@@ -105,6 +105,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hash sampling is map-only: no exchange, no sort, filter at the scan") {
+    // orders, not documents: Tables.load deliberately round-robin-spreads
+    // the compute-heavy tables, and that exchange belongs to the loader,
+    // not the sampler under test
+    val plan = graft.ops.SampleOps
+      .hashSample(Tables.orders(spark, sf), "o_orderkey", 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+      s"hashSample must stay a pure scan+filter:\n${plan.take(600)}")
+  }
+
+  test("sequence packing windows partition by bucket, never a single global sort") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i % 10 + 1)).toDF("id", "toks")
+    val plan = graft.ops.SampleOps
+      .packSequences(df, "id", "toks", budget = 50L, nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"packing window must shard by bucket:\n${plan.take(600)}")
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"expected a bucket-keyed exchange:\n${plan.take(600)}")
+  }
+
   test("resample fact side joins the calendar without shuffling the counts") {
     val plan = graft.ops.ResampleOps
       .resampleCount(Tables.events(spark, sf), "ts", graft.ops.ResampleOps.Daily)
