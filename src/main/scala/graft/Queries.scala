@@ -496,6 +496,22 @@ GROUP BY segment ORDER BY segment""")),
         DedupOps.exactDedupReport(Tables.documents(s, dir), "text", "doc_id", prefixLen = 8),
       Some(graft.sql.DedupSql.exactDedupReport("documents", prefixLen = 8))),
 
+    ("q62_incremental_dedup",
+      // ingest-shaped dedup: every 3rd doc arrives as the new shard and
+      // dedups against the existing corpus via a distinct-key anti join —
+      // the corpus is never re-deduped
+      (s: SparkSession, dir: String) => {
+        val keyed = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("k", concat_ws(" ",
+            slice(graft.functions.TextHash.tokens(col("text")), 1, 8)))
+        DedupOps.exactDedupDelta(
+          keyed.filter(col("doc_id") % 3 === 0),
+          keyed.filter(col("doc_id") % 3 =!= 0),
+          "k", "doc_id")
+      },
+      Some(graft.sql.DedupSql.exactDedupDelta("documents", prefixLen = 8, shardMod = 3))),
+
     ("q61_prioritized_dedup",
       // source-priority dedup: among duplicate prefixes keep the copy
       // whose source has the lowest numeric suffix (src0 beats src19),

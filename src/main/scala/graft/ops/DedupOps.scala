@@ -76,6 +76,32 @@ object DedupOps {
       .orderBy("keeper_id")
   }
 
+  /** INCREMENTAL exact dedup: dedup a NEW shard against an existing
+    * corpus without touching the corpus — the production ingest pattern
+    * (re-deduping 100 TB per arriving shard is not a plan). A new row
+    * survives iff (a) its key does not already exist in the corpus
+    * (left ANTI join — with the corpus side reduced to DISTINCT keys
+    * first, so the join carries one row per key, not per corpus row) and
+    * (b) it is the minimum-id holder of its key within the shard.
+    * Composes with itself: union the survivors into the corpus and the
+    * next shard's anti-join sees them. */
+  def exactDedupDelta(
+      newDocs: DataFrame, existing: DataFrame,
+      keyCol: String, idCol: String): DataFrame = {
+    val corpusKeys = existing
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"))
+      .distinct()
+    newDocs
+      .filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("id"), col(keyCol).as("__k"))
+      .join(corpusKeys, Seq("__k"), "left_anti")
+      .groupBy("__k")
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy("keeper_id")
+  }
+
   /** PRIORITIZED exact dedup report: like [[exactDedupReport]], but the
     * keeper of each duplicate group is the copy with the LOWEST
     * (priority, id) — "keep the wiki copy over the crawl copy" curation

@@ -107,6 +107,19 @@ SELECT doc_a, doc_b, hamming FROM vv WHERE hamming <= $maxHamming
 ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
   }
 
+  /** Mirror of [[graft.ops.DedupOps.exactDedupDelta]] with the shard
+    * split expressed as `doc_id % shardMod` (= 0 → new shard, ≠ 0 →
+    * existing corpus): shard keys absent from the corpus, min-id keeper
+    * within the shard. */
+  def exactDedupDelta(table: String, prefixLen: Int, shardMod: Int): String =
+    s"""WITH nw AS (SELECT doc_id AS id, array_to_string(($toks)[1:$prefixLen], ' ') AS k
+  FROM $table WHERE text IS NOT NULL AND doc_id % $shardMod = 0),
+ex AS (SELECT DISTINCT array_to_string(($toks)[1:$prefixLen], ' ') AS k
+  FROM $table WHERE text IS NOT NULL AND doc_id % $shardMod <> 0)
+SELECT MIN(id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM nw WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.k = nw.k)
+GROUP BY k ORDER BY keeper_id"""
+
   /** Mirror of [[graft.ops.DedupOps.prioritizedDedupReport]]: same token
     * prefix key, keeper = min (priority, id) per group — expressed as a
     * window rank (DuckDB has no struct-min ordering guarantee to lean

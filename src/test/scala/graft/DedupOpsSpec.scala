@@ -119,6 +119,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L), "unrelated doc must not pair")
   }
 
+  test("incremental dedup: corpus keys block shard rows, shard dedups within itself, composes") {
+    import spark.implicits._
+    val corpus = Seq((10L, "seen before"), (11L, "also seen")).toDF("id", "k")
+    val shard = Seq(
+      (1L, "seen before"),  // blocked by corpus
+      (2L, "brand new"),    // survives
+      (3L, "brand new"),    // within-shard dup -> folded into keeper 2
+      (4L, "also fresh"))   // survives
+      .toDF("id", "k")
+    val out = DedupOps.exactDedupDelta(shard, corpus, "k", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 2L), (4L, 1L)))
+    // composition: union survivors into the corpus; a re-arriving dup is blocked
+    val grown = corpus.union(Seq((2L, "brand new"), (4L, "also fresh")).toDF("id", "k"))
+    val next = Seq((5L, "brand new"), (6L, "truly new")).toDF("id", "k")
+    val out2 = DedupOps.exactDedupDelta(next, grown, "k", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == Set((6L, 1L)))
+  }
+
   test("prioritized dedup keeps the lowest (priority, id) copy per duplicate group") {
     import spark.implicits._
     val df = Seq(
