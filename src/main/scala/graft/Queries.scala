@@ -512,6 +512,15 @@ GROUP BY segment ORDER BY segment""")),
       },
       Some(graft.sql.DedupSql.exactDedupDelta("documents", prefixLen = 8, shardMod = 3))),
 
+    ("q63_cms_heavy_hitters",
+      // constant-size count-min sketch (3 rows x 256 md5-hex buckets) built
+      // over the token stream, probed per distinct term; est >= true always
+      (s: SparkSession, dir: String) =>
+        SketchOps.cmsHeavyHitters(Tables.documents(s, dir), "text",
+          depth = 3, hexChars = 2, minEst = 10),
+      Some(graft.sql.SketchSql.cmsHeavyHitters("documents",
+        depth = 3, hexChars = 2, minEst = 10))),
+
     ("q61_prioritized_dedup",
       // source-priority dedup: among duplicate prefixes keep the copy
       // whose source has the lowest numeric suffix (src0 beats src19),

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.functions.Generators
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size frequency sketches for corpus statistics at scale
+  * (SURVEY.md §2.10 text analysis — at-scale companions to the exact
+  * word-frequency path, cf. reference `main.py:457,512,543` Counter maps).
+  *
+  * A count-min sketch answers "roughly how often does each term occur?"
+  * in `depth × width` integer cells REGARDLESS of corpus size: at 100 TB
+  * the exact per-term groupBy still works (map-side combine), but its
+  * output is vocabulary-sized, while the sketch's is a constant few KB
+  * that can ride a broadcast, feed a stream, or merge across corpora by
+  * cell-wise addition.
+  *
+  * Buckets are md5-derived hex prefixes (identical bytes in any engine —
+  * the [[graft.functions.TextHash]] rationale), so the DuckDB oracle
+  * reproduces every cell exactly: the sketch is integer sums over
+  * deterministic buckets, nothing approximate about the COMPUTATION, only
+  * about what a cell estimates.
+  */
+object SketchOps {
+
+  /** Sketch bucket of `term` in row `r`: first `hexChars` hex chars of
+    * md5("r:term") — 16^hexChars string-keyed buckets per row (hex compares
+    * bytewise-identically cross-engine; no integer conversion needed). */
+  private def bucket(row: Int, term: Column, hexChars: Int): Column =
+    substring(md5(concat_ws(":", lit(row.toString), term)), 1, hexChars)
+
+  /** One (row, bucket) struct per sketch row for `term`. */
+  private def cells(term: Column, depth: Int, hexChars: Int): Column =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("row"), bucket(r, term, hexChars).as("bucket"))): _*))
+
+  /** Build a `depth` × 16^`hexChars` count-min sketch over the token
+    * stream of a corpus: `cnt(row, bucket)` = token instances hashing
+    * there. The explode widens each token to `depth` cells, but map-side
+    * combine collapses every partition to at most depth·16^hexChars rows
+    * before the single shuffle — the output (and the shuffle) is
+    * constant-sized however big the corpus. */
+  def countMinSketch(docs: DataFrame, textCol: String, depth: Int, hexChars: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1: $depth")
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars must be in [1, 8]: $hexChars")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(Generators.ngramExplode(col(textCol), 1).as("term"))
+      .select(cells(col("term"), depth, hexChars).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters with their CMS estimates: probe the sketch for every
+    * distinct term (est = min over rows of the probed cell — the CMS
+    * guarantee is est >= true count, with equality unless every row
+    * collides) and keep terms whose ESTIMATE reaches `minEst`. The true
+    * count rides along so the overestimate is visible in the output.
+    *
+    * The sketch side is constant-sized and broadcast; the probe side is
+    * one row per (distinct term × sketch row) — vocabulary-bounded, not
+    * corpus-bounded. est >= true >= nothing-missed: CMS never
+    * under-counts, so `est >= minEst` can only over-select, never lose a
+    * true heavy hitter. */
+  def cmsHeavyHitters(
+      docs: DataFrame, textCol: String,
+      depth: Int, hexChars: Int, minEst: Long): DataFrame = {
+    val sketch = countMinSketch(docs, textCol, depth, hexChars)
+    val truth = docs
+      .filter(col(textCol).isNotNull)
+      .select(Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("true_cnt"))
+    truth
+      .select(col("term"), col("true_cnt"), cells(col("term"), depth, hexChars).as("p"))
+      .join(broadcast(sketch),
+        col("p.row") === col("row") && col("p.bucket") === col("bucket"))
+      .groupBy("term", "true_cnt")
+      .agg(min(col("cnt")).as("est"))
+      .filter(col("est") >= minEst)
+      .select(col("term"), col("est"), col("true_cnt"))
+      .orderBy(col("est").desc, col("term").asc)
+  }
+}

@@ -1,0 +1,26 @@
+package graft.sql
+
+/** DuckDB oracle SQL mirroring [[graft.ops.SketchOps]]. Same md5-hex
+  * bucket definition, same integer cell sums — the sketch is exactly
+  * reproducible cross-engine (see the op's scaladoc). */
+object SketchSql {
+
+  private val toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
+
+  /** Mirror of [[graft.ops.SketchOps.cmsHeavyHitters]]: build the
+    * depth × 16^hexChars sketch, probe it per distinct term, keep
+    * est >= minEst. */
+  def cmsHeavyHitters(table: String, depth: Int, hexChars: Int, minEst: Long): String =
+    s"""WITH t AS (SELECT unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+cells AS (SELECT r.r AS row, substr(md5(r.r::VARCHAR || ':' || t.term), 1, $hexChars) AS bucket,
+    COUNT(*) AS cnt
+  FROM t, range($depth) AS r(r) GROUP BY 1, 2),
+truth AS (SELECT term, COUNT(*) AS true_cnt FROM t GROUP BY term),
+probes AS (SELECT term, true_cnt, r.r AS row,
+    substr(md5(r.r::VARCHAR || ':' || term), 1, $hexChars) AS bucket
+  FROM truth, range($depth) AS r(r)),
+est AS (SELECT term, true_cnt, MIN(cnt) AS est
+  FROM probes JOIN cells USING (row, bucket) GROUP BY term, true_cnt)
+SELECT term, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
+FROM est WHERE est >= $minEst ORDER BY est DESC, term ASC"""
+}

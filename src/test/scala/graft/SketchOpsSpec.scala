@@ -1,0 +1,58 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.SketchOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, sf)
+
+  test("CMS never under-estimates, even with a deliberately collision-prone sketch") {
+    // 2 rows x 16 buckets over the whole corpus vocabulary: collisions are
+    // certain, under-counts must still be impossible
+    val rows = SketchOps.cmsHeavyHitters(docs, "text", depth = 2, hexChars = 1, minEst = 1)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2)),
+      "CMS estimate must be >= true count for every term")
+  }
+
+  test("CMS is exact when the sketch is wide enough for the vocabulary") {
+    val rows = SketchOps.cmsHeavyHitters(docs, "text", depth = 3, hexChars = 4, minEst = 1)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) === r.getLong(2)),
+      "3 x 65536 cells over a tiny vocabulary should not collide")
+  }
+
+  test("pigeonhole: >16 distinct terms in a 1x16 sketch must over-estimate somewhere") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (i.toLong, s"term$i")).toDF("id", "text")
+    val rows = SketchOps.cmsHeavyHitters(df, "text", depth = 1, hexChars = 1, minEst = 1)
+      .collect()
+    assert(rows.length == 20, "every term estimate must reach minEst=1")
+    assert(rows.exists(r => r.getLong(1) > r.getLong(2)),
+      "20 terms cannot occupy 16 buckets without a collision inflating an estimate")
+  }
+
+  test("sketches merge cell-wise: sketch(A union B) = sketch(A) + sketch(B)") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = SketchOps.countMinSketch(a, "text", depth = 2, hexChars = 2)
+      .unionByName(SketchOps.countMinSketch(b, "text", depth = 2, hexChars = 2))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = SketchOps.countMinSketch(docs, "text", depth = 2, hexChars = 2)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    assert(whole.count() <= 2 * 16 * 16, "cell count bounded by depth * width")
+  }
+
+  test("the probe join broadcasts the constant-size sketch side") {
+    val plan = SketchOps.cmsHeavyHitters(docs, "text", depth = 3, hexChars = 2, minEst = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch probe should be a broadcast hash join:\n$plan")
+  }
+}
