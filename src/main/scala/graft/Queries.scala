@@ -521,6 +521,23 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SketchSql.cmsHeavyHitters("documents",
         depth = 3, hexChars = 2, minEst = 10))),
 
+    ("q64_token_budget",
+      // deterministic "first 6000 tokens of the hash-shuffled corpus":
+      // distributed prefix sum (bucket offsets + parallel windows), not a
+      // global single-partition window
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("n_tokens",
+            size(graft.functions.TextHash.tokens(col("text"))).cast("long"))
+        SampleOps.budgetSample(d, "doc_id", "n_tokens", budget = 6000L)
+          .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+          .orderBy("cum_tokens", "doc_id")
+      },
+      Some(graft.sql.SampleSql.budgetSample("documents", "doc_id",
+        "len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))",
+        budget = 6000L))),
+
     ("q61_prioritized_dedup",
       // source-priority dedup: among duplicate prefixes keep the copy
       // whose source has the lowest numeric suffix (src0 beats src19),

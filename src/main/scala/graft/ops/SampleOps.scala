@@ -116,6 +116,47 @@ object SampleOps {
       .drop("__cum")
   }
 
+  /** Token-BUDGET selection: keep rows in ascending (md5(key), key) order
+    * while the running `tokenCol` total stays within `budget` — "the
+    * first B tokens of the deterministically shuffled corpus", the
+    * data-budget counterpart of [[hashSample]]'s rate ladder (same order,
+    * so budget ladders NEST exactly like fraction ladders). Take-while
+    * semantics: a row survives iff its INCLUSIVE running total is
+    * <= budget; the straddling row is dropped. Appends `cum_tokens`.
+    *
+    * Scale contract: no global single-partition window. The sort key
+    * begins with the first `bucketHex` hex chars of md5(key), so global
+    * hash order = (bucket, within-bucket order): per-bucket token totals
+    * (16^bucketHex rows, metadata-sized) produce exclusive bucket offsets
+    * via one tiny window; the offsets broadcast back and every bucket
+    * runs its own bounded cumulative window in parallel. Equality with
+    * the naive single-window form is spec-pinned. */
+  def budgetSample(
+      df: DataFrame, keyCol: String, tokenCol: String,
+      budget: Long, bucketHex: Int = 2): DataFrame = {
+    require(budget >= 0, s"token budget must be >= 0: $budget")
+    require(bucketHex >= 1 && bucketHex <= 8, s"bucketHex must be in [1, 8]: $bucketHex")
+    val withB = df.withColumn("__bkt",
+      substring(md5(col(keyCol).cast("string")), 1, bucketHex))
+    // exclusive running total of the buckets BEFORE each bucket: at most
+    // 16^bucketHex rows — the one intentionally-tiny unpartitioned window
+    val offsets = withB
+      .groupBy("__bkt")
+      .agg(sum(col(tokenCol)).as("__btot"))
+      .withColumn("__off", coalesce(
+        sum(col("__btot")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(hashKey(col(keyCol)).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("cum_tokens", col("__off") + sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__bkt", "__off")
+  }
+
   /** Per-group deterministic quota: up to `n` rows per group, chosen by
     * ascending (md5(key), key) — an unbiased, reproducible per-stratum
     * subsample; the "cap each source's contribution" mix primitive.

@@ -47,6 +47,21 @@ SELECT bucket, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM($keyCol) AS BIGINT) AS key_sum
 FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Mirror of [[graft.ops.SampleOps.budgetSample]]: one global
+    * cumulative-sum window over (md5(key), key) order with a take-while
+    * budget filter — the naive form the Spark side decomposes into
+    * bucket offsets + parallel per-bucket windows. `tokenExpr` is the
+    * token-count SQL for one row of `table`. */
+  def budgetSample(table: String, keyCol: String, tokenExpr: String, budget: Long): String =
+    s"""WITH d AS (SELECT $keyCol, CAST($tokenExpr AS BIGINT) AS n_tokens, ${h(keyCol)} AS hk
+  FROM $table WHERE text IS NOT NULL),
+c AS (SELECT $keyCol, n_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY hk ASC, $keyCol ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_tokens
+  FROM d)
+SELECT $keyCol, n_tokens, cum_tokens FROM c WHERE cum_tokens <= $budget
+ORDER BY cum_tokens ASC, $keyCol ASC"""
+
   /** [[graft.ops.SampleOps.hashSample]] (num/den of `table` by `keyCol`)
     * then [[graft.ops.SampleOps.stratifiedQuota]] (`n` per `groupCol`). */
   def stratifiedSample(

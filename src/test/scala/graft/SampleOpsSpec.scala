@@ -116,4 +116,54 @@ class SampleOpsSpec extends AnyFunSuite {
       SampleOps.hashSample(df, "id", 5, 10), "grp", "id", 5))
     assert(direct == prefiltered)
   }
+
+  private def toked(n: Int) = {
+    import spark.implicits._
+    (1L to n.toLong).map(i => (i, i % 7 + 1)).toDF("id", "toks")
+  }
+
+  test("budgetSample equals the naive global-window form") {
+    import spark.implicits._
+    val df = toked(500)
+    // naive: one global cumulative window over (md5, key)
+    val hk = substring(md5(col("id").cast("string")), 1, 8)
+    val naive = df
+      .withColumn("cum", sum(col("toks")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(hk.asc, col("id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= 400)
+      .select("id", "cum").as[(Long, Long)].collect().toSet
+    val bucketed = SampleOps.budgetSample(df, "id", "toks", budget = 400, bucketHex = 1)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toSet
+    assert(naive == bucketed,
+      "bucket-offset decomposition must reproduce the global running sum exactly")
+  }
+
+  test("budgetSample is a take-while: inclusive totals within budget, next row would exceed") {
+    val out = SampleOps.budgetSample(toked(500), "id", "toks", budget = 400)
+      .orderBy(col("cum_tokens").desc).collect()
+    assert(out.nonEmpty)
+    val last = out.head.getAs[Long]("cum_tokens")
+    assert(last <= 400)
+    // the corpus has more tokens than the budget, so the selection stopped
+    // strictly short of the total
+    assert(last > 400 - 8, "the first dropped row (<= 7 tokens) would have exceeded the budget")
+  }
+
+  test("budget ladders nest: a smaller budget selects a subset of a larger one") {
+    import spark.implicits._
+    val df = toked(300)
+    def sel(b: Long) = SampleOps.budgetSample(df, "id", "toks", b)
+      .select("id").as[Long].collect().toSet
+    val small = sel(200)
+    val large = sel(800)
+    assert(small.nonEmpty && small.size < large.size && small.subsetOf(large))
+  }
+
+  test("budgetSample's corpus window shards by bucket, not a single global sort") {
+    val plan = SampleOps.budgetSample(toked(100), "id", "toks", budget = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bkt"),
+      s"expected the per-bucket window exchange:\n${plan.take(800)}")
+  }
 }
