@@ -538,6 +538,15 @@ GROUP BY segment ORDER BY segment""")),
         "len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))",
         budget = 6000L))),
 
+    ("q65_pattern_scrub",
+      // PII + deny-list scan and redaction: per-doc match counts and the
+      // checksum of the scrubbed text — map-only, one scan
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.patternScrub(Tables.documents(s, dir), "text", "doc_id",
+          sampleMod = 5, TextAnalysisOps.scrubPatterns),
+      Some(graft.sql.TextAnalysisSql.patternScrub("documents",
+        sampleMod = 5, TextAnalysisOps.scrubPatterns))),
+
     ("q61_prioritized_dedup",
       // source-priority dedup: among duplicate prefixes keep the copy
       // whose source has the lowest numeric suffix (src0 beats src19),

@@ -180,6 +180,42 @@ object TextAnalysisOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Default scrub pattern set: PII shapes (email, IPv4) plus a content
+    * deny-list — (name, regex, replacement), applied in order. Regexes are
+    * written in the Java/RE2 common subset (see [[patternScrub]]). */
+  val scrubPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("denylist", "\\b(customer|secret)\\b", "<TERM>"))
+
+  /** PII / deny-list pattern scrub: per document, count matches of each
+    * named regex and emit the md5 checksum of the text AFTER applying
+    * every (pattern → replacement) in declaration order — the C4-style
+    * "bad words" filter plus PII redaction (emails, phones, IPs), with
+    * the checksum standing in for the scrubbed text so the full rewrite
+    * is verified without shipping it.
+    *
+    * Pure per-row projection: codegen'd regexes, no shuffle, one corpus
+    * scan — the 100 TB shape for a scrub pass. Patterns must stay within
+    * the regex intersection both engines implement identically (character
+    * classes, `\b`, bounded repetition; no backrefs/lookaround — those
+    * are Java-only and would silently diverge from the RE2-style oracle). */
+  def patternScrub(
+      docs: DataFrame, textCol: String, idCol: String, sampleMod: Int,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one (name, regex, replacement)")
+    val counts = patterns.map { case (name, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
+    }
+    val scrubbed = patterns.foldLeft(col(textCol)) {
+      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+    }
+    docs
+      .filter(col(textCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("doc_id") +: counts :+ md5(scrubbed).as("scrubbed_md5"): _*)
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash document fingerprint: polynomial fold of per-token
     * md5-derived hashes mod 2^31-1 (base 131). Order-sensitive (unlike the
     * SimHash/MinHash set signatures) — two docs with the same tokens in a

@@ -70,6 +70,25 @@ SELECT doc_id, n_bigrams,
   round(dup::DOUBLE / n_bigrams, 6) AS dup_bigram_ratio
 FROM a ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.patternScrub]]: same regexes
+    * (RE2/Java common subset), same replacement order, global 'g' flag to
+    * match Spark's replace-all semantics. */
+  def patternScrub(
+      table: String, sampleMod: Int,
+      patterns: Seq[(String, String, String)]): String = {
+    val counts = patterns.map { case (name, re, _) =>
+      s"CAST(len(regexp_extract_all(text, ${sq(re)})) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    val scrubbed = patterns.foldLeft("text") {
+      case (c, (_, re, repl)) => s"regexp_replace($c, ${sq(re)}, ${sq(repl)}, 'g')"
+    }
+    s"""SELECT doc_id,
+  $counts,
+  md5($scrubbed) AS scrubbed_md5
+FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0
+ORDER BY doc_id"""
+  }
+
   /** Mirror of [[graft.ops.TextAnalysisOps.tfIdfTopTerms]]: rational idf,
     * identical `(tf * n)::DOUBLE / df` operation order (bit-stable — see
     * the op's scaladoc on why not `ln`). */

@@ -116,4 +116,43 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(2L))
     fps.values.foreach(v => assert(v >= 0 && v < 2147483647L))
   }
+
+  test("pattern scrub counts PII shapes and checksums the redacted text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail me at jo.doe+x@test.org or admin@a.co and visit 10.0.0.1"),
+      (5L, "the customer table has no secret rows, customer said"),
+      (10L, "nothing sensitive here"),
+      (3L, "sampled out — must not appear"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps
+      .patternScrub(df, "text", "doc_id", sampleMod = 5, TextAnalysisOps.scrubPatterns)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 5L, 10L), "sampleMod filter + order")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(0L) == ((2L, 1L, 0L)), "two emails + one ipv4")
+    assert(byId(5L) == ((0L, 0L, 3L)), "customer x2 + secret x1")
+    assert(byId(10L) == ((0L, 0L, 0L)))
+    // the checksum is of the text AFTER all replacements, in order
+    val expected = TextAnalysisOps.scrubPatterns.foldLeft(
+      "the customer table has no secret rows, customer said") {
+      case (t, (_, re, repl)) => t.replaceAll(re, repl)
+    }
+    assert(expected == "the <TERM> table has no <TERM> rows, <TERM> said")
+    val got = out.filter(_.getLong(0) == 5L).head.getString(4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == md)
+  }
+
+  test("pattern scrub is one scan with no aggregation shuffle") {
+    import spark.implicits._
+    val df = Seq((0L, "x")).toDF("doc_id", "text")
+    val plan = TextAnalysisOps
+      .patternScrub(df, "text", "doc_id", sampleMod = 1, TextAnalysisOps.scrubPatterns)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"scrub must stay a per-row projection (sort exchange only):\n${plan.take(600)}")
+  }
 }
