@@ -547,6 +547,18 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.patternScrub("documents",
         sampleMod = 5, TextAnalysisOps.scrubPatterns))),
 
+    ("q66_prefix_containment",
+      // truncation duplicates: cut each doc at a doc_id-dependent length so
+      // the corpus's exact-dup groups become proper prefix chains, then
+      // detect contained docs via bucketed sorted adjacency
+      (s: SparkSession, dir: String) => {
+        val cut = Tables.documents(s, dir)
+          .withColumn("t", expr("substring(text, 1, CAST(doc_id % 40 + 40 AS INT))"))
+        DedupOps.prefixContainedDocs(cut, "t", "doc_id", bucketChars = 20)
+      },
+      Some(graft.sql.DedupSql.prefixContainedDocs("documents",
+        "substr(text, 1, (doc_id % 40 + 40)::INT)"))),
+
     ("q61_prioritized_dedup",
       // source-priority dedup: among duplicate prefixes keep the copy
       // whose source has the lowest numeric suffix (src0 beats src19),

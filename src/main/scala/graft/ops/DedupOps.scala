@@ -102,6 +102,54 @@ object DedupOps {
       .orderBy("keeper_id")
   }
 
+  /** PREFIX-CONTAINMENT dedup ("substring dedup lite"): find documents
+    * whose text is a PROPER prefix of another document's text — the
+    * truncated-page / partial-crawl duplicate class that exact dedup
+    * misses. Returns (doc_id, n_chars) of contained docs (one
+    * representative per distinct text: min id — compose after exact
+    * dedup).
+    *
+    * Sorted-adjacency argument: in lexicographic text order, if `s` is a
+    * proper prefix of ANY other text `t`, then `s`'s immediate successor
+    * `u` also extends `s` (s < u <= t; if u first differed from s at
+    * j < len(s) with u[j] > s[j], then t — which agrees with s there —
+    * would sort below u, contradiction). So ONE lead() window finds every
+    * contained doc; no pairwise comparison.
+    *
+    * Scale contract: the window partitions by the first `bucketChars`
+    * chars of the text, never a global sort — any extender of `s` with
+    * len(s) >= bucketChars shares `s`'s bucket, so per-bucket adjacency
+    * is exactly global adjacency among the candidates. Texts SHORTER than
+    * the bucket prefix sit alone in their buckets (their bucket is the
+    * whole text) and are handled by a broadcast pass: such `s` is
+    * contained iff some DISTINCT bucket other than `s` itself starts
+    * with `s` (a doc's bucket is a prefix of its text). Short docs are
+    * degenerate by construction (< bucketChars chars), so that side
+    * stays broadcast-sized. */
+  def prefixContainedDocs(
+      docs: DataFrame, textCol: String, idCol: String, bucketChars: Int): DataFrame = {
+    require(bucketChars >= 1, s"bucketChars must be >= 1: $bucketChars")
+    val d = docs
+      .filter(col(textCol).isNotNull)
+      .groupBy(col(textCol).as("t"))
+      .agg(min(col(idCol)).as("id"))
+      .withColumn("__bkt", substring(col("t"), 1, bucketChars))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("t").asc)
+    val longContained = d
+      .withColumn("__nxt", lead(col("t"), 1).over(w))
+      .filter(length(col("t")) >= bucketChars &&
+        col("__nxt").isNotNull && col("__nxt").startsWith(col("t")))
+      .select(col("id"), col("t"))
+    val shorts = d.filter(length(col("t")) < bucketChars).select(col("id"), col("t"))
+    val shortContained = d.select(col("__bkt")).distinct()
+      .join(broadcast(shorts), col("__bkt").startsWith(col("t")) && col("__bkt") =!= col("t"))
+      .select(col("id"), col("t"))
+      .distinct()
+    longContained.unionByName(shortContained)
+      .select(col("id").as("doc_id"), length(col("t")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** PRIORITIZED exact dedup report: like [[exactDedupReport]], but the
     * keeper of each duplicate group is the copy with the LOWEST
     * (priority, id) — "keep the wiki copy over the crawl copy" curation

@@ -120,6 +120,18 @@ SELECT MIN(id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM nw WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.k = nw.k)
 GROUP BY k ORDER BY keeper_id"""
 
+  /** Mirror of [[graft.ops.DedupOps.prefixContainedDocs]] as the naive
+    * single global LEAD window (the Spark side decomposes it into
+    * bucket-partitioned windows + a short-doc broadcast pass — see the
+    * op's scaladoc for why the two agree). `textExpr` derives the text
+    * under test from one row of `table`. */
+  def prefixContainedDocs(table: String, textExpr: String): String =
+    s"""WITH d AS (SELECT MIN(doc_id) AS id, t FROM
+  (SELECT doc_id, $textExpr AS t FROM $table WHERE text IS NOT NULL) GROUP BY t),
+w AS (SELECT id, t, LEAD(t) OVER (ORDER BY t ASC) AS nxt FROM d)
+SELECT id AS doc_id, CAST(length(t) AS BIGINT) AS n_chars FROM w
+WHERE nxt IS NOT NULL AND starts_with(nxt, t) ORDER BY doc_id"""
+
   /** Mirror of [[graft.ops.DedupOps.prioritizedDedupReport]]: same token
     * prefix key, keeper = min (priority, id) per group — expressed as a
     * window rank (DuckDB has no struct-min ordering guarantee to lean

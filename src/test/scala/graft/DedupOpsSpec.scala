@@ -139,6 +139,43 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out2 == Set((6L, 1L)))
   }
 
+  test("prefix containment: adjacency finds exactly the proper-prefix docs, both path lengths") {
+    import spark.implicits._
+    // bucketChars = 2: "a" and "b" go through the short-doc broadcast path,
+    // "ab"/"abc" through the bucketed window path
+    val df = Seq((1L, "a"), (2L, "ab"), (3L, "abc"), (4L, "b"), (5L, "ba"), (6L, "ca"))
+      .toDF("id", "t")
+    val out = DedupOps.prefixContainedDocs(df, "t", "id", bucketChars = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 2L), (4L, 1L)),
+      "a < ab, ab < abc, b < ba are the only proper prefix pairs")
+  }
+
+  test("prefix containment equals brute force on the truncated corpus, min-id representative") {
+    import spark.implicits._
+    val cut = docs.withColumn("t",
+      expr("substring(text, 1, CAST(doc_id % 40 + 40 AS INT))"))
+    val out = DedupOps.prefixContainedDocs(cut, "t", "doc_id", bucketChars = 20)
+      .select("doc_id").as[Long].collect().toSet
+    val d = cut.filter(col("t").isNotNull)
+      .groupBy(col("t")).agg(min(col("doc_id")).as("id"))
+    val brute = d.as("x")
+      .join(d.as("y"),
+        col("y.t") =!= col("x.t") && col("y.t").startsWith(col("x.t")), "left_semi")
+      .select(col("id")).as[Long].collect().toSet
+    assert(out == brute)
+    assert(out.nonEmpty, "truncated dup groups should yield proper prefixes")
+  }
+
+  test("prefix containment windows shard by text-prefix bucket, never a global sort") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"text body number $i")).toDF("id", "t")
+    val plan = DedupOps.prefixContainedDocs(df, "t", "id", bucketChars = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bkt"),
+      s"expected bucket-keyed window exchange:\n${plan.take(800)}")
+  }
+
   test("prioritized dedup keeps the lowest (priority, id) copy per duplicate group") {
     import spark.implicits._
     val df = Seq(
