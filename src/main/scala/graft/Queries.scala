@@ -559,6 +559,15 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.prefixContainedDocs("documents",
         "substr(text, 1, (doc_id % 40 + 40)::INT)"))),
 
+    ("q67_gopher_rules",
+      // composite quality-rule mask histogram: which Gopher-style rules
+      // co-fire across the corpus; integer cross-multiplied thresholds
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.gopherRuleProfile(Tables.documents(s, dir), "text", "doc_id",
+          stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3),
+      Some(graft.sql.TextAnalysisSql.gopherRuleProfile("documents",
+        stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3))),
+
     ("q61_prioritized_dedup",
       // source-priority dedup: among duplicate prefixes keep the copy
       // whose source has the lowest numeric suffix (src0 beats src19),

@@ -180,6 +180,59 @@ object TextAnalysisOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Gopher-style composite quality filter (Rae et al. 2021 §A1.1
+    * adapted to the available signals): evaluate five document rules and
+    * histogram the joint rule BITMASK over the corpus — mask 0 is the
+    * surviving clean set, every other mask says exactly which rules
+    * co-fired. Bits: 1 = token count outside [minTokens, maxTokens];
+    * 2 = mean token length outside [3, 10]; 4 = fewer than `minStops`
+    * stopword occurrences; 8 = top bigram > 20% of bigram occurrences;
+    * 16 = duplicated bigrams > 40% of bigram occurrences.
+    *
+    * Every threshold compares INTEGERS by cross-multiplication (e.g.
+    * `5·top > n` instead of `top/n > 0.2`) — no ratio doubles anywhere,
+    * so engines can't diverge by a ulp on the boundary. Docs with < 2
+    * tokens have no bigrams; bits 8/16 stay clear. Shape: one pure-map
+    * token pass + the (doc, bigram) partial-agg shuffle, joined per doc. */
+  def gopherRuleProfile(
+      docs: DataFrame, textCol: String, idCol: String, stopwords: Seq[String],
+      minTokens: Long, maxTokens: Long, minStops: Long): DataFrame = {
+    val toksC = tokens(col(textCol))
+    val tokenSide = docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        size(toksC).cast("long").as("n_tokens"),
+        aggregate(toksC, lit(0L), (a, t) => a + length(t)).as("tok_chars"),
+        size(filter(toksC, t =>
+          array_contains(array(stopwords.map(lit): _*), t))).cast("long").as("n_stop"))
+    val bigramSide = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 2).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bg"),
+        max(col("c")).as("top_bg"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bg"))
+    val mask =
+      when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens, 1L).otherwise(0L) +
+        when(col("tok_chars") < col("n_tokens") * 3L
+          || col("tok_chars") > col("n_tokens") * 10L, 2L).otherwise(0L) +
+        when(col("n_stop") < minStops, 4L).otherwise(0L) +
+        when(col("top_bg") * 5L > col("n_bg"), 8L).otherwise(0L) +
+        when(col("dup_bg") * 5L > col("n_bg") * 2L, 16L).otherwise(0L)
+    tokenSide
+      .join(bigramSide, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bg", "top_bg", "dup_bg"))
+      .select(mask.as("rule_mask"))
+      .groupBy("rule_mask")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("rule_mask")
+  }
+
   /** Default scrub pattern set: PII shapes (email, IPv4) plus a content
     * deny-list — (name, regex, replacement), applied in order. Regexes are
     * written in the Java/RE2 common subset (see [[patternScrub]]). */

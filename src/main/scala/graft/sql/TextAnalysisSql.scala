@@ -70,6 +70,35 @@ SELECT doc_id, n_bigrams,
   round(dup::DOUBLE / n_bigrams, 6) AS dup_bigram_ratio
 FROM a ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.gopherRuleProfile]]: same
+    * integer cross-multiplied thresholds, same bit weights, bigram CTE
+    * shared shape with [[repetitionProfile]]. */
+  def gopherRuleProfile(
+      table: String, stopwords: Seq[String],
+      minTokens: Long, maxTokens: Long, minStops: Long): String = {
+    val stops = s"[${stopwords.map(sq).mkString(", ")}]"
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tok_chars,
+  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS n_stop FROM t),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM t WHERE len(tk) >= 2),
+g AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, CAST(MAX(c) AS BIGINT) AS top_bg,
+  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_bg FROM g GROUP BY doc_id),
+j AS (SELECT tok.doc_id, tok.n_tokens, tok.tok_chars, tok.n_stop,
+  COALESCE(a.n_bg, 0) AS n_bg, COALESCE(a.top_bg, 0) AS top_bg, COALESCE(a.dup_bg, 0) AS dup_bg
+  FROM tok LEFT JOIN a USING (doc_id)),
+m AS (SELECT doc_id,
+  CASE WHEN n_tokens < $minTokens OR n_tokens > $maxTokens THEN 1 ELSE 0 END
+  + CASE WHEN tok_chars < n_tokens * 3 OR tok_chars > n_tokens * 10 THEN 2 ELSE 0 END
+  + CASE WHEN n_stop < $minStops THEN 4 ELSE 0 END
+  + CASE WHEN top_bg * 5 > n_bg THEN 8 ELSE 0 END
+  + CASE WHEN dup_bg * 5 > n_bg * 2 THEN 16 ELSE 0 END AS rule_mask FROM j)
+SELECT CAST(rule_mask AS BIGINT) AS rule_mask, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY rule_mask ORDER BY rule_mask"""
+  }
+
   /** Mirror of [[graft.ops.TextAnalysisOps.patternScrub]]: same regexes
     * (RE2/Java common subset), same replacement order, global 'g' flag to
     * match Spark's replace-all semantics. */

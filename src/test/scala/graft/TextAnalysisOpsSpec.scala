@@ -106,6 +106,27 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(top2.getString(2) == "ran" && top2.getDouble(5) == 6.0)
   }
 
+  test("gopher rule mask: each bit fires on exactly its own violation") {
+    import spark.implicits._
+    val df = Seq(
+      // clean: 6 tokens in [3,6], mean len 21/6 in [3,10], has a stopword,
+      // 5 distinct bigrams (top 1/5 = 20%, not > 20%), none duplicated
+      (1L, "the cats sat onto mats now"),
+      // repetition: mean len 2 < 3 (bit 2), no stopword (bit 4),
+      // top bigram "go go" is 5/5 (bit 8), all 5 occurrences dup'd (bit 16)
+      (2L, "go go go go go go"),
+      // short: 1 token < 3 (bit 1), mean 2 < 3 (bit 2), no stopword (bit 4),
+      // no bigrams at all -> bits 8/16 must stay clear
+      (3L, "hi"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps
+      .gopherRuleProfile(df, "text", "doc_id", stopwords = Seq("the"),
+        minTokens = 3, maxTokens = 6, minStops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 7L -> 1L, 30L -> 1L))
+  }
+
   test("fingerprints are order-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
