@@ -580,6 +580,32 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.prioritizedDedupReport("documents",
         priorityExpr = "CAST(substr(source, 4) AS BIGINT)", prefixLen = 8))),
 
+    ("q68_segment_dedup",
+      // repeated-span removal at 5-token segment granularity: segments in
+      // >= 2 distinct docs are stripped and the survivors reassembled;
+      // clean_md5 proves the exact surviving byte sequence
+      (s: SparkSession, dir: String) =>
+        DedupOps.segmentDedupReport(Tables.documents(s, dir), "text", "doc_id",
+          segTokens = 5, minDocs = 2),
+      Some(graft.sql.DedupSql.segmentDedupReport("documents",
+        segTokens = 5, minDocs = 2))),
+
+    ("q69_semantic_dedup",
+      // SemDeDup: IVF-cell-local near-dup search; each dropped vector is
+      // attributed to its lowest-id >= minCos neighbor in the cell
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          centroidMod = 50, minCos = 0.1),
+      Some(graft.sql.SimilaritySql.semanticDedup("embeddings",
+        centroidMod = 50, minCos = 0.1, dim = 64))),
+
+    ("q70_hll_registers",
+      // constant-size HyperLogLog register file (256 md5-hex buckets) over
+      // the token stream — the distinct-count sketch next to q63's CMS
+      (s: SparkSession, dir: String) =>
+        SketchOps.hllRegisters(Tables.documents(s, dir), "text", bucketHex = 2),
+      Some(graft.sql.SketchSql.hllRegisters("documents", bucketHex = 2))),
+
     ("q43_unicode_word_frequency",
       (s: SparkSession, dir: String) => {
         val px = element_at(

@@ -440,6 +440,63 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** SEGMENT-level dedup (repeated-span removal): split every document
+    * into consecutive NON-OVERLAPPING `segTokens`-token segments, count in
+    * how many DISTINCT documents each segment occurs, strip the segments
+    * appearing in >= `minDocs` documents, and reassemble the survivors in
+    * order. This is the fixed-granularity form of suffix-array span dedup
+    * (cf. Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): boilerplate and cross-document repeated passages
+    * are removed WITHIN documents that exact/near dedup would keep whole.
+    *
+    * Per doc: segment count, removed count, surviving token count and an
+    * md5 checksum of the reassembled text (scalar gate-comparable proof of
+    * the exact surviving byte sequence).
+    *
+    * 100 TB shape: segmentation is map-only (one `slice` per segment — no
+    * token self-join, no O(len²) substring blowup because segments do not
+    * overlap); the frequency count is ONE shuffle keyed on segment text
+    * with map-side partial aggregation; the reassembly is a shuffle join
+    * back on segment text plus one groupBy(doc). Nothing is
+    * corpus-quadratic and no state exceeds (distinct segments). */
+  def segmentDedupReport(
+      docs: DataFrame, textCol: String, idCol: String,
+      segTokens: Int, minDocs: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1: $segTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val k = segTokens
+    val nSeg = floor((size(col("__toks")) + lit(k - 1)) / lit(k)).cast("int")
+    val segStructs = transform(
+      sequence(lit(0), nSeg - 1),
+      i => {
+        val piece = slice(col("__toks"), i * k + 1, lit(k))
+        struct(array_join(piece, " ").as("seg"), size(piece).as("ntok"))
+      })
+    val segs = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), posexplode(segStructs).as(Seq("seg_idx", "s")))
+      .select(col("doc_id"), col("seg_idx"), col("s.seg").as("seg"), col("s.ntok").as("ntok"))
+    val counts = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("docs"))
+    segs.join(counts, "seg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("docs") >= minDocs, lit(1))).as("n_removed"),
+        coalesce(sum(when(col("docs") < minDocs, col("ntok"))), lit(0))
+          .cast("long").as("clean_tokens"),
+        // collect_list skips nulls, so only surviving segments ride; the
+        // struct sort restores document order before the join
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("docs") < minDocs,
+              struct(col("seg_idx"), col("seg"))))),
+            p => p.getField("seg")),
+          " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Brute-force all-pairs n-gram Jaccard over an id-sampled subset
     * (id % sampleMod == 0): the exact baseline the LSH path approximates.
     * Deliberately gated on the sample — never run all-pairs at scale. */

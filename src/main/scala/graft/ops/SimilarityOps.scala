@@ -159,6 +159,57 @@ object SimilarityOps {
       .limit(limit)
   }
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then drop every vector whose cosine to
+    * an EARLIER (lower-id) vector in the same cluster reaches `minCos` —
+    * near-duplicate semantics, found via cluster-local comparison instead
+    * of global all-pairs. Clusters here are IVF cells over the same
+    * deterministic id-mod centroid set as [[annIvf]] (swap in
+    * [[kmeansCentroids]] output for trained cells); the within-cell
+    * threshold approximates global near-dup search because cell members
+    * are already the mutually-nearest region of the space.
+    *
+    * Returns one row per DROPPED vector: (vec_id, kept_by, cos_e6) where
+    * kept_by is the LOWEST-id same-cell neighbor at or above the
+    * threshold (deterministic attribution) and cos_e6 the ×10^6
+    * scaled-int cosine to it.
+    *
+    * 100 TB shape: one broadcast of the small centroid set for
+    * assignment; pair generation is cell-local (collect_list + ordered
+    * pairs per cell, capped at `maxCell` — same guardrail as
+    * [[embeddingNearDupPairs]]); the keeper argmin is one
+    * map-side-combinable groupBy over surviving pairs. Nothing is
+    * corpus-quadratic. */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, minCos: Double, maxCell: Int = 1000): DataFrame = {
+    val cents = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("cid"))
+    val cand = assigned
+      .groupBy("cid")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxCell)
+      .select(explode(graft.functions.Collections.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+    val pairs = cand
+      .join(emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
+      .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+    val keepers = pairs.groupBy("vec_b").agg(min(col("vec_a")).as("kept_by"))
+    keepers
+      .join(pairs, keepers("vec_b") === pairs("vec_b") && col("kept_by") === col("vec_a"))
+      .select(keepers("vec_b").as("vec_id"), col("kept_by"), e6(col("cos")).as("cos_e6"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-style approximate top-k: an inverted-file index with a
     * deterministic centroid set (vectors with id % centroidMod == 0 stand
     * in for trained k-means centroids — the assignment/probe machinery is

@@ -51,6 +51,62 @@ object SketchOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** HyperLogLog register file over the corpus token stream (Flajolet et
+    * al. 2007) — the distinct-count companion to [[countMinSketch]]'s
+    * frequency cells: "how many DISTINCT terms?" in 16^`bucketHex`
+    * integer registers regardless of corpus size. Register j holds the
+    * max rank (position of the highest set bit, counted from bit 60) of
+    * any hashed term landing in bucket j — max is idempotent, so the
+    * stream needs NO distinct pass, merges across corpora by cell-wise
+    * max, and map-side combine collapses every partition to at most
+    * 16^`bucketHex` rows before the single constant-sized shuffle.
+    *
+    * Hashing is md5-derived like the CMS (bucket = first `bucketHex` hex
+    * chars; value = next 15 hex chars as a 60-bit BIGINT) and the rank is
+    * read off the binary-string length (`61 - length(bin(v))`, an exact
+    * integer both engines compute identically), so the register file is
+    * bit-reproducible cross-engine — approximation lives only in what the
+    * registers ESTIMATE ([[hllEstimate]]), never in the computation. */
+  def hllRegisters(docs: DataFrame, textCol: String, bucketHex: Int): DataFrame = {
+    require(bucketHex >= 1 && bucketHex <= 3, s"bucketHex must be in [1, 3]: $bucketHex")
+    val h = md5(col("term"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(Generators.ngramExplode(col(textCol), 1).as("term"))
+      .select(
+        substring(h, 1, bucketHex).as("bucket"),
+        conv(substring(h, bucketHex + 1, 15), 16, 10).cast("long").as("v"))
+      .select(col("bucket"),
+        when(col("v") === 0, lit(61)).otherwise(lit(61) - length(bin(col("v")))).as("rho"))
+      .groupBy("bucket")
+      .agg(max(col("rho")).cast("long").as("register"))
+      .orderBy("bucket")
+  }
+
+  /** The cardinality estimate a register file encodes: the standard HLL
+    * raw harmonic-mean formula with the small-range (linear-counting)
+    * correction; buckets never hit count as register 0. One broadcast-
+    * sized aggregate over at most 16^`bucketHex` rows — library surface
+    * (estimates are doubles; the oracle-checked artifact is the register
+    * file itself). */
+  def hllEstimate(registers: DataFrame, bucketHex: Int): DataFrame = {
+    val m = math.pow(16, bucketHex)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    registers.agg(
+      count(lit(1)).as("nonzero"),
+      sum(pow(lit(0.5), col("register"))).as("sumPresent"))
+      .select(
+        (lit(alpha * m * m) /
+          (col("sumPresent") + (lit(m) - col("nonzero")))).as("raw"),
+        col("nonzero"))
+      .select(
+        // linear counting below the 5m/2 threshold with empty buckets
+        when(col("raw") <= 2.5 * m && col("nonzero") < m,
+          lit(m) * log(lit(m) / (lit(m) - col("nonzero"))))
+          .otherwise(col("raw")).as("estimate"),
+        col("nonzero").cast("long").as("nonzero_buckets"))
+  }
+
   /** Heavy hitters with their CMS estimates: probe the sketch for every
     * distinct term (est = min over rows of the probed cell — the CMS
     * guarantee is est >= true count, with equality unless every row

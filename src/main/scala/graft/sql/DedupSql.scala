@@ -169,6 +169,29 @@ SELECT id AS doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
   round(n_overlap::DOUBLE / n_shingles, 6) AS overlap_ratio
 FROM m WHERE n_overlap > 0 ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.DedupOps.segmentDedupReport]]: LATERAL range
+    * over ceil(len/k) non-overlapping k-token slices, distinct-doc counts
+    * per segment, survivors reassembled with an ORDER BY seg_idx
+    * string_agg (NULL-skipping, like Spark's collect_list) and
+    * md5-checksummed. */
+  def segmentDedupReport(table: String, segTokens: Int, minDocs: Int): String = {
+    val k = segTokens
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+segs AS (SELECT doc_id, i.i AS seg_idx,
+    array_to_string(tk[i.i*$k+1 : i.i*$k+$k], ' ') AS seg,
+    len(tk[i.i*$k+1 : i.i*$k+$k]) AS ntok
+  FROM t2, LATERAL (SELECT unnest(range((len(tk)+${k - 1})//$k)) AS i) i),
+counts AS (SELECT seg, COUNT(DISTINCT doc_id) AS docs FROM segs GROUP BY seg)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(COUNT(CASE WHEN c.docs >= $minDocs THEN 1 END) AS BIGINT) AS n_removed,
+  CAST(COALESCE(SUM(CASE WHEN c.docs < $minDocs THEN s.ntok END), 0) AS BIGINT) AS clean_tokens,
+  md5(COALESCE(string_agg(CASE WHEN c.docs < $minDocs THEN s.seg END, ' ' ORDER BY s.seg_idx), '')) AS clean_md5
+FROM segs s JOIN counts c USING (seg)
+GROUP BY s.doc_id ORDER BY s.doc_id"""
+  }
+
   def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
 ${shingleCte(w)}

@@ -77,6 +77,30 @@ v AS (SELECT c.vec_a, c.vec_b, ${cosSql("a.v", "bb.v", dim)} AS cos
 SELECT vec_a, vec_b, cos FROM v WHERE cos >= $minCos
 ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT $limit"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.semanticDedup]]: same id-mod
+    * centroid assignment CTE as [[annIvf]], cell-local ordered pairs with
+    * the maxCell cap, lowest-id keeper attribution, ×10^6 scaled-int
+    * cosine. */
+  def semanticDedup(table: String, centroidMod: Int, minCos: Double,
+      dim: Int, maxCell: Int = 1000): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $centroidMod = 0),
+ac AS (SELECT e.vec_id AS id, c.cid,
+  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM e, c),
+a AS (SELECT id, cid FROM ac WHERE crk = 1),
+cells AS (SELECT cid FROM a GROUP BY cid HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxCell),
+pairs AS (SELECT x.id AS vec_a, y.id AS vec_b, ${cosSql("ea.v", "eb.v", dim)} AS cos
+  FROM a x JOIN a y ON x.cid = y.cid AND x.id < y.id
+  JOIN cells cl ON x.cid = cl.cid
+  JOIN e ea ON x.id = ea.vec_id JOIN e eb ON y.id = eb.vec_id),
+ok AS (SELECT * FROM pairs WHERE cos >= $minCos),
+keep AS (SELECT vec_b, MIN(vec_a) AS kept_by FROM ok GROUP BY vec_b)
+SELECT k.vec_b AS vec_id, k.kept_by,
+  CAST(CAST(p.cos AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cos_e6
+FROM keep k JOIN ok p ON p.vec_b = k.vec_b AND p.vec_a = k.kept_by
+ORDER BY vec_id"""
+
   def annIvf(table: String, centroidMod: Int, queryMod: Int, k: Int, dim: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $centroidMod = 0),

@@ -23,4 +23,15 @@ est AS (SELECT term, true_cnt, MIN(cnt) AS est
   FROM probes JOIN cells USING (row, bucket) GROUP BY term, true_cnt)
 SELECT term, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
 FROM est WHERE est >= $minEst ORDER BY est DESC, term ASC"""
+
+  /** Mirror of [[graft.ops.SketchOps.hllRegisters]]: same md5 bucket/value
+    * split, same binary-string-length rank — DuckDB's bin() is unpadded
+    * exactly like Spark's, so `61 - length(bin(v))` is the identical
+    * integer on both engines. */
+  def hllRegisters(table: String, bucketHex: Int): String =
+    s"""WITH t AS (SELECT unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+h AS (SELECT substr(md5(term), 1, $bucketHex) AS bucket,
+    ('0x' || substr(md5(term), ${bucketHex + 1}, 15))::BIGINT AS v FROM t),
+r AS (SELECT bucket, CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END AS rho FROM h)
+SELECT bucket, CAST(MAX(rho) AS BIGINT) AS register FROM r GROUP BY bucket ORDER BY bucket"""
 }

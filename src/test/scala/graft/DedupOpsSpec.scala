@@ -219,4 +219,49 @@ class DedupOpsSpec extends AnyFunSuite {
     val plan = DedupOps.minhashPairs(docs, "text", "doc_id").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join")
   }
+
+  test("segment dedup strips cross-document boilerplate and keeps unique spans") {
+    import spark.implicits._
+    // k=2 segments; "x1 x2 x3 x4" is the shared boilerplate tail of docs 1+2
+    val df = Seq(
+      (1L, "a1 a2 a3 a4 x1 x2 x3 x4"), // segs: (a1 a2)(a3 a4)(x1 x2)(x3 x4)
+      (2L, "b1 b2 b3 b4 x1 x2 x3 x4"), // segs: (b1 b2)(b3 b4)(x1 x2)(x3 x4)
+      (3L, "c1 c2 c3"), //                 segs: (c1 c2)(c3) — untouched
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.segmentDedupReport(df, "text", "doc_id", segTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "null-text docs carry no segments")
+    assert(rows(1L) == ((4L, 2L, 4L, md5Hex("a1 a2 a3 a4"))))
+    assert(rows(2L) == ((4L, 2L, 4L, md5Hex("b1 b2 b3 b4"))))
+    assert(rows(3L) == ((2L, 0L, 3L, md5Hex("c1 c2 c3"))))
+  }
+
+  test("segment dedup: a fully-boilerplate doc reports the empty-text checksum") {
+    import spark.implicits._
+    val df = Seq((1L, "x1 x2"), (2L, "x1 x2"), (3L, "x1 x2"))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.segmentDedupReport(df, "text", "doc_id", segTokens = 2, minDocs = 2)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, "no tokens survive")
+      assert(r.getString(4) == md5Hex(""), "checksum of the empty survivor text")
+    }
+  }
+
+  test("segment dedup honors minDocs and never joins corpus-quadratically") {
+    import spark.implicits._
+    val df = Seq((1L, "x1 x2 y"), (2L, "x1 x2 z")).toDF("doc_id", "text")
+    val keepAll = DedupOps.segmentDedupReport(df, "text", "doc_id", segTokens = 2, minDocs = 3)
+    assert(keepAll.collect().forall(_.getLong(2) == 0L), "below minDocs nothing is removed")
+    val plan = DedupOps.segmentDedupReport(docs, "text", "doc_id", segTokens = 5, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "segment dedup must stay key-joined")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

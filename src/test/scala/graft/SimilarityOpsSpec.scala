@@ -199,4 +199,36 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), "query set should be broadcast")
   }
+
+  test("semantic dedup drops later in-cell near-dups, attributed to the lowest-id keeper") {
+    import spark.implicits._
+    // centroidMod=3 -> centroids are ids 0 and 3: cell "x-axis" and cell
+    // "y-axis". 1 and 2 are near-dups of 0; 4 is a near-dup of 3; 5 sits in
+    // the x cell but below the threshold to everything earlier there.
+    val df = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.99f, 0.05f)),
+      (2L, Array(0.98f, 0.08f)),
+      (3L, Array(0f, 1f)),
+      (4L, Array(0.05f, 0.99f)),
+      (5L, Array(0.75f, 0.66f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.semanticDedup(df, "vec_id", "embedding",
+      centroidMod = 3, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 0L, 2L -> 0L, 4L -> 3L),
+      s"dropped->keeper attribution wrong: $rows")
+  }
+
+  test("semantic dedup equals brute-force within-cell filtering and respects maxCell") {
+    val dropped = SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+      centroidMod = 10, minCos = 0.2).collect()
+    // every reported cos must clear the threshold in scaled-int form
+    dropped.foreach(r => assert(r.getLong(2) >= 200000L))
+    // keeper must be earlier than the dropped vector
+    dropped.foreach(r => assert(r.getLong(1) < r.getLong(0)))
+    val capped = SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+      centroidMod = 10, minCos = 0.2, maxCell = 1)
+    assert(capped.isEmpty, "maxCell=1 leaves no comparable cell")
+  }
 }

@@ -55,4 +55,44 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"sketch probe should be a broadcast hash join:\n$plan")
   }
+
+  test("HLL register matches a hand-computed md5 rank for a one-term corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "hello")).toDF("id", "text")
+    val Array(row) = SketchOps.hllRegisters(df, "text", bucketHex = 2).collect()
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(h.substring(2, 17), 16)
+    val expectedRho = if (v == 0) 61 else 61 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+    assert(row.getString(0) == h.substring(0, 2))
+    assert(row.getLong(1) == expectedRho.toLong)
+  }
+
+  test("HLL registers are duplicate-insensitive and merge cell-wise by max") {
+    import spark.implicits._
+    val once = Seq((1L, "a b c d e")).toDF("id", "text")
+    val thrice = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "e d c b a")).toDF("id", "text")
+    assert(SketchOps.hllRegisters(once, "text", 2).collect().toSet ==
+      SketchOps.hllRegisters(thrice, "text", 2).collect().toSet,
+      "register file depends only on the distinct term set")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = SketchOps.hllRegisters(a, "text", 2)
+      .unionByName(SketchOps.hllRegisters(b, "text", 2))
+      .groupBy("bucket").agg(max("register").cast("long").as("register"))
+    val whole = SketchOps.hllRegisters(docs, "text", 2)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "HLL(A union B) = cell-wise max of the shard sketches")
+    assert(whole.count() <= 256, "register file bounded by 16^bucketHex")
+  }
+
+  test("HLL estimate lands within the expected error band of the true distinct count") {
+    import spark.implicits._
+    val n = 2000
+    val df = (1 to n).map(i => (i.toLong, s"tok$i")).toDF("id", "text")
+    val est = SketchOps.hllEstimate(SketchOps.hllRegisters(df, "text", 2), 2)
+      .collect()(0).getDouble(0)
+    // 256 buckets -> ~1.04/sqrt(256) = 6.5% standard error; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.26, s"estimate $est too far from $n")
+  }
 }
