@@ -606,6 +606,21 @@ GROUP BY segment ORDER BY segment""")),
         SketchOps.hllRegisters(Tables.documents(s, dir), "text", bucketHex = 2),
       Some(graft.sql.SketchSql.hllRegisters("documents", bucketHex = 2))),
 
+    ("q71_curation_funnel",
+      // the composed curation pipeline as one operator: quality mask ->
+      // prefix-key dedup -> shingle decontamination (every 20th doc plays
+      // the eval set) -> md5-order token budget; one row of (docs, tokens)
+      // counts per surviving stage
+      (s: SparkSession, dir: String) =>
+        CurationOps.curationFunnel(Tables.documents(s, dir), "text", "doc_id",
+          stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
+          prefixLen = 8, w = 3, benchMod = 20,
+          maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L),
+      Some(graft.sql.CurationSql.curationFunnel("documents",
+        stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
+        prefixLen = 8, w = 3, benchMod = 20,
+        maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L))),
+
     ("q43_unicode_word_frequency",
       (s: SparkSession, dir: String) => {
         val px = element_at(

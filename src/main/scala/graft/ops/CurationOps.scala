@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.functions.TextHash.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** END-TO-END curation funnel: the composed pipeline a training-data run
+  * actually executes, as ONE operator — quality filter, exact dedup,
+  * benchmark decontamination, token-budget selection — reporting the doc
+  * and token counts surviving each stage (the "funnel report" every
+  * curation paper tabulates; cf. RefinedWeb/Gopher pipeline tables).
+  *
+  * Stages (each consumes the previous stage's survivors):
+  *   0 raw            non-null-text corpus docs (bench docs excluded)
+  *   1 quality        Gopher-style rule mask == 0
+  *     ([[TextAnalysisOps.gopherRuleMask]])
+  *   2 dedup          min-id keeper per `prefixLen`-token prefix key
+  *     ([[DedupOps.exactDedup]] semantics)
+  *   3 decontaminated distinct-shingle overlap vs the broadcast benchmark
+  *     shingle union stays UNDER maxOverlapNum/maxOverlapDen
+  *     ([[DedupOps.contaminationReport]] semantics; integer
+  *     cross-multiplied threshold — no ratio doubles on the boundary)
+  *   4 budget         first `budget` tokens in deterministic md5 order
+  *     ([[SampleOps.budgetSample]])
+  *
+  * The benchmark set is carved from the same input (`idCol % benchMod ==
+  * 0`), mirroring the decontamination catalog query; production callers
+  * pass a real eval set by unioning it in with ids in that residue class.
+  *
+  * 100 TB shape: every stage is the already-audited distributed form —
+  * the funnel adds NO new shuffle beyond its stages (one bigram shuffle,
+  * one prefix-key shuffle, one shingle join against a broadcast bench
+  * union, one bucketed prefix-sum). Each stage's aggregate is one
+  * map-side-combinable count+sum. The five stage frames share lineage;
+  * at production scale persist stage 2's survivors (the only frame read
+  * twice) — at catalog scale recomputation is cheaper than a cache.
+  */
+object CurationOps {
+
+  def curationFunnel(
+      docs: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String],
+      minTokens: Long, maxTokens: Long, minStops: Long,
+      prefixLen: Int, w: Int, benchMod: Int,
+      maxOverlapNum: Long, maxOverlapDen: Long,
+      budget: Long): DataFrame = {
+    require(benchMod >= 2, s"benchMod must be >= 2: $benchMod")
+    require(maxOverlapDen > 0 && maxOverlapNum >= 0,
+      s"overlap threshold must be a non-negative fraction: $maxOverlapNum/$maxOverlapDen")
+    val corpus = docs.filter(col(textCol).isNotNull && col(idCol) % benchMod =!= 0)
+    val bench = docs.filter(col(textCol).isNotNull && col(idCol) % benchMod === 0)
+
+    // stage 0 + 1: per-doc token counts and rule mask in one pass
+    val masked = TextAnalysisOps.gopherRuleMask(
+      corpus, textCol, idCol, stopwords, minTokens, maxTokens, minStops)
+    val s1 = masked.filter(col("rule_mask") === 0L).select("doc_id", "n_tokens")
+
+    // stage 2: deterministic min-id keeper per content prefix key
+    val keyed = corpus
+      .select(col(idCol).as("doc_id"),
+        concat_ws(" ", slice(tokens(col(textCol)), 1, prefixLen)).as("__key"))
+      .join(s1, "doc_id")
+    val wKey = Window.partitionBy(col("__key")).orderBy(col("doc_id").asc)
+    val s2 = keyed
+      .withColumn("__rn", row_number().over(wKey))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "n_tokens")
+
+    // stage 3: drop docs whose distinct-shingle overlap with the bench
+    // union reaches the threshold; docs too short to shingle cannot overlap
+    val bs = DedupOps.shingled(bench, textCol, idCol, w)
+      .select(explode(col("sh")).as("s")).distinct()
+    val ov = DedupOps.shingled(corpus, textCol, idCol, w)
+      .join(s2.select(col("doc_id").as("id")), "id")
+      .select(col("id"), explode(col("sh")).as("s"))
+      .join(broadcast(bs.withColumn("__hit", lit(1))), Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_ov"))
+    val contaminated = ov
+      .filter(col("n_ov") * maxOverlapDen >= col("n_sh") * maxOverlapNum)
+      .select(col("id").as("doc_id"))
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // stage 4: deterministic token budget over the survivors
+    val s4 = SampleOps.budgetSample(s3, "doc_id", "n_tokens", budget)
+
+    def stage(df: DataFrame, i: Int, name: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+
+    stage(masked, 0, "raw")
+      .unionByName(stage(s1, 1, "quality"))
+      .unionByName(stage(s2, 2, "dedup"))
+      .unionByName(stage(s3, 3, "decontaminated"))
+      .unionByName(stage(s4, 4, "budget"))
+      .orderBy("stage")
+  }
+}

@@ -29,8 +29,10 @@ object SketchOps {
   private def bucket(row: Int, term: Column, hexChars: Int): Column =
     substring(md5(concat_ws(":", lit(row.toString), term)), 1, hexChars)
 
-  /** One (row, bucket) struct per sketch row for `term`. */
-  private def cells(term: Column, depth: Int, hexChars: Int): Column =
+  /** One (row, bucket) struct per sketch row for `term`. Shared with the
+    * streaming sketch ([[graft.streaming.StreamingOps]]) so batch and
+    * stream cannot disagree on cell placement. */
+  private[graft] def cells(term: Column, depth: Int, hexChars: Int): Column =
     explode(array((0 until depth).map(r =>
       struct(lit(r).as("row"), bucket(r, term, hexChars).as("bucket"))): _*))
 
@@ -67,20 +69,24 @@ object SketchOps {
     * integer both engines compute identically), so the register file is
     * bit-reproducible cross-engine — approximation lives only in what the
     * registers ESTIMATE ([[hllEstimate]]), never in the computation. */
-  def hllRegisters(docs: DataFrame, textCol: String, bucketHex: Int): DataFrame = {
-    require(bucketHex >= 1 && bucketHex <= 3, s"bucketHex must be in [1, 3]: $bucketHex")
-    val h = md5(col("term"))
+  def hllRegisters(docs: DataFrame, textCol: String, bucketHex: Int): DataFrame =
     docs
       .filter(col(textCol).isNotNull)
       .select(Generators.ngramExplode(col(textCol), 1).as("term"))
-      .select(
-        substring(h, 1, bucketHex).as("bucket"),
-        conv(substring(h, bucketHex + 1, 15), 16, 10).cast("long").as("v"))
-      .select(col("bucket"),
-        when(col("v") === 0, lit(61)).otherwise(lit(61) - length(bin(col("v")))).as("rho"))
-      .groupBy("bucket")
-      .agg(max(col("rho")).cast("long").as("register"))
+      .select(hllCell(col("term"), bucketHex).as("c"))
+      .groupBy(col("c.bucket").as("bucket"))
+      .agg(max(col("c.rho")).cast("long").as("register"))
       .orderBy("bucket")
+
+  /** The (bucket, rho) HLL cell of one term — shared with the streaming
+    * sketch so batch and stream cannot disagree on ranks. */
+  private[graft] def hllCell(term: Column, bucketHex: Int): Column = {
+    require(bucketHex >= 1 && bucketHex <= 3, s"bucketHex must be in [1, 3]: $bucketHex")
+    val h = md5(term)
+    val v = conv(substring(h, bucketHex + 1, 15), 16, 10).cast("long")
+    struct(
+      substring(h, 1, bucketHex).as("bucket"),
+      when(v === 0, lit(61)).otherwise(lit(61) - length(bin(v))).as("rho"))
   }
 
   /** The cardinality estimate a register file encodes: the standard HLL

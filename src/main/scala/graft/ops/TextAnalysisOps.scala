@@ -196,6 +196,20 @@ object TextAnalysisOps {
     * token pass + the (doc, bigram) partial-agg shuffle, joined per doc. */
   def gopherRuleProfile(
       docs: DataFrame, textCol: String, idCol: String, stopwords: Seq[String],
+      minTokens: Long, maxTokens: Long, minStops: Long): DataFrame =
+    gopherRuleMask(docs, textCol, idCol, stopwords, minTokens, maxTokens, minStops)
+      .select(col("rule_mask"))
+      .groupBy("rule_mask")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("rule_mask")
+
+  /** Per-document form of [[gopherRuleProfile]]: one row per non-null-text
+    * doc with (doc_id, n_tokens, rule_mask) — the reusable quality-filter
+    * stage ([[CurationOps]] keeps mask==0 docs). Same integer
+    * cross-multiplied thresholds; same one-token-scan + one-bigram-shuffle
+    * cost. */
+  def gopherRuleMask(
+      docs: DataFrame, textCol: String, idCol: String, stopwords: Seq[String],
       minTokens: Long, maxTokens: Long, minStops: Long): DataFrame = {
     val toksC = tokens(col(textCol))
     val tokenSide = docs
@@ -227,10 +241,7 @@ object TextAnalysisOps {
     tokenSide
       .join(bigramSide, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_bg", "top_bg", "dup_bg"))
-      .select(mask.as("rule_mask"))
-      .groupBy("rule_mask")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("rule_mask")
+      .select(col("doc_id"), col("n_tokens"), mask.as("rule_mask"))
   }
 
   /** Default scrub pattern set: PII shapes (email, IPv4) plus a content

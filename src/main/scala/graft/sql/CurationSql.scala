@@ -1,0 +1,73 @@
+package graft.sql
+
+/** DuckDB oracle SQL mirroring [[graft.ops.CurationOps.curationFunnel]] —
+  * the same five stages composed from the same per-stage expressions the
+  * stage operators' own mirrors use (Gopher mask CTEs from
+  * [[TextAnalysisSql]], shingle CTEs from [[DedupSql]], md5-order budget
+  * window from [[SampleSql]]), so funnel agreement is transitively the
+  * agreement of every stage. */
+object CurationSql {
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  private val toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
+
+  def curationFunnel(
+      table: String, stopwords: Seq[String],
+      minTokens: Long, maxTokens: Long, minStops: Long,
+      prefixLen: Int, w: Int, benchMod: Int,
+      maxOverlapNum: Long, maxOverlapDen: Long,
+      budget: Long): String = {
+    val stops = s"[${stopwords.map(sq).mkString(", ")}]"
+    val bigram = (0 until 2).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    val shingle = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $benchMod <> 0),
+tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tok_chars,
+  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS n_stop FROM t),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> $bigram)) AS bg
+  FROM t WHERE len(tk) >= 2),
+g AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, CAST(MAX(c) AS BIGINT) AS top_bg,
+  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_bg FROM g GROUP BY doc_id),
+j AS (SELECT tok.doc_id, tok.n_tokens, tok.tok_chars, tok.n_stop,
+  COALESCE(a.n_bg, 0) AS n_bg, COALESCE(a.top_bg, 0) AS top_bg, COALESCE(a.dup_bg, 0) AS dup_bg
+  FROM tok LEFT JOIN a USING (doc_id)),
+m AS (SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens < $minTokens OR n_tokens > $maxTokens THEN 1 ELSE 0 END
+  + CASE WHEN tok_chars < n_tokens * 3 OR tok_chars > n_tokens * 10 THEN 2 ELSE 0 END
+  + CASE WHEN n_stop < $minStops THEN 4 ELSE 0 END
+  + CASE WHEN top_bg * 5 > n_bg THEN 8 ELSE 0 END
+  + CASE WHEN dup_bg * 5 > n_bg * 2 THEN 16 ELSE 0 END AS rule_mask FROM j),
+s1 AS (SELECT doc_id, n_tokens FROM m WHERE rule_mask = 0),
+keyed AS (SELECT t.doc_id, s1.n_tokens, array_to_string(t.tk[1:$prefixLen], ' ') AS k
+  FROM t JOIN s1 USING (doc_id)),
+s2 AS (SELECT doc_id, n_tokens FROM (
+  SELECT doc_id, n_tokens, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id ASC) AS rn
+  FROM keyed) WHERE rn = 1),
+bt AS (SELECT doc_id AS id, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $benchMod = 0),
+bsh AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $shingle)) AS s
+  FROM bt WHERE len(tk) >= $w),
+bs AS (SELECT DISTINCT unnest(s) AS s FROM bsh),
+csh AS (SELECT t.doc_id AS id,
+    list_distinct(list_transform(range(1, len(t.tk)-${w - 2}), i -> ${shingle.replace("tk[", "t.tk[")})) AS s
+  FROM t JOIN s2 ON t.doc_id = s2.doc_id WHERE len(t.tk) >= $w),
+dsh AS (SELECT id, unnest(s) AS s FROM csh),
+ov AS (SELECT dsh.id, COUNT(*) AS n_sh, COUNT(bs.s) AS n_ov
+  FROM dsh LEFT JOIN bs ON dsh.s = bs.s GROUP BY dsh.id),
+bad AS (SELECT id FROM ov WHERE n_ov * $maxOverlapDen >= n_sh * $maxOverlapNum),
+s3 AS (SELECT doc_id, n_tokens FROM s2 WHERE doc_id NOT IN (SELECT id FROM bad)),
+c AS (SELECT doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC, doc_id ASC
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s3),
+s4 AS (SELECT doc_id, n_tokens FROM c WHERE cum_tokens <= $budget)
+SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM m
+UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'dedup', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'budget', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
+ORDER BY stage"""
+  }
+}

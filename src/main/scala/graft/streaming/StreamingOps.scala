@@ -75,6 +75,46 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Windowed COUNT-MIN sketch on a stream: per tumbling window, the same
+    * depth × 16^hexChars cell grid as [[graft.ops.SketchOps.countMinSketch]]
+    * (the cell expression is SHARED, so batch and stream place every term
+    * identically). Each micro-batch partially aggregates to at most
+    * depth·16^hexChars rows per window before the shuffle, and the
+    * watermark bounds window state — a constant-size sketch per window
+    * however large the firehose. Window sketches merge into coarser
+    * granularities (or a global sketch) by cell-wise ADDITION. */
+  def windowedCountMinSketch(
+      docs: DataFrame, textCol: String, tsCol: String,
+      windowDur: String, watermarkDelay: String,
+      depth: Int, hexChars: Int): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .select(col(tsCol), graft.ops.SketchOps.cells(col("term"), depth, hexChars).as("c"))
+      .groupBy(window(col(tsCol), windowDur),
+        col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("row"), col("bucket"), col("cnt"))
+
+  /** Windowed HYPERLOGLOG register file on a stream: per tumbling window,
+    * the same md5 bucket/rank cells as [[graft.ops.SketchOps.hllRegisters]]
+    * (shared expression — identical placement batch vs stream). max() is
+    * idempotent, so replayed records never inflate a register; window
+    * sketches merge into coarser granularities by cell-wise MAX. */
+  def windowedHllRegisters(
+      docs: DataFrame, textCol: String, tsCol: String,
+      windowDur: String, watermarkDelay: String, bucketHex: Int): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .select(col(tsCol), graft.ops.SketchOps.hllCell(col("term"), bucketHex).as("c"))
+      .groupBy(window(col(tsCol), windowDur), col("c.bucket").as("bucket"))
+      .agg(max(col("c.rho")).cast("long").as("register"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("register"))
+
   // --- Stateful sessionization -------------------------------------------
 
   /** Input event for sessionization. Carries the event-time column itself:

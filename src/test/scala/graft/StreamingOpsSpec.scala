@@ -206,4 +206,60 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq((100000L, 110000L, 2), (600000L, 600000L, 1)))
     } finally q.stop()
   }
+
+  test("windowed CMS on a stream sums cell-wise to the batch sketch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val out = StreamingOps.windowedCountMinSketch(
+      in.toDF().toDF("text", "ts"), "text", "ts", "1 minute", "10 seconds",
+      depth = 2, hexChars = 1)
+    val q = out.writeStream.format("memory").queryName("cms_win")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        ("alpha beta beta", ts(0)),
+        ("alpha gamma", ts(10)),
+        ("beta delta", ts(70))) // second window
+      in.addData(data: _*)
+      q.processAllAvailable()
+      // collapsing the windows by cell-wise addition = the batch sketch
+      val streamed = spark.sql(
+        "SELECT row, bucket, sum(cnt) FROM cms_win GROUP BY 1, 2 ORDER BY 1, 2")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val batch = graft.ops.SketchOps.countMinSketch(
+        data.map(_._1).toDF("text"), "text", depth = 2, hexChars = 1)
+        .orderBy("row", "bucket")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(streamed == batch)
+      assert(spark.sql("SELECT count(DISTINCT window_start) FROM cms_win")
+        .head().getLong(0) == 2L, "terms split across two tumbling windows")
+    } finally q.stop()
+  }
+
+  test("windowed HLL on a stream maxes cell-wise to the batch register file") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val out = StreamingOps.windowedHllRegisters(
+      in.toDF().toDF("text", "ts"), "text", "ts", "1 minute", "10 seconds",
+      bucketHex = 2)
+    val q = out.writeStream.format("memory").queryName("hll_win")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        ("alpha beta beta", ts(0)),
+        ("alpha gamma", ts(10)),
+        ("beta delta epsilon", ts(70))) // replay-heavy: repeats across windows
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT bucket, max(register) FROM hll_win GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = graft.ops.SketchOps.hllRegisters(
+        data.map(_._1).toDF("text"), "text", bucketHex = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
