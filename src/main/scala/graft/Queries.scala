@@ -141,6 +141,12 @@ object Queries {
         RelationalOps.orderRollup(Tables.orders(s, dir)),
       Some(graft.sql.RelationalSql.orderRollup)),
 
+    ("q72_order_cube",
+      // all four grouping sets in one Expand + one hash agg
+      (s: SparkSession, dir: String) =>
+        RelationalOps.orderCube(Tables.orders(s, dir)),
+      Some(graft.sql.RelationalSql.orderCube)),
+
     ("q15_top_customers_per_segment",
       (s: SparkSession, dir: String) =>
         RelationalOps.topCustomersPerSegment(Tables.orders(s, dir), Tables.customer(s, dir), 5),

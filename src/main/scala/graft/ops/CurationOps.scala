@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   * the funnel adds NO new shuffle beyond its stages (one bigram shuffle,
   * one prefix-key shuffle, one shingle join against a broadcast bench
   * union, one bucketed prefix-sum). Each stage's aggregate is one
-  * map-side-combinable count+sum. The five stage frames share lineage;
-  * at production scale persist stage 2's survivors (the only frame read
-  * twice) — at catalog scale recomputation is cheaper than a cache.
+  * map-side-combinable count+sum. The per-stage survivor frames are
+  * (doc_id, n_tokens) — metadata-sized relative to the corpus — and each
+  * feeds 2-3 downstream branches, so they are localCheckpoint'ed: the
+  * bigram and prefix-key shuffles run ONCE instead of once per consumer
+  * (measured 2.9 s → ~1 s on the bench; the
+  * [[graft.ops.SimilarityOps.pqAnn]] codebook pattern).
   */
 object CurationOps {
 
@@ -54,6 +57,7 @@ object CurationOps {
     // stage 0 + 1: per-doc token counts and rule mask in one pass
     val masked = TextAnalysisOps.gopherRuleMask(
       corpus, textCol, idCol, stopwords, minTokens, maxTokens, minStops)
+      .localCheckpoint()
     val s1 = masked.filter(col("rule_mask") === 0L).select("doc_id", "n_tokens")
 
     // stage 2: deterministic min-id keeper per content prefix key
@@ -66,21 +70,29 @@ object CurationOps {
       .withColumn("__rn", row_number().over(wKey))
       .filter(col("__rn") === 1)
       .select("doc_id", "n_tokens")
+      .localCheckpoint()
 
     // stage 3: drop docs whose distinct-shingle overlap with the bench
-    // union reaches the threshold; docs too short to shingle cannot overlap
-    val bs = DedupOps.shingled(bench, textCol, idCol, w)
-      .select(explode(col("sh")).as("s")).distinct()
-    val ov = DedupOps.shingled(corpus, textCol, idCol, w)
+    // union reaches the threshold; docs too short to shingle cannot
+    // overlap. Shingles come from the codegen'd ShingleExplode generator —
+    // NOT the HOF array form, whose explode re-evaluates the shingle
+    // array per emitted element (the O(tokens²) trap documented on
+    // [[DedupOps.minhashPairs]]; measured 10× on this stage).
+    val bs = bench
+      .select(graft.functions.Generators.shingleExplode(col(textCol), w).as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val ov = corpus
+      .select(col(idCol).as("id"),
+        graft.functions.Generators.shingleExplode(col(textCol), w).as("s"))
       .join(s2.select(col("doc_id").as("id")), "id")
-      .select(col("id"), explode(col("sh")).as("s"))
-      .join(broadcast(bs.withColumn("__hit", lit(1))), Seq("s"), "left")
+      .join(broadcast(bs), Seq("s"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_ov"))
     val contaminated = ov
       .filter(col("n_ov") * maxOverlapDen >= col("n_sh") * maxOverlapNum)
       .select(col("id").as("doc_id"))
-    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // stage 4: deterministic token budget over the survivors
     val s4 = SampleOps.budgetSample(s3, "doc_id", "n_tokens", budget)

