@@ -260,9 +260,138 @@ object Generators {
       copy(child = newChild)
   }
 
+  /** Consecutive NON-OVERLAPPING k-token segments of the whitespace-
+    * tokenized text, in order: (seg_idx, seg, ntok) rows; the last segment
+    * may be shorter than k. Same tokenization contract as the other
+    * generators; zero-token docs emit nothing. One JVM pass — the HOF
+    * form (posexplode over a transform/slice array) re-evaluates the
+    * whole segmentation per emitted segment, O(len²/k) per doc. */
+  case class SegmentExplode(child: Expression, k: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(k >= 1, s"segment width must be >= 1, got $k")
+
+    override def elementSchema: StructType = StructType(
+      StructField("seg_idx", org.apache.spark.sql.types.IntegerType, nullable = false) ::
+        StructField("seg", StringType, nullable = false) ::
+        StructField("ntok", org.apache.spark.sql.types.IntegerType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"segment_explode needs a string column, got ${child.dataType}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = v.asInstanceOf[UTF8String].toString.split(" +")
+        .filter(_.nonEmpty)
+      if (toks.length == 0) return Nil
+      val nSeg = (toks.length + k - 1) / k
+      val out = new Array[InternalRow](nSeg)
+      var s = 0
+      while (s < nSeg) {
+        val from = s * k
+        val until = math.min(from + k, toks.length)
+        val sb = new java.lang.StringBuilder(toks(from))
+        var i = from + 1
+        while (i < until) { sb.append(' ').append(toks(i)); i += 1 }
+        out(s) = InternalRow(s, UTF8String.fromString(sb.toString), until - from)
+        s += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SegmentExplode =
+      copy(child = newChild)
+  }
+
+  /** Ordered pairs (a, b) over an array column, sorted internally so
+    * input order is irrelevant: the bucket-local candidate generator for
+    * LSH/IVF near-dup search. Accepts `array<bigint>` (pairs of ids,
+    * a < b) or `array<struct<bigint, ...>>` (pairs of payload structs,
+    * ordered by the UNIQUE long first field — id-plus-fingerprint rides
+    * the shuffle without a second join). One lazy JVM pass per bucket
+    * row — `explode(orderedPairs(ids))` re-builds the O(n²) pair array
+    * per emitted pair once `InferFiltersFromGenerate` + projection
+    * collapse inline it (O(n⁴) at the bucket cap); here the pair array
+    * never exists at all. */
+  case class PairsExplode(child: Expression)
+      extends UnaryExpression with Generator with CodegenFallback {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def elementSchema: StructType = StructType(
+      StructField("a", elemType, nullable = false) ::
+        StructField("b", elemType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case ArrayType(s: StructType, _)
+            if s.fields.nonEmpty && s.fields.head.dataType == LongType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"pairs_explode needs array<bigint> or array<struct<bigint,...>>, got $t")
+      }
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val data = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = data.numElements()
+      if (n < 2) return Nil
+      val arr: Array[Any] = elemType match {
+        case LongType =>
+          val a = data.toLongArray().sorted
+          a.map(x => x: Any)
+        case s: StructType =>
+          // copy() — ArrayData rows may share a backing buffer
+          val a = new Array[InternalRow](n)
+          var i = 0
+          while (i < n) { a(i) = data.getStruct(i, s.length).copy(); i += 1 }
+          java.util.Arrays.sort(a, (x: InternalRow, y: InternalRow) =>
+            java.lang.Long.compare(x.getLong(0), y.getLong(0)))
+          a.map(x => x: Any)
+      }
+      // lazy: a capped bucket is ~n²/2 pairs — stream them, never hold them
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = i < arr.length - 1
+        override def next(): InternalRow = {
+          val r = InternalRow(arr(i), arr(j))
+          j += 1
+          if (j >= arr.length) { i += 1; j = i + 1 }
+          r
+        }
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PairsExplode =
+      copy(child = newChild)
+  }
+
   /** Column API: one row per distinct w-shingle of `text`. */
   def shingleExplode(text: Column, w: Int): Column =
     toColumn(ShingleExplode(toExpression(text), w))
+
+  /** Column API: (seg_idx, seg, ntok) per non-overlapping k-token segment. */
+  def segmentExplode(text: Column, k: Int): Column =
+    toColumn(SegmentExplode(toExpression(text), k))
+
+  /** Column API: (a, b) ordered pairs of a bigint-array column. */
+  def pairsExplode(ids: Column): Column =
+    toColumn(PairsExplode(toExpression(ids)))
 
   /** Column API: one row per w-gram occurrence of `text` (multiset). */
   def ngramExplode(text: Column, w: Int): Column =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{Collections, Generators}
+import graft.functions.Generators
 import graft.functions.TextHash._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -233,10 +233,11 @@ object DedupOps {
     // dedup handles more cheaply anyway).
     val cand = bands
       .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(Collections.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      // generator, not explode(orderedPairs(...)): the inferred-filter
+      // inlining rebuilds the O(n²) pair array per emitted pair
+      .select(Generators.pairsExplode(col("ids")).as(Seq("doc_a", "doc_b")))
       .distinct()
     // Verify on shingles recomputed from the RAW TEXT of candidate pairs
     // only: exact Jaccard needs shingle STRINGS (no md5), and candidates
@@ -391,12 +392,13 @@ object DedupOps {
       .select(col("id"), col("fp"), col("ch.c").as("c"), col("ch.v").as("v"))
     chunks
       .groupBy("c", "v")
-      // sort_array on array<struct<id,fp>> orders by id (unique first field)
-      .agg(sort_array(collect_list(struct(col("id"), col("fp")))).as("ms"))
+      .agg(collect_list(struct(col("id"), col("fp"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-      .select(explode(Collections.orderedPairs(col("ms"))).as("p"))
-      .select(col("p.a.id").as("doc_a"), col("p.b.id").as("doc_b"),
-        bit_count(col("p.a.fp").bitwiseXOR(col("p.b.fp"))).cast("long").as("hamming"))
+      // generator (struct form, ordered by the unique id first field) —
+      // not explode(orderedPairs(...)); see minhashPairs
+      .select(Generators.pairsExplode(col("ms")).as(Seq("pa", "pb")))
+      .select(col("pa.id").as("doc_a"), col("pb.id").as("doc_b"),
+        bit_count(col("pa.fp").bitwiseXOR(col("pb.fp"))).cast("long").as("hamming"))
       // the same pair can collide in several chunks — dedup before filter
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -453,31 +455,24 @@ object DedupOps {
     * md5 checksum of the reassembled text (scalar gate-comparable proof of
     * the exact surviving byte sequence).
     *
-    * 100 TB shape: segmentation is map-only (one `slice` per segment — no
-    * token self-join, no O(len²) substring blowup because segments do not
-    * overlap); the frequency count is ONE shuffle keyed on segment text
-    * with map-side partial aggregation; the reassembly is a shuffle join
-    * back on segment text plus one groupBy(doc). Nothing is
-    * corpus-quadratic and no state exceeds (distinct segments). */
+    * 100 TB shape: segmentation is the one-pass [[Generators.SegmentExplode]]
+    * generator (the HOF posexplode-over-transform form re-evaluates the
+    * segment array per emitted segment — O(len²/k) per doc, the explode
+    * trap documented on [[graft.functions.Generators]]); the frequency
+    * count is ONE shuffle keyed on segment text with map-side partial
+    * aggregation; the reassembly is a shuffle join back on segment text
+    * plus one groupBy(doc). Nothing is corpus-quadratic and no state
+    * exceeds (distinct segments). */
   def segmentDedupReport(
       docs: DataFrame, textCol: String, idCol: String,
       segTokens: Int, minDocs: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1: $segTokens")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val k = segTokens
-    val nSeg = floor((size(col("__toks")) + lit(k - 1)) / lit(k)).cast("int")
-    val segStructs = transform(
-      sequence(lit(0), nSeg - 1),
-      i => {
-        val piece = slice(col("__toks"), i * k + 1, lit(k))
-        struct(array_join(piece, " ").as("seg"), size(piece).as("ntok"))
-      })
     val segs = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) > 0)
-      .select(col("doc_id"), posexplode(segStructs).as(Seq("seg_idx", "s")))
-      .select(col("doc_id"), col("seg_idx"), col("s.seg").as("seg"), col("s.ntok").as("ntok"))
+      .select(col(idCol).as("doc_id"),
+        Generators.segmentExplode(col(textCol), segTokens)
+          .as(Seq("seg_idx", "seg", "ntok")))
     val counts = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("docs"))
     segs.join(counts, "seg")
       .groupBy("doc_id")

@@ -146,10 +146,12 @@ object SimilarityOps {
       col(idCol).as("id"), lshBucket(col(vecCol), planes).as("bucket"))
     val cand = bucketed
       .groupBy("bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(graft.functions.Collections.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      // generator, not explode(orderedPairs(...)): the inferred-filter
+      // inlining would rebuild the O(n²) pair array per emitted pair
+      .select(graft.functions.Generators.pairsExplode(col("ids"))
+        .as(Seq("vec_a", "vec_b")))
     cand
       .join(emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
       .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
@@ -194,10 +196,11 @@ object SimilarityOps {
       .select(col("id"), col("cid"))
     val cand = assigned
       .groupBy("cid")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxCell)
-      .select(explode(graft.functions.Collections.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      // generator, not explode(orderedPairs(...)) — see embeddingNearDupPairs
+      .select(graft.functions.Generators.pairsExplode(col("ids"))
+        .as(Seq("vec_a", "vec_b")))
     val pairs = cand
       .join(emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
       .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.functions.Generators.{NgramExplode, ShingleExplode, TokenExplode, UnicodeTokenExplode}
+import graft.functions.Generators.{NgramExplode, PairsExplode, SegmentExplode, ShingleExplode, TokenExplode, UnicodeTokenExplode}
 import graft.functions.KeywordMatch.MultiKeywordTags
 import graft.functions.VectorMath.{CosineSimilarity, JaccardSimilarity, L2Squared}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   unicode_token_explode(text, minLen, 'stop,words')
   *   multi_keyword_tags(text, 'Label1:kw1,kw2;Label2:kw3')
   *   ngram_explode(text, w)          -- every w-gram occurrence (multiset)
+  *   segment_explode(text, k)        -- (seg_idx, seg, ntok) non-overlapping k-token segments
+  *   pairs_explode(ids)              -- (a, b) ordered pairs of an id array (or struct array)
   *   cosine_similarity(vecA, vecB)   -- unrounded; round(...) in SQL if needed
   *   l2_squared(vecA, vecB)          -- unrounded; round(...) in SQL if needed
   *   jaccard_similarity(setA, setB)  -- unrounded; distinct-element arrays
@@ -91,6 +93,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "ngram_explode(text, w)")
         NgramExplode(args.head, litInt(args(1), "ngram_explode"))
+      }),
+    (FunctionIdentifier("segment_explode"),
+      new ExpressionInfo(classOf[SegmentExplode].getName, "segment_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "segment_explode(text, k)")
+        SegmentExplode(args.head, litInt(args(1), "segment_explode"))
+      }),
+    (FunctionIdentifier("pairs_explode"),
+      new ExpressionInfo(classOf[PairsExplode].getName, "pairs_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "pairs_explode(ids)")
+        PairsExplode(args.head)
       }),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
