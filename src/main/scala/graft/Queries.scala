@@ -409,6 +409,29 @@ GROUP BY segment ORDER BY segment""")),
       },
       Some(graft.sql.OracleSql.asofEventJoin("purchase", "click"))),
 
+    ("q73_asof_forward_tolerance",
+      // forward as-of: each purchase matched to the user's EARLIEST click
+      // at-or-after it, nulled when farther than 6 hours away
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+        AsofOps.asofJoinDirected(
+            ev.filter(col("event_type") === "purchase")
+              .select("user_id", "ts", "event_id"),
+            ev.filter(col("event_type") === "click")
+              .select("user_id", "ts", "event_id", "value"),
+            "user_id", "ts", "event_id", Seq("value"),
+            forward = true, toleranceUs = Some(21600000000L))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("asof_match.event_id").as("matched_event_id"),
+            unix_micros(col("asof_match.ts")).as("matched_ts_us"),
+            (col("asof_match.value").cast("decimal(18,6)") * 1000000)
+              .cast("long").as("matched_value_e6"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(graft.sql.OracleSql.asofEventJoinForward("purchase", "click",
+        tolUs = 21600000000L))),
+
     ("q53_open_order_lines_daily",
       // range-join count: for each calendar day, how many order lines were
       // open (ordered at-or-before, shipped at-or-after) — sweep-line delta

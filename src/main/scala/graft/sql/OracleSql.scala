@@ -140,6 +140,26 @@ SELECT p.user_id AS user_id, p.event_id AS event_id, p.t AS ts_us,
 FROM p ASOF LEFT JOIN b1 ON p.user_id = b1.user_id AND p.t >= b1.t
 ORDER BY user_id, event_id"""
 
+  /** FORWARD as-of with tolerance — mirrors
+    * [[graft.ops.AsofOps.asofJoinDirected]] via DuckDB's native ASOF with
+    * the inequality flipped (`p.t <= b1.t` → earliest at-or-after) and a
+    * post-CASE nulling matches farther than `tolUs` µs. */
+  def asofEventJoinForward(probeType: String, buildType: String, tolUs: Long): String =
+    s"""WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id, value
+  FROM events WHERE event_type = '$buildType' AND ts IS NOT NULL),
+b1 AS (SELECT user_id, t, event_id, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, t ORDER BY event_id DESC) AS rn FROM b) WHERE rn = 1),
+p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+  FROM events WHERE event_type = '$probeType' AND ts IS NOT NULL),
+j AS (SELECT p.user_id, p.event_id, p.t, b1.event_id AS m_id, b1.t AS m_t, b1.value AS m_v
+  FROM p ASOF LEFT JOIN b1 ON p.user_id = b1.user_id AND p.t <= b1.t)
+SELECT user_id, event_id, t AS ts_us,
+  CASE WHEN m_t IS NOT NULL AND m_t - t <= $tolUs THEN m_id END AS matched_event_id,
+  CASE WHEN m_t IS NOT NULL AND m_t - t <= $tolUs THEN m_t END AS matched_ts_us,
+  CASE WHEN m_t IS NOT NULL AND m_t - t <= $tolUs
+    THEN CAST(CAST(m_v AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS matched_value_e6
+FROM j ORDER BY user_id, event_id"""
+
   /** Range-join oracle: daily count of open order lines (ordered, not yet
     * shipped) — a plain BETWEEN join over the data-derived calendar,
     * zero-filled. DuckDB plans this as an IEJoin; the engine side
