@@ -135,4 +135,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"calendar join should broadcast:\n${plan.take(800)}")
   }
+
+  test("bucket pair expansion and segmentation run through generators, not array explodes") {
+    // explode(<computed array>) re-evaluates the array per emitted element
+    // (InferFiltersFromGenerate + projection collapse — see Generators);
+    // these pins keep the hot paths on the one-pass generator form
+    val pairPlans = Seq(
+      graft.ops.DedupOps.minhashPairs(Tables.documents(spark, sf), "text", "doc_id"),
+      graft.ops.DedupOps.simhashNearDupPairs(Tables.documents(spark, sf), "text", "doc_id"),
+      graft.ops.SimilarityOps.embeddingNearDupPairs(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        nPlanes = 4, dim = 64, minCos = 0.0, limit = 10),
+      graft.ops.SimilarityOps.semanticDedup(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", centroidMod = 10, minCos = 0.5))
+    pairPlans.foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("pairsexplode"),
+        s"pair expansion must be the PairsExplode generator:\n${plan.take(500)}")
+    }
+    val segPlan = graft.ops.DedupOps
+      .segmentDedupReport(Tables.documents(spark, sf), "text", "doc_id", 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(segPlan.contains("segmentexplode"),
+      s"segmentation must be the SegmentExplode generator:\n${segPlan.take(500)}")
+  }
 }

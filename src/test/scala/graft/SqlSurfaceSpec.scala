@@ -50,6 +50,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT ngram_explode(text, 2) AS g FROM sql_surface_docs")
       .collect().map(_.getString(0))
     assert(ngrams.length > 0 && ngrams.forall(_.split(" ").length == 2))
+
+    val segs = spark.sql(
+      "SELECT segment_explode(text, 3) AS (i, s, n) FROM sql_surface_docs")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toList
+    assert(segs == List((0, "alpha beta gamma", 3), (1, "alpha beta the", 3), (2, "42", 1)))
+
+    val pairs = spark.sql(
+      "SELECT pairs_explode(array(3L, 1L, 2L)) AS (a, b)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), "sorted ordered pairs")
   }
 
   test("literal-alternation rlike rewrites to one Aho-Corasick pass") {
