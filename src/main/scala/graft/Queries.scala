@@ -650,6 +650,34 @@ GROUP BY segment ORDER BY segment""")),
         prefixLen = 8, w = 3, benchMod = 20,
         maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L))),
 
+    ("q74_hashed_linear_score",
+      // classifier inference as relational algebra: md5 feature hashing,
+      // integer weights, exact BIGINT doc scores, top-N ranking
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.hashedLinearScore(Tables.documents(s, dir), "text", "doc_id",
+          dim = 1024, topN = 100),
+      Some(graft.sql.TextAnalysisSql.hashedLinearScore("documents",
+        dim = 1024, topN = 100))),
+
+    ("q75_conversion_funnel",
+      // strict-sequence behavioral funnel: users reaching each stage only
+      // after completing the previous ones, via chained running windows
+      (s: SparkSession, dir: String) =>
+        SessionOps.conversionFunnel(
+          Tables.events(s, dir).filter(col("ts").isNotNull),
+          "user_id", "ts", "event_id", "event_type",
+          stages = Seq("view", "click", "purchase")),
+      Some(graft.sql.OracleSql.conversionFunnel(Seq("view", "click", "purchase")))),
+
+    ("q76_cohort_retention",
+      // retention triangle: cohort = first-activity ISO week, cells =
+      // distinct cohort users active at each week offset
+      (s: SparkSession, dir: String) =>
+        SessionOps.cohortRetention(
+          Tables.events(s, dir).filter(col("ts").isNotNull),
+          "user_id", "ts"),
+      Some(graft.sql.OracleSql.cohortRetention)),
+
     ("q43_unicode_word_frequency",
       (s: SparkSession, dir: String) => {
         val px = element_at(

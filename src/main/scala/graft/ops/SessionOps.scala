@@ -43,4 +43,76 @@ object SessionOps {
           .as("total_value_e6"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** CONVERSION FUNNEL over an ordered event-type sequence: for each
+    * funnel stage k, the number of users who performed stage k AFTER
+    * (at-or-after, ts-inclusive) having completed stages 0..k-1 in order.
+    * The standard product-analytics funnel ("view → click → purchase"),
+    * with strict sequencing — a purchase BEFORE the user's qualifying
+    * click does not count.
+    *
+    * Shape: ONE shuffle on the user key; each stage is a running
+    * min-of-qualifying-ts window over the same (user, ts, id) sort
+    * (Spark reuses the exchange+sort across the chained windows), then a
+    * single per-user aggregate. A stage event qualifies iff the previous
+    * stage's running timestamp is already set at that row — the windows
+    * encode the sequencing, no self-joins, no per-stage passes over the
+    * corpus. */
+  def conversionFunnel(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __s0 .. __s{n-1}: running min ts of the user's qualifying stage-k event
+    val withStages = stages.zipWithIndex.foldLeft(events) { case (df, (stage, k)) =>
+      val qualifies =
+        if (k == 0) col(typeCol) === stage
+        else col(typeCol) === stage && col(s"__s${k - 1}").isNotNull
+      df.withColumn(s"__s$k",
+        min(when(qualifies, col(tsCol))).over(running))
+    }
+    val reached = stages.indices.map(k => max(col(s"__s$k").isNotNull).as(s"__r$k"))
+    val perUser = withStages
+      .groupBy(col(userCol))
+      .agg(reached.head, reached.tail: _*)
+    val stageCounts = stages.indices.map(k =>
+      count(when(col(s"__r$k"), lit(1))).as(s"__c$k"))
+    val counts = perUser.agg(stageCounts.head, stageCounts.tail: _*)
+    val stageRows = stages.zipWithIndex.map { case (stage, k) =>
+      struct(lit(k.toLong).as("stage"), lit(stage).as("event_type"),
+        col(s"__c$k").as("n_users"))
+    }
+    counts
+      .select(explode(array(stageRows: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.n_users"))
+      .orderBy("stage")
+  }
+
+  /** COHORT RETENTION: users grouped by the ISO week of their first event
+    * (the cohort); each (cohort, week offset) cell counts the cohort's
+    * users active in that later week — the classic retention triangle.
+    *
+    * Shape: first-event week per user is one groupBy(user); the join back
+    * re-uses the user-key partitioning; activity weeks deduplicate via the
+    * (cohort, offset, user) distinct before the final count. Weeks are
+    * date_trunc('week') — Monday-based ISO weeks in both engines — and
+    * the offset is an exact integer day-difference / 7. */
+  def cohortRetention(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val week = date_trunc("week", col(tsCol)).cast("date")
+    val firsts = events
+      .groupBy(col(userCol).as("u"))
+      .agg(min(week).as("cohort_week"))
+    events
+      .select(col(userCol).as("u"), week.as("w"))
+      .join(firsts, "u")
+      .select(col("u"), col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -186,6 +186,40 @@ object TextAnalysisOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** HASHED-FEATURE LINEAR SCORER: classifier inference at corpus scale
+    * as pure relational algebra — the fastText/CCNet-style quality-
+    * classifier pass every web-scale pipeline runs, with the model as
+    * DATA, not code. Each token hashes to a feature index (the hashing
+    * trick, md5 % dim); the document score is the exact integer sum of
+    * its tokens' feature weights. Weights here derive deterministically
+    * from the feature index (a stand-in for trained weights — a real
+    * model ships as a broadcast (idx, weight) relation joined in the
+    * same plan shape); keeping weights INTEGER makes the score an exact
+    * BIGINT, so ranking cannot diverge cross-engine by a ulp.
+    *
+    * Shape: map-only token hashing (no vocabulary lookup, no shuffle for
+    * inference itself), one partial-agg shuffle on doc id for the
+    * per-document sum, top-N sort on the scored relation. At 100 TB the
+    * cost is exactly one corpus scan. */
+  def hashedLinearScore(
+      docs: DataFrame, textCol: String, idCol: String,
+      dim: Int, topN: Int): DataFrame = {
+    require(dim >= 2, s"feature dim must be >= 2: $dim")
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val idx = pmod(
+      conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long"), lit(dim))
+    val weight = (idx * 2654435761L) % 1001L - 500L
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   /** Gopher-style composite quality filter (Rae et al. 2021 §A1.1
     * adapted to the available signals): evaluate five document rules and
     * histogram the joint rule BITMASK over the corpus — mask 0 is the

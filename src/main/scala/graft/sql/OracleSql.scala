@@ -160,6 +160,49 @@ SELECT user_id, event_id, t AS ts_us,
     THEN CAST(CAST(m_v AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS matched_value_e6
 FROM j ORDER BY user_id, event_id"""
 
+  /** Conversion-funnel oracle — mirrors
+    * [[graft.ops.SessionOps.conversionFunnel]]: one chained running-min
+    * window CTE per stage over the same (user, ts, id) order, per-user
+    * reached flags, stage counts unioned. */
+  def conversionFunnel(stages: Seq[String]): String = {
+    require(stages.nonEmpty)
+    val ord = "PARTITION BY user_id ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING"
+    val sb = new StringBuilder
+    sb.append("""WITH w0base AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+  FROM events WHERE ts IS NOT NULL)""")
+    stages.zipWithIndex.foreach { case (stage, k) =>
+      val src = if (k == 0) "w0base" else s"w${k - 1}"
+      val qual =
+        if (k == 0) s"event_type = '$stage'"
+        else s"event_type = '$stage' AND s${k - 1} IS NOT NULL"
+      sb.append(s""",
+w$k AS (SELECT *, MIN(CASE WHEN $qual THEN t END) OVER ($ord) AS s$k FROM $src)""")
+    }
+    val flags = stages.indices.map(k =>
+      s"MAX(CASE WHEN s$k IS NOT NULL THEN 1 ELSE 0 END) AS r$k").mkString(", ")
+    sb.append(s""",
+u AS (SELECT user_id, $flags FROM w${stages.size - 1} GROUP BY user_id)""")
+    val rows = stages.zipWithIndex.map { case (stage, k) =>
+      s"SELECT CAST($k AS BIGINT) AS stage, '$stage' AS event_type, CAST(COALESCE(SUM(r$k), 0) AS BIGINT) AS n_users FROM u"
+    }.mkString("\nUNION ALL ")
+    sb.append(s"\n$rows\nORDER BY stage")
+    sb.toString
+  }
+
+  /** Cohort-retention oracle — mirrors
+    * [[graft.ops.SessionOps.cohortRetention]]: Monday-based
+    * date_trunc('week') on both engines, exact day-difference // 7
+    * offsets, distinct (cohort, offset, user) before the count. */
+  def cohortRetention: String =
+    s"""WITH w AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events WHERE ts IS NOT NULL),
+f AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT w.user_id, f.cw, (w.wk - f.cw) // 7 AS week_offset
+  FROM w JOIN f ON w.user_id = f.user_id)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY cw, week_offset ORDER BY cohort_week, week_offset"""
+
   /** Range-join oracle: daily count of open order lines (ordered, not yet
     * shipped) — a plain BETWEEN join over the data-derived calendar,
     * zero-filled. DuckDB plans this as an IEJoin; the engine side

@@ -102,6 +102,16 @@ FROM m GROUP BY rule_mask ORDER BY rule_mask"""
   /** Mirror of [[graft.ops.TextAnalysisOps.patternScrub]]: same regexes
     * (RE2/Java common subset), same replacement order, global 'g' flag to
     * match Spark's replace-all semantics. */
+  /** Mirror of [[graft.ops.TextAnalysisOps.hashedLinearScore]]: same md5
+    * feature hashing, same integer weight derivation — the score is an
+    * exact BIGINT on both engines. */
+  def hashedLinearScore(table: String, dim: Int, topN: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+f AS (SELECT doc_id, (('0x' || substr(md5(term), 1, 7))::BIGINT % $dim) AS idx FROM t)
+SELECT doc_id, CAST(SUM((idx * 2654435761) % 1001 - 500) AS BIGINT) AS score,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM f GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $topN"""
+
   def patternScrub(
       table: String, sampleMod: Int,
       patterns: Seq[(String, String, String)]): String = {

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.SessionOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral-analytics operators: strict-sequence funnel and cohort
+  * retention (sessionization itself is covered by the batch/stream
+  * agreement tests in StreamingOpsSpec + the q37 oracle). */
+class SessionOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("conversion funnel enforces stage order, not mere presence") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: full ordered sequence
+      (1L, ts(10), 1L, "view"), (1L, ts(20), 2L, "click"), (1L, ts(30), 3L, "purchase"),
+      // u2: click BEFORE the first view never qualifies, so the later
+      // purchase cannot qualify either
+      (2L, ts(10), 4L, "click"), (2L, ts(20), 5L, "view"), (2L, ts(30), 6L, "purchase"),
+      // u3: view only
+      (3L, ts(10), 7L, "view"),
+      // u4: no funnel events at all
+      (4L, ts(10), 8L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = SessionOps.conversionFunnel(
+      events, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, "view", 3L), (1L, "click", 1L), (2L, "purchase", 1L)))
+  }
+
+  test("funnel counts an equal-timestamp next stage (inclusive), ordered by event id") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(10), 1L, "view"), (1L, ts(10), 2L, "click"), // same ts, view first by id
+      (2L, ts(10), 4L, "click"), (2L, ts(10), 5L, "view")) // click precedes its view by id
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = SessionOps.conversionFunnel(
+      events, "user_id", "ts", "event_id", "event_type", Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(rows == Map("view" -> 2L, "click" -> 1L))
+  }
+
+  test("cohort retention triangle matches a hand-built two-cohort history") {
+    import spark.implicits._
+    def day(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // 2024-01-01 and 2024-01-08 are Mondays
+    val events = Seq(
+      (1L, day("2024-01-02")), // u1 cohort W0
+      (1L, day("2024-01-10")), // u1 active W1
+      (1L, day("2024-01-11")), // same week, deduplicated
+      (2L, day("2024-01-09"))) // u2 cohort W1
+      .toDF("user_id", "ts")
+    val rows = SessionOps.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 0L, 1L),
+      ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("funnel and cohort shuffle once on the user key") {
+    import spark.implicits._
+    val events = Seq((1L, ts(10), 1L, "view")).toDF("user_id", "ts", "event_id", "event_type")
+    val plan = SessionOps.conversionFunnel(
+      events, "user_id", "ts", "event_id", "event_type", Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    // chained stage windows + per-user agg must reuse one user-key exchange
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length <= 1,
+      s"funnel should partition by user once:\n${plan.take(800)}")
+  }
+}

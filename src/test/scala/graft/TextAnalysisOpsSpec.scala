@@ -176,4 +176,19 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"),
       s"scrub must stay a per-row projection (sort exchange only):\n${plan.take(600)}")
   }
+
+  test("hashed linear score equals a JVM recomputation of the same hash arithmetic") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    val rows = TextAnalysisOps.hashedLinearScore(df, "text", "doc_id", dim = 64, topN = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def w(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val idx = java.lang.Long.parseLong(h.substring(0, 7), 16) % 64
+      (idx * 2654435761L) % 1001L - 500L
+    }
+    assert(rows(1L) == ((w("alpha") * 2 + w("beta"), 3L)))
+    assert(rows(2L) == ((w("gamma"), 1L)))
+  }
 }
