@@ -115,6 +115,56 @@ object StreamingOps {
       .agg(max(col("c.rho")).cast("long").as("register"))
       .select(col("window.start").as("window_start"), col("bucket"), col("register"))
 
+  // --- Stateful funnel progress ------------------------------------------
+
+  /** Input event for the streaming funnel. */
+  final case class FunnelEvent(userId: Long, ts: java.sql.Timestamp, eventType: String)
+
+  /** Per-user funnel state: first-reach epoch-ms per stage (-1 unset). */
+  final case class FunnelState(reachedMs: Seq[Long])
+
+  /** Per-user funnel progress emitted every update: how many stages the
+    * user has completed IN ORDER, and when the deepest was first reached. */
+  final case class FunnelProgress(userId: Long, stagesReached: Int, deepestMs: Long)
+
+  /** Streaming CONVERSION FUNNEL — the real-time counterpart of
+    * [[graft.ops.SessionOps.conversionFunnel]]: per user, track the first
+    * time each stage was reached strictly after the previous stages
+    * (equal-ts inclusive), emitting updated progress as events arrive
+    * (Update mode; the sink aggregates stage counts per micro-batch).
+    *
+    * Ordering contract: events are sorted by ts WITHIN each micro-batch,
+    * so in-order streams agree exactly with the batch operator
+    * (spec-pinned); a cross-batch late event can only deepen progress
+    * with its own (later-arriving) timestamp — the same arrival-order
+    * semantics as [[streamingExactDedup]]'s keep-first contract. State is
+    * one Seq[Long] per user per the state-store partitioning; no
+    * unbounded growth. */
+  def funnelStream(
+      events: Dataset[FunnelEvent], stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val reached = state.getOption
+            .map(_.reachedMs.toArray)
+            .getOrElse(Array.fill(stages.size)(-1L))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            stageIdx.get(e.eventType).foreach { k =>
+              val t = e.ts.getTime
+              val prevOk = k == 0 || (reached(k - 1) >= 0 && t >= reached(k - 1))
+              if (prevOk && reached(k) < 0) reached(k) = t
+            }
+          }
+          state.update(FunnelState(reached.toSeq))
+          val n = reached.takeWhile(_ >= 0).length
+          FunnelProgress(userId, n, if (n > 0) reached(n - 1) else -1L)
+      }
+  }
+
   // --- Stateful sessionization -------------------------------------------
 
   /** Input event for sessionization. Carries the event-time column itself:

@@ -207,6 +207,48 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel progress agrees with the batch funnel on an in-order stream") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val typed = in.toDF().toDF("userId", "ts", "eventType")
+      .as[StreamingOps.FunnelEvent]
+    val stages = Seq("view", "click", "purchase")
+    val q = StreamingOps.funnelStream(typed, stages).toDF()
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      val events = Seq(
+        (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+        (2L, ts(10), "click"), (2L, ts(20), "view"), (2L, ts(30), "purchase"),
+        (3L, ts(10), "view"))
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // latest per-user progress (single batch -> one row per user)
+      val streamed = spark.sql(
+        "SELECT userId, stagesReached FROM funnel_stream")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == Map(1L -> 3, 2L -> 1, 3L -> 1))
+      // stage counts derived from progress equal the batch operator's
+      val batch = graft.ops.SessionOps.conversionFunnel(
+        events.zipWithIndex
+          .map { case ((u, t, e), i) => (u, t, i.toLong, e) }
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", stages)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val fromStream = stages.indices
+        .map(k => k.toLong -> streamed.values.count(_ > k).toLong).toMap
+      assert(fromStream == batch)
+      // a late cross-batch purchase deepens user 3 only after a click
+      in.addData((3L, ts(40), "click"), (3L, ts(50), "purchase"))
+      q.processAllAvailable()
+      val u3 = spark.sql(
+        "SELECT max(stagesReached) FROM funnel_stream WHERE userId = 3")
+        .collect().head.getInt(0)
+      assert(u3 == 3)
+    } finally q.stop()
+  }
+
   test("windowed CMS on a stream sums cell-wise to the batch sketch") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
