@@ -635,6 +635,13 @@ GROUP BY segment ORDER BY segment""")),
         SketchOps.hllRegisters(Tables.documents(s, dir), "text", bucketHex = 2),
       Some(graft.sql.SketchSql.hllRegisters("documents", bucketHex = 2))),
 
+    ("q77_hll_registers_by_lang",
+      // one register file per language: per-group distinct-vocabulary
+      // sketches that roll up to the corpus sketch by cell-wise max
+      (s: SparkSession, dir: String) =>
+        SketchOps.hllRegistersBy(Tables.documents(s, dir), "text", "lang", bucketHex = 2),
+      Some(graft.sql.SketchSql.hllRegistersBy("documents", "lang", bucketHex = 2))),
+
     ("q71_curation_funnel",
       // the composed curation pipeline as one operator: quality mask ->
       // prefix-key dedup -> shingle decontamination (every 20th doc plays

@@ -89,6 +89,23 @@ object SketchOps {
       when(v === 0, lit(61)).otherwise(lit(61) - length(bin(v))).as("rho"))
   }
 
+  /** Per-group register files: one [[hllRegisters]] sketch per value of
+    * `groupCol` (per-language / per-source distinct-vocabulary profiling).
+    * Still ONE constant-bounded shuffle — at most groups × 16^`bucketHex`
+    * rows survive the map-side combine; per-group estimates come from
+    * [[hllEstimate]] applied per group, and group sketches roll up to the
+    * corpus sketch by cell-wise max over the group axis. */
+  def hllRegistersBy(
+      docs: DataFrame, textCol: String, groupCol: String, bucketHex: Int): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol),
+        Generators.ngramExplode(col(textCol), 1).as("term"))
+      .select(col(groupCol), hllCell(col("term"), bucketHex).as("c"))
+      .groupBy(col(groupCol), col("c.bucket").as("bucket"))
+      .agg(max(col("c.rho")).cast("long").as("register"))
+      .orderBy(groupCol, "bucket")
+
   /** The cardinality estimate a register file encodes: the standard HLL
     * raw harmonic-mean formula with the small-range (linear-counting)
     * correction; buckets never hit count as register 0. One broadcast-

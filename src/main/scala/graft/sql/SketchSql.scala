@@ -34,4 +34,14 @@ h AS (SELECT substr(md5(term), 1, $bucketHex) AS bucket,
     ('0x' || substr(md5(term), ${bucketHex + 1}, 15))::BIGINT AS v FROM t),
 r AS (SELECT bucket, CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END AS rho FROM h)
 SELECT bucket, CAST(MAX(rho) AS BIGINT) AS register FROM r GROUP BY bucket ORDER BY bucket"""
+
+  /** Mirror of [[graft.ops.SketchOps.hllRegistersBy]]. */
+  def hllRegistersBy(table: String, groupCol: String, bucketHex: Int): String =
+    s"""WITH t AS (SELECT $groupCol, unnest($toks) AS term FROM $table
+  WHERE text IS NOT NULL AND $groupCol IS NOT NULL),
+h AS (SELECT $groupCol, substr(md5(term), 1, $bucketHex) AS bucket,
+    ('0x' || substr(md5(term), ${bucketHex + 1}, 15))::BIGINT AS v FROM t),
+r AS (SELECT $groupCol, bucket, CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END AS rho FROM h)
+SELECT $groupCol, bucket, CAST(MAX(rho) AS BIGINT) AS register
+FROM r GROUP BY $groupCol, bucket ORDER BY $groupCol, bucket"""
 }

@@ -36,8 +36,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q05_keyword_breakdown" -> 15L,
     "q20_dedup_stats" -> 1L,
     "q29_token_stats" -> 1L,
-    // the funnel is five ungrouped aggregates unioned: one zero-row each
-    "q71_curation_funnel" -> 5L)
+    // the funnels are ungrouped aggregates unioned: one zero-row per stage
+    "q71_curation_funnel" -> 5L,
+    "q75_conversion_funnel" -> 3L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

@@ -86,6 +86,15 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(whole.count() <= 256, "register file bounded by 16^bucketHex")
   }
 
+  test("per-group HLL registers roll up to the corpus register file by cell-wise max") {
+    val by = SketchOps.hllRegistersBy(docs, "text", "lang", 2)
+    val rolled = by.groupBy("bucket")
+      .agg(max("register").cast("long").as("register"))
+    val whole = SketchOps.hllRegisters(docs, "text", 2)
+    assert(rolled.exceptAll(whole).isEmpty && whole.exceptAll(rolled).isEmpty,
+      "max over the group axis must reproduce the corpus sketch")
+  }
+
   test("HLL estimate lands within the expected error band of the true distinct count") {
     import spark.implicits._
     val n = 2000
