@@ -666,6 +666,24 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.hashedLinearScore("documents",
         dim = 1024, topN = 100))),
 
+    ("q78_bloom_incremental_dedup",
+      // q62's ingest dedup behind a broadcast Bloom pre-filter of the
+      // corpus keys: definitely-new shard keys skip the anti join, the
+      // fpp sliver is join-verified — result bit-identical to the exact
+      // delta (same oracle), shuffle traffic proportional to dups, not
+      // to the shard
+      (s: SparkSession, dir: String) => {
+        val keyed = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("k", concat_ws(" ",
+            slice(graft.functions.TextHash.tokens(col("text")), 1, 8)))
+        DedupOps.exactDedupDeltaBloom(
+          keyed.filter(col("doc_id") % 3 === 0),
+          keyed.filter(col("doc_id") % 3 =!= 0),
+          "k", "doc_id", expectedKeys = 100000L, fpp = 0.01)
+      },
+      Some(graft.sql.DedupSql.exactDedupDelta("documents", prefixLen = 8, shardMod = 3))),
+
     ("q75_conversion_funnel",
       // strict-sequence behavioral funnel: users reaching each stage only
       // after completing the previous ones, via chained running windows

@@ -102,6 +102,50 @@ object DedupOps {
       .orderBy("keeper_id")
   }
 
+  /** BLOOM-pre-filtered incremental dedup: result-identical to
+    * [[exactDedupDelta]] (false positives fall through to the exact anti
+    * join; the filter has no false negatives), but the bulk of a mostly-new
+    * shard never enters the join at all.
+    *
+    * 100 TB shape: the corpus's distinct keys fold into ONE constant-size
+    * Bloom filter (a distributed aggregate; `expectedKeys`/`fpp` size it,
+    * e.g. 1e9 keys at 1% ≈ 1.2 GB — in production a persisted per-epoch
+    * artifact, rebuilt on compaction, reused across every arriving shard).
+    * The broadcast probe is a map-only pass over the shard: keys the filter
+    * has never seen — the overwhelming majority of a healthy crawl — are
+    * DEFINITELY new and skip the anti join; only the `fpp` sliver plus the
+    * true dups pay the corpus-key shuffle. Deterministic end to end
+    * (Murmur3-based sketch, and the result is join-verified regardless). */
+  def exactDedupDeltaBloom(
+      newDocs: DataFrame, existing: DataFrame,
+      keyCol: String, idCol: String,
+      expectedKeys: Long, fpp: Double): DataFrame = {
+    require(expectedKeys >= 1, s"expectedKeys must be >= 1: $expectedKeys")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val corpusKeys = existing
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
+      .distinct()
+    // an empty corpus yields a null-bitset filter whose probe NPEs; an
+    // absent filter and "never seen" are the same statement
+    val maybeSeen: Column = if (corpusKeys.isEmpty) lit(false) else {
+      val bloom = corpusKeys.stat.bloomFilter("__k", expectedKeys, fpp)
+      val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+      udf((k: String) => bc.value.mightContainString(k)).apply(col("__k"))
+    }
+    val shard = newDocs
+      .filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("id"), col(keyCol).cast("string").as("__k"))
+    val definitelyNew = shard.filter(!maybeSeen)
+    val verified = shard.filter(maybeSeen)
+      .join(corpusKeys, Seq("__k"), "left_anti")
+    definitelyNew.unionByName(verified)
+      .groupBy("__k")
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy("keeper_id")
+  }
+
   /** PREFIX-CONTAINMENT dedup ("substring dedup lite"): find documents
     * whose text is a PROPER prefix of another document's text — the
     * truncated-page / partial-crawl duplicate class that exact dedup

@@ -139,6 +139,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out2 == Set((6L, 1L)))
   }
 
+  test("bloom incremental dedup: identical to the exact delta at tight and saturated fpp") {
+    // the bloom is a pre-filter, never an answer: definitely-new keys skip
+    // the anti join, maybe-seen keys are join-verified, so the output must
+    // be bit-identical to exactDedupDelta at ANY false-positive rate —
+    // fpp 0.5 forces the verified branch to carry real traffic
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("k", expr("substring(text, 1, 40)"))
+    val shard = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("k", expr("substring(text, 1, 40)"))
+    val exact = DedupOps.exactDedupDelta(shard, corpus, "k", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (fpp <- Seq(0.001, 0.5)) {
+      val bloomed = DedupOps.exactDedupDeltaBloom(
+        shard, corpus, "k", "doc_id", expectedKeys = 1000L, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(bloomed == exact, s"bloom path diverged at fpp=$fpp")
+    }
+    assert(exact.nonEmpty, "fixture should have new-shard survivors")
+  }
+
   test("prefix containment: adjacency finds exactly the proper-prefix docs, both path lengths") {
     import spark.implicits._
     // bucketChars = 2: "a" and "b" go through the short-doc broadcast path,
