@@ -684,6 +684,20 @@ GROUP BY segment ORDER BY segment""")),
       },
       Some(graft.sql.DedupSql.exactDedupDelta("documents", prefixLen = 8, shardMod = 3))),
 
+    ("q79_minhash_delta",
+      // incremental NEAR-dup screening: every 3rd doc arrives as the new
+      // shard; blocked shard docs report their best corpus near-dup —
+      // the fuzzy counterpart of q62's exact delta, corpus never re-deduped
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.minhashDedupDelta(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", w = 3, nBands = 8, r = 2, minJaccard = 0.5)
+      },
+      Some(graft.sql.DedupSql.minhashDedupDelta("documents",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.5, shardMod = 3))),
+
     ("q75_conversion_funnel",
       // strict-sequence behavioral funnel: users reaching each stage only
       // after completing the previous ones, via chained running windows

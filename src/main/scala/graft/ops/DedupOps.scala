@@ -240,19 +240,18 @@ object DedupOps {
     *
     * The self-join shuffles only (id, band, bandHash) triples; shingle sets
     * are re-joined just for the surviving candidate pairs. */
-  def minhashPairs(
+  /** (id, band, bh) LSH bucket keys for every doc — the shared front half
+    * of the MinHash family. Signature as an AGGREGATION over generator
+    * output: ShingleExplode emits each doc's distinct shingles in one JVM
+    * pass (no intermediate array column — see graft.functions.Generators
+    * for why that matters), each shingle is md5'd ONCE (codegen'd), and
+    * the k-member family minima are plain min() aggregates. Partial
+    * aggregation collapses a doc's shingles map-side (they are born in one
+    * partition), so the shuffle carries one k-wide row per doc. */
+  private def bandKeys(
       docs: DataFrame, textCol: String, idCol: String,
-      w: Int = 3, nBands: Int = 8, r: Int = 2,
-      minJaccard: Double = 0.0, limit: Int = 50,
-      maxBucket: Int = 1000): DataFrame = {
+      w: Int, nBands: Int, r: Int): DataFrame = {
     val k = nBands * r
-    // Signature as an AGGREGATION over generator output: ShingleExplode
-    // emits each doc's distinct shingles in one JVM pass (no intermediate
-    // array column — see graft.functions.Generators for why that matters),
-    // each shingle is md5'd ONCE (codegen'd), and the k-member family minima
-    // are plain min() aggregates. Partial aggregation collapses a doc's
-    // shingles map-side (they are born in one partition), so the shuffle
-    // carries one k-wide row per doc.
     val aggCols = (0 until k).map(j => min(minhashMember(j, col("h"))).as(s"m$j"))
     val sig = docs
       .filter(col(textCol).isNotNull)
@@ -261,11 +260,19 @@ object DedupOps {
       .groupBy("id")
       .agg(aggCols.head, aggCols.tail: _*)
       .select(col("id"), array((0 until k).map(j => col(s"m$j")): _*).as("m"))
-    val bands = sig.select(
+    sig.select(
       col("id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), bandHash(col("m"), b, r).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def minhashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minJaccard: Double = 0.0, limit: Int = 50,
+      maxBucket: Int = 1000): DataFrame = {
+    val bands = bandKeys(docs, textCol, idCol, w, nBands, r)
     // Pairs via groupBy-collect instead of a bucket self-join: the signature
     // pipeline is evaluated ONCE (a self-join would recompute it on both
     // sides), and the single shuffle key is (band, bh). Per-bucket pair
@@ -301,6 +308,62 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(limit)
+  }
+
+  /** INCREMENTAL near-dup screening: NEW-shard docs that are MinHash
+    * near-duplicates of the EXISTING corpus — the fuzzy counterpart of
+    * [[exactDedupDelta]] for the same ingest pattern (the corpus is never
+    * re-deduplicated; within-shard near-dups are [[minhashPairs]] +
+    * [[connectedComponents]] on the shard alone).
+    *
+    * Both sides run the one-scan signature pipeline; buckets that contain
+    * at least one doc from EACH side (and at most `maxBucket` total — the
+    * degenerate-bucket cap, same contract as [[minhashPairs]]) expand to
+    * shard×corpus candidates only, never side-internal pairs. Candidates
+    * are verified with exact Jaccard on pair-local shingles; each blocked
+    * shard doc reports its best corpus match (max Jaccard, min-id tie).
+    * Returns (doc_id, near_dup_of, jaccard), ordered by doc_id.
+    *
+    * 100 TB shape: corpus band keys are a persisted index in production —
+    * 8 small ints per doc, appended as shards land — so screening a shard
+    * costs one shard scan + one bucket shuffle against the index, with
+    * candidate verification bounded by bucket collisions, not corpus
+    * size. */
+  def minhashDedupDelta(
+      newDocs: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val cand = bandKeys(newDocs, textCol, idCol, w, nBands, r)
+      .withColumn("__new", lit(true))
+      .unionByName(bandKeys(existing, textCol, idCol, w, nBands, r)
+        .withColumn("__new", lit(false)))
+      .groupBy("band", "bh")
+      .agg(
+        collect_list(when(col("__new"), col("id"))).as("sids"),
+        collect_list(when(!col("__new"), col("id"))).as("cids"))
+      .filter(size(col("sids")) >= 1 && size(col("cids")) >= 1 &&
+        size(col("sids")) + size(col("cids")) <= maxBucket)
+      // cross-side expansion of MATERIALIZED agg arrays (bound attributes,
+      // so no per-element re-evaluation) — s×c rows per bucket, capped
+      .select(explode(col("sids")).as("sid"), col("cids"))
+      .select(col("sid"), explode(col("cids")).as("cid"))
+      .distinct()
+    def textOf(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+    def shOf(t: Column) = shingles(tokens(t), w)
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("near_dup_of").asc)
+    cand
+      .join(textOf(newDocs), col("sid") === col("id")).drop("id")
+      .withColumnRenamed("__txt", "__ts")
+      .join(textOf(existing), col("cid") === col("id")).drop("id")
+      .select(col("sid").as("doc_id"), col("cid").as("near_dup_of"),
+        jaccard(shOf(col("__ts")), shOf(col("__txt"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1).drop("__rk")
+      .orderBy("doc_id")
   }
 
   /** Connected components over a near-duplicate pair graph: every doc gets

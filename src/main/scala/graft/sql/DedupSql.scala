@@ -14,10 +14,11 @@ object DedupSql {
 
   private val toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
 
-  private def shingleCte(w: Int, src: String = "toks", name: String = "sh"): String = {
+  private def shingleCte(
+      w: Int, src: String = "toks", name: String = "sh", extra: String = ""): String = {
     val parts = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
     // range() is stop-EXCLUSIVE: 1..len-(w-1) inclusive needs stop len-(w-2)
-    s"$name AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $parts)) AS s FROM $src WHERE len(tk) >= $w)"
+    s"$name AS (SELECT id$extra, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $parts)) AS s FROM $src WHERE len(tk) >= $w)"
   }
 
   def dedupStats(table: String, prefixLen: Int): String =
@@ -53,6 +54,36 @@ v AS (SELECT c.doc_a, c.doc_b,
   FROM cand c JOIN sh a ON c.doc_a = a.id JOIN sh b ON c.doc_b = b.id)
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
+
+  /** Mirror of [[graft.ops.DedupOps.minhashDedupDelta]] with the shard
+    * split expressed as `doc_id % shardMod` (= 0 → new shard, ≠ 0 →
+    * existing corpus): same signature pipeline as [[minhashPairs]], the
+    * bucket must carry both sides (and at most `maxBucket` docs total),
+    * candidates pair shard × corpus only, best match = max Jaccard with
+    * min-id tiebreak. */
+  def minhashDedupDelta(
+      table: String, w: Int, nBands: Int, r: Int,
+      minJaccard: Double, shardMod: Int, maxBucket: Int = 1000): String =
+    s"""WITH toks AS (SELECT doc_id AS id, doc_id % $shardMod = 0 AS nw, $toks AS tk
+  FROM $table WHERE text IS NOT NULL),
+${shingleCte(w, extra = ", nw")},
+hs AS (SELECT id, nw, s, list_transform(s, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS hl FROM sh),
+sig AS (SELECT id, nw, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(hl, h -> (((506952114*(j+1)) % 2147483647) * h + ((40503*j + 1013904223) % 2147483647)) % 2147483647))) AS m FROM hs),
+bands AS (SELECT id, nw, b, ${h((0 until r).map(o => s"m[$r*b+${o + 1}]::VARCHAR").mkString(" || ',' || "))} AS bh
+  FROM sig, (SELECT unnest(range(0,$nBands)) AS b)),
+ok AS (SELECT b, bh FROM bands GROUP BY b, bh
+  HAVING COUNT(*) FILTER (WHERE nw) >= 1 AND COUNT(*) FILTER (WHERE NOT nw) >= 1
+  AND COUNT(*) <= $maxBucket),
+cand AS (SELECT DISTINCT x.id AS sid, y.id AS cid
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.nw AND NOT y.nw
+  JOIN ok o ON x.b = o.b AND x.bh = o.bh),
+v AS (SELECT c.sid, c.cid,
+  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM cand c JOIN sh a ON c.sid = a.id JOIN sh b ON c.cid = b.id),
+best AS (SELECT sid, cid, jaccard,
+  row_number() OVER (PARTITION BY sid ORDER BY jaccard DESC, cid ASC) AS rk
+  FROM v WHERE jaccard >= $minJaccard)
+SELECT sid AS doc_id, cid AS near_dup_of, jaccard FROM best WHERE rk = 1 ORDER BY doc_id"""
 
   /** Connected components over the minhash near-dup pair graph: recursive
     * label reachability + per-node MIN (DuckDB recursive CTEs dedup via

@@ -139,6 +139,31 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out2 == Set((6L, 1L)))
   }
 
+  test("minhash delta: shard near-dups of the corpus are blocked with best-match attribution") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (11L, base),                                         // exact-match target
+      (13L, base + " tailword"),                           // near-match target
+      (15L, (200 to 240).map(i => s"yy$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (2L, base),                                          // dup of 11 (j=1.0) and near 13
+      (4L, (100 to 140).map(i => s"zz$i").mkString(" ")),  // genuinely new
+      (6L, base + " tailword"))                            // dup of 13, near 11
+      .toDF("doc_id", "text")
+    val out = DedupOps.minhashDedupDelta(shard, corpus, "text", "doc_id",
+      w = 3, nBands = 8, r = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.map(_._1).toSet == Set(2L, 6L), "only the two near-dup shard docs block")
+    assert(byDoc(2L) == ((11L, 1.0)), "best match is the exact copy")
+    assert(byDoc(6L) == ((13L, 1.0)), "best match is the exact copy")
+    // a shard with no corpus overlap reports nothing
+    assert(DedupOps.minhashDedupDelta(
+      shard.filter($"doc_id" === 4L), corpus, "text", "doc_id").isEmpty)
+  }
+
   test("bloom incremental dedup: identical to the exact delta at tight and saturated fpp") {
     // the bloom is a pre-filter, never an answer: definitely-new keys skip
     // the anti join, maybe-seen keys are join-verified, so the output must
