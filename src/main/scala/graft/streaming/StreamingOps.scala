@@ -75,6 +75,26 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming INCREMENTAL dedup: the live counterpart of
+    * [[graft.ops.DedupOps.exactDedupDelta]] — each arriving record survives
+    * iff its key is absent from a STATIC existing corpus (stream-static
+    * left ANTI join: the static side joins per micro-batch with no
+    * streaming state) and it is the first holder of its key within the
+    * watermark horizon (the in-stream half of the delta contract;
+    * arrival-order keep-first, as [[streamingExactDedup]]). Survivors are
+    * exactly what an ingest sink appends; compacting appended keys into
+    * the corpus snapshot is the batch [[graft.ops.DedupOps.exactDedupDelta]]
+    * composition run at epoch boundaries. */
+  def streamingDedupDelta(
+      newDocs: DataFrame, corpus: DataFrame,
+      keyCol: String, tsCol: String, watermarkDelay: String): DataFrame =
+    newDocs
+      .filter(col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .join(corpus.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+      .dropDuplicatesWithinWatermark(Seq(keyCol))
+
   /** Windowed COUNT-MIN sketch on a stream: per tumbling window, the same
     * depth × 16^hexChars cell grid as [[graft.ops.SketchOps.countMinSketch]]
     * (the cell expression is SHARED, so batch and stream place every term

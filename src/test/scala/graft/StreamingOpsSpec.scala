@@ -107,6 +107,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming delta dedup: static corpus blocks keys, in-stream state dedups the rest") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((10L, "seen before"), (11L, "also seen")).toDF("id", "k")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("id", "ts", "k")
+    val out = StreamingOps.streamingDedupDelta(docs, corpus, "k", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("delta_stream")
+      .outputMode("append").start()
+    try {
+      // mirrors the batch exactDedupDelta fixture, arrival order = id order
+      in.addData(
+        (1L, ts(100), "seen before"), // blocked by the static corpus
+        (2L, ts(101), "brand new"),   // survives (first arrival)
+        (3L, ts(102), "brand new"),   // in-stream duplicate -> dropped
+        (4L, ts(103), "also fresh"))  // survives
+      q.processAllAvailable()
+      // a later micro-batch: state within the watermark still blocks
+      in.addData((5L, ts(200), "brand new"), (6L, ts(201), "truly new"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id FROM delta_stream ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(2L, 4L, 6L),
+        "survivors = batch delta keepers under arrival-order-first semantics")
+    } finally q.stop()
+  }
+
   test("file-source stream over events.parquet matches the batch aggregate") {
     val sf = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
