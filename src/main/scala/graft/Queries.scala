@@ -698,6 +698,17 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.minhashDedupDelta("documents",
         w = 3, nBands = 8, r = 2, minJaccard = 0.5, shardMod = 3))),
 
+    ("q80_cluster_topics",
+      // make k-means cells human-auditable: trained-cell assignment joined
+      // to the documents table, c-TF-IDF (rational idf) top terms per cell
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.clusterTopics(
+          Tables.embeddings(s, dir), Tables.documents(s, dir),
+          "vec_id", "embedding", "doc_id", "text",
+          k = 4, iters = 2, topN = 5),
+      Some(graft.sql.SimilaritySql.clusterTopics("embeddings", "documents",
+        k = 4, iters = 2, dim = 64, topN = 5))),
+
     ("q75_conversion_funnel",
       // strict-sequence behavioral funnel: users reaching each stage only
       // after completing the previous ones, via chained running windows

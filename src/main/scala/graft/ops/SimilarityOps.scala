@@ -430,6 +430,60 @@ object SimilarityOps {
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VectorMath.l2Squared(a, b)
 
+  /** Cluster TOPIC labeling — the composition that makes k-means cells
+    * HUMAN-AUDITABLE (class-based tf-idf, as in BERTopic, Grootendorst
+    * 2022): train centroids on the embedding corpus ([[kmeansCentroids]]),
+    * assign every vector to its cell (same argmax contract as training),
+    * join each vector's document text, and rank each cell's terms by
+    * c-TF-IDF with the engine's RATIONAL idf contract (see
+    * [[TextAnalysisOps.tfIdfTopTerms]] for why not `ln`):
+    * `score = (cell term count × n_cells) / n_cells_containing_term`,
+    * identical operation order both engines.
+    *
+    * Output: (cid, rk, term, tf, df_cells, score), topN terms per cell.
+    *
+    * 100 TB shape: centroids stay a k×dim broadcast; assignment is one
+    * corpus scan; the (cell, term) frame — tiny after map-side partial
+    * aggregation (cells × vocabulary) — feeds three branches and is
+    * checkpointed once (the [[TextAnalysisOps.tfIdfTopTerms]] pattern). */
+  def clusterTopics(
+      emb: DataFrame, docs: DataFrame,
+      vecIdCol: String, vecCol: String, docIdCol: String, textCol: String,
+      k: Int, iters: Int, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val cents = kmeansCentroids(emb, vecIdCol, vecCol, k, iters)
+      .select(col("cid"), col("centroid").as("cv"))
+      .localCheckpoint()
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = emb
+      .select(col(vecIdCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("cid"))
+    val tf = assigned
+      .join(docs.filter(col(textCol).isNotNull)
+        .select(col(docIdCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("cid"), graft.functions.Generators.ngramExplode(col("__txt"), 1).as("term"))
+      .groupBy("cid", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cf = tf.groupBy("term").agg(count(lit(1)).as("df_cells"))
+    val n = tf.select(countDistinct(col("cid")).as("n_cells"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(cf, "term")
+      .crossJoin(broadcast(n))
+      .select(col("cid"), col("term"), col("tf"), col("df_cells"),
+        round((col("tf") * col("n_cells")).cast("double") / col("df_cells"), 6).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("cid"), col("rk"), col("term"), col("tf"), col("df_cells"), col("score"))
+      .orderBy("cid", "rk")
+  }
+
   /** 6-dp double -> exact ×10^6 scaled-int BIGINT (the engine-wide
     * money/score output contract; sums of these are exact and
     * order-independent, unlike sums of doubles). */

@@ -138,7 +138,14 @@ SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk
     * rounded cosine assignment with cid tiebreak; decimal-exact per-dim
     * means rounded to 6 dp; empty clusters drop out; k lowest-id seeds;
     * flat (cid, dim, mean, n_vecs) output — the catalog shape). */
-  def kmeansCentroids(table: String, k: Int, iters: Int, dim: Int): String = {
+  def kmeansCentroids(table: String, k: Int, iters: Int, dim: Int): String =
+    kmeansCtePrefix(table, k, iters, dim) +
+      s"\nSELECT cid, CAST(dim AS BIGINT) AS dim, m AS mean, CAST(n AS BIGINT) AS n_vecs FROM d${iters - 1} ORDER BY cid, dim"
+
+  /** The shared unrolled-training prefix: `WITH e, c0[, a_t, d_t, c_{t+1}]*`
+    * — trained centroids land in CTE `c{iters}`, per-dim means of the last
+    * assignment in `d{iters-1}`. */
+  private def kmeansCtePrefix(table: String, k: Int, iters: Int, dim: Int): String = {
     require(iters >= 1)
     val sb = new StringBuilder
     sb.append(s"WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),\n")
@@ -155,8 +162,34 @@ d$t AS (SELECT cid, i.i AS dim,
   FROM a$t, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY cid, i.i),
 c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM d$t GROUP BY cid)""")
     }
-    sb.append(s"\nSELECT cid, CAST(dim AS BIGINT) AS dim, m AS mean, CAST(n AS BIGINT) AS n_vecs FROM d${iters - 1} ORDER BY cid, dim")
     sb.toString
+  }
+
+  /** Mirror of [[graft.ops.SimilarityOps.clusterTopics]]: the shared
+    * unrolled-training prefix, a final assignment against the trained
+    * centroids `c{iters}` (same argmax/tiebreak as training), the doc join,
+    * and c-TF-IDF with the rational idf in the q56 operation order. */
+  def clusterTopics(
+      embTable: String, docsTable: String,
+      k: Int, iters: Int, dim: Int, topN: Int): String = {
+    val toks = "list_filter(string_split_regex(trim(d.text), ' +'), x -> x <> '')"
+    kmeansCtePrefix(embTable, k, iters, dim) + s""",
+asg AS (SELECT id, cid FROM (
+  SELECT e.id, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS rk
+  FROM e, c$iters c) WHERE rk = 1),
+t AS (SELECT a.cid, unnest($toks) AS term
+  FROM asg a JOIN $docsTable d ON d.doc_id = a.id WHERE d.text IS NOT NULL),
+tf AS (SELECT cid, term, COUNT(*) AS tf FROM t GROUP BY cid, term),
+cf AS (SELECT term, COUNT(*) AS df_cells FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT cid) AS n_cells FROM tf),
+s AS (SELECT tf.cid, tf.term, tf.tf, cf.df_cells,
+  round((tf.tf * n.n_cells)::DOUBLE / cf.df_cells, 6) AS score
+  FROM tf JOIN cf USING (term) CROSS JOIN n),
+r AS (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY score DESC, term ASC) AS rk FROM s)
+SELECT cid, CAST(rk AS BIGINT) AS rk, term, CAST(tf AS BIGINT) AS tf,
+  CAST(df_cells AS BIGINT) AS df_cells, score
+FROM r WHERE rk <= $topN ORDER BY cid, rk"""
   }
 
   /** 6-dp squared L2 over two 1-indexed DOUBLE[] slices of length `len`. */

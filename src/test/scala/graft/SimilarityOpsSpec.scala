@@ -142,6 +142,36 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getSeq[Double](2).tail.forall(_ == 0.025)))
   }
 
+  test("cluster topics: each cell's top term is its own vocabulary, shared terms rank below") {
+    import spark.implicits._
+    def v(base: Float, eps: Float) = Array.tabulate(4)(i => if (i == 0) base else eps)
+    val emb = Seq(
+      (1L, v(1f, 0.01f)), (3L, v(1f, 0.02f)), (5L, v(1f, 0.03f)),
+      (2L, v(-1f, 0.01f)), (4L, v(-1f, 0.02f)), (6L, v(-1f, 0.03f)))
+      .toDF("vec_id", "embedding")
+    // cluster {1,3,5} speaks "apple", cluster {2,4,6} speaks "banana",
+    // "common" appears everywhere (df_cells = 2 -> score halves)
+    val docs = Seq(
+      (1L, "apple apple common"), (3L, "apple common"), (5L, "apple"),
+      (2L, "banana banana common"), (4L, "banana common"), (6L, "banana"))
+      .toDF("doc_id", "text")
+    val out = SimilarityOps.clusterTopics(emb, docs,
+      "vec_id", "embedding", "doc_id", "text", k = 2, iters = 2, topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val byCell = out.groupBy(_._1)
+    assert(byCell.keySet == Set(1L, 2L), "two cells survive")
+    val top1 = byCell(1L).find(_._2 == 1L).get
+    val top2 = byCell(2L).find(_._2 == 1L).get
+    assert(top1._3 == "apple" && top2._3 == "banana",
+      "each cell's top term is its exclusive vocabulary")
+    // exclusive term: tf=4, df_cells=1, n_cells=2 -> score = 8.0
+    assert(top1._6 == 8.0 && top2._6 == 8.0)
+    // shared term ranks second with halved weight: tf=2 * 2 / 2 = 2.0
+    assert(byCell(1L).find(_._2 == 2L).get._3 == "common")
+    assert(byCell(1L).find(_._2 == 2L).get._6 == 2.0)
+  }
+
   test("converged kmeans stops early on a stable clustering and matches the fixed form") {
     import spark.implicits._
     def v(base: Float, eps: Float) = Array.tabulate(4)(i => if (i == 0) base else eps)
