@@ -136,6 +136,30 @@ class PlanSpec extends AnyFunSuite {
       s"calendar join should broadcast:\n${plan.take(800)}")
   }
 
+  test("minhash delta: no cartesian product, candidates come from the bucket shuffle") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.ops.DedupOps.minhashDedupDelta(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
+      "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"shard x corpus screening must never be all-pairs:\n${plan.take(600)}")
+    assert(plan.contains("hashpartitioning(band"),
+      s"candidates must come from the (band, bh) bucket shuffle:\n${plan.take(600)}")
+  }
+
+  test("cluster topics: final cell assignment broadcasts the trained centroids") {
+    val plan = SimilarityOps.clusterTopics(
+      Tables.embeddings(spark, sf), Tables.documents(spark, sf),
+      "vec_id", "embedding", "doc_id", "text", k = 4, iters = 1, topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"assignment must broadcast the k-row centroid side:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"),
+      "assignment must broadcast, not cartesian")
+  }
+
   test("bucket pair expansion and segmentation run through generators, not array explodes") {
     // explode(<computed array>) re-evaluates the array per emitted element
     // (InferFiltersFromGenerate + projection collapse — see Generators);
