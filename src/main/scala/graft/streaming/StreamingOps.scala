@@ -95,6 +95,39 @@ object StreamingOps {
         Seq(keyCol), "left_anti")
       .dropDuplicatesWithinWatermark(Seq(keyCol))
 
+  /** Stream-stream INTERVAL join: pair each `right`-stream event with the
+    * same-key `left`-stream events that happened at most `maxDelaySeconds`
+    * BEFORE it (inclusive on both ends) — the attribution join (view →
+    * click, impression → purchase) that needs BOTH sides live.
+    *
+    * The two watermarks plus the event-time range condition are what make
+    * unbounded two-stream state safe: each side buffers only rows whose
+    * event time can still find a partner (left rows age out
+    * `maxDelaySeconds` after their watermark, right rows at theirs), so
+    * state is bounded by rate × (delay + watermark) per key — never the
+    * stream's history. Both sides shuffle on the key; the range predicate
+    * is evaluated inside the joined state store, not as a post-filter.
+    * Output columns: key, left_id, right_id, delay_sec (exact integer
+    * seconds, right minus left). */
+  def streamStreamIntervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, idCol: String,
+      watermarkDelay: String, maxDelaySeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+      .select(col(keyCol).as("key"), col(idCol).as("left_id"),
+        col(leftTsCol).as("__lts"))
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .select(col(keyCol).as("__rkey"), col(idCol).as("right_id"),
+        col(rightTsCol).as("__rts"))
+    l.join(r,
+        col("key") === col("__rkey") &&
+          col("__rts") >= col("__lts") &&
+          col("__rts") <= col("__lts") + expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+      .select(col("key"), col("left_id"), col("right_id"),
+        (unix_timestamp(col("__rts")) - unix_timestamp(col("__lts")))
+          .as("delay_sec"))
+  }
+
   /** Windowed COUNT-MIN sketch on a stream: per tumbling window, the same
     * depth × 16^hexChars cell grid as [[graft.ops.SketchOps.countMinSketch]]
     * (the cell expression is SHARED, so batch and stream place every term

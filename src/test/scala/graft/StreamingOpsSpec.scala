@@ -134,6 +134,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-window views, both streams live") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = StreamingOps.streamStreamIntervalJoin(
+      views.toDF().toDF("user_id", "ts", "event_id"),
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "ts", "event_id",
+      watermarkDelay = "1 hour", maxDelaySeconds = 60)
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, ts(100), 10L), (1L, ts(300), 11L), (2L, ts(100), 12L))
+      clicks.addData(
+        (1L, ts(130), 20L), // 30s after view 10 -> attributed
+        (1L, ts(90), 21L),  // BEFORE any view -> no match
+        (2L, ts(200), 22L)) // 100s after view 12 -> outside the window
+      q.processAllAvailable()
+      // a click arriving in a later micro-batch still joins buffered views
+      clicks.addData((1L, ts(360), 23L)) // 60s after view 11, inclusive bound
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, left_id, right_id, delay_sec FROM attrib ORDER BY right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 10L, 20L, 30L), (1L, 11L, 23L, 60L)))
+      // batch agreement: the same op on static frames yields the same pairs
+      val bViews = Seq((1L, ts(100), 10L), (1L, ts(300), 11L), (2L, ts(100), 12L))
+        .toDF("user_id", "ts", "event_id")
+      val bClicks = Seq((1L, ts(130), 20L), (1L, ts(90), 21L),
+        (2L, ts(200), 22L), (1L, ts(360), 23L)).toDF("user_id", "ts", "event_id")
+      val batch = StreamingOps.streamStreamIntervalJoin(
+        bViews, bClicks, "user_id", "ts", "ts", "event_id", "1 hour", 60)
+        .orderBy("right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(batch.toSeq == rows.toSeq)
+    } finally q.stop()
+  }
+
   test("file-source stream over events.parquet matches the batch aggregate") {
     val sf = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
