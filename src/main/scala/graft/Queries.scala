@@ -709,6 +709,21 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SimilaritySql.clusterTopics("embeddings", "documents",
         k = 4, iters = 2, dim = 64, topN = 5))),
 
+    ("q81_vocab_coverage",
+      // tokenizer-sizing question in one row: top-V terms as the vocab,
+      // OOV token/type mass from the term-count aggregates alone
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.vocabCoverage(Tables.documents(s, dir), "text", vocabSize = 100),
+      Some(graft.sql.TextAnalysisSql.vocabCoverage("documents", vocabSize = 100))),
+
+    ("q82_chunk_documents",
+      // RAG/context-window chunker: 24-token chunks every 16 tokens
+      // (8-token overlap), map-only, checksummed chunk payloads
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.chunkDocuments(Tables.documents(s, dir), "text", "doc_id",
+          chunk = 24, stride = 16),
+      Some(graft.sql.TextAnalysisSql.chunkDocuments("documents", chunk = 24, stride = 16))),
+
     ("q75_conversion_funnel",
       // strict-sequence behavioral funnel: users reaching each stage only
       // after completing the previous ones, via chained running windows

@@ -309,6 +309,62 @@ object Generators {
       copy(child = newChild)
   }
 
+  /** OVERLAPPING fixed-size token chunks — the RAG/context-window chunker:
+    * chunk `i` covers tokens `[i*stride, min(i*stride + chunk, n))`, one
+    * row `(chunk_idx, n_chunk_tokens, chunk)` per start offset below `n`.
+    * `stride < chunk` overlaps consecutive chunks by `chunk - stride`
+    * tokens (the retrieval-context convention); `stride == chunk` degrades
+    * to [[SegmentExplode]]'s non-overlapping segments; `stride > chunk`
+    * subsamples. Chunk text is the space-rejoin of the tokens (the
+    * [[graft.functions.TextHash.tokens]] normalization — original
+    * whitespace runs are not preserved). Zero-token docs emit nothing.
+    * One JVM pass; the HOF form (posexplode over transform(range(...)))
+    * re-evaluates the full chunking per emitted chunk. */
+  case class ChunkExplode(child: Expression, chunk: Int, stride: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(chunk >= 1, s"chunk width must be >= 1, got $chunk")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+
+    override def elementSchema: StructType = StructType(
+      StructField("chunk_idx", org.apache.spark.sql.types.LongType, nullable = false) ::
+        StructField("n_chunk_tokens", org.apache.spark.sql.types.LongType, nullable = false) ::
+        StructField("chunk", StringType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"chunk_explode needs a string column, got ${child.dataType}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = v.asInstanceOf[UTF8String].toString.split(" +")
+        .filter(_.nonEmpty)
+      if (toks.length == 0) return Nil
+      val nChunks = (toks.length + stride - 1) / stride
+      val out = new Array[InternalRow](nChunks)
+      var s = 0
+      while (s < nChunks) {
+        val from = s * stride
+        val until = math.min(from + chunk, toks.length)
+        val sb = new java.lang.StringBuilder(toks(from))
+        var i = from + 1
+        while (i < until) { sb.append(' ').append(toks(i)); i += 1 }
+        out(s) = InternalRow(s.toLong, (until - from).toLong,
+          UTF8String.fromString(sb.toString))
+        s += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ChunkExplode =
+      copy(child = newChild)
+  }
+
   /** Ordered pairs (a, b) over an array column, sorted internally so
     * input order is irrelevant: the bucket-local candidate generator for
     * LSH/IVF near-dup search. Accepts `array<bigint>` (pairs of ids,
@@ -392,6 +448,11 @@ object Generators {
   /** Column API: (a, b) ordered pairs of a bigint-array column. */
   def pairsExplode(ids: Column): Column =
     toColumn(PairsExplode(toExpression(ids)))
+
+  /** Column API: (chunk_idx, n_chunk_tokens, chunk) per overlapping
+    * `chunk`-token window at `stride`-token starts. */
+  def chunkExplode(text: Column, chunk: Int, stride: Int): Column =
+    toColumn(ChunkExplode(toExpression(text), chunk, stride))
 
   /** Column API: one row per w-gram occurrence of `text` (multiset). */
   def ngramExplode(text: Column, w: Int): Column =

@@ -320,6 +320,82 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer VOCABULARY build + out-of-vocabulary coverage — the
+    * "how big must the vocab be" question every tokenizer-training run
+    * answers first (cf. BPE/WordPiece sizing studies): take the top
+    * `vocabSize` terms by corpus frequency as the vocabulary and report,
+    * in ONE summary row, how much of the token stream it covers.
+    * Columns (all exact BIGINT + one rounded double):
+    * `vocab_size` (actual, ≤ `vocabSize`), `n_types` (distinct terms),
+    * `total_tokens`, `vocab_tokens` (occurrences covered), `oov_tokens`,
+    * `oov_types`, `coverage_ratio` = vocab_tokens/total_tokens.
+    *
+    * Shape: one corpus scan ([[graft.functions.Generators.NgramExplode]]
+    * occurrences) → one map-side-combined (term, count) shuffle; the
+    * count frame is term-cardinality-sized and feeds two branches (vocab
+    * selection + corpus totals), so it is localCheckpoint'ed. Vocab
+    * selection is `orderBy(count desc, term asc).limit(V)` — Spark plans
+    * a distributed TakeOrdered (per-partition top-V, merge of V-row
+    * partials), NEVER a global sort or a single-partition window, so the
+    * selection is bounded by V at any corpus size. Coverage needs no
+    * second corpus pass: OOV mass = total − vocab sums, computed on the
+    * two 1-row aggregates. Deterministic: the (count desc, term asc)
+    * order is total, so boundary ties resolve identically everywhere. */
+  def vocabCoverage(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val counts = docs
+      .filter(col(textCol).isNotNull)
+      .select(graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = counts.orderBy(col("c").desc, col("term").asc).limit(vocabSize)
+    val tot = counts.agg(
+      count(lit(1)).as("n_types"),
+      coalesce(sum(col("c")), lit(0L)).as("total_tokens"))
+    val va = vocab.agg(
+      count(lit(1)).as("vocab_size"),
+      coalesce(sum(col("c")), lit(0L)).as("vocab_tokens"))
+    va.crossJoin(tot)
+      .select(
+        col("vocab_size"), col("n_types"), col("total_tokens"), col("vocab_tokens"),
+        (col("total_tokens") - col("vocab_tokens")).as("oov_tokens"),
+        (col("n_types") - col("vocab_size")).as("oov_types"),
+        when(col("total_tokens") > 0,
+          round(col("vocab_tokens").cast("double") / col("total_tokens"), 6))
+          .otherwise(0d).as("coverage_ratio"))
+  }
+
+  /** Document CHUNKING for retrieval / context windows: split each doc
+    * into `chunk`-token windows starting every `stride` tokens (overlap =
+    * `chunk - stride` when `stride < chunk` — the RAG convention, so no
+    * answer span is ever cut without a copy that contains it whole).
+    * Output one row per chunk: (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_md5) — the checksum stands in for the chunk payload so the
+    * result stays hashable at the gate; library callers who need the text
+    * select `chunk` off [[graft.functions.Generators.ChunkExplode]]
+    * directly. The sibling of [[graft.ops.SampleOps.packSequences]]
+    * (which concatenates SHORT docs up to the window; this splits LONG
+    * ones).
+    *
+    * Shape: map-only — one corpus scan, chunks emitted by the
+    * [[graft.functions.Generators.ChunkExplode]] generator (one JVM pass
+    * per doc; no intermediate array for `InferFiltersFromGenerate` to
+    * inline), md5 per chunk, no shuffle at all. The total ORDER BY is the
+    * catalog's determinism contract, not part of the operator cost. */
+  def chunkDocuments(
+      docs: DataFrame, textCol: String, idCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.chunkExplode(col(textCol), chunk, stride)
+          .as(Seq("chunk_idx", "n_chunk_tokens", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Rolling-hash document fingerprint: polynomial fold of per-token
     * md5-derived hashes mod 2^31-1 (base 131). Order-sensitive (unlike the
     * SimHash/MinHash set signatures) — two docs with the same tokens in a

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.functions.Generators.{NgramExplode, PairsExplode, SegmentExplode, ShingleExplode, TokenExplode, UnicodeTokenExplode}
+import graft.functions.Generators.{ChunkExplode, NgramExplode, PairsExplode, SegmentExplode, ShingleExplode, TokenExplode, UnicodeTokenExplode}
 import graft.functions.KeywordMatch.MultiKeywordTags
 import graft.functions.VectorMath.{CosineSimilarity, JaccardSimilarity, L2Squared}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
@@ -105,6 +105,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "pairs_explode(ids)")
         PairsExplode(args.head)
+      }),
+    (FunctionIdentifier("chunk_explode"),
+      new ExpressionInfo(classOf[ChunkExplode].getName, "chunk_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "chunk_explode(text, chunk, stride)")
+        ChunkExplode(args.head, litInt(args(1), "chunk_explode"),
+          litInt(args(2), "chunk_explode"))
       }),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

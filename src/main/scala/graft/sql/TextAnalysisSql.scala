@@ -144,6 +144,35 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, CAST(tf AS BIGINT) AS tf,
   CAST(df_docs AS BIGINT) AS df_docs, score
 FROM r WHERE rk <= $k ORDER BY doc_id, rk"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.vocabCoverage]]: same total
+    * (count desc, term asc) vocab order, OOV mass from the two aggregates
+    * — no second token pass on either side. */
+  def vocabCoverage(table: String, vocabSize: Int): String =
+    s"""WITH t AS (SELECT unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+g AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+v AS (SELECT term, c FROM g ORDER BY c DESC, term ASC LIMIT $vocabSize),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_tokens FROM g),
+va AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS vocab_tokens FROM v)
+SELECT vocab_size, n_types, total_tokens, vocab_tokens,
+  total_tokens - vocab_tokens AS oov_tokens,
+  n_types - vocab_size AS oov_types,
+  CASE WHEN total_tokens > 0
+    THEN round(vocab_tokens::DOUBLE / total_tokens, 6) ELSE 0.0 END AS coverage_ratio
+FROM va CROSS JOIN tot"""
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.chunkDocuments]]: same start
+    * offsets (every `stride` below the token count), same space-rejoined
+    * chunk text under md5. DuckDB list slices are 1-based inclusive. */
+  def chunkDocuments(table: String, chunk: Int, stride: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+s AS (SELECT doc_id, tk, unnest(range(0, len(tk), $stride)) AS st FROM t WHERE len(tk) > 0)
+SELECT doc_id, CAST(st // $stride AS BIGINT) AS chunk_idx,
+  CAST(least(st + $chunk, len(tk)) - st AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(tk[st + 1 : least(st + $chunk, len(tk))], ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_idx"""
+
   def fingerprints(table: String): String =
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 h AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hl

@@ -38,7 +38,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q29_token_stats" -> 1L,
     // the funnels are ungrouped aggregates unioned: one zero-row per stage
     "q71_curation_funnel" -> 5L,
-    "q75_conversion_funnel" -> 3L)
+    "q75_conversion_funnel" -> 3L,
+    // vocab coverage is a cross join of two ungrouped aggregates: one
+    // all-zeros row (coverage_ratio 0.0 by the CASE) on both sides
+    "q81_vocab_coverage" -> 1L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

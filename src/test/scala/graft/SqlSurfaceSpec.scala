@@ -60,6 +60,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT pairs_explode(array(3L, 1L, 2L)) AS (a, b)")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), "sorted ordered pairs")
+
+    val chunks = spark.sql(
+      "SELECT chunk_explode('t0 t1 t2 t3 t4', 3, 2) AS (i, n, c)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(chunks == List((0L, 3L, "t0 t1 t2"), (1L, 3L, "t2 t3 t4"), (2L, 1L, "t4")))
   }
 
   test("literal-alternation rlike rewrites to one Aho-Corasick pass") {

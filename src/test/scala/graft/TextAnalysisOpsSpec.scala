@@ -191,4 +191,69 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(rows(1L) == ((w("alpha") * 2 + w("beta"), 3L)))
     assert(rows(2L) == ((w("gamma"), 1L)))
   }
+
+  test("vocab coverage: hand-computed masses, boundary tie resolves by term order") {
+    import spark.implicits._
+    // counts: b=3, a=2, c=2, d=1  (8 tokens, 4 types)
+    val df = Seq((1L, "a b c"), (2L, "b c a"), (3L, "b d"))
+      .toDF("doc_id", "text")
+    // V=2: vocab = {b(3), a(2)} — a beats c on the term-asc tiebreak
+    val r = TextAnalysisOps.vocabCoverage(df, "text", vocabSize = 2).collect().head
+    assert(r.getAs[Long]("vocab_size") == 2L)
+    assert(r.getAs[Long]("n_types") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 8L)
+    assert(r.getAs[Long]("vocab_tokens") == 5L)
+    assert(r.getAs[Long]("oov_tokens") == 3L)
+    assert(r.getAs[Long]("oov_types") == 2L)
+    assert(math.abs(r.getAs[Double]("coverage_ratio") - 0.625) < 1e-9)
+  }
+
+  test("vocab coverage: V beyond the type count covers everything") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val r = TextAnalysisOps.vocabCoverage(df, "text", vocabSize = 100).collect().head
+    assert(r.getAs[Long]("vocab_size") == 2L)
+    assert(r.getAs[Long]("oov_tokens") == 0L)
+    assert(r.getAs[Double]("coverage_ratio") == 1.0)
+  }
+
+  test("chunking: starts every stride, last chunks shorten, overlap repeats tokens") {
+    import spark.implicits._
+    // 7 tokens, chunk=4, stride=2 -> starts 0,2,4,6 with sizes 4,4,3,1
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.chunkDocuments(df, "text", "doc_id", chunk = 4, stride = 2)
+      .collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 4L), (1L, 4L), (2L, 3L), (3L, 1L)))
+    def md(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // chunk 1 covers tokens 2..5 — the 8-token overlap convention in action
+    assert(out(1).getString(3) == md("t2 t3 t4 t5"))
+    assert(out(3).getString(3) == md("t6"))
+  }
+
+  test("chunking: stride == chunk is exact segmentation; short/empty docs behave") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),   // 5 tokens, chunk=stride=2 -> sizes 2,2,1
+      (2L, "solo"),          // 1 token -> one 1-token chunk
+      (3L, "   "),           // zero tokens -> nothing
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.chunkDocuments(df, "text", "doc_id", chunk = 2, stride = 2)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 2L), (1L, 1L, 2L), (1L, 2L, 1L), (2L, 0L, 1L)))
+    // every token lands in exactly one chunk when stride == chunk
+    assert(out.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum == 5L)
+  }
+
+  test("chunking is map-only: no exchange in the plan before the output sort") {
+    import spark.implicits._
+    val df = Seq((0L, "x y z")).toDF("doc_id", "text")
+    val plan = TextAnalysisOps.chunkDocuments(df, "text", "doc_id", chunk = 2, stride = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"chunking must not shuffle (sort exchange only):\n${plan.take(600)}")
+  }
 }
