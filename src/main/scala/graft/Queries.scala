@@ -520,6 +520,15 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SimilaritySql.annIvf("embeddings",
         centroidMod = 50, queryMod = 40, k = 5, dim = 64))),
 
+    ("q83_knn_graph",
+      // corpus k-NN graph, built cell-locally: vectors ride the cell
+      // shuffle as struct payloads; no corpus-sized broadcast, no all-pairs
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+          centroidMod = 50, kNbrs = 3),
+      Some(graft.sql.SimilaritySql.knnGraph("embeddings",
+        centroidMod = 50, kNbrs = 3, dim = 64))),
+
     ("q34_exact_dedup",
       (s: SparkSession, dir: String) =>
         DedupOps.exactDedupReport(Tables.documents(s, dir), "text", "doc_id", prefixLen = 8),

@@ -213,6 +213,66 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Approximate k-NEAREST-NEIGHBOR GRAPH of the whole corpus: every
+    * vector's top `kNbrs` same-cell neighbors by cosine — the structure
+    * under dataset cartography, graph-based clustering (HDBSCAN/UMAP
+    * neighborhoods), and label propagation; also the precursor a
+    * NN-descent refinement (Dong et al., WWW 2011) would iterate on.
+    * Cells are the deterministic id-mod IVF assignment of [[annIvf]]
+    * (swap in [[kmeansCentroids]] output for trained cells).
+    *
+    * 100 TB shape — the crucial difference from running [[annIvf]] with
+    * every vector as a query: that formulation BROADCASTS the query side,
+    * which here is the whole corpus. Instead the graph is built
+    * cell-locally: one broadcast centroid assignment, cells gathered with
+    * the `maxCell` cap ([[semanticDedup]]'s guardrail), vectors riding
+    * the cell shuffle as struct payloads (no join back to the corpus),
+    * unordered pairs streamed lazily by the
+    * [[graft.functions.Generators.PairsExplode]] generator — each pair's
+    * cosine is evaluated once per direction at most, never a
+    * corpus-sized broadcast, never all-pairs. Vectors in singleton cells
+    * (or cells over the cap) emit no rows; multi-probe assignment or
+    * trained centroids shrink that blind spot.
+    *
+    * Returns (vec_id, rk, neighbor_id, cos), rk 1..kNbrs. */
+  def knnGraph(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, kNbrs: Int, maxCell: Int = 1000): DataFrame = {
+    val cents = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+    // vectors ride the cell shuffle as struct members (PairsExplode orders
+    // by the unique long first field) — no second join against the corpus
+    val pairCos = assigned
+      .groupBy("cid")
+      .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCell)
+      .select(graft.functions.Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+    // mirror each undirected pair into both directed edges: an array of
+    // structs over BOUND attributes (cos is already a plain column here),
+    // so the explode duplicates no kernel work beyond the projection
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairCos
+      .select(explode(array(
+        struct(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos")),
+        struct(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cos"))))
+        .as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.cos").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kNbrs)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** IVF-style approximate top-k: an inverted-file index with a
     * deterministic centroid set (vectors with id % centroidMod == 0 stand
     * in for trained k-means centroids — the assignment/probe machinery is

@@ -101,6 +101,27 @@ SELECT k.vec_b AS vec_id, k.kept_by,
 FROM keep k JOIN ok p ON p.vec_b = k.vec_b AND p.vec_a = k.kept_by
 ORDER BY vec_id"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.knnGraph]]: same id-mod cell
+    * assignment, cell-capped symmetric join (cosine is bit-symmetric —
+    * commutative IEEE products, identical fold order — so the symmetric
+    * join equals the engine's compute-once-and-mirror), same
+    * (cos desc, id asc) rank. */
+  def knnGraph(table: String, centroidMod: Int, kNbrs: Int,
+      dim: Int, maxCell: Int = 1000): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $centroidMod = 0),
+ac AS (SELECT e.vec_id AS id, e.v, c.cid,
+  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM e, c),
+a AS (SELECT id, v, cid FROM ac WHERE crk = 1),
+cells AS (SELECT cid FROM a GROUP BY cid HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxCell),
+cand AS (SELECT x.id AS vec_id, y.id AS neighbor_id, ${cosSql("x.v", "y.v", dim)} AS cos
+  FROM a x JOIN a y ON x.cid = y.cid AND x.id <> y.id
+  JOIN cells cl ON x.cid = cl.cid),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
+SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
+FROM ranked WHERE rk <= $kNbrs ORDER BY vec_id, rk"""
+
   def annIvf(table: String, centroidMod: Int, queryMod: Int, k: Int, dim: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $centroidMod = 0),

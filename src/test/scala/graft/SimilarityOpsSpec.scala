@@ -261,4 +261,51 @@ class SimilarityOpsSpec extends AnyFunSuite {
       centroidMod = 10, minCos = 0.2, maxCell = 1)
     assert(capped.isEmpty, "maxCell=1 leaves no comparable cell")
   }
+
+  test("knn graph: cell-local neighbors, cosine-ranked, symmetric pair values") {
+    import spark.implicits._
+    // centroidMod=4 -> centroids 0 (x-axis) and 4 (y-axis); two cells of 4
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.1f)),
+      (2L, Array(1f, 0.2f)), (3L, Array(1f, 0.3f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.1f, 1f)),
+      (6L, Array(0.2f, 1f)), (7L, Array(-0.1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.knnGraph(df, "vec_id", "embedding",
+      centroidMod = 4, kNbrs = 2).collect()
+    val byV = rows.groupBy(_.getLong(0))
+    assert(byV.keySet == (0L to 7L).toSet, "every vector gets neighbors")
+    byV.values.foreach(rs => assert(rs.length == 2))
+    val xCell = Set(0L, 1L, 2L, 3L)
+    rows.foreach { r =>
+      assert(xCell(r.getLong(0)) == xCell(r.getLong(2)), "neighbors stay in-cell")
+    }
+    // id0's nearest is id1 (smallest angular offset), then id2
+    val n0 = byV(0L).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(n0 == Seq(1L, 2L))
+    // the undirected pair is mirrored with an identical cosine both ways
+    val cos01 = rows.find(r => r.getLong(0) == 0L && r.getLong(2) == 1L).get.getDouble(3)
+    val cos10 = rows.find(r => r.getLong(0) == 1L && r.getLong(2) == 0L).get.getDouble(3)
+    assert(cos01 == cos10)
+    // cosine non-increasing in rank for every vector
+    byV.values.foreach { rs =>
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      cs.zip(cs.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+
+  test("knn graph: singleton and over-cap cells emit nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.1f)), (2L, Array(1f, 0.2f)),
+      (3L, Array(0f, 1f)))  // centroidMod=3 -> cell 3 holds only vector 3
+    .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.knnGraph(df, "vec_id", "embedding",
+      centroidMod = 3, kNbrs = 2).collect()
+    assert(!rows.exists(_.getLong(0) == 3L), "singleton cell has no neighbors")
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    val capped = SimilarityOps.knnGraph(df, "vec_id", "embedding",
+      centroidMod = 3, kNbrs = 2, maxCell = 2)
+    assert(capped.isEmpty, "over-cap cell is skipped entirely")
+  }
 }
