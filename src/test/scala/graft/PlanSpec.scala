@@ -171,7 +171,9 @@ class PlanSpec extends AnyFunSuite {
         Tables.embeddings(spark, sf), "vec_id", "embedding",
         nPlanes = 4, dim = 64, minCos = 0.0, limit = 10),
       graft.ops.SimilarityOps.semanticDedup(
-        Tables.embeddings(spark, sf), "vec_id", "embedding", centroidMod = 10, minCos = 0.5))
+        Tables.embeddings(spark, sf), "vec_id", "embedding", centroidMod = 10, minCos = 0.5),
+      graft.ops.SimilarityOps.knnGraph(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", centroidMod = 10, kNbrs = 3))
     pairPlans.foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("pairsexplode"),
