@@ -367,6 +367,22 @@ object Queries {
       Some(graft.sql.SampleSql.weightedMixProfile("documents", "source", "doc_id",
         Queries.mixFractions))),
 
+    ("q84_tiered_mix",
+      // quality-tiered sampling: nearest-rank cuts at p50/p90 of n_chars
+      // split three tiers, kept at 1/4, 1/2, and all — "upsample the best
+      // decile"; per-tier count + metric range + key checksum
+      (s: SparkSession, dir: String) =>
+        SampleOps.tieredMix(Tables.documents(s, dir), "n_chars", "doc_id",
+            cuts = Seq(50, 90), fractions = Seq((1L, 4L), (1L, 2L), (1L, 1L)))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("n_chars")).as("min_metric"),
+            max(col("n_chars")).as("max_metric"),
+            sum(col("doc_id")).as("key_sum"))
+          .orderBy("tier"),
+      Some(graft.sql.SampleSql.tieredMixProfile("documents", "n_chars", "doc_id",
+        cuts = Seq(50, 90), fractions = Seq((1L, 4L), (1L, 2L), (1L, 1L))))),
+
     ("q42_salted_segment_revenue",
       (s: SparkSession, dir: String) => {
         val orders = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")

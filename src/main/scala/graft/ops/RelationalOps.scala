@@ -262,6 +262,28 @@ object RelationalOps {
   def percentileClip(
       df: DataFrame, metricCol: String, pLo: Int, pHi: Int): DataFrame = {
     require(0 <= pLo && pLo <= pHi && pHi <= 100, s"bad percent range [$pLo, $pHi]")
+    val bounds = nearestRankBounds(df, metricCol, Seq(pLo, pHi))
+      .select(col("bound_0").as("__lo"), col("bound_1").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(metricCol).between(col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** ONE-ROW frame of nearest-rank percentile bounds over an integer
+    * metric: `bound_i` = the value at rank ⌈pᵢ·n/100⌉ (ascending). The
+    * shared bound machinery of [[percentileClip]] and
+    * [[graft.ops.SampleOps.tieredMix]] — one definition, so the clip
+    * filter and the tier assignment cannot drift.
+    *
+    * Scale shape (see [[percentileClip]]'s scaladoc): the cumulative
+    * window runs over the DISTINCT-value histogram (bounded by metric
+    * cardinality, not corpus size); ranks are integer ceiling division
+    * only — a double `p*n/100` would silently lose exactness past
+    * 2^53. */
+  def nearestRankBounds(
+      df: DataFrame, metricCol: String, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty, "need at least one percent")
+    percents.foreach(p => require(0 <= p && p <= 100, s"bad percent $p"))
     val hist = df
       .filter(col(metricCol).isNotNull)
       .groupBy(col(metricCol).as("__v"))
@@ -273,18 +295,11 @@ object RelationalOps {
       .withColumn("__n", sum(col("__c")).over(
         Window.orderBy(col("__v")).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-    // rank k_p = ceil(p*n/100) via integer DIV only (double division
-    // would silently lose exactness once p*n passes 2^53)
-    val bounds = cum
-      .select(col("__v"), col("__cum"),
-        expr(s"(__n * $pLo + 99) DIV 100").as("__klo"),
-        expr(s"(__n * $pHi + 99) DIV 100").as("__khi"))
-      .agg(
-        min(when(col("__cum") >= col("__klo"), col("__v"))).as("__lo"),
-        min(when(col("__cum") >= col("__khi"), col("__v"))).as("__hi"))
-    df.crossJoin(broadcast(bounds))
-      .filter(col(metricCol).between(col("__lo"), col("__hi")))
-      .drop("__lo", "__hi")
+    val aggs = percents.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= expr(s"(__n * $p + 99) DIV 100"), col("__v")))
+        .as(s"bound_$i")
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Distributed moment statistics (count/mean/variance/stddev) per group,

@@ -79,6 +79,52 @@ object SampleOps {
       .drop("__thr")
   }
 
+  /** QUALITY-TIERED mix: bucket rows into quality tiers by nearest-rank
+    * percentile cuts of an integer metric, then hash-sample each tier at
+    * its own fraction — the "upsample the best decile, thin the tail"
+    * curation move (cf. classifier-scored corpus tiers in web-scale
+    * pipelines). Tier t of row r = how many cut bounds lie strictly below
+    * r's metric (tier 0 = bottom slice, `cuts.length` = top); fraction t
+    * applies to tier t. Returns the surviving rows plus a `tier` column.
+    *
+    * Bounds come from [[graft.ops.RelationalOps.nearestRankBounds]] —
+    * integer-exact, no interpolated doubles anywhere near a membership
+    * predicate (a ulp on the boundary would flip a row's TIER, changing
+    * which fraction samples it). Selection inherits [[hashSample]]'s
+    * determinism and nesting PER TIER: raising one tier's fraction only
+    * adds rows of that tier.
+    *
+    * Scale shape: one bounded-histogram pass for the bounds (broadcast
+    * back as one row), then one map-only filter over the corpus — no
+    * shuffle on the data path, same as [[weightedMix]] but with the
+    * group derived from the metric distribution instead of a column. */
+  def tieredMix(
+      df: DataFrame, metricCol: String, keyCol: String,
+      cuts: Seq[Int], fractions: Seq[(Long, Long)]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be strictly ascending percents: $cuts")
+    require(fractions.length == cuts.length + 1,
+      s"need ${cuts.length + 1} tier fractions (cuts.length + 1), got ${fractions.length}")
+    val thresholds = fractions.map { case (num, den) =>
+      require(num >= 0 && den > 0 && num <= den, s"fraction must be in [0, 1]: $num/$den")
+      // num == den -> "g" sorts above every 8-hex-digit hash (full keep)
+      if (num == den) "g" else hexThreshold(num, den)
+    }
+    val bounds = RelationalOps.nearestRankBounds(df, metricCol, cuts)
+    val tier = cuts.indices
+      .map(i => when(col(metricCol) > col(s"bound_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val thrOf = thresholds.zipWithIndex.tail.foldLeft(
+      when(col("tier") === 0L, lit(thresholds.head))) {
+      case (acc, (t, i)) => acc.when(col("tier") === i.toLong, lit(t))
+    }
+    df.filter(col(metricCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("tier", tier)
+      .filter(hashKey(col(keyCol)) < thrOf)
+      .drop(cuts.indices.map(i => s"bound_$i"): _*)
+  }
+
   /** Sequence PACKING plan: assign documents to fixed-token-budget bins
     * (context windows) under the concatenate-and-split model GPT-style
     * packers use — within a shard, documents are concatenated in

@@ -26,6 +26,39 @@ SELECT $groupCol, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM($keyCol) AS BIGIN
 FROM f GROUP BY $groupCol ORDER BY $groupCol"""
   }
 
+  /** Mirror of [[graft.ops.SampleOps.tieredMix]] aggregated per tier:
+    * same distinct-value cumulative histogram and integer ceiling-division
+    * ranks as [[RelationalSql.percentileClipProfile]], same tier rule
+    * (count of bounds strictly below the metric), same md5 threshold
+    * literals as [[weightedMixProfile]]; count + metric range + key
+    * checksum pin the exact per-tier row set. */
+  def tieredMixProfile(
+      table: String, metricCol: String, keyCol: String,
+      cuts: Seq[Int], fractions: Seq[(Long, Long)]): String = {
+    val boundSelects = cuts.zipWithIndex.map { case (p, i) =>
+      s"MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN v END) AS b$i"
+    }.mkString(",\n  ")
+    val tierExpr = cuts.indices
+      .map(i => s"(CASE WHEN d.$metricCol > b.b$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val cases = fractions.zipWithIndex.map { case ((num, den), t) =>
+      val thr = if (num == den) "g" else SampleOps.hexThreshold(num, den)
+      s"WHEN $t THEN '$thr'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT $metricCol AS v, COUNT(*) AS c FROM $table
+  WHERE $metricCol IS NOT NULL GROUP BY 1),
+cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h),
+b AS (SELECT $boundSelects FROM cm),
+t AS (SELECT d.$keyCol, d.$metricCol, $tierExpr AS tier
+  FROM $table d, b WHERE d.$metricCol IS NOT NULL),
+f AS (SELECT * FROM t WHERE ${h(keyCol)} < CASE tier $cases END)
+SELECT CAST(tier AS BIGINT) AS tier, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN($metricCol) AS BIGINT) AS min_metric,
+  CAST(MAX($metricCol) AS BIGINT) AS max_metric,
+  CAST(SUM($keyCol) AS BIGINT) AS key_sum
+FROM f GROUP BY tier ORDER BY tier"""
+  }
+
   /** Mirror of [[graft.ops.SampleOps.packSequences]] aggregated per bin:
     * same md5 bucket spread, same (md5, key) concatenation order, same
     * start-offset integer division; n_docs + token total + key checksum

@@ -160,6 +160,40 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.size < large.size && small.subsetOf(large))
   }
 
+  test("tieredMix: nearest-rank cuts assign tiers, each tier samples at its own fraction") {
+    import spark.implicits._
+    // metric = id over 1..100: p50 bound = 50, p90 bound = 90 (n=100, all
+    // distinct) -> tiers: 1..50 -> 0, 51..90 -> 1, 91..100 -> 2
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "m")
+    val full = SampleOps.tieredMix(df, "m", "id",
+      cuts = Seq(50, 90), fractions = Seq((1L, 1L), (1L, 1L), (1L, 1L)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("tier")).toMap
+    assert(full.size == 100, "full fractions keep every row")
+    assert(full(50L) == 0L && full(51L) == 1L, "p50 bound is inclusive below")
+    assert(full(90L) == 1L && full(91L) == 2L, "p90 bound is inclusive below")
+    // fractional tiers: each tier's survivors are exactly hashSample of
+    // that tier's rows — the shared-threshold consistency contract
+    val mixed = SampleOps.tieredMix(df, "m", "id",
+      cuts = Seq(50, 90), fractions = Seq((1L, 4L), (1L, 2L), (1L, 1L)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("tier"))
+    val tier0 = df.filter(col("m") <= 50)
+    val want0 = SampleOps.hashSample(tier0, "id", 1L, 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed.filter(_._2 == 0L).map(_._1).toSet == want0)
+    assert(mixed.count(_._2 == 2L) == 10, "top tier keeps all 10 rows")
+  }
+
+  test("tieredMix: raising one tier's fraction only adds rows of that tier") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "m")
+    def run(f0: (Long, Long)) = SampleOps.tieredMix(df, "m", "id",
+      cuts = Seq(50, 90), fractions = Seq(f0, (1L, 2L), (1L, 1L)))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("tier"))).toSet
+    val small = run((1L, 4L)); val big = run((1L, 2L))
+    assert(small.subsetOf(big))
+    assert((big -- small).forall(_._2 == 0L))
+  }
+
   test("budgetSample's corpus window shards by bucket, not a single global sort") {
     val plan = SampleOps.budgetSample(toked(100), "id", "toks", budget = 50)
       .queryExecution.executedPlan.toString
