@@ -385,7 +385,18 @@ object TextAnalysisOps {
     * catalog's determinism contract, not part of the operator cost. */
   def chunkDocuments(
       docs: DataFrame, textCol: String, idCol: String,
-      chunk: Int, stride: Int): DataFrame = {
+      chunk: Int, stride: Int): DataFrame =
+    chunkRows(docs, textCol, idCol, chunk, stride)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The UNORDERED chunking stage of [[chunkDocuments]] — stateless and
+    * map-only, so it applies verbatim to a document STREAM (no state, no
+    * watermark; a doc chunks identically whether it arrives in a
+    * micro-batch or a batch scan — [[graft.streaming.StreamingOps]]
+    * exposes it as `streamingChunks`, agreement spec-pinned). */
+  def chunkRows(
+      docs: DataFrame, textCol: String, idCol: String,
+      chunk: Int, stride: Int): DataFrame =
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
@@ -393,8 +404,6 @@ object TextAnalysisOps {
           .as(Seq("chunk_idx", "n_chunk_tokens", "chunk")))
       .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
         md5(col("chunk")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
-  }
 
   /** Rolling-hash document fingerprint: polynomial fold of per-token
     * md5-derived hashes mod 2^31-1 (base 131). Order-sensitive (unlike the

@@ -49,6 +49,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("word"), col("n"))
 
+  /** Stream-side document CHUNKING: the
+    * [[graft.ops.TextAnalysisOps.chunkRows]] stage applied to a live
+    * document stream — chunking is stateless and map-only, so it needs no
+    * watermark and holds no state: each arriving doc emits its chunk rows
+    * in the micro-batch it lands in, identical to the batch operator's
+    * output for the same doc (agreement spec-pinned). The front half of a
+    * streaming RAG-ingest pipeline (chunk → embed → index). */
+  def streamingChunks(
+      docs: DataFrame, textCol: String, idCol: String,
+      chunk: Int, stride: Int): DataFrame =
+    graft.ops.TextAnalysisOps.chunkRows(docs, textCol, idCol, chunk, stride)
+
   /** Tumbling-window event counts + value sums per event type over the
     * events stream shape (event_id, ts, user_id, event_type, value). */
   def eventWindowStats(

@@ -65,6 +65,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunks agree with the batch chunker, per micro-batch, stateless") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.streamingChunks(docs, "text", "doc_id", chunk = 3, stride = 2)
+    val q = out.writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a b c d e"), (2L, "x y"))
+      q.processAllAvailable()
+      // docs split across micro-batches chunk independently — no state
+      in.addData((3L, "p q r s"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_md5 FROM chunks ORDER BY doc_id, chunk_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      val batch = graft.ops.TextAnalysisOps.chunkDocuments(
+        Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p q r s")).toDF("doc_id", "text"),
+        "text", "doc_id", chunk = 3, stride = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(streamed == batch)
+      assert(streamed.count(_._1 == 1L) == 3, "5 tokens at stride 2 -> starts 0,2,4")
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions when the watermark passes the gap") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
