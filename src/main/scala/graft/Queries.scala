@@ -575,6 +575,15 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SketchSql.cmsHeavyHitters("documents",
         depth = 3, hexChars = 2, minEst = 10))),
 
+    ("q85_log2_quantiles",
+      // constant-size (<=64 row) power-of-2 quantile sketch probed at
+      // p50/p90/p99: integer bit-length buckets, factor-2 value bounds
+      (s: SparkSession, dir: String) =>
+        SketchOps.log2QuantileProbe(Tables.documents(s, dir), "n_chars",
+          percents = Seq(50, 90, 99)),
+      Some(graft.sql.SketchSql.log2QuantileProbe("documents", "n_chars",
+        percents = Seq(50, 90, 99)))),
+
     ("q64_token_budget",
       // deterministic "first 6000 tokens of the hash-shuffled corpus":
       // distributed prefix sum (bucket offsets + parallel windows), not a

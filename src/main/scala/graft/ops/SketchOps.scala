@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.Generators
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-size frequency sketches for corpus statistics at scale
@@ -159,5 +160,63 @@ object SketchOps {
       .filter(col("est") >= minEst)
       .select(col("term"), col("est"), col("true_cnt"))
       .orderBy(col("est").desc, col("term").asc)
+  }
+
+  /** Power-of-2 QUANTILE sketch over a non-negative integer metric — the
+    * rank/quantile companion to [[countMinSketch]] (frequency) and
+    * [[hllRegisters]] (cardinality): (bucket, cnt) where bucket is the
+    * metric's BIT LENGTH (`length(bin(v))`; 0 → bucket 0), so bucket b ≥ 1
+    * covers [2^(b-1), 2^b − 1] — a DDSketch (Masson et al., VLDB 2019)
+    * with γ = 2, except the log is the exact integer bit length both
+    * engines compute identically (a float log2 would put boundary values
+    * in different buckets by a ulp). At most 64 rows however big the
+    * corpus; map-side combine bounds the shuffle the same way; shards
+    * merge by cell-wise ADD (counts are associative).
+    *
+    * [[RelationalOps.nearestRankBounds]] is the EXACT-quantile path —
+    * its histogram is metric-cardinality-sized. This sketch is the
+    * unbounded-cardinality fallback: constant size bought with factor-2
+    * relative error on the value axis. Negative metrics are rejected by
+    * filter (sign would need a second bucket axis). */
+  def log2Histogram(df: DataFrame, metricCol: String): DataFrame =
+    df.filter(col(metricCol).isNotNull && col(metricCol) >= 0)
+      .select(when(col(metricCol) === 0, lit(0L))
+        .otherwise(length(bin(col(metricCol))).cast("long")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** Nearest-rank quantile PROBE of [[log2Histogram]]: for each percent p
+    * the sketch bucket holding the rank-⌈p·n/100⌉ value, reported with
+    * its exact integer value range [bucket_lo, bucket_hi] — the true
+    * nearest-rank quantile provably lies inside it (spec-pinned against
+    * the exact computation). Rank membership is the cross-multiplied
+    * integer test `100·cum ≥ p·n` (⌈a/b⌉ ≤ c ⟺ a ≤ c·b) — no division
+    * anywhere. The cumulative window runs over the ≤64-row sketch. */
+  def log2QuantileProbe(
+      df: DataFrame, metricCol: String, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty, "need at least one percent")
+    percents.foreach(p => require(0 <= p && p <= 100, s"bad percent $p"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = log2Histogram(df, metricCol)
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(
+        Window.orderBy(col("bucket")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum
+      .select(col("bucket"), col("__cum"), col("__n"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("percent"))
+      .filter(col("__cum") * 100 >= col("__n") * col("percent"))
+      .groupBy("percent")
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("percent"), col("bucket"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))"))
+          .as("bucket_lo"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"))
+          .as("bucket_hi"))
+      .orderBy("percent")
   }
 }

@@ -44,4 +44,21 @@ h AS (SELECT $groupCol, substr(md5(term), 1, $bucketHex) AS bucket,
 r AS (SELECT $groupCol, bucket, CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END AS rho FROM h)
 SELECT $groupCol, bucket, CAST(MAX(rho) AS BIGINT) AS register
 FROM r GROUP BY $groupCol, bucket ORDER BY $groupCol, bucket"""
+
+  /** Mirror of [[graft.ops.SketchOps.log2QuantileProbe]]: same integer
+    * bit-length buckets (DuckDB's bin() is unpadded like Spark's), same
+    * cross-multiplied rank test, same shift-derived bucket range. */
+  def log2QuantileProbe(table: String, metricCol: String, percents: Seq[Int]): String =
+    s"""WITH v AS (SELECT CASE WHEN $metricCol = 0 THEN 0
+    ELSE length(bin($metricCol)) END AS bucket
+  FROM $table WHERE $metricCol IS NOT NULL AND $metricCol >= 0),
+h AS (SELECT bucket, COUNT(*) AS cnt FROM v GROUP BY bucket),
+cm AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum, SUM(cnt) OVER () AS n FROM h),
+p AS (SELECT unnest([${percents.mkString(", ")}]) AS percent),
+q AS (SELECT p.percent, MIN(cm.bucket) AS bucket
+  FROM p JOIN cm ON cm.cum * 100 >= cm.n * p.percent GROUP BY p.percent)
+SELECT CAST(percent AS BIGINT) AS percent, CAST(bucket AS BIGINT) AS bucket,
+  CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1::BIGINT << (bucket - 1) END AS BIGINT) AS bucket_lo,
+  CAST(CASE WHEN bucket = 0 THEN 0 ELSE (1::BIGINT << bucket) - 1 END AS BIGINT) AS bucket_hi
+FROM q ORDER BY percent"""
 }

@@ -95,6 +95,38 @@ class SketchOpsSpec extends AnyFunSuite {
       "max over the group axis must reproduce the corpus sketch")
   }
 
+  test("log2 histogram buckets by bit length, stays bounded, merges by cell-wise add") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 1L, 2L, 3L, 4L, 7L, 8L, 1000L).toDF("m")
+    val h = SketchOps.log2Histogram(df, "m")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0->b0; 1,1->b1; 2,3->b2; 4,7->b3; 8->b4; 1000(10 bits)->b10
+    assert(h == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 10L -> 1L))
+    // bounded regardless of input, merge = cell-wise add of shard sketches
+    val a = Seq(5L, 6L).toDF("m"); val b = Seq(7L, 100L).toDF("m")
+    val merged = SketchOps.log2Histogram(a.union(b), "m")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellAdd = (SketchOps.log2Histogram(a, "m").collect() ++
+      SketchOps.log2Histogram(b, "m").collect())
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).sum }
+    assert(merged == cellAdd)
+  }
+
+  test("log2 quantile probe brackets the exact nearest-rank quantile at every percent") {
+    import spark.implicits._
+    val values = (1L to 1000L).map(i => (i * 37) % 997 + 1)
+    val df = values.toDF("m")
+    val probes = SketchOps.log2QuantileProbe(df, "m", Seq(10, 50, 90, 99))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val sorted = values.sorted
+    probes.foreach { case (p, (lo, hi)) =>
+      val exact = sorted((math.ceil(p * sorted.length / 100.0).toLong - 1).toInt.max(0))
+      assert(exact >= lo && exact <= hi,
+        s"p$p: exact nearest-rank $exact outside sketch bucket [$lo, $hi]")
+      assert(hi < 2 * lo.max(1) * 2, "factor-2 bucket width")
+    }
+  }
+
   test("HLL estimate lands within the expected error band of the true distinct count") {
     import spark.implicits._
     val n = 2000
