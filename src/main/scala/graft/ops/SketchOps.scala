@@ -180,11 +180,17 @@ object SketchOps {
     * filter (sign would need a second bucket axis). */
   def log2Histogram(df: DataFrame, metricCol: String): DataFrame =
     df.filter(col(metricCol).isNotNull && col(metricCol) >= 0)
-      .select(when(col(metricCol) === 0, lit(0L))
-        .otherwise(length(bin(col(metricCol))).cast("long")).as("bucket"))
+      .select(log2Bucket(col(metricCol)).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
+
+  /** The bit-length bucket of one metric value — shared with the
+    * streaming windowed sketch ([[graft.streaming.StreamingOps]]) so
+    * batch and stream bucket every value identically. */
+  private[graft] def log2Bucket(metric: Column): Column =
+    when(metric === 0, lit(0L))
+      .otherwise(length(bin(metric)).cast("long"))
 
   /** Nearest-rank quantile PROBE of [[log2Histogram]]: for each percent p
     * the sketch bucket holding the rank-⌈p·n/100⌉ value, reported with

@@ -180,6 +180,26 @@ object StreamingOps {
       .agg(max(col("c.rho")).cast("long").as("register"))
       .select(col("window.start").as("window_start"), col("bucket"), col("register"))
 
+  /** Windowed POWER-OF-2 QUANTILE sketch on a stream: per tumbling
+    * window, the same integer bit-length buckets as
+    * [[graft.ops.SketchOps.log2Histogram]] (shared bucket expression —
+    * identical placement batch vs stream), ≤64 cells per window however
+    * large the firehose. Counts are associative, so window sketches merge
+    * into coarser granularities — or the corpus sketch — by cell-wise
+    * ADDITION (the CMS merge law), and
+    * [[graft.ops.SketchOps.log2QuantileProbe]]'s rank test applies per
+    * window for live latency/size percentiles. */
+  def windowedLog2Histogram(
+      events: DataFrame, metricCol: String, tsCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .filter(col(metricCol).isNotNull && col(metricCol) >= 0)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur),
+        graft.ops.SketchOps.log2Bucket(col(metricCol)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("cnt"))
+
   // --- Stateful funnel progress ------------------------------------------
 
   /** Input event for the streaming funnel. */

@@ -371,6 +371,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed log2 sketch on a stream adds cell-wise to the batch histogram") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingOps.windowedLog2Histogram(
+      in.toDF().toDF("m", "ts"), "m", "ts", "1 minute", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("l2h_win")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        (0L, ts(0)), (1L, ts(5)), (3L, ts(10)),
+        (7L, ts(70)), (1000L, ts(75))) // second window
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT bucket, sum(cnt) FROM l2h_win GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val batch = graft.ops.SketchOps.log2Histogram(data.map(_._1).toDF("m"), "m")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streamed == batch)
+      assert(spark.sql("SELECT count(DISTINCT window_start) FROM l2h_win")
+        .head().getLong(0) == 2L, "values split across two tumbling windows")
+    } finally q.stop()
+  }
+
   test("windowed HLL on a stream maxes cell-wise to the batch register file") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
