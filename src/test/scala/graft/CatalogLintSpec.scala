@@ -46,6 +46,18 @@ class CatalogLintSpec extends AnyFunSuite {
       s"gate-incompatible output columns:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("catalog names are unique and every query declares an oracle") {
+    // Queries.queries is catalog.toMap: a duplicated name would SILENTLY
+    // drop one implementation from the driver surface
+    val names = Queries.catalog.map(_._1)
+    val dups = names.diff(names.distinct).distinct
+    assert(dups.isEmpty, s"duplicate catalog names (toMap silently drops one): $dups")
+    // the catalog ships 100% oracle coverage; an omission downgrades that
+    // query to the driver's weaker rows-only check — keep it deliberate
+    val noOracle = Queries.catalog.filter(_._3.isEmpty).map(_._1)
+    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+  }
+
   test("every declared query with an oracle aliases the same column names on both sides") {
     // cheap drift guard: each oracle's final SELECT must mention every
     // engine-side output column name (the driver sorts columns by name
