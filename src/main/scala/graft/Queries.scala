@@ -383,6 +383,28 @@ object Queries {
       Some(graft.sql.SampleSql.tieredMixProfile("documents", "n_chars", "doc_id",
         cuts = Seq(50, 90), fractions = Seq((1L, 4L), (1L, 2L), (1L, 1L))))),
 
+    ("q86_split_assign",
+      // deterministic 90/5/5 train/val/test split by md5(doc_id);
+      // per-(split, lang) count + key checksum pin exact membership
+      (s: SparkSession, dir: String) =>
+        SampleOps.splitAssign(Tables.documents(s, dir), "doc_id",
+            Seq(("train", 90L), ("val", 5L), ("test", 5L)), den = 100L)
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("key_sum"))
+          .orderBy("split", "lang"),
+      Some(graft.sql.SampleSql.splitAssignProfile("documents", "doc_id", "lang",
+        Seq(("train", 90L), ("val", 5L), ("test", 5L)), den = 100L))),
+
+    ("q87_table_profile",
+      // ingest-time data profile of the documents table: one scan, per
+      // column (nulls, exact distinct, value/length range) — all BIGINT
+      (s: SparkSession, dir: String) =>
+        ProfileOps.tableProfile(Tables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some(graft.sql.RelationalSql.tableProfile("documents", Seq(
+        ("doc_id", false), ("text", true), ("lang", true),
+        ("source", true), ("n_chars", false))))),
+
     ("q42_salted_segment_revenue",
       (s: SparkSession, dir: String) => {
         val orders = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")

@@ -203,6 +203,41 @@ object SampleOps {
       .drop("__bkt", "__off")
   }
 
+  /** Deterministic TRAIN/VAL/TEST split: each row's md5 hash position
+    * assigns it to the split whose cumulative-fraction interval it falls
+    * in — the "held-out sets must stay held out" primitive. Appends a
+    * `split` column; map-only, no shuffle.
+    *
+    * `splits` lists (name, num) shares over a common `den`; shares must
+    * be positive and sum to `den` (splits partition the corpus —
+    * disjoint AND exhaustive by construction, every hash lands in
+    * exactly one half-open interval).
+    *
+    * The property that makes hash-splitting the industry default: a
+    * row's split depends only on its OWN key, so membership is stable
+    * under corpus growth — new documents distribute across splits
+    * without moving any existing document between splits (no test-set
+    * leakage into training when the corpus is re-ingested). Boundary
+    * monotonicity inherits from [[hashSample]]'s nesting: growing one
+    * split's share only moves rows across the one boundary it shifts. */
+  def splitAssign(
+      df: DataFrame, keyCol: String, splits: Seq[(String, Long)], den: Long): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), s"split shares must be positive: $splits")
+    require(splits.map(_._2).sum == den, s"shares must sum to $den: $splits")
+    require(splits.map(_._1).distinct == splits.map(_._1), s"duplicate split names: $splits")
+    // cumulative upper bounds; the last split takes the otherwise-branch
+    // (covers hash == ffffffff, which no threshold can express)
+    val cum = splits.init.scanLeft(0L) { case (acc, (_, n)) => acc + n }.tail
+    val h = hashKey(col(keyCol))
+    val splitExpr = splits.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val bound = lit(hexThreshold(c, den))
+        Some(acc.fold(when(h < bound, name))(_.when(h < bound, name)))
+    }.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", splitExpr)
+  }
+
   /** Per-group deterministic quota: up to `n` rows per group, chosen by
     * ascending (md5(key), key) — an unbiased, reproducible per-stratum
     * subsample; the "cap each source's contribution" mix primitive.

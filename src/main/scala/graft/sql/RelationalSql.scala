@@ -190,6 +190,21 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   CAST(SUM(${e6("value")}) AS BIGINT) AS total_value_e6
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  /** Mirror of [[graft.ops.ProfileOps.tableProfile]]: one SELECT per
+    * column UNION ALL'd — same null count, exact distinct, and value/
+    * length min-max metric (`isString` columns profile `length(col)`,
+    * matching the Spark side's type dispatch). */
+  def tableProfile(table: String, cols: Seq[(String, Boolean)]): String =
+    cols.map { case (c, isString) =>
+      val m = if (isString) s"length($c)" else c
+      s"""SELECT '$c' AS col_name,
+  CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+  CAST(MIN($m) AS BIGINT) AS min_metric,
+  CAST(MAX($m) AS BIGINT) AS max_metric
+FROM $table"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   def topSuppliers(k: Int): String =
     s"""WITH rev AS (
   SELECT l_suppkey, CAST(SUM($discE4) AS BIGINT) AS revenue_e4 FROM lineitem GROUP BY l_suppkey)

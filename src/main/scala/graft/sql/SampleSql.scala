@@ -95,6 +95,24 @@ c AS (SELECT $keyCol, n_tokens,
 SELECT $keyCol, n_tokens, cum_tokens FROM c WHERE cum_tokens <= $budget
 ORDER BY cum_tokens ASC, $keyCol ASC"""
 
+  /** Mirror of [[graft.ops.SampleOps.splitAssign]] aggregated per
+    * (split, group): same cumulative hex thresholds over the same md5
+    * substring, same last-split ELSE branch; count + key checksum pin
+    * the exact per-split membership. */
+  def splitAssignProfile(
+      table: String, keyCol: String, groupCol: String,
+      splits: Seq[(String, Long)], den: Long): String = {
+    val cum = splits.init.scanLeft(0L) { case (acc, (_, n)) => acc + n }.tail
+    val whens = splits.init.zip(cum).map { case ((name, _), c) =>
+      s"WHEN ${h(keyCol)} < '${SampleOps.hexThreshold(c, den)}' THEN '$name'"
+    }.mkString(" ")
+    s"""WITH a AS (SELECT CASE $whens ELSE '${splits.last._1}' END AS split,
+  $groupCol, $keyCol FROM $table)
+SELECT split, $groupCol, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM($keyCol) AS BIGINT) AS key_sum
+FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** [[graft.ops.SampleOps.hashSample]] (num/den of `table` by `keyCol`)
     * then [[graft.ops.SampleOps.stratifiedQuota]] (`n` per `groupCol`). */
   def stratifiedSample(

@@ -41,7 +41,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q75_conversion_funnel" -> 3L,
     // vocab coverage is a cross join of two ungrouped aggregates: one
     // all-zeros row (coverage_ratio 0.0 by the CASE) on both sides
-    "q81_vocab_coverage" -> 1L)
+    "q81_vocab_coverage" -> 1L,
+    // the table profile is one ungrouped aggregate exploded to a row per
+    // profiled column: empty input still describes all 5 columns
+    "q87_table_profile" -> 5L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

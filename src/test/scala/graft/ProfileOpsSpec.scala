@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.ProfileOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One-scan table profiling: per-column nulls, exact distincts, metric
+  * ranges; type dispatch (value vs length) and single-scan plan shape. */
+class ProfileOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha", Some(10L)),
+      (2L, "beta", None),
+      (3L, null.asInstanceOf[String], Some(10L)),
+      (4L, "gamma-long", Some(7L)),
+      (5L, "beta", None)
+    ).toDF("id", "name", "score")
+  }
+
+  test("profile counts nulls, exact distincts, and metric ranges per column") {
+    val rows = ProfileOps.tableProfile(fixture, Seq("id", "name", "score"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("id") == ((0L, 5L, 1L, 5L)))
+    // name: one null, three distinct non-null, length range 4..10
+    assert(rows("name") == ((1L, 3L, 4L, 10L)))
+    // score: two nulls, two distinct, value range 7..10
+    assert(rows("score") == ((2L, 2L, 7L, 10L)))
+  }
+
+  test("profile output is ordered by column name and uniformly BIGINT") {
+    val out = ProfileOps.tableProfile(fixture, Seq("score", "id", "name"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("id", "name", "score"))
+    assert(out.schema.fields.drop(1).forall(_.dataType.typeName == "long"))
+  }
+
+  test("profile reads the source exactly once") {
+    val df = ProfileOps.tableProfile(
+      graft.io.Tables.documents(spark, "/root/testdata/sf0.001"),
+      Seq("doc_id", "lang", "n_chars"))
+    val scans = "FileScan|Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected one scan, got $scans")
+  }
+
+  test("profile rejects non-integral non-string columns loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5)).toDF("id", "d")
+    intercept[IllegalArgumentException](ProfileOps.tableProfile(df, Seq("d")))
+  }
+}

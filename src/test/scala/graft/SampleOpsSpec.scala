@@ -194,6 +194,46 @@ class SampleOpsSpec extends AnyFunSuite {
     assert((big -- small).forall(_._2 == 0L))
   }
 
+  test("splitAssign partitions the corpus: disjoint, exhaustive, near-target shares") {
+    val df = ids(4000)
+    val out = SampleOps.splitAssign(df, "id",
+      Seq(("train", 90L), ("val", 5L), ("test", 5L)), den = 100L)
+    assert(out.count() == 4000L)
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS.values.sum == 4000L)
+    // 3 sigma for Binomial(4000, 0.05) is ~41
+    assert(math.abs(byS("val") - 200L) < 70 && math.abs(byS("test") - 200L) < 70, byS)
+  }
+
+  test("splitAssign membership is stable under corpus growth") {
+    def assign(n: Int) = SampleOps.splitAssign(ids(n), "id",
+        Seq(("train", 90L), ("val", 5L), ("test", 5L)), den = 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val small = assign(500); val big = assign(2000)
+    // every original row keeps its split when 3x new data arrives
+    small.foreach { case (id, s) => assert(big(id) == s, s"row $id moved") }
+  }
+
+  test("splitAssign boundary shift only moves rows across the shifted boundary") {
+    def assign(trainShare: Long) = SampleOps.splitAssign(ids(2000), "id",
+        Seq(("train", trainShare), ("val", 95L - trainShare), ("test", 5L)), den = 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val before = assign(80L); val after = assign(90L)
+    before.foreach { case (id, s) =>
+      // growing train eats only from val; test membership is untouched
+      if (s != after(id)) assert(s == "val" && after(id) == "train", s"row $id: $s -> ${after(id)}")
+      if (s == "test") assert(after(id) == "test")
+    }
+  }
+
+  test("splitAssign is map-only: no exchange in the plan") {
+    val plan = SampleOps.splitAssign(ids(100), "id",
+      Seq(("a", 1L), ("b", 1L)), den = 2L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("budgetSample's corpus window shards by bucket, not a single global sort") {
     val plan = SampleOps.budgetSample(toked(100), "id", "toks", budget = 50)
       .queryExecution.executedPlan.toString
