@@ -55,6 +55,18 @@ object Queries {
           .withColumn("rk", col("rk").cast("long")),
       Some(graft.sql.OracleSql.topPostsPerIndustry(cfg, "documents", 20))),
 
+    ("q88_top_posts_bounded_agg",
+      // q02's semantics through the bounded TopKAgg aggregate instead of
+      // a window: map-side-combined, <=k pairs per group cross the shuffle
+      (s: SparkSession, dir: String) => {
+        val tagged = KeywordOps.cleanExploded(Tables.documents(s, dir), cfg)
+        StatsOps.topKPerGroupBounded(
+          tagged.select(col("industry"), col(cfg.posts.idCol).as("post_id"),
+            col(cfg.posts.viewsCol).as("views")),
+          "industry", "views", "post_id", k = 20)
+      },
+      Some(graft.sql.OracleSql.topPostsBoundedAgg(cfg, "documents", 20))),
+
     ("q03_top_channels_by_views",
       (s: SparkSession, dir: String) =>
         StatsOps.topChannelsByViews(KeywordOps.cleanExploded(Tables.documents(s, dir), cfg), cfg, 15)
@@ -109,6 +121,15 @@ object Queries {
             "total_value_e6", lit(0L)))),
       Some(graft.sql.OracleSql.resampleValueAgg(
         "events", "ts", "value", "day", "INTERVAL 1 DAY"))),
+
+    ("q89_ingest_anomaly",
+      // rolling z-score over the daily ingest value series: 7-day
+      // trailing baseline, z^2=2 — verdicts in exact integer arithmetic
+      (s: SparkSession, dir: String) =>
+        AnomalyOps.anomalyDaily(Tables.events(s, dir), "ts", "value",
+          windowDays = 7, z2 = 2),
+      Some(graft.sql.OracleSql.anomalyDaily("events", "ts", "value",
+        windowDays = 7, z2 = 2))),
 
     ("q10_channel_audit",
       (s: SparkSession, dir: String) =>

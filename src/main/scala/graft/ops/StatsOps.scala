@@ -43,6 +43,25 @@ object StatsOps {
       .orderBy(col("industry"), col("rk"))
   }
 
+  /** T1 per-group top-K via the BOUNDED [[graft.functions.TopKAgg]]
+    * aggregate — identical semantics to [[topPostsPerIndustry]]'s window
+    * form (same metric-DESC, id-ASC tiebreak; equality spec-pinned) with
+    * the 100 TB plan: the window shuffles every row to its group's
+    * reducer, the aggregate partial-combines map-side so the exchange
+    * carries at most k (metric, id) pairs per group per map partition.
+    * Output: (groupCol, rk, idCol, metricCol), rank 1-based. */
+  def topKPerGroupBounded(
+      df: DataFrame, groupCol: String, metricCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.filter(col(metricCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col(metricCol).cast("long"), col(idCol).cast("long")).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rk"),
+        col("__e._2").as(idCol), col("__e._1").as(metricCol))
+      .orderBy(col(groupCol), col("rk"))
+
   /** A2+T2 top channels by summed views within each industry
     * (reference `main.py:428`). Partial (map-side) aggregation happens
     * automatically in the hash aggregate; the window then runs over the

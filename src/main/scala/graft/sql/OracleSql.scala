@@ -57,6 +57,15 @@ SELECT industry, COUNT(*) AS n_posts FROM tagged GROUP BY industry ORDER BY indu
 ranked AS (SELECT industry, post_id, channel, views, ROW_NUMBER() OVER (PARTITION BY industry ORDER BY views DESC, post_id ASC) AS rk FROM tagged)
 SELECT industry, post_id, channel, views, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY industry, rk"""
 
+  /** Mirror of [[graft.ops.StatsOps.topKPerGroupBounded]] over the tagged
+    * posts: the bounded aggregate's contract IS the window form, so the
+    * oracle states it as the window form (independent formulation). */
+  def topPostsBoundedAgg(cfg: AnalysisConfig, table: String, k: Int): String =
+    s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)},
+ranked AS (SELECT industry, post_id, views, ROW_NUMBER() OVER (PARTITION BY industry ORDER BY views DESC, post_id ASC) AS rk FROM tagged)
+SELECT industry, CAST(rk AS BIGINT) AS rk, post_id, CAST(views AS BIGINT) AS views
+FROM ranked WHERE rk <= $k ORDER BY industry, rk"""
+
   def topChannelsByViews(cfg: AnalysisConfig, table: String, k: Int): String =
     s"""WITH ${cleanCte(cfg, table)}, ${taggedCte(cfg)},
 agg AS (SELECT industry, channel, CAST(SUM(views) AS BIGINT) AS total_views FROM tagged GROUP BY industry, channel),
@@ -119,6 +128,33 @@ agg AS (SELECT CAST(date_trunc('$truncUnit', $tsCol) AS DATE) AS bucket, COUNT(*
 SELECT cal.bucket AS bucket, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
 CAST(COALESCE(agg.total_value_e6, 0) AS BIGINT) AS total_value_e6
 FROM cal LEFT JOIN agg ON cal.bucket = agg.bucket ORDER BY bucket"""
+
+  /** Mirror of [[graft.ops.AnomalyOps.anomalyDaily]]: same daily
+    * scaled-int aggregate and gap-filled calendar, same trailing frame,
+    * same cross-multiplied integer z-score verdict — HUGEINT here,
+    * DECIMAL(38,0) on the Spark side, both exact. */
+  def anomalyDaily(table: String, tsCol: String, valueCol: String,
+      windowDays: Int, z2: Int): String =
+    s"""WITH b AS (SELECT CAST(date_trunc('day', MIN($tsCol)) AS DATE) AS lo, CAST(date_trunc('day', MAX($tsCol)) AS DATE) AS hi FROM $table WHERE $tsCol IS NOT NULL),
+cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS bucket FROM b),
+agg AS (SELECT CAST(date_trunc('day', $tsCol) AS DATE) AS bucket,
+  SUM(CAST(CAST($valueCol AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS total_e6
+  FROM $table WHERE $tsCol IS NOT NULL GROUP BY 1),
+d AS (SELECT cal.bucket AS bucket,
+  CAST(COALESCE(agg.total_e6, 0) AS BIGINT) AS total_e6,
+  CAST(COALESCE(agg.total_e6, 0) AS HUGEINT) AS x
+  FROM cal LEFT JOIN agg ON cal.bucket = agg.bucket),
+w AS (SELECT bucket, total_e6, x,
+  COUNT(*) OVER win AS win_n,
+  SUM(x) OVER win AS s,
+  SUM(x * x) OVER win AS s2
+  FROM d WINDOW win AS (ORDER BY bucket ROWS BETWEEN $windowDays PRECEDING AND 1 PRECEDING))
+SELECT bucket, total_e6, CAST(win_n AS BIGINT) AS win_n,
+  CAST(COALESCE(s, 0) AS BIGINT) AS baseline_sum_e6,
+  CAST(CASE WHEN win_n = $windowDays
+    AND (win_n * x - s) * (win_n * x - s) > $z2 * (win_n * s2 - s * s)
+    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM w ORDER BY bucket"""
 
   /** As-of join oracle: DuckDB's NATIVE `ASOF JOIN` — an INDEPENDENT
     * implementation of the semantics of [[graft.ops.AsofOps.asofJoin]]
