@@ -122,6 +122,19 @@ object Queries {
       Some(graft.sql.OracleSql.resampleValueAgg(
         "events", "ts", "value", "day", "INTERVAL 1 DAY"))),
 
+    ("q90_canonicalize",
+      // NFC + control/whitespace canonicalization: per-source doc count,
+      // changed count, and md5-prefix checksum of the canonical bytes
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.canonicalize(Tables.documents(s, dir), "text")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("changed")).as("n_changed"),
+            sum(conv(substring(col("clean_md5"), 1, 8), 16, 10).cast("long"))
+              .as("checksum_sum"))
+          .orderBy("source"),
+      Some(graft.sql.TextAnalysisSql.canonicalizeProfile("documents"))),
+
     ("q89_ingest_anomaly",
       // rolling z-score over the daily ingest value series: 7-day
       // trailing baseline, z^2=2 — verdicts in exact integer arithmetic

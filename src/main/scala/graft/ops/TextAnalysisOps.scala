@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysisOps {
 
+  /** Text CANONICALIZATION: Unicode NFC (via the codegen
+    * [[graft.functions.NfcNormalize]] expression) → controls to spaces →
+    * space-run collapse → trim. The pass every corpus runs before
+    * tokenizing, hashing, or deduplicating: byte-different encodings of
+    * equal text (combining marks vs precomposed, stray control bytes,
+    * ragged whitespace) otherwise split dedup keys and token counts.
+    *
+    * The cleanup regexes are deliberately ASCII-EXPLICIT
+    * (`[\x00-\x1f\x7f]`, then `' '+`) rather than `\p{Cntrl}`/`\s` —
+    * Java and RE2 define those classes differently, and the DuckDB
+    * oracle must select the identical bytes. Controls become spaces
+    * FIRST, so tabs/newlines fold into the space collapse. Map-only,
+    * one pass; appends `clean_text`, a 0/1 `changed` flag, and the md5
+    * `clean_md5` of the canonical bytes (the downstream dedup key). */
+  def canonicalize(docs: DataFrame, textCol: String): DataFrame = {
+    val clean = trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfcCol(col(textCol)),
+        "[\\x00-\\x1f\\x7f]", " "),
+      " +", " "))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("clean_text", clean)
+      .withColumn("changed",
+        when(col("clean_text") =!= col(textCol), 1L).otherwise(0L))
+      .withColumn("clean_md5", md5(col("clean_text")))
+  }
+
   /** Marker-token profiles for the n-gram/stopword language heuristic.
     * Ordered so derived plans and SQL are deterministic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -28,6 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   ngram_explode(text, w)          -- every w-gram occurrence (multiset)
   *   segment_explode(text, k)        -- (seg_idx, seg, ntok) non-overlapping k-token segments
   *   pairs_explode(ids)              -- (a, b) ordered pairs of an id array (or struct array)
+  *   nfc_normalize(text)             -- Unicode NFC canonical composition
   *   cosine_similarity(vecA, vecB)   -- unrounded; round(...) in SQL if needed
   *   l2_squared(vecA, vecB)          -- unrounded; round(...) in SQL if needed
   *   jaccard_similarity(setA, setB)  -- unrounded; distinct-element arrays
@@ -112,6 +113,12 @@ object GraftFunctions {
         require(args.length == 3, "chunk_explode(text, chunk, stride)")
         ChunkExplode(args.head, litInt(args(1), "chunk_explode"),
           litInt(args(2), "chunk_explode"))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text)")
+        graft.functions.NfcNormalize(args.head)
       }),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

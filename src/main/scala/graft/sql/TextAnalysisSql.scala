@@ -173,6 +173,21 @@ SELECT doc_id, CAST(st // $stride AS BIGINT) AS chunk_idx,
   md5(array_to_string(tk[st + 1 : least(st + $chunk, len(tk))], ' ')) AS chunk_md5
 FROM s ORDER BY doc_id, chunk_idx"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.canonicalize]] aggregated per
+    * source — DuckDB's utf8proc `nfc_normalize` is an INDEPENDENT
+    * implementation of the Unicode spec the engine's JVM normalizer
+    * follows; the cleanup regexes are the same ASCII-explicit classes.
+    * Count + changed count + md5-prefix checksum pin the canonical
+    * bytes, not just cardinalities. */
+  def canonicalizeProfile(table: String): String =
+    s"""WITH c AS (SELECT source, text,
+  trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+  FROM $table WHERE text IS NOT NULL)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN clean != text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(('0x' || substr(md5(clean), 1, 8))::BIGINT) AS BIGINT) AS checksum_sum
+FROM c GROUP BY source ORDER BY source"""
+
   def fingerprints(table: String): String =
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 h AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647) AS hl
