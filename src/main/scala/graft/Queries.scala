@@ -122,6 +122,12 @@ object Queries {
       Some(graft.sql.OracleSql.resampleValueAgg(
         "events", "ts", "value", "day", "INTERVAL 1 DAY"))),
 
+    ("q91_equidepth_histogram",
+      // quartile (equi-depth) summary of the document length distribution
+      (s: SparkSession, dir: String) =>
+        RelationalOps.equiDepthHistogram(Tables.documents(s, dir), "n_chars", 4),
+      Some(graft.sql.RelationalSql.equiDepthHistogram("documents", "n_chars", 4))),
+
     ("q90_canonicalize",
       // NFC + control/whitespace canonicalization: per-source doc count,
       // changed count, and md5-prefix checksum of the canonical bytes

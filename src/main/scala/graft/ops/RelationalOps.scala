@@ -302,6 +302,38 @@ object RelationalOps {
     cum.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EQUI-DEPTH histogram of an integer metric: `nBuckets` buckets of
+    * near-equal row count, cut at the nearest-rank percentile bounds —
+    * the distribution summary ("what does the token-length distribution
+    * look like") that an equi-WIDTH histogram gets wrong on skewed
+    * corpus metrics, where one bin holds 99% of rows. Bucket t of row r
+    * = how many cut bounds lie strictly below r's metric (the same
+    * integer-exact rule [[graft.ops.SampleOps.tieredMix]] uses, via the
+    * shared [[nearestRankBounds]] — a ulp-flipped boundary would move
+    * rows between buckets, so no interpolated doubles anywhere).
+    * Returns (bucket, n_rows, min_metric, max_metric), all BIGINT.
+    *
+    * Scale shape: one bounded distinct-value histogram pass for the
+    * bounds (broadcast back as one row), one map-side-combined group-by
+    * over the corpus — the same two-pass shape as the percentile clip. */
+  def equiDepthHistogram(df: DataFrame, metricCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && 100 % nBuckets == 0,
+      s"nBuckets must be >= 2 and divide 100 (integer-percent cuts): $nBuckets")
+    val cuts = (1 until nBuckets).map(i => i * 100 / nBuckets)
+    val bounds = nearestRankBounds(df, metricCol, cuts)
+    val bucket = cuts.indices
+      .map(i => when(col(metricCol) > col(s"bound_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.filter(col(metricCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(metricCol)).cast("long").as("min_metric"),
+        max(col(metricCol)).cast("long").as("max_metric"))
+      .orderBy("bucket")
+  }
+
   /** Distributed moment statistics (count/mean/variance/stddev) per group,
     * DETERMINISTIC under any partitioning: the naive `stddev` aggregate
     * folds doubles in partition order (nondeterministic at 1000 executors);

@@ -190,6 +190,29 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   CAST(SUM(${e6("value")}) AS BIGINT) AS total_value_e6
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  /** Mirror of [[graft.ops.RelationalOps.equiDepthHistogram]]: same
+    * distinct-value cumulative histogram, integer ceiling-division
+    * nearest-rank bounds, and strictly-below bucket rule as
+    * [[SampleSql.tieredMixProfile]] (shared formulation, no sampling). */
+  def equiDepthHistogram(table: String, metricCol: String, nBuckets: Int): String = {
+    val cuts = (1 until nBuckets).map(i => i * 100 / nBuckets)
+    val boundSelects = cuts.zipWithIndex.map { case (p, i) =>
+      s"MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN v END) AS b$i"
+    }.mkString(",\n  ")
+    val bucketExpr = cuts.indices
+      .map(i => s"(CASE WHEN d.$metricCol > b.b$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH h AS (SELECT $metricCol AS v, COUNT(*) AS c FROM $table
+  WHERE $metricCol IS NOT NULL GROUP BY 1),
+cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h),
+b AS (SELECT $boundSelects FROM cm),
+t AS (SELECT d.$metricCol AS m, $bucketExpr AS bucket
+  FROM $table d, b WHERE d.$metricCol IS NOT NULL)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(m) AS BIGINT) AS min_metric, CAST(MAX(m) AS BIGINT) AS max_metric
+FROM t GROUP BY bucket ORDER BY bucket"""
+  }
+
   /** Mirror of [[graft.ops.ProfileOps.tableProfile]]: one SELECT per
     * column UNION ALL'd — same null count, exact distinct, and value/
     * length min-max metric (`isString` columns profile `length(col)`,

@@ -105,4 +105,31 @@ class RelationalOpsSpec extends AnyFunSuite {
     // full range keeps everything
     assert(RelationalOps.percentileClip(df, "m", 0, 100).count() == 100)
   }
+
+  test("equi-depth histogram: quartiles of a uniform range are exact, contiguous, conserving") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i)).toDF("id", "m")
+    val rows = RelationalOps.equiDepthHistogram(df, "m", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // uniform 1..1000: each quartile holds exactly 250 rows
+    assert(rows.forall(_._2 == 250L), rows.mkString(", "))
+    // buckets tile the range contiguously
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3) }
+    assert(rows.map(_._2).sum == 1000L)
+  }
+
+  test("equi-depth histogram: a heavy duplicate run lands in one bucket, rows still conserved") {
+    import spark.implicits._
+    // 900 copies of 7 plus 1..100: equi-WIDTH would spread them; the
+    // nearest-rank rule keeps every 7 in the same bucket
+    val df = (Seq.fill(900)(7L) ++ (1L to 100L)).zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }.toDF("id", "m")
+    val rows = RelationalOps.equiDepthHistogram(df, "m", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == 1000L)
+    val bucketOf7 = RelationalOps.equiDepthHistogram(df, "m", 4)
+      .collect().filter(r => r.getLong(2) <= 7L && 7L <= r.getLong(3))
+    assert(bucketOf7.length == 1)
+  }
 }

@@ -242,6 +242,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("train/val/test split assigns streamed rows identically to batch") {
+    // splitAssign is the same stateless md5-interval predicate family as
+    // hashSample, so held-out membership is stable across micro-batches,
+    // replays, and batch backfill — the property that keeps a test set
+    // honest when the corpus arrives incrementally.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 400L).toList
+    val splits = Seq(("train", 8L), ("val", 1L), ("test", 1L))
+    val input = MemoryStream[Long]
+    input.addData(rows.take(150))
+    val assigned = graft.ops.SampleOps.splitAssign(
+      input.toDF().withColumnRenamed("value", "id"), "id", splits, den = 10L)
+    val q = assigned.writeStream.format("memory").queryName("stream_split")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(rows.drop(150))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT id, split FROM stream_split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.ops.SampleOps.splitAssign(rows.toDF("id"), "id", splits, den = 10L)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on the same events") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
