@@ -60,4 +60,44 @@ object ProfileOps {
         col("p.min_metric"), col("p.max_metric"))
       .orderBy("col_name")
   }
+
+  /** The 100 TB form of [[tableProfile]]: `approx_count_distinct`
+    * (HyperLogLog++, relative error `rsd`) instead of exact distincts.
+    * Same output shape and column order. The win is the PLAN: no Expand —
+    * every column's sketch accumulates in the SAME single partial
+    * aggregate pass, so the scan cost does not grow with the number of
+    * profiled columns and the shuffle stays one constant-size row per
+    * partition. Use [[tableProfile]] when a gate must verify the count;
+    * use this when the table is the corpus. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    def metric(c: String): Column = schema(c).dataType match {
+      case StringType => length(col(c)).cast("long")
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case other =>
+        throw new IllegalArgumentException(
+          s"tableProfileApprox supports integral and string columns; $c is $other")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+        min(metric(c)).as(s"__mn_$c"),
+        max(metric(c)).as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_metric"),
+        col(s"__mx_$c").as("max_metric"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_metric"), col("p.max_metric"))
+      .orderBy("col_name")
+  }
 }

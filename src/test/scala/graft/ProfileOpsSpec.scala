@@ -45,6 +45,27 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(scans == 1, s"expected one scan, got $scans")
   }
 
+  test("approx profile matches exact nulls/ranges, distincts within rsd, and plans no Expand") {
+    val exact = ProfileOps.tableProfile(
+      graft.io.Tables.documents(spark, "/root/testdata/sf0.001"),
+      Seq("doc_id", "lang", "n_chars"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val approxDf = ProfileOps.tableProfileApprox(
+      graft.io.Tables.documents(spark, "/root/testdata/sf0.001"),
+      Seq("doc_id", "lang", "n_chars"), rsd = 0.05)
+    val approx = approxDf.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    exact.foreach { case (c, (nn, nd, mn, mx)) =>
+      val (ann, and, amn, amx) = approx(c)
+      assert(ann == nn && amn == mn && amx == mx, s"$c non-sketch fields")
+      // HLL++ at rsd=0.05: allow 4 sigma
+      assert(math.abs(and - nd) <= math.max(2L, (nd * 0.2).toLong), s"$c distinct $and vs $nd")
+    }
+    // the exact form pays an Expand for multi-distinct; the sketch form must not
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("profile rejects non-integral non-string columns loudly") {
     import spark.implicits._
     val df = Seq((1L, 1.5)).toDF("id", "d")
