@@ -862,7 +862,18 @@ GROUP BY segment ORDER BY segment""")),
     ("q47_frame_summary",
       (s: SparkSession, dir: String) =>
         MultimodalOps.frameSummary(s, Tables.documents(s, dir), frameSize = 32, stride = 24),
-      Some(graft.sql.MultimodalSql.frameSummary("documents", frameSize = 32, stride = 24)))
+      Some(graft.sql.MultimodalSql.frameSummary("documents", frameSize = 32, stride = 24))),
+
+    ("q92_image_decode_stats",
+      // REAL image decode: one actual PNG per doc (deterministic pixels),
+      // decoded back with JDK ImageIO; dims + channel sums come off the
+      // decoded raster. The oracle recomputes the generator formula in
+      // closed form — lossless PNG makes decode-vs-formula exact.
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.imageDecodeStats(
+          MultimodalOps.imageCorpus(s, Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(graft.sql.MultimodalSql.imageDecodeStats("documents")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

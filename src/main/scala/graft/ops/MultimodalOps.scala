@@ -1,5 +1,10 @@
 package graft.ops
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,13 +16,21 @@ import org.apache.spark.sql.functions._
   * per-row closure dispatch, library handles initialized once per
   * partition.
   *
-  * The actual media DECODE is STUBBED (this environment has no image/audio
-  * codecs): `decodeStub` produces a deterministic fake "decoded frame" from
-  * the bytes. Everything around it — schema, batching, partitioning,
-  * feature shape — is real and tested; swapping in a real codec changes
-  * only the marked function body.
+  * IMAGE decode is REAL: `javax.imageio.ImageIO` ships inside the JDK
+  * (java.desktop — PNG/JPEG/BMP/GIF readers, headless-safe), so
+  * [[decodeImage]] does an actual codec decode, [[extractFeatures]] derives
+  * features from decoded pixels whenever the payload is a decodable image,
+  * and [[resizeMedia]] does an actual decode → `Graphics2D` scale →
+  * re-encode. AUDIO/VIDEO decode remains STUBBED (`decodeStub` — the JDK
+  * carries no mp3/h264 codecs and this environment allows no new
+  * dependencies): for those modalities the plumbing (schema, batching,
+  * fan-out) is real and the decode is a deterministic fake of the bytes.
   */
 object MultimodalOps {
+
+  // BufferedImage/Graphics2D need no display, but only if AWT knows that
+  // before its toolkit initializes — executors set it per-partition too.
+  System.setProperty("java.awt.headless", "true")
 
   /** Typed metadata carried next to the binary payload. */
   final case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
@@ -29,10 +42,54 @@ object MultimodalOps {
   final case class MediaFeatures(
       mediaId: Long, modality: String, nBytes: Long, checksum: Long, feature: Array[Float])
 
-  // ---- STUB: deterministic fake decode ----------------------------------
-  // A real implementation would decode `content` with an image/audio codec
-  // and return pixel/sample data. The fake is a stable function of the
-  // bytes so tests are deterministic and the downstream plumbing is
+  // ---- REAL image decode (JDK ImageIO) ----------------------------------
+
+  /** Decode an image payload with the JDK's ImageIO codecs. Returns None
+    * when no registered reader recognizes the bytes (audio/video payloads,
+    * corrupt files) — callers fall back to the non-image path. The
+    * file-backed read cache is disabled: executor threads must not contend
+    * on temp-file creation for in-memory payloads. */
+  private[graft] def decodeImage(content: Array[Byte]): Option[BufferedImage] = {
+    ImageIO.setUseCache(false)
+    Option(ImageIO.read(new ByteArrayInputStream(content)))
+  }
+
+  /** Encode a raster back to PNG bytes (lossless — the decode of an encode
+    * reproduces every pixel exactly, which is what lets the q92 oracle
+    * check decoded stats in closed form). */
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+    ImageIO.setUseCache(false)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image for `docId`: dims 8..16 × 8..14 and
+    * per-channel pixel values from a closed-form formula of (id, x, y) —
+    * the one shape both the engine (through a REAL PNG encode→decode round
+    * trip) and the DuckDB oracle (directly from the formula) can compute. */
+  private[graft] def synthImage(docId: Long): BufferedImage = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 3 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 5 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId * 7 + x * 5 + y * 17) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  // ---- STUB: deterministic fake decode (audio/video only) ---------------
+  // The JDK has no audio/video codecs; the fake is a stable function of
+  // the bytes so tests are deterministic and the downstream plumbing is
   // exercised with realistic shapes.
   private[graft] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -44,37 +101,83 @@ object MultimodalOps {
     out
   }
 
+  /** Feature vector from a DECODED raster: each pixel's normalized
+    * brightness accumulates into a raster-position bucket — the same shape
+    * as the stub but derived from real pixel values, not raw file bytes. */
+  private[graft] def pixelFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val w = img.getWidth
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / (3.0f * 255.0f)
+        out((y * w + x) % dim) += lum
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Batched feature extraction: one partition = one iterator pass.
-    * Per-partition (not per-row) setup mirrors real codec/model loading. */
+    * Payloads that ImageIO recognizes get REAL pixel-derived features;
+    * everything else (audio/video, non-image bytes) falls back to the
+    * byte-stub. Per-partition (not per-row) setup mirrors real codec/model
+    * loading. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init goes here (codec contexts, model weights, ...)
+      System.setProperty("java.awt.headless", "true") // executor-side init
       rows.map { r =>
         var checksum = 0L
         var i = 0
         while (i < r.content.length) { checksum = (checksum * 31 + (r.content(i) & 0xff)) & 0x7fffffffL; i += 1 }
-        MediaFeatures(r.mediaId, r.modality, r.content.length.toLong, checksum,
-          decodeStub(r.content, dim))
+        val feat =
+          if (r.modality == "image") decodeImage(r.content) match {
+            case Some(img) => pixelFeatures(img, dim)
+            case None => decodeStub(r.content, dim)
+          } else decodeStub(r.content, dim)
+        MediaFeatures(r.mediaId, r.modality, r.content.length.toLong, checksum, feat)
       }
     }
   }
 
-  /** "Resize" shape: map each payload to a fixed target byte budget and
-    * update the metadata dims accordingly — the plumbing of an image
-    * resize (payload transform + metadata rewrite in one typed map).
-    * STUB: real code would decode, scale, re-encode; the fake samples the
-    * byte stream proportionally (deterministic). */
+  /** Image resize: REAL decode → `Graphics2D` nearest-neighbor scale →
+    * PNG re-encode, with the metadata struct rewritten to the decoded
+    * target dims (payload transform + metadata rewrite in one typed map).
+    * Payloads ImageIO cannot decode (audio/video) keep the byte-sampling
+    * placeholder: proportional stream sampling to a `targetW*targetH/64`
+    * byte budget. */
   def resizeMedia(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
+    require(targetW >= 1 && targetH >= 1, s"bad target dims: ${targetW}x$targetH")
     val budget = math.max(1, targetW * targetH / 64)
-    media.map { r =>
-      val n = r.content.length
-      val out =
-        if (n <= budget) r.content
-        else Array.tabulate(budget)(i => r.content((i.toLong * n / budget).toInt))
-      r.copy(content = out,
-        meta = r.meta.copy(width = targetW, height = targetH))
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val decoded = if (r.modality == "image") decodeImage(r.content) else None
+        decoded match {
+          case Some(img) =>
+            val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+            val g2 = dst.createGraphics()
+            try {
+              g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+                RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+              g2.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g2.dispose()
+            r.copy(content = encodePng(dst),
+              meta = r.meta.copy(format = "png", width = targetW, height = targetH))
+          case None =>
+            val n = r.content.length
+            val out =
+              if (n <= budget) r.content
+              else Array.tabulate(budget)(i => r.content((i.toLong * n / budget).toInt))
+            r.copy(content = out,
+              meta = r.meta.copy(width = targetW, height = targetH))
+        }
+      }
     }
   }
 
@@ -110,6 +213,53 @@ object MultimodalOps {
           (col("n_chars") % 480).cast("int").as("height"),
           (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
       .as[MediaRow]
+  }
+
+  /** REAL image corpus keyed on the documents table: one actual PNG per
+    * doc (deterministic pixels — [[synthImage]]), generated map-side. The
+    * metadata dims come from the generator; decode-side consumers must
+    * take dims from the DECODED raster, never trust the meta struct. */
+  def imageCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      System.setProperty("java.awt.headless", "true")
+      ids.map { id =>
+        val img = synthImage(id)
+        MediaRow(id, "image", encodePng(img),
+          MediaMeta("png", img.getWidth, img.getHeight, 0L))
+      }
+    }
+  }
+
+  /** Per-image DECODED stats: dims and per-channel pixel sums read off the
+    * raster that `ImageIO.read` produced — not the meta struct, not the
+    * generator. Chained after [[imageCorpus]] this is a narrow map (no
+    * shuffle between encode and decode); against stored payloads it is the
+    * scan-side decode pass a real image pipeline runs. Throws loudly on an
+    * undecodable payload: silent skips would undercount the corpus. */
+  def imageDecodeStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img = decodeImage(r.content).getOrElse(
+          throw new IllegalStateException(s"undecodable image payload for media ${r.mediaId}"))
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (r.mediaId, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+      }
+    }.toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
   }
 
   /** Frame-sampling summary — the oracle-checked entry point for

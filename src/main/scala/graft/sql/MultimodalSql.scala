@@ -27,6 +27,23 @@ SELECT modality, COUNT(*) AS n_frames,
 MIN(cs) AS min_checksum, MAX(cs) AS max_checksum
 FROM f GROUP BY modality ORDER BY modality"""
 
+  /** Mirror of [[graft.ops.MultimodalOps.imageDecodeStats]] over
+    * [[graft.ops.MultimodalOps.imageCorpus]]: the engine round-trips a
+    * REAL PNG (ImageIO encode → ImageIO decode) and reads dims + channel
+    * sums off the decoded raster; PNG is lossless, so those must equal
+    * this closed-form recomputation of the generator formula. A decoder
+    * that mangled dims, channel order, or any pixel value hash-diverges. */
+  def imageDecodeStats(table: String): String =
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM $table),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+ps AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(SUM((doc_id * 3 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((doc_id * 5 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((doc_id * 7 + x * 5 + y * 17) % 256) AS BIGINT) AS sum_b
+FROM ps GROUP BY doc_id, w, h ORDER BY doc_id"""
+
   def modalitySummary(table: String): String =
     s"""WITH m AS (SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

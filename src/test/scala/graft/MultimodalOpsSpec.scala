@@ -36,6 +36,78 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(MultimodalOps.decodeStub(bytes, 8).toSeq == MultimodalOps.decodeStub(bytes, 8).toSeq)
   }
 
+  test("real PNG round trip: ImageIO decode reproduces every generated pixel") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val src = MultimodalOps.synthImage(id)
+      val png = MultimodalOps.encodePng(src)
+      // PNG magic: this is a real encoded file, not a byte passthrough
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val img = MultimodalOps.decodeImage(png).get
+      assert(img.getWidth == (8 + id % 9).toInt && img.getHeight == (8 + id % 7).toInt)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == ((id * 3 + x * 7 + y * 13) % 256).toInt)
+        assert(((p >> 8) & 0xff) == ((id * 5 + x * 11 + y * 3) % 256).toInt)
+        assert((p & 0xff) == ((id * 7 + x * 5 + y * 17) % 256).toInt)
+      }
+    }
+  }
+
+  test("decodeImage rejects non-image bytes instead of guessing") {
+    assert(MultimodalOps.decodeImage("not a png at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageDecodeStats matches the locally recomputed pixel formula") {
+    val docs = Tables.documents(spark, sf)
+    val out = MultimodalOps.imageDecodeStats(MultimodalOps.imageCorpus(spark, docs))
+      .orderBy("doc_id").collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == w.toLong * h)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 3 + x * 7 + y * 13) % 256
+        sg += (id * 5 + x * 11 + y * 3) % 256
+        sb += (id * 7 + x * 5 + y * 17) % 256
+      }
+      assert(r.getLong(4) == sr && r.getLong(5) == sg && r.getLong(6) == sb)
+    }
+  }
+
+  test("extractFeatures uses decoded pixels for real images") {
+    import spark.implicits._
+    val media = MultimodalOps.imageCorpus(spark, Tables.documents(spark, sf).limit(20))
+    val feats = MultimodalOps.extractFeatures(media, dim = 8).collect()
+    val byId = media.collect().map(m => m.mediaId -> m).toMap
+    feats.foreach { f =>
+      val img = MultimodalOps.decodeImage(byId(f.mediaId).content).get
+      assert(f.feature.toSeq == MultimodalOps.pixelFeatures(img, 8).toSeq)
+      // and NOT the byte stub over the compressed payload
+      assert(f.feature.toSeq != MultimodalOps.decodeStub(byId(f.mediaId).content, 8).toSeq)
+    }
+  }
+
+  test("resizeMedia really rescales decodable images and re-encodes PNG") {
+    import spark.implicits._
+    val media = MultimodalOps.imageCorpus(spark, Tables.documents(spark, sf).limit(10))
+    val resized = MultimodalOps.resizeMedia(media, targetW = 5, targetH = 4).collect()
+    resized.foreach { r =>
+      assert(r.meta.format == "png" && r.meta.width == 5 && r.meta.height == 4)
+      val img = MultimodalOps.decodeImage(r.content).get
+      assert(img.getWidth == 5 && img.getHeight == 4)
+    }
+    // solid-color image: any interpolation must preserve the color exactly
+    val solid = new java.awt.image.BufferedImage(9, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 9) solid.setRGB(x, y, 0x123456)
+    val one = Seq(MultimodalOps.MediaRow(1L, "image", MultimodalOps.encodePng(solid),
+      MultimodalOps.MediaMeta("png", 9, 9, 0L))).toDS()
+    val out = MultimodalOps.resizeMedia(one, 3, 3).collect().head
+    val dec = MultimodalOps.decodeImage(out.content).get
+    for (y <- 0 until 3; x <- 0 until 3) assert((dec.getRGB(x, y) & 0xffffff) == 0x123456)
+  }
+
   test("frame sampling fans out with stride and fixed frame size") {
     val media = MultimodalOps.fromDocuments(spark, Tables.documents(spark, sf))
     val frames = MultimodalOps.sampleFrames(media, frameSize = 16, stride = 8)
