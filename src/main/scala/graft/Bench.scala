@@ -31,6 +31,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures a bounded TAIL of stdout; with 90+ queries the line
+    // above can lose its front (including the total) to truncation. Emit a
+    // compact summary LAST so the tail always carries the totals + the
+    // slowest-10 queries, whatever the catalog size.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_last","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

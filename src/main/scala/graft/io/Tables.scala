@@ -54,26 +54,37 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
 
-  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark's µs TimestampType cannot represent directly (PARQUET_TYPE_ILLEGAL
-    * by default). Read the raw nanos as long (legacy conf) and truncate to
-    * microseconds with integer `div` — never via double, which loses
-    * precision above 2^53 ns. */
+  /** The events table's `ts` physical layout has varied across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's µs TimestampType
+    * cannot represent directly — read as raw long via the legacy conf and
+    * integer-`div` truncated, never via double, which loses precision above
+    * 2^53 ns) and plain parquet timestamp[us] without timezone (which Spark 4
+    * infers as TIMESTAMP_NTZ). Adapt on the scanned type so both layouts
+    * surface the same TimestampType `ts`; the session timezone is pinned to
+    * UTC, so the NTZ→timestamp cast preserves wall-clock values — identical
+    * to what the DuckDB oracle reads off the same file. */
+  private def adaptTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case t => throw new IllegalStateException(s"unexpected events.ts type: $t")
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    adaptTs(load(spark, sfDir, "events"))
   }
   /** Streaming view of an events-shaped parquet DIRECTORY: same
-    * nanos-timestamp handling as [[events]], via `readStream` (new files
+    * timestamp-layout handling as [[events]], via `readStream` (new files
     * appearing in the directory become new micro-batches). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    adaptTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

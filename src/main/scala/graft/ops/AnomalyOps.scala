@@ -34,6 +34,14 @@ object AnomalyOps {
     * still short (the first `windowDays` days) report 0 — no verdict
     * without a full baseline.
     *
+    * Exactness bound: DECIMAL(38,0) holds (n·x − s)² only while the
+    * scaled daily totals stay below ~10^18 (38 digits / 2, minus the
+    * windowDays factor). Beyond that Spark's non-ANSI decimal arithmetic
+    * returns NULL — which must NOT silently read as "not anomalous", so
+    * an overflowed comparison raises loudly instead (DuckDB's HUGEINT
+    * mirror would keep computing; silent disagreement is the one thing
+    * this op promises not to do).
+    *
     * Scale shape: the distributed work is [[ResampleOps.resampleAgg]]'s
     * daily aggregate; the window then runs over the gap-filled CALENDAR
     * (rows = days in span, metadata-sized), so the deliberately global
@@ -60,7 +68,13 @@ object AnomalyOps {
       .withColumn("baseline_sum_e6",
         coalesce(col("__s").cast("long"), lit(0L)))
       .withColumn("is_anomaly",
-        when(col("win_n") === windowDays.toLong && lhs > rhs, 1L).otherwise(0L))
+        when(col("win_n") =!= windowDays.toLong, 0L)
+          .when(lhs.isNull || rhs.isNull,
+            raise_error(lit("anomalyDaily: DECIMAL(38,0) overflow — scaled " +
+              "daily totals exceed the ~1e18 exactness bound; rescale the " +
+              "value column")).cast("long"))
+          .when(lhs > rhs, 1L)
+          .otherwise(0L))
       .select(col("bucket"), col("total_e6"), col("win_n"),
         col("baseline_sum_e6"), col("is_anomaly"))
       .orderBy("bucket")

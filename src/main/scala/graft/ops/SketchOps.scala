@@ -220,7 +220,12 @@ object SketchOps {
         when(col("bucket") === 0, lit(0L))
           .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))"))
           .as("bucket_lo"),
+        // Bucket 63 (metric ≥ 2^62): shiftleft(1, 63) wraps to Long.MinValue
+        // and "- 1" lands on Long.MaxValue — correct only by two's-complement
+        // coincidence, and the DuckDB mirror's `1 << 63` errors outright.
+        // Clamp the top bucket explicitly on BOTH engines.
         when(col("bucket") === 0, lit(0L))
+          .when(col("bucket") === 63, lit(Long.MaxValue))
           .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"))
           .as("bucket_hi"))
       .orderBy("percent")

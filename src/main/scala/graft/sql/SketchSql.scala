@@ -59,6 +59,8 @@ q AS (SELECT p.percent, MIN(cm.bucket) AS bucket
   FROM p JOIN cm ON cm.cum * 100 >= cm.n * p.percent GROUP BY p.percent)
 SELECT CAST(percent AS BIGINT) AS percent, CAST(bucket AS BIGINT) AS bucket,
   CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1::BIGINT << (bucket - 1) END AS BIGINT) AS bucket_lo,
-  CAST(CASE WHEN bucket = 0 THEN 0 ELSE (1::BIGINT << bucket) - 1 END AS BIGINT) AS bucket_hi
+  CAST(CASE WHEN bucket = 0 THEN 0
+            WHEN bucket = 63 THEN 9223372036854775807
+            ELSE (1::BIGINT << bucket) - 1 END AS BIGINT) AS bucket_hi
 FROM q ORDER BY percent"""
 }
