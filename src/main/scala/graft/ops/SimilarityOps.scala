@@ -273,6 +273,90 @@ object SimilarityOps {
       .orderBy("vec_id", "rk")
   }
 
+  /** [[knnGraph]] plus ONE NN-descent refinement round (Dong et al.,
+    * WWW 2011) — closes the cell-local graph's documented blind spot:
+    * vectors in singleton or over-cap cells, which emit no rows there.
+    *
+    * Two additions, both bounded:
+    *   1. SEED: isolated vectors (no edge in the base graph) are grouped
+    *      into deterministic md5 pseudo-cells together with an "anchor"
+    *      sample of the connected graph (`id % anchorMod == 0`) and get
+    *      pairwise edges within their pseudo-cell — NN-descent's random
+    *      initialization, made deterministic. An anchor ties each
+    *      pseudo-cell into the real graph so one refinement round can
+    *      already reach real neighborhoods (an isolated-only seed pair
+    *      would only know about each other).
+    *   2. REFINE (the NN-descent local join): for every node, its graph
+    *      neighbors — outgoing plus incoming, so a popular vector
+    *      spreads what it knows — become a candidate list; candidate
+    *      pairs sharing that node are generated by the same lazy
+    *      [[graft.functions.Generators.PairsExplode]], their cosine
+    *      computed once, and merged with the current edges; per-node
+    *      top-k of the union is the refined graph.
+    *
+    * 100 TB shape: unchanged from [[knnGraph]] — no corpus broadcast, no
+    * all-pairs. Adjacency lists are bounded (out-degree ≤ kNbrs, in-degree
+    * ≤ cell size ≤ maxCell) and the same `maxCell` cap skips hub nodes
+    * whose candidate list would blow past it. Size `seedBuckets` so
+    * (isolated + anchors) / seedBuckets stays under `maxCell`.
+    *
+    * Same schema as [[knnGraph]]: (vec_id, rk, neighbor_id, cos). Recall
+    * vs brute-force strictly improves on the base graph (spec-pinned). */
+  def knnGraphRefined(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, kNbrs: Int, maxCell: Int = 1000,
+      seedBuckets: Int = 16, anchorMod: Int = 997): DataFrame = {
+    val kv = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = knnGraph(emb, idCol, vecCol, centroidMod, kNbrs, maxCell)
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+    def mirror(pairs: DataFrame): DataFrame = pairs
+      .select(explode(array(
+        struct(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos")),
+        struct(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cos"))))
+        .as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.cos").as("cos"))
+    // every edge is mirrored, so "has an edge" == "appears as vec_id"
+    val connected = base.select(col("vec_id").as("id")).distinct()
+    val isolated = kv.join(connected, Seq("id"), "left_anti")
+    val anchors = kv.join(connected, Seq("id"), "left_semi")
+      .filter(col("id") % anchorMod === 0)
+    val seedEdges = isolated.unionByName(anchors)
+      .withColumn("sb", pmod(conv(substring(
+        md5(concat(lit("knnseed:"), col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(seedBuckets.toLong)))
+      .groupBy("sb").agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCell)
+      .select(graft.functions.Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+    val graph0 = base.unionByName(mirror(seedEdges))
+    // NN-descent local join: undirected adjacency (out + in), neighbor
+    // vectors riding the center shuffle as struct payloads
+    val und = graph0.select(col("vec_id"), col("neighbor_id"))
+      .union(graph0.select(col("neighbor_id"), col("vec_id")))
+      .distinct()
+    val candPairs = und
+      .join(kv.select(col("id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("neighbor_id").as("id"), col("nv").as("v"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCell)
+      .select(graft.functions.Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      // the same pair can share several centers — dedup before the merge
+      .distinct()
+    val merged = graph0.unionByName(mirror(candPairs))
+      .groupBy("vec_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    merged
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kNbrs)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** IVF-style approximate top-k: an inverted-file index with a
     * deterministic centroid set (vectors with id % centroidMod == 0 stand
     * in for trained k-means centroids — the assignment/probe machinery is

@@ -308,4 +308,61 @@ class SimilarityOpsSpec extends AnyFunSuite {
       centroidMod = 3, kNbrs = 2, maxCell = 2)
     assert(capped.isEmpty, "over-cap cell is skipped entirely")
   }
+
+  test("knn graph refinement: recall strictly improves and rescues singleton cells") {
+    import spark.implicits._
+    // centroidMod=4 -> centroids 0 (x-axis), 4 (y-axis), 8 (diagonal).
+    // Vector 8 = (1, 1) is its own nearest centroid and captures nothing
+    // else -> singleton cell -> no rows in the base graph; its true
+    // neighbors live in the two axis clusters.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.1f)),
+      (2L, Array(1f, 0.2f)), (3L, Array(1f, 0.3f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.1f, 1f)),
+      (6L, Array(0.2f, 1f)), (7L, Array(-0.1f, 1f)),
+      (8L, Array(1f, 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // exact brute-force top-2 per vector, computed in Scala
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val truth: Map[Long, Set[Long]] = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cosD(v, ov)) }
+        .sortBy { case (oid, c) => (-c, oid) }.take(2).map(_._1).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(2)).toSet }
+      vecs.map { case (id, _) =>
+        got.getOrElse(id, Set.empty[Long]).intersect(truth(id)).size.toDouble / 2
+      }.sum / vecs.size
+    }
+    val base = SimilarityOps.knnGraph(df, "vec_id", "embedding",
+      centroidMod = 4, kNbrs = 2).collect()
+    val refined = SimilarityOps.knnGraphRefined(df, "vec_id", "embedding",
+      centroidMod = 4, kNbrs = 2, seedBuckets = 1, anchorMod = 4).collect()
+    // singleton-cell vector 8 has no base rows; seeds tie it to the
+    // anchors (0 and 4), and the NN-descent round through the anchors'
+    // neighborhoods reaches real cluster members: 2 and 6 (cos 0.832,
+    // symmetric about the diagonal, tie broken by id) — one of which (2)
+    // is in its brute-force top-2 {3, 2}
+    assert(!base.exists(_.getLong(0) == 8L))
+    val n8 = refined.filter(_.getLong(0) == 8L).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(n8 == Seq(2L, 6L), s"vector 8 must reach real cluster neighbors, got $n8")
+    assert(truth(8L).contains(2L))
+    assert(recall(refined) > recall(base),
+      s"refinement must strictly improve recall: base=${recall(base)} refined=${recall(refined)}")
+    // schema/invariant parity with the base graph: ranked, cosine
+    // non-increasing, no self-edges
+    refined.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getDouble(3))
+      cs.zip(cs.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+    assert(!refined.exists(r => r.getLong(0) == r.getLong(2)))
+  }
 }
