@@ -318,6 +318,11 @@ object Generators {
     * subsamples. Chunk text is the space-rejoin of the tokens (the
     * [[graft.functions.TextHash.tokens]] normalization — original
     * whitespace runs are not preserved). Zero-token docs emit nothing.
+    * Chunking STOPS once a window reaches the document end: a later
+    * start whose window would be wholly contained in the previous chunk
+    * (possible only when stride < chunk) emits nothing — the RAG-chunker
+    * convention; a duplicate-suffix chunk carries no new content and
+    * would double-count its tokens downstream.
     * One JVM pass; the HOF form (posexplode over transform(range(...)))
     * re-evaluates the full chunking per emitted chunk. */
   case class ChunkExplode(child: Expression, chunk: Int, stride: Int)
@@ -345,7 +350,13 @@ object Generators {
       val toks = v.asInstanceOf[UTF8String].toString.split(" +")
         .filter(_.nonEmpty)
       if (toks.length == 0) return Nil
-      val nChunks = (toks.length + stride - 1) / stride
+      val n = toks.length
+      // starts end when a window reaches the doc end (suffix-duplicate
+      // rule, stride < chunk); the ceil(n/stride) cap keeps every start
+      // below n in the stride > chunk subsampling regime
+      val nChunks = math.min(
+        (n + stride - 1) / stride,
+        if (n <= chunk) 1 else (n - chunk + stride - 1) / stride + 1)
       val out = new Array[InternalRow](nChunks)
       var s = 0
       while (s < nChunks) {

@@ -163,15 +163,19 @@ SELECT vocab_size, n_types, total_tokens, vocab_tokens,
 FROM va CROSS JOIN tot"""
 
   /** Mirror of [[graft.ops.TextAnalysisOps.chunkDocuments]]: same start
-    * offsets (every `stride` below the token count), same space-rejoined
-    * chunk text under md5. DuckDB list slices are 1-based inclusive. */
+    * offsets (every `stride`, stopping once a window reaches the doc end —
+    * a start is kept iff it is 0 or the PREVIOUS window fell short of the
+    * token count, the generator's suffix-duplicate rule), same
+    * space-rejoined chunk text under md5. DuckDB list slices are 1-based
+    * inclusive. */
   def chunkDocuments(table: String, chunk: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
-s AS (SELECT doc_id, tk, unnest(range(0, len(tk), $stride)) AS st FROM t WHERE len(tk) > 0)
+s AS (SELECT doc_id, tk, unnest(range(0, len(tk), $stride)) AS st FROM t WHERE len(tk) > 0),
+k AS (SELECT * FROM s WHERE st = 0 OR st - $stride + $chunk < len(tk))
 SELECT doc_id, CAST(st // $stride AS BIGINT) AS chunk_idx,
   CAST(least(st + $chunk, len(tk)) - st AS BIGINT) AS n_chunk_tokens,
   md5(array_to_string(tk[st + 1 : least(st + $chunk, len(tk))], ' ')) AS chunk_md5
-FROM s ORDER BY doc_id, chunk_idx"""
+FROM k ORDER BY doc_id, chunk_idx"""
 
   /** Mirror of [[graft.ops.TextAnalysisOps.canonicalize]] aggregated per
     * source — DuckDB's utf8proc `nfc_normalize` is an INDEPENDENT

@@ -219,17 +219,41 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
 
   test("chunking: starts every stride, last chunks shorten, overlap repeats tokens") {
     import spark.implicits._
-    // 7 tokens, chunk=4, stride=2 -> starts 0,2,4,6 with sizes 4,4,3,1
+    // 7 tokens, chunk=4, stride=2 -> starts 0,2,4 with sizes 4,4,3; start 6
+    // would be the suffix-duplicate [6,7) inside [4,7) and must NOT emit
     val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
     val out = TextAnalysisOps.chunkDocuments(df, "text", "doc_id", chunk = 4, stride = 2)
       .collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
-      Seq((0L, 4L), (1L, 4L), (2L, 3L), (3L, 1L)))
+      Seq((0L, 4L), (1L, 4L), (2L, 3L)))
     def md(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     // chunk 1 covers tokens 2..5 — the 8-token overlap convention in action
     assert(out(1).getString(3) == md("t2 t3 t4 t5"))
-    assert(out(3).getString(3) == md("t6"))
+    assert(out(2).getString(3) == md("t4 t5 t6"))
+  }
+
+  test("chunking stops once a window reaches the end (no duplicate-suffix chunks)") {
+    import spark.implicits._
+    // the ADVICE fixture: 5 tokens, chunk=3, stride=2 -> [0,3), [2,5) and
+    // STOP — the old third chunk [4,5) duplicated content of [2,5)
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b"),            // shorter than chunk -> exactly one chunk
+      (3L, "a b c d e f g h i"))  // stride>chunk subsample keeps its starts
+    .toDF("doc_id", "text")
+    val out = TextAnalysisOps.chunkDocuments(df, "text", "doc_id", chunk = 3, stride = 2)
+      .collect().filter(_.getLong(0) <= 2L)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 3L), (1L, 1L, 3L), (2L, 0L, 2L)))
+    // subsampling regime (stride 4 > chunk 2): 9 tokens -> starts 0,4,8,
+    // the trailing 1-token chunk covers NEW content and stays
+    val sub = TextAnalysisOps.chunkDocuments(
+      df.filter(org.apache.spark.sql.functions.col("doc_id") === 3L),
+      "text", "doc_id", chunk = 2, stride = 4)
+      .collect()
+    assert(sub.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L), (1L, 2L), (2L, 1L)))
   }
 
   test("chunking: stride == chunk is exact segmentation; short/empty docs behave") {
