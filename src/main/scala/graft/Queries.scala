@@ -715,6 +715,16 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.segmentDedupReport("documents",
         segTokens = 5, minDocs = 2))),
 
+    ("q93_segment_dedup_strided",
+      // offset-free repeated-span removal: 5-token windows every 2 tokens
+      // catch boilerplate straddling q68's fixed segment grid; tokens
+      // covered by any >= 2-doc window are stripped, survivors checksummed
+      (s: SparkSession, dir: String) =>
+        DedupOps.segmentDedupStrided(Tables.documents(s, dir), "text", "doc_id",
+          segTokens = 5, stride = 2, minDocs = 2),
+      Some(graft.sql.DedupSql.segmentDedupStrided("documents",
+        segTokens = 5, stride = 2, minDocs = 2))),
+
     ("q69_semantic_dedup",
       // SemDeDup: IVF-cell-local near-dup search; each dropped vector is
       // attributed to its lowest-id >= minCos neighbor in the cell

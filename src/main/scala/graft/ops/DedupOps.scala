@@ -599,6 +599,72 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** OVERLAPPING-stride segment dedup — closes [[segmentDedupReport]]'s
+    * boundary blind spot. The fixed-k non-overlapping form only sees spans
+    * that happen to align with its k-token grid: a duplicated span
+    * STRADDLING a segment boundary hashes into two different segments in
+    * each doc and is never counted as repeated (Lee et al. ACL 2022 use
+    * suffix arrays precisely to be offset-free). Here `segTokens`-token
+    * windows start every `stride` tokens (stride < segTokens overlaps),
+    * so any duplicated run of >= segTokens + stride - 1 tokens is
+    * guaranteed to contain a full window at the same TEXT in both docs,
+    * whatever its offsets — window frequency is keyed on window text, not
+    * position.
+    *
+    * Removal is token-precise: a token is stripped iff SOME window
+    * holding it appears in >= minDocs distinct docs; survivors reassemble
+    * in document order. (Overlapping windows cannot reuse the
+    * non-overlapping form's "drop the segment row" reassembly — a token
+    * sits in up to segTokens/stride windows.)
+    *
+    * Per doc: window count, frequent-window count, surviving token count,
+    * md5 of the reassembled survivor text.
+    *
+    * 100 TB shape: windows come from the one-pass
+    * [[Generators.ChunkExplode]] generator (map-only, suffix-duplicate
+    * starts skipped); frequency is ONE distinct-doc shuffle keyed on
+    * window text; frequent intervals join back keyed on doc_id; the strip
+    * itself is a map-side higher-order filter over the doc's own tokens —
+    * O(tokens × frequent windows) per doc, never corpus-quadratic. */
+  def segmentDedupStrided(
+      docs: DataFrame, textCol: String, idCol: String,
+      segTokens: Int, stride: Int, minDocs: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1: $segTokens")
+    require(stride >= 1 && stride <= segTokens,
+      s"stride must be in [1, segTokens]: $stride")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val wins = base.select(col("doc_id"),
+      Generators.chunkExplode(col("text"), segTokens, stride)
+        .as(Seq("win_idx", "ntok", "win")))
+    val counts = wins.groupBy("win").agg(countDistinct(col("doc_id")).as("docs"))
+    val freq = wins.join(counts, "win").filter(col("docs") >= minDocs)
+      .select(col("doc_id"), struct(
+        (col("win_idx") * stride).as("lo"),
+        (col("win_idx") * stride + col("ntok")).as("hi")).as("iv"))
+    val nWins = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val nFreq = freq.groupBy("doc_id")
+      .agg(collect_list(col("iv")).as("ivs"), count(lit(1)).as("n_frequent"))
+    base
+      .join(nWins, Seq("doc_id"))
+      .join(nFreq, Seq("doc_id"), "left")
+      // same tokenization as the generator: split on space runs, empties out
+      .withColumn("tks", filter(split(col("text"), " +"), t => t =!= ""))
+      .withColumn("ivs", coalesce(col("ivs"),
+        array().cast("array<struct<lo:bigint,hi:bigint>>")))
+      // 0-based position filter against the frequent intervals
+      .withColumn("clean", filter(col("tks"), (t, i) =>
+        !exists(col("ivs"), iv =>
+          i.cast("long") >= iv.getField("lo") && i.cast("long") < iv.getField("hi"))))
+      .select(col("doc_id"),
+        col("n_windows"),
+        coalesce(col("n_frequent"), lit(0L)).cast("long").as("n_frequent"),
+        size(col("clean")).cast("long").as("clean_tokens"),
+        md5(array_join(col("clean"), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Brute-force all-pairs n-gram Jaccard over an id-sampled subset
     * (id % sampleMod == 0): the exact baseline the LSH path approximates.
     * Deliberately gated on the sample — never run all-pairs at scale. */

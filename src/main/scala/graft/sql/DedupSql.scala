@@ -223,6 +223,45 @@ FROM segs s JOIN counts c USING (seg)
 GROUP BY s.doc_id ORDER BY s.doc_id"""
   }
 
+  /** Mirror of [[graft.ops.DedupOps.segmentDedupStrided]]: window starts
+    * every `stride` with the generator's suffix-duplicate stop rule (a
+    * non-zero start is kept iff the previous window fell short of the
+    * token count), window text frequency by distinct doc, and a
+    * token-position NOT EXISTS against the frequent-window intervals;
+    * survivors string_agg in position order under md5. The parallel
+    * `unnest(tk)` / `unnest(range(len(tk)))` pair zips token with its
+    * 0-based position. */
+  def segmentDedupStrided(
+      table: String, segTokens: Int, stride: Int, minDocs: Int): String = {
+    val k = segTokens
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+st AS (SELECT doc_id, tk, unnest(range(0, len(tk), $stride)) AS st FROM t2),
+wins AS (SELECT doc_id, st,
+    array_to_string(tk[st+1 : least(st+$k, len(tk))], ' ') AS win,
+    least(st+$k, len(tk)) - st AS ntok
+  FROM st WHERE st = 0 OR st - $stride + $k < len(tk)),
+counts AS (SELECT win, COUNT(DISTINCT doc_id) AS docs FROM wins GROUP BY win),
+f AS (SELECT w.doc_id, w.st AS lo, w.st + w.ntok AS hi
+  FROM wins w JOIN counts c USING (win) WHERE c.docs >= $minDocs),
+nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id),
+nf AS (SELECT doc_id, COUNT(*) AS n_frequent FROM f GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS p FROM t2),
+surv AS (SELECT tok.doc_id, tok.tok, tok.p FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM f
+    WHERE f.doc_id = tok.doc_id AND tok.p >= f.lo AND tok.p < f.hi)),
+agg AS (SELECT doc_id, COUNT(*) AS clean_tokens,
+    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+  FROM surv GROUP BY doc_id)
+SELECT nw.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
+  CAST(COALESCE(nf.n_frequent, 0) AS BIGINT) AS n_frequent,
+  CAST(COALESCE(agg.clean_tokens, 0) AS BIGINT) AS clean_tokens,
+  COALESCE(agg.clean_md5, md5('')) AS clean_md5
+FROM nw LEFT JOIN nf ON nw.doc_id = nf.doc_id
+LEFT JOIN agg ON nw.doc_id = agg.doc_id
+ORDER BY nw.doc_id"""
+  }
+
   def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
 ${shingleCte(w)}

@@ -306,6 +306,51 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "segment dedup must stay key-joined")
   }
 
+  test("strided segment dedup catches boundary-straddling spans the fixed grid misses") {
+    import spark.implicits._
+    // the 4-token span X1..X4 sits at offset 2 in doc 1 and offset 0 in
+    // doc 2: it straddles doc 1's fixed k=4 segment grid, so the
+    // non-overlapping form sees no repeated segment at all
+    val df = Seq(
+      (1L, "a1 a2 X1 X2 X3 X4 a3 a4"),
+      (2L, "X1 X2 X3 X4 b1 b2 b3 b4"))
+      .toDF("doc_id", "text")
+    val fixed = DedupOps.segmentDedupReport(df, "text", "doc_id",
+      segTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed == Map(1L -> 0L, 2L -> 0L),
+      "the fixed grid must MISS the straddling span (that is the blind spot)")
+    // 4-token windows every 2: doc 1's window [2,6) and doc 2's [0,4)
+    // carry the same TEXT, so the span is caught at both offsets
+    val strided = DedupOps.segmentDedupStrided(df, "text", "doc_id",
+      segTokens = 4, stride = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(strided(1L) == ((3L, 1L, 4L, md5Hex("a1 a2 a3 a4"))))
+    assert(strided(2L) == ((3L, 1L, 4L, md5Hex("b1 b2 b3 b4"))))
+  }
+
+  test("strided segment dedup: overlapping frequent windows strip tokens once") {
+    import spark.implicits._
+    // identical docs: every window is frequent and every token is covered
+    // by several windows — survivors must be empty exactly once
+    val df = Seq((1L, "x1 x2 x3 x4 x5"), (2L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.segmentDedupStrided(df, "text", "doc_id",
+      segTokens = 3, stride = 1, minDocs = 2).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L, "starts stop once a window reaches the end")
+      assert(r.getLong(3) == 0L)
+      assert(r.getString(4) == md5Hex(""))
+    }
+    // below minDocs nothing is stripped
+    val solo = DedupOps.segmentDedupStrided(
+      Seq((1L, "u1 u2 u3 u4")).toDF("doc_id", "text"),
+      "text", "doc_id", segTokens = 3, stride = 1, minDocs = 2).collect()
+    assert(solo.head.getLong(2) == 0L && solo.head.getLong(3) == 4L)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
