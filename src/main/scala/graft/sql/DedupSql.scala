@@ -60,7 +60,10 @@ ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
     * existing corpus): same signature pipeline as [[minhashPairs]], the
     * bucket must carry both sides (and at most `maxBucket` docs total),
     * candidates pair shard × corpus only, best match = max Jaccard with
-    * min-id tiebreak. */
+    * min-id tiebreak. Verification Jaccard runs over each doc's DISTINCT
+    * 28-bit shingle-hash set (`hl` distinct'd) — the engine's
+    * carried-hash-set verify; md5-derived hashes make the sets
+    * byte-identical across engines. */
   def minhashDedupDelta(
       table: String, w: Int, nBands: Int, r: Int,
       minJaccard: Double, shardMod: Int, maxBucket: Int = 1000): String =
@@ -77,9 +80,10 @@ ok AS (SELECT b, bh FROM bands GROUP BY b, bh
 cand AS (SELECT DISTINCT x.id AS sid, y.id AS cid
   FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.nw AND NOT y.nw
   JOIN ok o ON x.b = o.b AND x.bh = o.bh),
+dh AS (SELECT id, list_distinct(hl) AS dh FROM hs),
 v AS (SELECT c.sid, c.cid,
-  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-  FROM cand c JOIN sh a ON c.sid = a.id JOIN sh b ON c.cid = b.id),
+  round(len(list_intersect(a.dh, b.dh))::DOUBLE / len(list_distinct(list_concat(a.dh, b.dh))), 6) AS jaccard
+  FROM cand c JOIN dh a ON c.sid = a.id JOIN dh b ON c.cid = b.id),
 best AS (SELECT sid, cid, jaccard,
   row_number() OVER (PARTITION BY sid ORDER BY jaccard DESC, cid ASC) AS rk
   FROM v WHERE jaccard >= $minJaccard)
