@@ -107,6 +107,79 @@ object StreamingOps {
         Seq(keyCol), "left_anti")
       .dropDuplicatesWithinWatermark(Seq(keyCol))
 
+  /** Streaming NEAR-dup screen: the fuzzy counterpart of
+    * [[streamingDedupDelta]] — each arriving doc is checked against the
+    * STATIC corpus band-key index
+    * ([[graft.ops.DedupOps.bandKeyIndex]], the persisted artifact of the
+    * incremental MinHash design) and reports its best corpus near-dup,
+    * matching [[graft.ops.DedupOps.minhashDedupDelta]]'s verdict for the
+    * same inputs (agreement spec-pinned on an in-order fixture).
+    *
+    * Stream-side signature work is MAP-ONLY: the minhash family minima
+    * and the doc's distinct shingle-hash set are per-row array
+    * expressions over the doc's own shingles (the batch pipeline's
+    * groupBy aggregate is equivalent but would be a stateful streaming
+    * aggregate), so the only streaming state is the final
+    * watermark-bounded best-match aggregation. The two static joins —
+    * band keys against the index, then candidate ids against the
+    * persisted hash-set relation
+    * ([[graft.ops.DedupOps.shingleHashSets]]) — hold no stream state and
+    * re-plan per micro-batch; candidates are verified with the same
+    * exact hash-set Jaccard as the batch screen. Emits
+    * (doc_id, near_dup_of, jaccard) in Append mode once the watermark
+    * closes the doc's event time.
+    *
+    * 100 TB shape: screening cost per micro-batch is one map-only pass
+    * over the batch plus index-bucket joins bounded by band collisions —
+    * corpus TEXT is never touched (the index is nBands small ints plus
+    * one compact hash array per corpus doc). */
+  def streamingNearDupScreen(
+      newDocs: DataFrame, corpusIndex: DataFrame, corpusHashSets: DataFrame,
+      textCol: String, idCol: String, tsCol: String, watermarkDelay: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    import graft.functions.TextHash._
+    val k = nBands * r
+    val toks = tokens(col(textCol))
+    // per-row signature: hash each distinct shingle once, then take the
+    // k family minima — array expressions, no shuffle, no state
+    val hs = transform(shingles(col("__toks"), w), s => hash28(s))
+    val sig = array((0 until k).map(j =>
+      array_min(transform(col("__hs"), h => minhashMember(j, h)))): _*)
+    val banded = newDocs
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), toks.as("__toks"))
+      // same gate as the batch pipeline: docs under w tokens carry no
+      // shingles and screen nothing
+      .filter(size(col("__toks")) >= w)
+      .withColumn("__hs", array_distinct(hs))
+      .withColumn("__sig", sig)
+      .select(col("doc_id"), col("__ts"), col("__hs"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("__sig"), b, r).as("bh"))): _*))
+          .as("bb"))
+      .select(col("doc_id"), col("__ts"), col("__hs"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = banded
+      .join(corpusIndex.select(col("id").as("__cid"),
+        col("band"), col("bh")), Seq("band", "bh"))
+    val verified = candidates
+      .join(corpusHashSets.select(col("id").as("__cid"), col("hs").as("__chs")),
+        Seq("__cid"))
+      .select(col("doc_id"), col("__ts"), col("__cid"),
+        graft.ops.DedupOps.hashSetJaccard(col("__hs"), col("__chs")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    // best match per doc: multi-band duplicates collapse into the max;
+    // the struct max orders by (jaccard, -cid) = highest similarity,
+    // lowest corpus id on ties — the batch screen's row_number order
+    verified
+      .groupBy(col("__ts"), col("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("__cid")).as("__ncid"))).as("best"))
+      .select(col("doc_id"), (-col("best.__ncid")).as("near_dup_of"),
+        col("best.jaccard").as("jaccard"))
+  }
+
   /** Stream-stream INTERVAL join: pair each `right`-stream event with the
     * same-key `left`-stream events that happened at most `maxDelaySeconds`
     * BEFORE it (inclusive on both ends) — the attribution join (view →

@@ -92,6 +92,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen agrees with the batch minhash delta") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // corpus: three docs; shard: an exact dup of c1 (every band collides,
+    // jaccard 1.0 guaranteed), a near-dup of c2 (one token changed), and
+    // a unique doc that must screen nothing
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "pack my box with five dozen liquor jugs right now"),
+      (12L, "sphinx of black quartz judge my vow completely"))
+      .toDF("doc_id", "text")
+    val shardRows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen liquor jugs right here"),
+      (3L, "entirely unrelated content about spark physical plans"))
+    val index = graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+    val hashSets = graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.streamingNearDupScreen(
+      docs, index, hashSets, "text", "doc_id", "ts", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // in-order: the whole shard in one micro-batch, then two
+      // watermark-advancing sentinels (match nothing) to close the groups
+      in.addData(shardRows.map { case (id, t) => (id, t, ts(100)) }: _*)
+      q.processAllAvailable()
+      in.addData((98L, "w a t e r m a r k advance one", ts(5000)))
+      q.processAllAvailable()
+      in.addData((99L, "w a t e r m a r k advance two", ts(10000)))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, near_dup_of, jaccard FROM neardup ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val batch = graft.ops.DedupOps.minhashDedupDelta(
+        shardRows.toDF("doc_id", "text"), corpus, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch.nonEmpty && batch.exists { case (d, c, j) =>
+        d == 1L && c == 10L && j == 1.0 }, s"exact dup must be screened: $batch")
+      assert(streamed == batch,
+        s"stream/batch divergence: streamed=$streamed batch=$batch")
+      assert(!streamed.exists(_._1 == 3L), "unique doc screens nothing")
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions when the watermark passes the gap") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
