@@ -49,9 +49,10 @@ ok_buckets AS (SELECT b, bh FROM bands GROUP BY b, bh
 cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
   FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id
   JOIN ok_buckets o ON x.b = o.b AND x.bh = o.bh),
+dh AS (SELECT id, list_distinct(hl) AS dh FROM hs),
 v AS (SELECT c.doc_a, c.doc_b,
-  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-  FROM cand c JOIN sh a ON c.doc_a = a.id JOIN sh b ON c.doc_b = b.id)
+  round(len(list_intersect(a.dh, b.dh))::DOUBLE / len(list_distinct(list_concat(a.dh, b.dh))), 6) AS jaccard
+  FROM cand c JOIN dh a ON c.doc_a = a.id JOIN dh b ON c.doc_b = b.id)
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
