@@ -883,7 +883,18 @@ GROUP BY segment ORDER BY segment""")),
         MultimodalOps.imageDecodeStats(
           MultimodalOps.imageCorpus(s, Tables.documents(s, dir)))
           .orderBy("doc_id"),
-      Some(graft.sql.MultimodalSql.imageDecodeStats("documents")))
+      Some(graft.sql.MultimodalSql.imageDecodeStats("documents"))),
+
+    ("q94_audio_decode_stats",
+      // REAL audio decode: one actual WAV per doc (deterministic PCM),
+      // decoded back with JDK AudioSystem; sample/rate/amplitude stats
+      // come off the decoded stream. Lossless PCM makes decode-vs-formula
+      // exact, so the oracle recomputes the generator in closed form.
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.audioDecodeStats(
+          MultimodalOps.audioCorpus(s, Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(graft.sql.MultimodalSql.audioDecodeStats("documents")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

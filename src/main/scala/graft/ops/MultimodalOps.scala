@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
   * [[decodeImage]] does an actual codec decode, [[extractFeatures]] derives
   * features from decoded pixels whenever the payload is a decodable image,
   * and [[resizeMedia]] does an actual decode → `Graphics2D` scale →
-  * re-encode. AUDIO/VIDEO decode remains STUBBED (`decodeStub` — the JDK
-  * carries no mp3/h264 codecs and this environment allows no new
-  * dependencies): for those modalities the plumbing (schema, batching,
-  * fan-out) is real and the decode is a deterministic fake of the bytes.
+  * re-encode.
+  *
+  * AUDIO decode is REAL for WAV/PCM: `javax.sound.sampled.AudioSystem`
+  * also ships in java.desktop with WAV/AIFF/AU readers, so [[decodeWav]]
+  * does an actual container parse + PCM frame read, and
+  * [[audioDecodeStats]] reports sample stats off the DECODED stream.
+  * Only VIDEO (and compressed audio — mp3/aac) remains STUBBED
+  * (`decodeStub`): the JDK genuinely carries no such codecs and this
+  * environment allows no new dependencies; for those payloads the
+  * plumbing (schema, batching, fan-out) is real and the decode is a
+  * deterministic fake of the bytes.
   */
 object MultimodalOps {
 
@@ -87,10 +94,66 @@ object MultimodalOps {
     img
   }
 
-  // ---- STUB: deterministic fake decode (audio/video only) ---------------
-  // The JDK has no audio/video codecs; the fake is a stable function of
-  // the bytes so tests are deterministic and the downstream plumbing is
-  // exercised with realistic shapes.
+  // ---- REAL audio decode (JDK javax.sound.sampled; WAV/PCM) -------------
+
+  /** PCM sample rate of the synthetic audio corpus. */
+  private[graft] val AudioRateHz = 8000
+
+  /** Deterministic synthetic PCM signal for `docId`: 64 + id%129 mono
+    * 16-bit samples, sample i = ((id·31 + i·17) mod 65536) − 32768 — the
+    * closed form both the engine (through a REAL WAV encode→decode round
+    * trip) and the DuckDB oracle can compute. All-integer, so lossless
+    * PCM makes decode-vs-formula exact. */
+  private[graft] def synthSamples(docId: Long): Array[Int] = {
+    val n = (64 + docId % 129).toInt
+    Array.tabulate(n)(i => (((docId * 31 + i.toLong * 17) % 65536) - 32768).toInt)
+  }
+
+  /** Encode 16-bit mono samples into a WAV container (RIFF header +
+    * little-endian PCM) via `AudioSystem.write` — lossless. */
+  private[graft] def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode an audio payload with the JDK's sampled-audio readers:
+    * (sampleRateHz, channels, 16-bit samples across channels). None when
+    * no registered reader recognizes the bytes (video payloads, text
+    * bytes) — callers fall back to the stub path, same contract as
+    * [[decodeImage]]. */
+  private[graft] def decodeWav(content: Array[Byte]): Option[(Long, Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        val samples = Array.tabulate(bytes.length / 2)(i =>
+          (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+        Some((fmt.getSampleRate.toLong, fmt.getChannels, samples))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    }
+
+  // ---- STUB: deterministic fake decode (video / compressed audio) -------
+  // The JDK has no video or compressed-audio codecs; the fake is a stable
+  // function of the bytes so tests are deterministic and the downstream
+  // plumbing is exercised with realistic shapes.
   private[graft] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -121,11 +184,25 @@ object MultimodalOps {
     out
   }
 
+  /** Feature vector from DECODED audio samples: normalized amplitude
+    * accumulates into a sample-position bucket — [[pixelFeatures]]'s
+    * audio sibling. */
+  private[graft] def sampleFeatures(samples: Array[Int], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < samples.length) {
+      out(i % dim) += math.abs(samples(i)) / 32768.0f
+      i += 1
+    }
+    out
+  }
+
   /** Batched feature extraction: one partition = one iterator pass.
-    * Payloads that ImageIO recognizes get REAL pixel-derived features;
-    * everything else (audio/video, non-image bytes) falls back to the
-    * byte-stub. Per-partition (not per-row) setup mirrors real codec/model
-    * loading. */
+    * Payloads that ImageIO recognizes get REAL pixel-derived features,
+    * payloads the sampled-audio readers recognize get REAL
+    * amplitude-derived features; everything else (video, non-media bytes)
+    * falls back to the byte-stub. Per-partition (not per-row) setup
+    * mirrors real codec/model loading. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -137,6 +214,9 @@ object MultimodalOps {
         val feat =
           if (r.modality == "image") decodeImage(r.content) match {
             case Some(img) => pixelFeatures(img, dim)
+            case None => decodeStub(r.content, dim)
+          } else if (r.modality == "audio") decodeWav(r.content) match {
+            case Some((_, _, samples)) => sampleFeatures(samples, dim)
             case None => decodeStub(r.content, dim)
           } else decodeStub(r.content, dim)
         MediaFeatures(r.mediaId, r.modality, r.content.length.toLong, checksum, feat)
@@ -260,6 +340,47 @@ object MultimodalOps {
         (r.mediaId, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
       }
     }.toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** REAL audio corpus keyed on the documents table: one actual WAV per
+    * doc (deterministic PCM — [[synthSamples]]), generated map-side. As
+    * with [[imageCorpus]], decode-side consumers must take rate/length
+    * from the DECODED stream, never trust the meta struct. */
+  def audioCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val samples = synthSamples(id)
+        MediaRow(id, "audio", encodeWav(samples),
+          MediaMeta("wav", 1, AudioRateHz,
+            samples.length.toLong * 1000 / AudioRateHz))
+      }
+    }
+  }
+
+  /** Per-clip DECODED stats: sample count, rate, channel count, and
+    * amplitude aggregates read off the stream `AudioSystem` produced —
+    * not the meta struct, not the generator. Lossless PCM makes these
+    * equal the closed-form recomputation in the oracle. Throws loudly on
+    * an undecodable payload, same contract as [[imageDecodeStats]]. */
+  def audioDecodeStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, channels, samples) = decodeWav(r.content).getOrElse(
+          throw new IllegalStateException(s"undecodable audio payload for media ${r.mediaId}"))
+        var sumAbs = 0L
+        var maxAbs = 0L
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toLong)
+          sumAbs += a
+          if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        (r.mediaId, samples.length.toLong, rate, channels.toLong, sumAbs, maxAbs)
+      }
+    }.toDF("doc_id", "n_samples", "sample_rate", "channels", "sum_abs", "max_abs")
   }
 
   /** Frame-sampling summary — the oracle-checked entry point for

@@ -44,6 +44,24 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(SUM((doc_id * 7 + x * 5 + y * 17) % 256) AS BIGINT) AS sum_b
 FROM ps GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.MultimodalOps.audioDecodeStats]] over
+    * [[graft.ops.MultimodalOps.audioCorpus]]: the engine round-trips a
+    * REAL WAV (AudioSystem encode → AudioSystem decode) and reads sample
+    * count, rate, channels and amplitude aggregates off the decoded PCM
+    * stream; PCM is lossless, so those must equal this closed-form
+    * recomputation of the generator formula. A decoder that mangled the
+    * RIFF header, endianness, or any sample value hash-diverges. */
+  def audioDecodeStats(table: String): String =
+    s"""WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM $table),
+idx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+s AS (SELECT doc_id, n, (doc_id * 31 + i * 17) % 65536 - 32768 AS v FROM idx)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+  CAST(MAX(abs(v)) AS BIGINT) AS max_abs
+FROM s GROUP BY doc_id, n ORDER BY doc_id"""
+
   def modalitySummary(table: String): String =
     s"""WITH m AS (SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

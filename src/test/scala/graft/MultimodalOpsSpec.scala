@@ -89,6 +89,54 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV round trip: AudioSystem decode reproduces every generated sample") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val src = MultimodalOps.synthSamples(id)
+      val wav = MultimodalOps.encodeWav(src)
+      // RIFF/WAVE magic: this is a real container, not a byte passthrough
+      assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+      assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+      val (rate, channels, samples) = MultimodalOps.decodeWav(wav).get
+      assert(rate == 8000L && channels == 1)
+      assert(samples.toSeq == src.toSeq,
+        s"decoded PCM must be bit-exact for id $id")
+    }
+  }
+
+  test("decodeWav rejects non-audio bytes instead of guessing") {
+    assert(MultimodalOps.decodeWav("not a wav at all".getBytes("UTF-8")).isEmpty)
+    // and an image payload is not audio either
+    val png = MultimodalOps.encodePng(MultimodalOps.synthImage(3L))
+    assert(MultimodalOps.decodeWav(png).isEmpty)
+  }
+
+  test("audioDecodeStats matches the locally recomputed sample formula") {
+    val docs = Tables.documents(spark, sf)
+    val out = MultimodalOps.audioDecodeStats(MultimodalOps.audioCorpus(spark, docs))
+      .orderBy("doc_id").collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 129).toInt
+      assert(r.getLong(1) == n && r.getLong(2) == 8000L && r.getLong(3) == 1L)
+      val abs = (0 until n).map(i => math.abs((id * 31 + i.toLong * 17) % 65536 - 32768))
+      assert(r.getLong(4) == abs.sum && r.getLong(5) == abs.max)
+    }
+  }
+
+  test("extractFeatures uses decoded samples for real WAV audio") {
+    import spark.implicits._
+    val media = MultimodalOps.audioCorpus(spark, Tables.documents(spark, sf).limit(20))
+    val feats = MultimodalOps.extractFeatures(media, dim = 8).collect()
+    val byId = media.collect().map(m => m.mediaId -> m).toMap
+    feats.foreach { f =>
+      val (_, _, samples) = MultimodalOps.decodeWav(byId(f.mediaId).content).get
+      assert(f.feature.toSeq == MultimodalOps.sampleFeatures(samples, 8).toSeq)
+      // and NOT the byte stub over the WAV container bytes
+      assert(f.feature.toSeq != MultimodalOps.decodeStub(byId(f.mediaId).content, 8).toSeq)
+    }
+  }
+
   test("resizeMedia really rescales decodable images and re-encodes PNG") {
     import spark.implicits._
     val media = MultimodalOps.imageCorpus(spark, Tables.documents(spark, sf).limit(10))
