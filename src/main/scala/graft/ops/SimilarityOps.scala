@@ -273,9 +273,14 @@ object SimilarityOps {
       .orderBy("vec_id", "rk")
   }
 
-  /** [[knnGraph]] plus ONE NN-descent refinement round (Dong et al.,
-    * WWW 2011) — closes the cell-local graph's documented blind spot:
-    * vectors in singleton or over-cap cells, which emit no rows there.
+  /** [[knnGraph]] plus `rounds` NN-descent refinement rounds (Dong et
+    * al., WWW 2011) — closes the cell-local graph's documented blind
+    * spot: vectors in singleton or over-cap cells, which emit no rows
+    * there. Each extra round reaches one hop further through the graph
+    * (spec-pinned: the singleton-cell fixture's vector reaches real
+    * cluster members in round 1 and its TRUE top-k in round 2; recall vs
+    * brute force is monotone over rounds because merging candidates can
+    * only improve a per-node top-k).
     *
     * Two additions, both bounded:
     *   1. SEED: isolated vectors (no edge in the base graph) are grouped
@@ -305,7 +310,9 @@ object SimilarityOps {
   def knnGraphRefined(
       emb: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, kNbrs: Int, maxCell: Int = 1000,
-      seedBuckets: Int = 16, anchorMod: Int = 997): DataFrame = {
+      seedBuckets: Int = 16, anchorMod: Int = 997,
+      rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val kv = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val base = knnGraph(emb, idCol, vecCol, centroidMod, kNbrs, maxCell)
       .select(col("vec_id"), col("neighbor_id"), col("cos"))
@@ -331,28 +338,38 @@ object SimilarityOps {
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         cosine(col("a.v"), col("b.v")).as("cos"))
     val graph0 = base.unionByName(mirror(seedEdges))
-    // NN-descent local join: undirected adjacency (out + in), neighbor
-    // vectors riding the center shuffle as struct payloads
-    val und = graph0.select(col("vec_id"), col("neighbor_id"))
-      .union(graph0.select(col("neighbor_id"), col("vec_id")))
-      .distinct()
-    val candPairs = und
-      .join(kv.select(col("id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
-      .groupBy("vec_id")
-      .agg(collect_list(struct(col("neighbor_id").as("id"), col("nv").as("v"))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCell)
-      .select(graft.functions.Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
-      // the same pair can share several centers — dedup before the merge
-      .distinct()
-    val merged = graph0.unionByName(mirror(candPairs))
-      .groupBy("vec_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    merged
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= kNbrs)
+    // NN-descent local join, once per round: undirected adjacency
+    // (out + in), neighbor vectors riding the center shuffle as struct
+    // payloads; per-round top-k trim bounds graph growth (and state)
+    // exactly as NN-descent's K-list does. Intermediate rounds are
+    // localCheckpoint'ed so round r+1 plans over materialized edges,
+    // not an r-deep DAG.
+    var graph = graph0
+    var ranked: DataFrame = null
+    for (round <- 0 until rounds) {
+      val und = graph.select(col("vec_id"), col("neighbor_id"))
+        .union(graph.select(col("neighbor_id"), col("vec_id")))
+        .distinct()
+      val candPairs = und
+        .join(kv.select(col("id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
+        .groupBy("vec_id")
+        .agg(collect_list(struct(col("neighbor_id").as("id"), col("nv").as("v"))).as("ms"))
+        .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCell)
+        .select(graft.functions.Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
+        .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+          cosine(col("a.v"), col("b.v")).as("cos"))
+        // the same pair can share several centers — dedup before the merge
+        .distinct()
+      ranked = graph.unionByName(mirror(candPairs))
+        .groupBy("vec_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= kNbrs)
+      graph = ranked.select(col("vec_id"), col("neighbor_id"), col("cos"))
+      if (round < rounds - 1) graph = graph.localCheckpoint()
+    }
+    ranked
       .select(col("vec_id"), col("rk"), col("neighbor_id"), col("cos"))
       .orderBy("vec_id", "rk")
   }

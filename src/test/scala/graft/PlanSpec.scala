@@ -149,6 +149,27 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from the (band, bh) bucket shuffle:\n${plan.take(600)}")
   }
 
+  test("strided segment dedup: window frequency shuffles on window text, no cartesian") {
+    val plan = graft.ops.DedupOps.segmentDedupStrided(
+      Tables.documents(spark, sf), "text", "doc_id",
+      segTokens = 5, stride = 2, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"token strip must stay key-joined, never all-pairs:\n${plan.take(600)}")
+    assert(plan.contains("hashpartitioning(win"),
+      s"window frequency must shuffle on window text:\n${plan.take(600)}")
+  }
+
+  test("knn graph refinement: candidate generation never plans a cartesian product") {
+    val plan = SimilarityOps.knnGraphRefined(
+      Tables.embeddings(spark, sf), "vec_id", "embedding",
+      centroidMod = 50, kNbrs = 3)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the k-row centroid broadcast
+    assert(!plan.contains("CartesianProduct"),
+      s"NN-descent local join must stay bucket/key-shuffled:\n${plan.take(600)}")
+  }
+
   test("cluster topics: final cell assignment broadcasts the trained centroids") {
     val plan = SimilarityOps.clusterTopics(
       Tables.embeddings(spark, sf), Tables.documents(spark, sf),

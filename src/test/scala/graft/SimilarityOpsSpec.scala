@@ -364,5 +364,18 @@ class SimilarityOpsSpec extends AnyFunSuite {
       cs.zip(cs.tail).foreach { case (a, b) => assert(a >= b) }
     }
     assert(!refined.exists(r => r.getLong(0) == r.getLong(2)))
+    // a SECOND NN-descent round reaches one hop further: round 1 gave
+    // vector 8 cluster members {2, 6}; through 2's neighborhood round 2
+    // must recover 8's TRUE brute-force top-2 {3, 2} — and recall is
+    // monotone over rounds (max-merging candidates into a per-node top-k
+    // can only improve it)
+    val refined2 = SimilarityOps.knnGraphRefined(df, "vec_id", "embedding",
+      centroidMod = 4, kNbrs = 2, seedBuckets = 1, anchorMod = 4, rounds = 2)
+      .collect()
+    val n8r2 = refined2.filter(_.getLong(0) == 8L).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(n8r2 == Seq(3L, 2L), s"round 2 must recover the true top-2, got $n8r2")
+    assert(truth(8L) == Set(3L, 2L))
+    assert(recall(refined2) >= recall(refined),
+      s"recall must be monotone over rounds: r1=${recall(refined)} r2=${recall(refined2)}")
   }
 }
