@@ -111,7 +111,8 @@ object MultimodalOps {
 
   /** Encode 16-bit mono samples into a WAV container (RIFF header +
     * little-endian PCM) via `AudioSystem.write` — lossless. */
-  private[graft] def encodeWav(samples: Array[Int]): Array[Byte] = {
+  private[graft] def encodeWav(
+      samples: Array[Int], rateHz: Int = AudioRateHz): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -120,7 +121,7 @@ object MultimodalOps {
       i += 1
     }
     val fmt = new javax.sound.sampled.AudioFormat(
-      AudioRateHz.toFloat, 16, 1, true, false)
+      rateHz.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new ByteArrayOutputStream()
@@ -381,6 +382,36 @@ object MultimodalOps {
         (r.mediaId, samples.length.toLong, rate, channels.toLong, sumAbs, maxAbs)
       }
     }.toDF("doc_id", "n_samples", "sample_rate", "channels", "sum_abs", "max_abs")
+  }
+
+  /** REAL audio downsample — [[resizeMedia]]'s audio sibling: decode the
+    * WAV, keep every (rate/targetRateHz)-th PCM frame (plain integer
+    * decimation, channel-aware; no interpolation filter — deterministic
+    * and exactly recomputable), re-encode at the target rate, and
+    * rewrite the metadata from the DECODED stream (never the input meta
+    * struct). `targetRateHz` must divide the decoded rate. Wall-clock
+    * duration is preserved: half the samples at half the rate. Payloads
+    * the sampled-audio readers cannot decode pass through unchanged —
+    * this is an audio-targeted stage, not a generic filter. */
+  def resampleAudioMedia(media: Dataset[MediaRow], targetRateHz: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetRateHz >= 1, s"bad target rate: $targetRateHz")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r.content) match {
+          case Some((rate, channels, samples)) if rate % targetRateHz == 0 =>
+            // mono-writer: encodeWav emits 1-channel WAV; corpus is mono
+            require(channels == 1, s"multi-channel resample unsupported: $channels")
+            val factor = (rate / targetRateHz).toInt
+            val n = (samples.length + factor - 1) / factor
+            val kept = Array.tabulate(n)(i => samples(i * factor))
+            r.copy(content = encodeWav(kept, targetRateHz),
+              meta = r.meta.copy(format = "wav", width = 1, height = targetRateHz,
+                durationMs = kept.length.toLong * 1000 / targetRateHz))
+          case _ => r
+        }
+      }
+    }
   }
 
   /** Frame-sampling summary — the oracle-checked entry point for

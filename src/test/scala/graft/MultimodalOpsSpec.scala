@@ -137,6 +137,30 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleAudioMedia really decimates decoded PCM and re-encodes WAV") {
+    import spark.implicits._
+    val media = MultimodalOps.audioCorpus(spark, Tables.documents(spark, sf).limit(15))
+    val src = media.collect().map(m => m.mediaId -> m).toMap
+    val out = MultimodalOps.resampleAudioMedia(media, targetRateHz = 4000).collect()
+    assert(out.length == src.size)
+    out.foreach { r =>
+      assert(r.meta.format == "wav" && r.meta.height == 4000)
+      val (rate, channels, samples) = MultimodalOps.decodeWav(r.content).get
+      assert(rate == 4000L && channels == 1, "re-encoded at the target rate")
+      val (_, _, orig) = MultimodalOps.decodeWav(src(r.mediaId).content).get
+      // plain decimation: every 2nd source sample, bit-exact
+      assert(samples.toSeq == orig.indices.collect { case i if i % 2 == 0 => orig(i) }.toSeq)
+      // wall-clock duration preserved: n/2 samples at rate/2
+      assert(r.meta.durationMs == samples.length.toLong * 1000 / 4000)
+    }
+    // payloads the audio readers cannot decode pass through unchanged
+    val img = MultimodalOps.imageCorpus(spark, Tables.documents(spark, sf).limit(3))
+    val passthrough = MultimodalOps.resampleAudioMedia(img, 4000).collect()
+    passthrough.foreach { r =>
+      assert(MultimodalOps.decodeImage(r.content).isDefined, "image bytes untouched")
+    }
+  }
+
   test("resizeMedia really rescales decodable images and re-encodes PNG") {
     import spark.implicits._
     val media = MultimodalOps.imageCorpus(spark, Tables.documents(spark, sf).limit(10))
