@@ -136,6 +136,35 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"stream/batch divergence: streamed=$streamed batch=$batch")
       assert(!streamed.exists(_._1 == 3L), "unique doc screens nothing")
     } finally q.stop()
+
+    // cross-micro-batch: the screen is per-doc stateless up to the final
+    // watermarked aggregation, so docs split across batches must produce
+    // the SAME verdicts as the single-batch run above
+    val in2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out2 = StreamingOps.streamingNearDupScreen(
+      in2.toDF().toDF("doc_id", "text", "ts"),
+      index, hashSets, "text", "doc_id", "ts", "0 seconds")
+    val q2 = out2.writeStream.format("memory").queryName("neardup2")
+      .outputMode("append").start()
+    try {
+      in2.addData((shardRows(0)._1, shardRows(0)._2, ts(100)))
+      q2.processAllAvailable()
+      in2.addData((shardRows(1)._1, shardRows(1)._2, ts(200)),
+        (shardRows(2)._1, shardRows(2)._2, ts(200)))
+      q2.processAllAvailable()
+      in2.addData((98L, "w a t e r m a r k advance one", ts(5000)))
+      q2.processAllAvailable()
+      in2.addData((99L, "w a t e r m a r k advance two", ts(10000)))
+      q2.processAllAvailable()
+      val split = spark.sql(
+        "SELECT doc_id, near_dup_of, jaccard FROM neardup2 ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val single = spark.sql(
+        "SELECT doc_id, near_dup_of, jaccard FROM neardup ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(split == single,
+        s"batch-boundary divergence: split=$split single=$single")
+    } finally q2.stop()
   }
 
   test("gap sessionization closes sessions when the watermark passes the gap") {
