@@ -378,4 +378,11 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(recall(refined2) >= recall(refined),
       s"recall must be monotone over rounds: r1=${recall(refined)} r2=${recall(refined2)}")
   }
+
+  test("knn graph refinement on an empty corpus is empty, never a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.knnGraphRefined(empty, "vec_id", "embedding",
+      centroidMod = 4, kNbrs = 2, rounds = 2).isEmpty)
+  }
 }
