@@ -27,8 +27,15 @@ import org.apache.spark.sql.functions._
   * also ships in java.desktop with WAV/AIFF/AU readers, so [[decodeWav]]
   * does an actual container parse + PCM frame read, and
   * [[audioDecodeStats]] reports sample stats off the DECODED stream.
-  * Only VIDEO (and compressed audio — mp3/aac) remains STUBBED
-  * (`decodeStub`): the JDK genuinely carries no such codecs and this
+  * VIDEO decode is REAL for uncompressed RIFF/AVI: the JDK ships no video
+  * *codec*, but an uncompressed AVI is just a RIFF container (WAV's
+  * sibling) with `avih`/`strh`/`strf` headers and raw `00db` DIB frames —
+  * [[encodeAvi]]/[[decodeAvi]] build and parse that container by hand in
+  * pure JDK (no new dependencies), so [[videoDecodeStats]] reports frame
+  * count/dims/fps/channel sums off genuinely decoded rasters and
+  * [[sampleVideoFrames]] emits REAL decoded frames re-encoded as PNG.
+  * Only COMPRESSED codecs (mp3/aac audio, h264-style video) remain
+  * stubbed (`decodeStub`): the JDK genuinely carries none and this
   * environment allows no new dependencies; for those payloads the
   * plumbing (schema, batching, fan-out) is real and the decode is a
   * deterministic fake of the bytes.
@@ -151,10 +158,210 @@ object MultimodalOps {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
     }
 
-  // ---- STUB: deterministic fake decode (video / compressed audio) -------
-  // The JDK has no video or compressed-audio codecs; the fake is a stable
-  // function of the bytes so tests are deterministic and the downstream
-  // plumbing is exercised with realistic shapes.
+  // ---- REAL video: hand-built uncompressed RIFF/AVI container -----------
+  // The JDK has no video codec, but an *uncompressed* AVI needs none: it is
+  // a RIFF container (same framing as WAV) whose `movi` list carries raw
+  // 24-bit DIB rasters in `00db` chunks. Both directions are implemented
+  // by hand here — little-endian chunk framing, avih/strh/strf headers,
+  // bottom-up BGR rows padded to 4 bytes — so the decode path is a genuine
+  // container parse, not a simulation.
+
+  /** Decoded uncompressed video: dims, frame rate, and per-frame rasters
+    * as row-major packed 0xRRGGBB ints (top-down scan order). */
+  final case class DecodedVideo(width: Int, height: Int, fps: Int, frames: Array[Array[Int]])
+
+  private def putFourcc(buf: java.nio.ByteBuffer, s: String): Unit = {
+    var i = 0
+    while (i < 4) { buf.put(s.charAt(i).toByte); i += 1 }
+  }
+
+  /** DIB rows are padded to 4-byte boundaries. */
+  private def dibRowBytes(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  /** Build an uncompressed AVI (RIFF + hdrl[avih, strl[strh,strf]] +
+    * movi[00db…]) around raw 24-bit frames. Frames are row-major packed
+    * 0xRRGGBB ints, top-down; the container stores them DIB-style
+    * (bottom-up rows, BGR byte order, rows padded to 4 bytes), which is
+    * what any standard AVI consumer expects for BI_RGB. Deterministic
+    * byte-for-byte: same input, same container. */
+  private[graft] def encodeAvi(
+      width: Int, height: Int, fps: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && fps >= 1, s"bad video shape ${width}x$height@$fps")
+    require(frames.nonEmpty, "video needs at least one frame")
+    frames.foreach(f => require(f.length == width * height, "frame/dims mismatch"))
+    val rowBytes = dibRowBytes(width)
+    val frameBytes = rowBytes * height
+    val nf = frames.length
+    val strlSize = 4 + (8 + 56) + (8 + 40)              // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)        // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + nf * (8 + frameBytes)            // 'movi' + 00db chunks
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)  // 'AVI ' + both LISTs
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putFourcc(buf, "RIFF"); buf.putInt(riffSize); putFourcc(buf, "AVI ")
+    putFourcc(buf, "LIST"); buf.putInt(hdrlSize); putFourcc(buf, "hdrl")
+    putFourcc(buf, "avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps)      // dwMicroSecPerFrame
+    buf.putInt(frameBytes * fps)   // dwMaxBytesPerSec
+    buf.putInt(0)                  // dwPaddingGranularity
+    buf.putInt(0)                  // dwFlags (no idx1 index written)
+    buf.putInt(nf)                 // dwTotalFrames
+    buf.putInt(0)                  // dwInitialFrames
+    buf.putInt(1)                  // dwStreams
+    buf.putInt(frameBytes)         // dwSuggestedBufferSize
+    buf.putInt(width); buf.putInt(height)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // dwReserved[4]
+    putFourcc(buf, "LIST"); buf.putInt(strlSize); putFourcc(buf, "strl")
+    putFourcc(buf, "strh"); buf.putInt(56)
+    putFourcc(buf, "vids"); putFourcc(buf, "DIB ")
+    buf.putInt(0)                  // dwFlags
+    buf.putShort(0); buf.putShort(0) // wPriority, wLanguage
+    buf.putInt(0)                  // dwInitialFrames
+    buf.putInt(1)                  // dwScale
+    buf.putInt(fps)                // dwRate (fps = rate/scale)
+    buf.putInt(0)                  // dwStart
+    buf.putInt(nf)                 // dwLength (in frames)
+    buf.putInt(frameBytes)         // dwSuggestedBufferSize
+    buf.putInt(0)                  // dwQuality
+    buf.putInt(0)                  // dwSampleSize (0 = variable/frame-based)
+    buf.putShort(0); buf.putShort(0) // rcFrame left, top
+    buf.putShort(width.toShort); buf.putShort(height.toShort) // rcFrame right, bottom
+    putFourcc(buf, "strf"); buf.putInt(40)
+    buf.putInt(40)                 // biSize
+    buf.putInt(width); buf.putInt(height)
+    buf.putShort(1)                // biPlanes
+    buf.putShort(24)               // biBitCount
+    buf.putInt(0)                  // biCompression = BI_RGB (uncompressed)
+    buf.putInt(frameBytes)         // biSizeImage
+    buf.putInt(0); buf.putInt(0)   // biXPelsPerMeter, biYPelsPerMeter
+    buf.putInt(0); buf.putInt(0)   // biClrUsed, biClrImportant
+    putFourcc(buf, "LIST"); buf.putInt(moviSize); putFourcc(buf, "movi")
+    frames.foreach { frame =>
+      putFourcc(buf, "00db"); buf.putInt(frameBytes)
+      var row = height - 1       // DIB: bottom row first
+      while (row >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = frame(row * width + x)
+          buf.put((p & 0xff).toByte)           // B
+          buf.put(((p >> 8) & 0xff).toByte)    // G
+          buf.put(((p >> 16) & 0xff).toByte)   // R
+          x += 1
+        }
+        var pad = rowBytes - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+    }
+    buf.array()
+  }
+
+  /** Parse an uncompressed AVI container: walk the RIFF chunk tree
+    * (recursing into LISTs), pull dims from `strf`'s BITMAPINFOHEADER,
+    * frame rate from `strh`'s dwRate/dwScale, and decode every `00db`
+    * DIB frame (bottom-up padded BGR) back to top-down packed RGB ints.
+    * Returns None for anything that is not a well-formed 24-bit BI_RGB
+    * AVI — non-video payloads fall back to the stub path, same contract
+    * as [[decodeImage]]/[[decodeWav]]. */
+  private[graft] def decodeAvi(content: Array[Byte]): Option[DecodedVideo] =
+    try {
+      if (content.length < 12) return None
+      def fourccAt(off: Int): String = {
+        val cs = new Array[Char](4)
+        var i = 0
+        while (i < 4) { cs(i) = (content(off + i) & 0xff).toChar; i += 1 }
+        new String(cs)
+      }
+      def le32(off: Int): Int =
+        (content(off) & 0xff) | ((content(off + 1) & 0xff) << 8) |
+          ((content(off + 2) & 0xff) << 16) | ((content(off + 3) & 0xff) << 24)
+      def le16(off: Int): Int = (content(off) & 0xff) | ((content(off + 1) & 0xff) << 8)
+      if (fourccAt(0) != "RIFF" || fourccAt(8) != "AVI ") return None
+      var width = -1; var height = -1
+      var scale = 0; var rate = 0
+      var bitCount = -1; var compression = -1
+      var sawVids = false
+      val frameChunks = scala.collection.mutable.ArrayBuffer.empty[Int] // data offsets
+      val frameSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourccAt(off)
+          val size = le32(off + 4)
+          val data = off + 8
+          if (size < 0 || data + size > end) return
+          id match {
+            case "LIST" if size >= 4 => walk(data + 4, data + size)
+            case "strh" if size >= 56 =>
+              if (fourccAt(data) == "vids") {
+                sawVids = true
+                scale = le32(data + 20); rate = le32(data + 24)
+              }
+            case "strf" if size >= 40 && bitCount < 0 =>
+              width = le32(data + 4); height = le32(data + 8)
+              bitCount = le16(data + 14); compression = le32(data + 16)
+            case "00db" | "00dc" =>
+              frameChunks += data; frameSizes += size
+            case _ => ()
+          }
+          off = data + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(content.length, 8 + le32(4)))
+      if (!sawVids || width <= 0 || height <= 0 || bitCount != 24 ||
+        compression != 0 || scale <= 0 || rate <= 0 || rate % scale != 0 ||
+        frameChunks.isEmpty) return None
+      val rowBytes = dibRowBytes(width)
+      if (frameSizes.exists(_ != rowBytes * height)) return None
+      val frames = frameChunks.toArray.map { data =>
+        val out = new Array[Int](width * height)
+        var row = 0
+        while (row < height) {
+          val srcRow = data + (height - 1 - row) * rowBytes // bottom-up
+          var x = 0
+          while (x < width) {
+            val b = content(srcRow + 3 * x) & 0xff
+            val g = content(srcRow + 3 * x + 1) & 0xff
+            val r = content(srcRow + 3 * x + 2) & 0xff
+            out(row * width + x) = (r << 16) | (g << 8) | b
+            x += 1
+          }
+          row += 1
+        }
+        out
+      }
+      Some(DecodedVideo(width, height, rate / scale, frames))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  /** Deterministic synthetic video for `docId`: 2..6 frames of 4..9 × 4..7
+    * pixels at 10..12 fps, per-channel values from a closed-form formula
+    * of (id, frame, x, y) — the shape both the engine (through a REAL AVI
+    * encode→parse round trip) and the DuckDB oracle (directly from the
+    * formula) can compute. Raw frames are lossless, so decode == formula. */
+  private[graft] def synthVideo(docId: Long): DecodedVideo = {
+    val w = (4 + docId % 6).toInt
+    val h = (4 + docId % 4).toInt
+    val nf = (2 + docId % 5).toInt
+    val fps = (10 + docId % 3).toInt
+    val frames = Array.tabulate(nf) { f =>
+      Array.tabulate(h * w) { idx =>
+        val y = idx / w
+        val x = idx % w
+        val r = ((docId * 3 + f * 19 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 5 + f * 23 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId * 7 + f * 29 + x * 5 + y * 17) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+    }
+    DecodedVideo(w, h, fps, frames)
+  }
+
+  // ---- STUB: deterministic fake decode (compressed audio/video) ---------
+  // The JDK has no compressed-codec decoders (mp3/aac/h264); the fake is a
+  // stable function of the bytes so tests are deterministic and the
+  // downstream plumbing is exercised with realistic shapes.
   private[graft] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -181,6 +388,26 @@ object MultimodalOps {
         x += 1
       }
       y += 1
+    }
+    out
+  }
+
+  /** Feature vector from DECODED video frames: every pixel's normalized
+    * brightness accumulates into a raster-position bucket across all
+    * frames — [[pixelFeatures]] extended along the time axis. */
+  private[graft] def videoFeatures(v: DecodedVideo, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var f = 0
+    while (f < v.frames.length) {
+      val frame = v.frames(f)
+      var i = 0
+      while (i < frame.length) {
+        val p = frame(i)
+        val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / (3.0f * 255.0f)
+        out(i % dim) += lum
+        i += 1
+      }
+      f += 1
     }
     out
   }
@@ -218,6 +445,9 @@ object MultimodalOps {
             case None => decodeStub(r.content, dim)
           } else if (r.modality == "audio") decodeWav(r.content) match {
             case Some((_, _, samples)) => sampleFeatures(samples, dim)
+            case None => decodeStub(r.content, dim)
+          } else if (r.modality == "video") decodeAvi(r.content) match {
+            case Some(v) => videoFeatures(v, dim)
             case None => decodeStub(r.content, dim)
           } else decodeStub(r.content, dim)
         MediaFeatures(r.mediaId, r.modality, r.content.length.toLong, checksum, feat)
@@ -389,29 +619,113 @@ object MultimodalOps {
     * decimation, channel-aware; no interpolation filter — deterministic
     * and exactly recomputable), re-encode at the target rate, and
     * rewrite the metadata from the DECODED stream (never the input meta
-    * struct). `targetRateHz` must divide the decoded rate. Wall-clock
-    * duration is preserved: half the samples at half the rate. Payloads
-    * the sampled-audio readers cannot decode pass through unchanged —
-    * this is an audio-targeted stage, not a generic filter. */
+    * struct). `targetRateHz` must divide the decoded rate — a decodable
+    * clip whose rate is NOT divisible throws loudly (plain decimation
+    * cannot hit that rate; silently returning the original clip would be
+    * indistinguishable from success). Wall-clock duration is preserved:
+    * half the samples at half the rate. Payloads the sampled-audio
+    * readers cannot decode pass through unchanged — this is an
+    * audio-targeted stage, not a generic filter. */
   def resampleAudioMedia(media: Dataset[MediaRow], targetRateHz: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     require(targetRateHz >= 1, s"bad target rate: $targetRateHz")
     media.mapPartitions { rows =>
       rows.map { r =>
         decodeWav(r.content) match {
-          case Some((rate, channels, samples)) if rate % targetRateHz == 0 =>
+          case Some((rate, channels, samples)) =>
             // mono-writer: encodeWav emits 1-channel WAV; corpus is mono
             require(channels == 1, s"multi-channel resample unsupported: $channels")
+            if (rate % targetRateHz != 0)
+              throw new IllegalArgumentException(
+                s"target rate $targetRateHz does not divide decoded rate $rate " +
+                  s"for media ${r.mediaId}: integer decimation cannot resample this clip")
             val factor = (rate / targetRateHz).toInt
             val n = (samples.length + factor - 1) / factor
             val kept = Array.tabulate(n)(i => samples(i * factor))
             r.copy(content = encodeWav(kept, targetRateHz),
               meta = r.meta.copy(format = "wav", width = 1, height = targetRateHz,
                 durationMs = kept.length.toLong * 1000 / targetRateHz))
-          case _ => r
+          case None => r
         }
       }
     }
+  }
+
+  /** REAL video corpus keyed on the documents table: one actual
+    * uncompressed AVI per doc (deterministic frames — [[synthVideo]]),
+    * generated map-side. As with [[imageCorpus]]/[[audioCorpus]],
+    * decode-side consumers must take dims/fps/frame count from the
+    * DECODED container, never trust the meta struct. */
+  def videoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val v = synthVideo(id)
+        MediaRow(id, "video", encodeAvi(v.width, v.height, v.fps, v.frames.toSeq),
+          MediaMeta("avi", v.width, v.height, v.frames.length.toLong * 1000 / v.fps))
+      }
+    }
+  }
+
+  /** Per-video DECODED stats: frame count, dims, fps and per-channel pixel
+    * sums across all frames, read off the rasters [[decodeAvi]] parsed out
+    * of the RIFF container — not the meta struct, not the generator. Raw
+    * DIB frames are lossless, so these equal the closed-form recomputation
+    * in the oracle; a parser that mangled chunk framing, the bottom-up row
+    * order, BGR byte order, or the strh rate fields hash-diverges. Throws
+    * loudly on an undecodable payload, same contract as
+    * [[imageDecodeStats]]/[[audioDecodeStats]]. */
+  def videoDecodeStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = decodeAvi(r.content).getOrElse(
+          throw new IllegalStateException(s"undecodable video payload for media ${r.mediaId}"))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var f = 0
+        while (f < v.frames.length) {
+          val frame = v.frames(f)
+          var i = 0
+          while (i < frame.length) {
+            val p = frame(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          f += 1
+        }
+        (r.mediaId, v.frames.length.toLong, v.width.toLong, v.height.toLong,
+          v.fps.toLong, v.frames.length.toLong * v.width * v.height, sr, sg, sb)
+      }
+    }.toDF("doc_id", "n_frames", "width", "height", "fps", "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Sample REAL decoded frames: parse the AVI, keep every `stride`-th
+    * raster, re-encode each as a standalone lossless PNG (the hand-off
+    * format a frame-level inference stage would consume) alongside its
+    * per-channel sums. One media row fans out to ceil(nFrames/stride)
+    * frame rows via flatMap — no driver involvement. */
+  def sampleVideoFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(stride >= 1, s"bad stride: $stride")
+    media.flatMap { r =>
+      System.setProperty("java.awt.headless", "true")
+      val v = decodeAvi(r.content).getOrElse(
+        throw new IllegalStateException(s"undecodable video payload for media ${r.mediaId}"))
+      Iterator.range(0, v.frames.length, stride).map { f =>
+        val frame = v.frames(f)
+        val img = new BufferedImage(v.width, v.height, BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < frame.length) { img.setRGB(i % v.width, i / v.width, frame(i)); i += 1 }
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var j = 0
+        while (j < frame.length) {
+          val p = frame(j)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          j += 1
+        }
+        (r.mediaId, f, encodePng(img), sr, sg, sb)
+      }
+    }.toDF("media_id", "frame_no", "frame_png", "sum_r", "sum_g", "sum_b")
   }
 
   /** Frame-sampling summary — the oracle-checked entry point for

@@ -62,6 +62,28 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
   CAST(MAX(abs(v)) AS BIGINT) AS max_abs
 FROM s GROUP BY doc_id, n ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.MultimodalOps.videoDecodeStats]] over
+    * [[graft.ops.MultimodalOps.videoCorpus]]: the engine round-trips a
+    * REAL uncompressed AVI (hand-built RIFF encode → hand-parsed decode)
+    * and reads frame count, dims, fps and per-channel sums off the
+    * decoded rasters; raw DIB frames are lossless, so those must equal
+    * this closed-form recomputation of the generator formula. A parser
+    * that mangled chunk framing, bottom-up row order, BGR byte order, or
+    * the strh rate fields hash-diverges. */
+  def videoDecodeStats(table: String): String =
+    s"""WITH d AS (SELECT doc_id, 4 + doc_id % 6 AS w, 4 + doc_id % 4 AS h,
+  2 + doc_id % 5 AS nf, 10 + doc_id % 3 AS fps FROM $table),
+fs AS (SELECT doc_id, w, h, nf, fps, unnest(range(0, nf)) AS f FROM d),
+xs AS (SELECT doc_id, w, h, nf, fps, f, unnest(range(0, w)) AS x FROM fs),
+ps AS (SELECT doc_id, w, h, nf, fps, f, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height, CAST(fps AS BIGINT) AS fps,
+  CAST(nf * w * h AS BIGINT) AS n_pixels,
+  CAST(SUM((doc_id * 3 + f * 19 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((doc_id * 5 + f * 23 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((doc_id * 7 + f * 29 + x * 5 + y * 17) % 256) AS BIGINT) AS sum_b
+FROM ps GROUP BY doc_id, w, h, nf, fps ORDER BY doc_id"""
+
   def modalitySummary(table: String): String =
     s"""WITH m AS (SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

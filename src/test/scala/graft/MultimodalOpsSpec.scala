@@ -202,6 +202,97 @@ class MultimodalOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) <= r.getLong(3))) // min <= max checksum
   }
 
+  test("real AVI round trip: container parse reproduces every generated frame, bit-exact") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val src = MultimodalOps.synthVideo(id)
+      val avi = MultimodalOps.encodeAvi(src.width, src.height, src.fps, src.frames.toSeq)
+      // RIFF/AVI magic: this is a real container, not a byte passthrough
+      assert(avi(0) == 'R' && avi(1) == 'I' && avi(2) == 'F' && avi(3) == 'F')
+      assert(avi(8) == 'A' && avi(9) == 'V' && avi(10) == 'I' && avi(11) == ' ')
+      val dec = MultimodalOps.decodeAvi(avi).get
+      assert(dec.width == src.width && dec.height == src.height && dec.fps == src.fps)
+      assert(dec.frames.length == src.frames.length)
+      dec.frames.zip(src.frames).foreach { case (d, s) =>
+        assert(d.toSeq == s.toSeq, s"decoded raster must be bit-exact for id $id")
+      }
+      // container round trip is bit-exact both ways: re-encoding the
+      // decode reproduces the original container byte-for-byte
+      val reenc = MultimodalOps.encodeAvi(dec.width, dec.height, dec.fps, dec.frames.toSeq)
+      assert(reenc.toSeq == avi.toSeq, s"container re-encode must be bit-exact for id $id")
+    }
+  }
+
+  test("decodeAvi rejects non-video bytes instead of guessing") {
+    assert(MultimodalOps.decodeAvi("not an avi at all".getBytes("UTF-8")).isEmpty)
+    // a WAV is also RIFF but not AVI — the form type must be checked
+    assert(MultimodalOps.decodeAvi(MultimodalOps.encodeWav(MultimodalOps.synthSamples(3L))).isEmpty)
+    val png = MultimodalOps.encodePng(MultimodalOps.synthImage(3L))
+    assert(MultimodalOps.decodeAvi(png).isEmpty)
+  }
+
+  test("videoDecodeStats matches the locally recomputed frame formula") {
+    val docs = Tables.documents(spark, sf)
+    val out = MultimodalOps.videoDecodeStats(MultimodalOps.videoCorpus(spark, docs))
+      .orderBy("doc_id").collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, nf, fps) =
+        ((4 + id % 6).toInt, (4 + id % 4).toInt, (2 + id % 5).toInt, (10 + id % 3).toInt)
+      assert(r.getLong(1) == nf && r.getLong(2) == w && r.getLong(3) == h)
+      assert(r.getLong(4) == fps && r.getLong(5) == nf.toLong * w * h)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        sr += (id * 3 + f * 19 + x * 7 + y * 13) % 256
+        sg += (id * 5 + f * 23 + x * 11 + y * 3) % 256
+        sb += (id * 7 + f * 29 + x * 5 + y * 17) % 256
+      }
+      assert(r.getLong(6) == sr && r.getLong(7) == sg && r.getLong(8) == sb)
+    }
+  }
+
+  test("sampleVideoFrames emits REAL decoded frames re-encoded as lossless PNG") {
+    val media = MultimodalOps.videoCorpus(spark, Tables.documents(spark, sf).limit(12))
+    val out = MultimodalOps.sampleVideoFrames(media, stride = 2).collect()
+    val srcById = media.collect().map(m => m.mediaId -> m).toMap
+    // fan-out arithmetic: every 2nd frame of each clip
+    val expected = srcById.keys.toSeq.map(id => ((2 + id % 5) + 1) / 2).sum
+    assert(out.length == expected)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getInt(1)
+      assert(f % 2 == 0, "stride-2 keeps even frame numbers")
+      val v = MultimodalOps.decodeAvi(srcById(id).content).get
+      val img = MultimodalOps.decodeImage(r.getAs[Array[Byte]]("frame_png")).get
+      assert(img.getWidth == v.width && img.getHeight == v.height)
+      for (y <- 0 until v.height; x <- 0 until v.width)
+        assert((img.getRGB(x, y) & 0xffffff) == v.frames(f)(y * v.width + x),
+          s"PNG of sampled frame $f must match the decoded raster for id $id")
+    }
+  }
+
+  test("extractFeatures uses decoded frames for real AVI video") {
+    val media = MultimodalOps.videoCorpus(spark, Tables.documents(spark, sf).limit(20))
+    val feats = MultimodalOps.extractFeatures(media, dim = 8).collect()
+    val byId = media.collect().map(m => m.mediaId -> m).toMap
+    feats.foreach { f =>
+      val v = MultimodalOps.decodeAvi(byId(f.mediaId).content).get
+      assert(f.feature.toSeq == MultimodalOps.videoFeatures(v, 8).toSeq)
+      // and NOT the byte stub over the container bytes
+      assert(f.feature.toSeq != MultimodalOps.decodeStub(byId(f.mediaId).content, 8).toSeq)
+    }
+  }
+
+  test("resampleAudioMedia throws loudly when the target rate cannot be decimated to") {
+    val media = MultimodalOps.audioCorpus(spark, Tables.documents(spark, sf).limit(3))
+    val ex = intercept[org.apache.spark.SparkException] {
+      // 3000 does not divide 8000: silent passthrough would be
+      // indistinguishable from success
+      MultimodalOps.resampleAudioMedia(media, targetRateHz = 3000).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("modality summary partitions the corpus into three modalities") {
     val out = MultimodalOps.modalitySummary(spark, Tables.documents(spark, sf), 16).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
