@@ -282,7 +282,20 @@ object DedupOps {
       docs: DataFrame, textCol: String, idCol: String,
       w: Int = 3, nBands: Int = 8, r: Int = 2,
       minJaccard: Double = 0.0, limit: Int = 50,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    minhashVerifiedPairs(docs, textCol, idCol, w, nBands, r, minJaccard, maxBucket)
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+
+  /** The UNORDERED, UNCAPPED verified near-dup pair set behind
+    * [[minhashPairs]] — for consumers that need the complete set as a
+    * relation (clustering, the curation funnel's near-dup stage), where a
+    * top-K sort would both truncate the graph and force a needless total
+    * sort at scale. Same single-scan signature + carried-hash verify. */
+  private[graft] def minhashVerifiedPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int, nBands: Int, r: Int,
+      minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
     val k = nBands * r
     // Signature + verify set in ONE corpus scan: the aggregate takes the
     // k family minima AND collect_sets the distinct 28-bit shingle hashes
@@ -330,8 +343,6 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         hashSetJaccard(col("__ha"), col("__hb")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
-      .limit(limit)
   }
 
   /** INCREMENTAL near-dup screening: NEW-shard docs that are MinHash

@@ -36,10 +36,16 @@ HAVING COUNT(*) >= 2 ORDER BY keeper_id"""
     * 7 md5 hex chars (28-bit), family member j = (a_j·h + b_j) mod 2^31-1
     * with closed-form a_j, b_j. All intermediates < 2^60: no BIGINT
     * overflow in DuckDB (which errors rather than wraps). */
-  def minhashPairs(table: String, w: Int, nBands: Int, r: Int, minJaccard: Double, limit: Int,
-      maxBucket: Int = 1000): String =
-    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
-${shingleCte(w)},
+  /** The minhash pair CTE chain over a caller-provided toks CTE `(id, tk)`
+    * named `src`, ending in CTE `v(doc_a, doc_b, jaccard)` — already
+    * verified against the distinct-hash sets but NOT yet
+    * threshold-filtered, ordered, or limited, so both the top-K query
+    * ([[minhashPairs]]) and complete-set consumers (the curation funnel's
+    * near-dup stage) compose the identical pipeline. Mirrors
+    * [[graft.ops.DedupOps.minhashVerifiedPairs]]. */
+  private[sql] def minhashPairCtes(
+      src: String, w: Int, nBands: Int, r: Int, maxBucket: Int = 1000): String =
+    s"""${shingleCte(w, src = src)},
 hs AS (SELECT id, s, list_transform(s, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS hl FROM sh),
 sig AS (SELECT id, s, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(hl, h -> (((506952114*(j+1)) % 2147483647) * h + ((40503*j + 1013904223) % 2147483647)) % 2147483647))) AS m FROM hs),
 bands AS (SELECT id, b, ${h((0 until r).map(o => s"m[$r*b+${o + 1}]::VARCHAR").mkString(" || ',' || "))} AS bh
@@ -52,7 +58,12 @@ cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
 dh AS (SELECT id, list_distinct(hl) AS dh FROM hs),
 v AS (SELECT c.doc_a, c.doc_b,
   round(len(list_intersect(a.dh, b.dh))::DOUBLE / len(list_distinct(list_concat(a.dh, b.dh))), 6) AS jaccard
-  FROM cand c JOIN dh a ON c.doc_a = a.id JOIN dh b ON c.doc_b = b.id)
+  FROM cand c JOIN dh a ON c.doc_a = a.id JOIN dh b ON c.doc_b = b.id)"""
+
+  def minhashPairs(table: String, w: Int, nBands: Int, r: Int, minJaccard: Double, limit: Int,
+      maxBucket: Int = 1000): String =
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+${minhashPairCtes("toks", w, nBands, r, maxBucket)}
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
