@@ -763,6 +763,23 @@ GROUP BY segment ORDER BY segment""")),
         prefixLen = 8, w = 3, benchMod = 20,
         maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L))),
 
+    ("q96_curation_funnel_neardup",
+      // the funnel with the fuzzy-dedup stage real pipelines run between
+      // exact dedup and decontamination (RefinedWeb/FineWeb ordering):
+      // complete MinHash-LSH pair set over the exact-dedup survivors,
+      // connected components, lowest-id keeper per cluster
+      (s: SparkSession, dir: String) =>
+        CurationOps.curationFunnel(Tables.documents(s, dir), "text", "doc_id",
+          stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
+          prefixLen = 8, w = 3, benchMod = 20,
+          maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L,
+          ndMinJaccard = 0.3, ndBands = 8, ndR = 2),
+      Some(graft.sql.CurationSql.curationFunnel("documents",
+        stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
+        prefixLen = 8, w = 3, benchMod = 20,
+        maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L,
+        ndMinJaccard = 0.3, ndBands = 8, ndR = 2))),
+
     ("q74_hashed_linear_score",
       // classifier inference as relational algebra: md5 feature hashing,
       // integer weights, exact BIGINT doc scores, top-N ranking
@@ -862,7 +879,8 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.UnicodeSql.wordFrequency(
         "documents", unicodeAnalyzer, unicodePhrases, 50))),
 
-    // --- Multimodal plumbing (MultimodalOps; stubbed decode) ---
+    // --- Multimodal plumbing (MultimodalOps; real image/audio/video
+    // decode, stub only for compressed codecs the JDK lacks) ---
 
     ("q31_modality_summary",
       (s: SparkSession, dir: String) =>
@@ -894,7 +912,20 @@ GROUP BY segment ORDER BY segment""")),
         MultimodalOps.audioDecodeStats(
           MultimodalOps.audioCorpus(s, Tables.documents(s, dir)))
           .orderBy("doc_id"),
-      Some(graft.sql.MultimodalSql.audioDecodeStats("documents")))
+      Some(graft.sql.MultimodalSql.audioDecodeStats("documents"))),
+
+    ("q95_video_decode_stats",
+      // REAL video decode: one actual uncompressed AVI per doc
+      // (deterministic raw DIB frames), container hand-built and
+      // hand-parsed in pure JDK — no codec needed for BI_RGB; frame
+      // count/dims/fps/channel sums come off the decoded rasters. Raw
+      // frames are lossless, so the oracle recomputes the generator
+      // formula in closed form, same contract as q92/q94.
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.videoDecodeStats(
+          MultimodalOps.videoCorpus(s, Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(graft.sql.MultimodalSql.videoDecodeStats("documents")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
   *     ([[TextAnalysisOps.gopherRuleMask]])
   *   2 dedup          min-id keeper per `prefixLen`-token prefix key
   *     ([[DedupOps.exactDedup]] semantics)
+  *   - neardup        (OPTIONAL, `ndBands` > 0 — the RefinedWeb/FineWeb
+  *     ordering runs fuzzy dedup between exact dedup and
+  *     decontamination) MinHash-LSH pairs over the survivors
+  *     ([[DedupOps.minhashVerifiedPairs]], the complete pair set — no
+  *     top-K truncation), clustered by
+  *     [[DedupOps.connectedComponents]]; keeper = lowest doc id per
+  *     cluster, singletons survive untouched
   *   3 decontaminated distinct-shingle overlap vs the broadcast benchmark
   *     shingle union stays UNDER maxOverlapNum/maxOverlapDen
   *     ([[DedupOps.contaminationReport]] semantics; integer
   *     cross-multiplied threshold — no ratio doubles on the boundary)
   *   4 budget         first `budget` tokens in deterministic md5 order
   *     ([[SampleOps.budgetSample]])
+  * With the neardup stage enabled the later stages renumber (neardup=3,
+  * decontaminated=4, budget=5); stage NAMES are the stable identifier.
   *
   * The benchmark set is carved from the same input (`idCol % benchMod ==
   * 0`), mirroring the decontamination catalog query; production callers
@@ -47,7 +56,8 @@ object CurationOps {
       minTokens: Long, maxTokens: Long, minStops: Long,
       prefixLen: Int, w: Int, benchMod: Int,
       maxOverlapNum: Long, maxOverlapDen: Long,
-      budget: Long): DataFrame = {
+      budget: Long,
+      ndMinJaccard: Double = 0.0, ndBands: Int = 0, ndR: Int = 2): DataFrame = {
     require(benchMod >= 2, s"benchMod must be >= 2: $benchMod")
     require(maxOverlapDen > 0 && maxOverlapNum >= 0,
       s"overlap threshold must be a non-negative fraction: $maxOverlapNum/$maxOverlapDen")
@@ -72,6 +82,26 @@ object CurationOps {
       .select("doc_id", "n_tokens")
       .localCheckpoint()
 
+    // optional fuzzy near-dup stage over the exact-dedup survivors:
+    // complete MinHash-LSH pair set (no top-K cut — truncating the edge
+    // list would change cluster structure), connected components, keep
+    // the lowest doc id per cluster. Docs in no pair are singletons and
+    // survive. Adds the stages' only iterative step; every round is one
+    // shuffle join + aggregate, no driver-side data.
+    val s2b =
+      if (ndBands <= 0) s2
+      else {
+        val survivors = corpus
+          .join(s2.select(col("doc_id").as("__sid")), col(idCol) === col("__sid"))
+          .drop("__sid")
+        val pairs = DedupOps.minhashVerifiedPairs(
+          survivors, textCol, idCol, w, ndBands, ndR, ndMinJaccard)
+        val losers = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+          .filter(col("node") =!= col("cluster_id"))
+          .select(col("node").as("doc_id"))
+        s2.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+
     // stage 3: drop docs whose distinct-shingle overlap with the bench
     // union reaches the threshold; docs too short to shingle cannot
     // overlap. Shingles come from the codegen'd ShingleExplode generator —
@@ -85,14 +115,14 @@ object CurationOps {
     val ov = corpus
       .select(col(idCol).as("id"),
         graft.functions.Generators.shingleExplode(col(textCol), w).as("s"))
-      .join(s2.select(col("doc_id").as("id")), "id")
+      .join(s2b.select(col("doc_id").as("id")), "id")
       .join(broadcast(bs), Seq("s"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_ov"))
     val contaminated = ov
       .filter(col("n_ov") * maxOverlapDen >= col("n_sh") * maxOverlapNum)
       .select(col("id").as("doc_id"))
-    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
+    val s3 = s2b.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // stage 4: deterministic token budget over the survivors
     val s4 = SampleOps.budgetSample(s3, "doc_id", "n_tokens", budget)
@@ -104,11 +134,13 @@ object CurationOps {
         .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"))
 
-    stage(masked, 0, "raw")
-      .unionByName(stage(s1, 1, "quality"))
-      .unionByName(stage(s2, 2, "dedup"))
-      .unionByName(stage(s3, 3, "decontaminated"))
-      .unionByName(stage(s4, 4, "budget"))
+    val stages =
+      Seq(("raw", masked), ("quality", s1), ("dedup", s2)) ++
+        (if (ndBands > 0) Seq(("neardup", s2b)) else Nil) ++
+        Seq(("decontaminated", s3), ("budget", s4))
+    stages.zipWithIndex
+      .map { case ((name, df), i) => stage(df, i, name) }
+      .reduce(_ unionByName _)
       .orderBy("stage")
   }
 }

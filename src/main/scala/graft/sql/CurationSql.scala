@@ -16,11 +16,31 @@ object CurationSql {
       minTokens: Long, maxTokens: Long, minStops: Long,
       prefixLen: Int, w: Int, benchMod: Int,
       maxOverlapNum: Long, maxOverlapDen: Long,
-      budget: Long): String = {
+      budget: Long,
+      ndMinJaccard: Double = 0.0, ndBands: Int = 0, ndR: Int = 2): String = {
     val stops = s"[${stopwords.map(sq).mkString(", ")}]"
     val bigram = (0 until 2).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
     val shingle = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
-    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table
+    val nd = ndBands > 0
+    // optional near-dup stage: the engine's complete verified pair set
+    // (DedupSql.minhashPairCtes — same CTE chain q21/q39 hash-check)
+    // over the s2 survivors, recursive min-label reachability, keeper =
+    // lowest id per cluster. `WITH` must be RECURSIVE for `reach`.
+    val ndCtes = if (!nd) "" else s"""
+mt AS (SELECT t.doc_id AS id, t.tk FROM t JOIN s2 ON t.doc_id = s2.doc_id),
+${graft.sql.DedupSql.minhashPairCtes("mt", w, ndBands, ndR)},
+ndp AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= $ndMinJaccard),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM ndp UNION SELECT doc_b, doc_a FROM ndp),
+reach(node, lab) AS (SELECT src, src FROM sym
+  UNION SELECT sy.src, r2.lab FROM sym sy JOIN reach r2 ON sy.dst = r2.node),
+cl AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+s2b AS (SELECT doc_id, n_tokens FROM s2
+  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster_id)),"""
+    val surv = if (nd) "s2b" else "s2" // decontamination input
+    val ndStageRow = if (!nd) "" else
+      "\nUNION ALL SELECT 3, 'neardup', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2b"
+    val (decoN, budgetN) = if (nd) (4, 5) else (3, 4)
+    s"""WITH${if (nd) " RECURSIVE" else ""} t AS (SELECT doc_id, $toks AS tk FROM $table
   WHERE text IS NOT NULL AND doc_id % $benchMod <> 0),
 tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
   CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tok_chars,
@@ -44,7 +64,7 @@ keyed AS (SELECT t.doc_id, s1.n_tokens, array_to_string(t.tk[1:$prefixLen], ' ')
   FROM t JOIN s1 USING (doc_id)),
 s2 AS (SELECT doc_id, n_tokens FROM (
   SELECT doc_id, n_tokens, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id ASC) AS rn
-  FROM keyed) WHERE rn = 1),
+  FROM keyed) WHERE rn = 1),$ndCtes
 bt AS (SELECT doc_id AS id, $toks AS tk FROM $table
   WHERE text IS NOT NULL AND doc_id % $benchMod = 0),
 bsh AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $shingle)) AS s
@@ -52,12 +72,12 @@ bsh AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-${w - 2}), i ->
 bs AS (SELECT DISTINCT unnest(s) AS s FROM bsh),
 csh AS (SELECT t.doc_id AS id,
     list_distinct(list_transform(range(1, len(t.tk)-${w - 2}), i -> ${shingle.replace("tk[", "t.tk[")})) AS s
-  FROM t JOIN s2 ON t.doc_id = s2.doc_id WHERE len(t.tk) >= $w),
+  FROM t JOIN $surv ON t.doc_id = $surv.doc_id WHERE len(t.tk) >= $w),
 dsh AS (SELECT id, unnest(s) AS s FROM csh),
 ov AS (SELECT dsh.id, COUNT(*) AS n_sh, COUNT(bs.s) AS n_ov
   FROM dsh LEFT JOIN bs ON dsh.s = bs.s GROUP BY dsh.id),
 bad AS (SELECT id FROM ov WHERE n_ov * $maxOverlapDen >= n_sh * $maxOverlapNum),
-s3 AS (SELECT doc_id, n_tokens FROM s2 WHERE doc_id NOT IN (SELECT id FROM bad)),
+s3 AS (SELECT doc_id, n_tokens FROM $surv WHERE doc_id NOT IN (SELECT id FROM bad)),
 c AS (SELECT doc_id, n_tokens,
   CAST(SUM(n_tokens) OVER (ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC, doc_id ASC
     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s3),
@@ -65,9 +85,9 @@ s4 AS (SELECT doc_id, n_tokens FROM c WHERE cum_tokens <= $budget)
 SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
   CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM m
 UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
-UNION ALL SELECT 2, 'dedup', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
-UNION ALL SELECT 3, 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
-UNION ALL SELECT 4, 'budget', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
+UNION ALL SELECT 2, 'dedup', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2$ndStageRow
+UNION ALL SELECT $decoN, 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+UNION ALL SELECT $budgetN, 'budget', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
 ORDER BY stage"""
   }
 }

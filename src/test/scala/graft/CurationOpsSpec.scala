@@ -34,6 +34,53 @@ class CurationOpsSpec extends AnyFunSuite {
       (4L, "budget", 1L, 8L)))
   }
 
+  test("near-dup stage drops fuzzy duplicates exact dedup cannot see") {
+    import spark.implicits._
+    // 6 shares 6 of 7 bigram shingles with 1 (jaccard 0.75) but differs
+    // in the FIRST token, so the prefixLen=2 exact-dedup key cannot
+    // catch it — only the minhash stage can. 2 is an exact dup of 1.
+    val df = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (2L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (3L, "wwww xxxx yyyy zzzz awww bxxx cyyy dzzz"),
+      (4L, "eeee ffff gggg hhhh iiii jjjj kkkk llll"),
+      (5L, "mmmm nnnn"),
+      (6L, "zzzz bbbb cccc dddd eeee ffff gggg hhhh"),
+      (10L, "wwww xxxx yyyy zzzz awww bxxx cyyy dzzz"))
+      .toDF("doc_id", "text")
+    val rows = CurationOps.curationFunnel(df, "text", "doc_id",
+      stopwords = Seq("the"), minTokens = 3, maxTokens = 50, minStops = 0,
+      prefixLen = 2, w = 2, benchMod = 10,
+      maxOverlapNum = 1, maxOverlapDen = 2, budget = 10L,
+      ndMinJaccard = 0.5, ndBands = 8, ndR = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (0L, "raw", 6L, 42L),
+      (1L, "quality", 5L, 40L),
+      (2L, "dedup", 4L, 32L),          // 2 (exact dup of 1) gone
+      (3L, "neardup", 3L, 24L),        // 6 (fuzzy dup of 1) gone, keeper 1 stays
+      (4L, "decontaminated", 2L, 16L), // 3 (== bench 10) gone
+      (5L, "budget", 1L, 8L)))
+  }
+
+  test("disabling the near-dup stage reproduces the original 5-stage funnel") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (6L, "zzzz bbbb cccc dddd eeee ffff gggg hhhh"),
+      (10L, "wwww xxxx yyyy zzzz awww bxxx cyyy dzzz"))
+      .toDF("doc_id", "text")
+    val rows = CurationOps.curationFunnel(df, "text", "doc_id",
+      stopwords = Seq("the"), minTokens = 3, maxTokens = 50, minStops = 0,
+      prefixLen = 2, w = 2, benchMod = 10,
+      maxOverlapNum = 1, maxOverlapDen = 2, budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // no neardup row, original numbering, and the fuzzy dup SURVIVES
+    assert(rows.toSeq == Seq(
+      (0L, "raw", 2L), (1L, "quality", 2L), (2L, "dedup", 2L),
+      (3L, "decontaminated", 2L), (4L, "budget", 2L)))
+  }
+
   test("funnel on the corpus is monotone non-increasing and never empties stage 0") {
     val rows = CurationOps.curationFunnel(
       Tables.documents(spark, sf), "text", "doc_id",

@@ -38,6 +38,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q29_token_stats" -> 1L,
     // the funnels are ungrouped aggregates unioned: one zero-row per stage
     "q71_curation_funnel" -> 5L,
+    "q96_curation_funnel_neardup" -> 6L,
     "q75_conversion_funnel" -> 3L,
     // vocab coverage is a cross join of two ungrouped aggregates: one
     // all-zeros row (coverage_ratio 0.0 by the CASE) on both sides
