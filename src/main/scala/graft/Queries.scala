@@ -821,6 +821,25 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.minhashDedupDelta("documents",
         w = 3, nBands = 8, r = 2, minJaccard = 0.5, shardMod = 3))),
 
+    ("q97_minhash_delta_indexed",
+      // the SAME screen from the PERSISTED index artifacts instead of
+      // corpus text: band keys + shingle-hash sets are the only corpus
+      // inputs — the production ingest path. Verdicts are bit-identical
+      // to q79's text-scanning delta, so it shares that oracle (cap
+      // lifted: the indexed path has no degenerate-bucket cap).
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        DedupOps.minhashDeltaIndexed(
+          docs.filter(col("doc_id") % 3 === 0),
+          DedupOps.bandKeyIndex(corpus, "text", "doc_id"),
+          DedupOps.shingleHashSets(corpus, "text", "doc_id"),
+          "text", "doc_id", w = 3, nBands = 8, r = 2, minJaccard = 0.5)
+      },
+      Some(graft.sql.DedupSql.minhashDedupDelta("documents",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.5, shardMod = 3,
+        maxBucket = 1000000))),
+
     ("q80_cluster_topics",
       // make k-means cells human-auditable: trained-cell assignment joined
       // to the documents table, c-TF-IDF (rational idf) top terms per cell

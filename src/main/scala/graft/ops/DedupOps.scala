@@ -450,6 +450,78 @@ object DedupOps {
         array_distinct(transform(shingles(col("__toks"), w), s => hash28(s))).as("hs"))
   }
 
+  /** Shared core of the INDEX-consuming screens (batch
+    * [[minhashDeltaIndexed]] and streaming
+    * [[graft.streaming.StreamingOps.streamingNearDupScreen]]): per-row
+    * MAP-ONLY signatures over the incoming docs (family minima + distinct
+    * shingle-hash set as array expressions — no shuffle, no state), band
+    * keys joined against the PERSISTED [[bandKeyIndex]], candidates
+    * verified with exact hash-set Jaccard against the persisted
+    * [[shingleHashSets]]. Corpus text is never touched. `carry` columns
+    * (e.g. the stream's event-time) ride through untouched. Returns
+    * (doc_id, carry…, __cid, jaccard) — one row per verified candidate,
+    * multi-band collisions NOT deduplicated (a streaming distinct would
+    * be stateful; the callers' best-match aggregate collapses them). */
+  private[graft] def indexedScreenVerified(
+      docs: DataFrame, corpusIndex: DataFrame, corpusHashSets: DataFrame,
+      textCol: String, idCol: String, carry: Seq[String],
+      w: Int, nBands: Int, r: Int, minJaccard: Double): DataFrame = {
+    val k = nBands * r
+    val toksC = tokens(col(textCol))
+    val hsExpr = transform(shingles(col("__toks"), w), s => hash28(s))
+    val sigExpr = array((0 until k).map(j =>
+      array_min(transform(col("__hs"), h => minhashMember(j, h)))): _*)
+    val carryCols = carry.map(col)
+    val banded = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id") +: carryCols :+ toksC.as("__toks"): _*)
+      // same gate as the batch signature pipeline: docs under w tokens
+      // carry no shingles and screen nothing
+      .filter(size(col("__toks")) >= w)
+      .withColumn("__hs", array_distinct(hsExpr))
+      .withColumn("__sig", sigExpr)
+      .select(col("doc_id") +: carryCols ++: Seq(col("__hs"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("__sig"), b, r).as("bh"))): _*))
+          .as("bb")): _*)
+      .select(col("doc_id") +: carryCols ++: Seq(col("__hs"),
+        col("bb.band").as("band"), col("bb.bh").as("bh")): _*)
+    banded
+      .join(corpusIndex.select(col("id").as("__cid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .join(corpusHashSets.select(col("id").as("__cid"), col("hs").as("__chs")),
+        Seq("__cid"))
+      .select(col("doc_id") +: carryCols ++: Seq(col("__cid"),
+        hashSetJaccard(col("__hs"), col("__chs")).as("jaccard")): _*)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** INDEXED incremental near-dup screen: [[minhashDedupDelta]]'s verdicts
+    * from the PERSISTED index artifacts ([[bandKeyIndex]] +
+    * [[shingleHashSets]]) instead of corpus text — the batch half of the
+    * production ingest story, result-identical to the text-scanning delta
+    * for the same inputs (spec-pinned across a parquet write/reload
+    * boundary). The only per-screen corpus cost is the index join: nBands
+    * small ints plus one compact hash array per corpus doc, appended as
+    * shards land, never rebuilt. (The text path's `maxBucket` degenerate
+    * cap does not apply here — index bucket fan-out bounds the join; cap
+    * mass-duplication corpora with exact dedup before indexing.)
+    * Returns (doc_id, near_dup_of, jaccard), ordered by doc_id. */
+  def minhashDeltaIndexed(
+      newDocs: DataFrame, corpusIndex: DataFrame, corpusHashSets: DataFrame,
+      textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minJaccard: Double = 0.5): DataFrame =
+    indexedScreenVerified(newDocs, corpusIndex, corpusHashSets,
+      textCol, idCol, Nil, w, nBands, r, minJaccard)
+      // best match per doc: max (jaccard, -cid) = highest similarity,
+      // lowest corpus id on ties — the text delta's row_number order
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("__cid")).as("__ncid"))).as("best"))
+      .select(col("doc_id"), (-col("best.__ncid")).as("near_dup_of"),
+        col("best.jaccard").as("jaccard"))
+      .orderBy("doc_id")
+
   /** Connected components over a near-duplicate pair graph: every doc gets
     * the MINIMUM doc id of its component as `cluster_id` — the step a
     * dedup pipeline runs after pair generation to pick one survivor per

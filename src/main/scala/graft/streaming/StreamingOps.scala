@@ -138,47 +138,71 @@ object StreamingOps {
       textCol: String, idCol: String, tsCol: String, watermarkDelay: String,
       w: Int = 3, nBands: Int = 8, r: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
-    import graft.functions.TextHash._
-    val k = nBands * r
-    val toks = tokens(col(textCol))
-    // per-row signature: hash each distinct shingle once, then take the
-    // k family minima — array expressions, no shuffle, no state
-    val hs = transform(shingles(col("__toks"), w), s => hash28(s))
-    val sig = array((0 until k).map(j =>
-      array_min(transform(col("__hs"), h => minhashMember(j, h)))): _*)
-    val banded = newDocs
+    // watermark first, then the SHARED indexed-screen core
+    // ([[graft.ops.DedupOps.indexedScreenVerified]] — the same map-only
+    // signature + index joins + hash-set verify the batch
+    // [[graft.ops.DedupOps.minhashDeltaIndexed]] runs); the event time
+    // rides through as a carry column into the final watermark-bounded
+    // aggregation, the screen's only streaming state
+    val marked = newDocs
       .filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
-      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), toks.as("__toks"))
-      // same gate as the batch pipeline: docs under w tokens carry no
-      // shingles and screen nothing
-      .filter(size(col("__toks")) >= w)
-      .withColumn("__hs", array_distinct(hs))
-      .withColumn("__sig", sig)
-      .select(col("doc_id"), col("__ts"), col("__hs"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"), bandHash(col("__sig"), b, r).as("bh"))): _*))
-          .as("bb"))
-      .select(col("doc_id"), col("__ts"), col("__hs"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val candidates = banded
-      .join(corpusIndex.select(col("id").as("__cid"),
-        col("band"), col("bh")), Seq("band", "bh"))
-    val verified = candidates
-      .join(corpusHashSets.select(col("id").as("__cid"), col("hs").as("__chs")),
-        Seq("__cid"))
-      .select(col("doc_id"), col("__ts"), col("__cid"),
-        graft.ops.DedupOps.hashSetJaccard(col("__hs"), col("__chs")).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-    // best match per doc: multi-band duplicates collapse into the max;
-    // the struct max orders by (jaccard, -cid) = highest similarity,
-    // lowest corpus id on ties — the batch screen's row_number order
-    verified
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), col(textCol))
+    graft.ops.DedupOps.indexedScreenVerified(
+      marked, corpusIndex, corpusHashSets, textCol, "doc_id", Seq("__ts"),
+      w, nBands, r, minJaccard)
+      // best match per doc: multi-band duplicates collapse into the max;
+      // the struct max orders by (jaccard, -cid) = highest similarity,
+      // lowest corpus id on ties — the batch screen's row_number order
       .groupBy(col("__ts"), col("doc_id"))
       .agg(max(struct(col("jaccard"), (-col("__cid")).as("__ncid"))).as("best"))
       .select(col("doc_id"), (-col("best.__ncid")).as("near_dup_of"),
         col("best.jaccard").as("jaccard"))
   }
+
+  /** PRODUCTION ingest loop for the persisted near-dup index: a
+    * `foreachBatch` writer that screens each micro-batch against the
+    * on-disk [[graft.ops.DedupOps.bandKeyIndex]] +
+    * [[graft.ops.DedupOps.shingleHashSets]] artifacts and APPENDS the
+    * accepted (non-duplicate) docs' keys and hash sets, so every later
+    * micro-batch screens against everything accepted before it — the
+    * growing-corpus semantics the stream-static join of
+    * [[streamingNearDupScreen]] cannot express (its static side is
+    * re-read per batch but never grows mid-query from the stream itself).
+    *
+    * Layout contract: both dirs are hive-partitioned by micro-batch
+    * (`batch=<id>` subdirs); the SEED corpus index must be written the
+    * same way (e.g. `batch=-1`) so partition discovery stays consistent.
+    * Each batch OVERWRITES its own partition — a retried micro-batch
+    * rewrites the same files instead of double-appending (idempotent
+    * recovery, the exactly-once discipline foreachBatch demands).
+    * Within-batch near-dups are NOT screened against each other (same
+    * corpus-vs-shard contract as [[graft.ops.DedupOps.minhashDedupDelta]];
+    * run the pair path inside the batch if intra-shard dups matter).
+    * `onBatch(accepted, blocked, batchId)` exposes both verdict frames
+    * per batch for downstream sinks. */
+  def nearDupIngest(
+      docs: DataFrame, indexDir: String, hashSetsDir: String,
+      textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2, minJaccard: Double = 0.5,
+      onBatch: (DataFrame, DataFrame, Long) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      // the micro-batch feeds the screen and the accepted anti join —
+      // pin it once instead of recomputing the source per consumer
+      val b = batch.localCheckpoint()
+      val blocked = graft.ops.DedupOps.minhashDeltaIndexed(
+        b, spark.read.parquet(indexDir), spark.read.parquet(hashSetsDir),
+        textCol, idCol, w, nBands, r, minJaccard).localCheckpoint()
+      val accepted = b.join(blocked.select(col("doc_id").as("__bid")),
+        col(idCol) === col("__bid"), "left_anti")
+      graft.ops.DedupOps.bandKeyIndex(accepted, textCol, idCol, w, nBands, r)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      graft.ops.DedupOps.shingleHashSets(accepted, textCol, idCol, w)
+        .write.mode("overwrite").parquet(s"$hashSetsDir/batch=$batchId")
+      onBatch(accepted, blocked, batchId)
+    }
 
   /** Stream-stream INTERVAL join: pair each `right`-stream event with the
     * same-key `left`-stream events that happened at most `maxDelaySeconds`

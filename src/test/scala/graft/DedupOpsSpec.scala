@@ -10,6 +10,72 @@ class DedupOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private def docs = Tables.documents(spark, sf)
 
+  test("indexed screen from reloaded parquet artifacts is bit-identical to the text delta") {
+    // the production claim behind bandKeyIndex + shingleHashSets: write
+    // the index, drop every in-memory frame, RELOAD in a fresh read, and
+    // the indexed screen must reproduce minhashDedupDelta's verdicts
+    // bit-for-bit. Runs over the real corpus: every 3rd doc is the shard.
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val shard = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    graft.io.Sinks.writeParquet(
+      DedupOps.bandKeyIndex(corpus, "text", "doc_id"), s"$dir/index")
+    graft.io.Sinks.writeParquet(
+      DedupOps.shingleHashSets(corpus, "text", "doc_id"), s"$dir/hashsets")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val text = verdicts(DedupOps.minhashDedupDelta(
+      shard, corpus, "text", "doc_id", w = 3, nBands = 8, r = 2, minJaccard = 0.5))
+    val inMemIndexed = verdicts(DedupOps.minhashDeltaIndexed(
+      shard,
+      DedupOps.bandKeyIndex(corpus, "text", "doc_id"),
+      DedupOps.shingleHashSets(corpus, "text", "doc_id"),
+      "text", "doc_id", w = 3, nBands = 8, r = 2, minJaccard = 0.5))
+    val reloaded = verdicts(DedupOps.minhashDeltaIndexed(
+      shard,
+      spark.read.parquet(s"$dir/index"),
+      spark.read.parquet(s"$dir/hashsets"),
+      "text", "doc_id", w = 3, nBands = 8, r = 2, minJaccard = 0.5))
+    assert(text.nonEmpty, "the corpus must contain cross-shard near-dups")
+    assert(inMemIndexed == text, "indexed screen must equal the text delta")
+    assert(reloaded == text, "verdicts must survive the write/reload boundary bit-identically")
+  }
+
+  test("appended index shards screen later arrivals without touching earlier artifacts") {
+    import spark.implicits._
+    // corpus epoch 0 indexed; a shard arrives, its accepted docs append
+    // as epoch 1; a later doc duplicating an EPOCH-1 doc must be caught
+    // by reading the partitioned index dirs as one relation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndappend").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    val epoch1 = Seq(
+      (20L, "completely novel sentence about catalyst physical planning"))
+      .toDF("doc_id", "text")
+    DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=-1")
+    DedupOps.shingleHashSets(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=-1")
+    DedupOps.bandKeyIndex(epoch1, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=0")
+    DedupOps.shingleHashSets(epoch1, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=0")
+    val late = Seq(
+      (30L, "completely novel sentence about catalyst physical planning"),
+      (31L, "the quick brown fox jumps over the lazy dog tonight"),
+      (32L, "nothing here resembles any indexed document at all"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.minhashDeltaIndexed(late,
+      spark.read.parquet(s"$dir/index"),
+      spark.read.parquet(s"$dir/hashsets"),
+      "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((30L, 20L, 1.0), (31L, 10L, 1.0)),
+      s"both epochs must screen, the novel doc must pass: $out")
+  }
+
   test("exactDedup keeps the minimum id per key and drops the rest") {
     import spark.implicits._
     val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "a")).toDF("id", "k")

@@ -167,6 +167,89 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("near-dup screen drops docs older than the watermark instead of half-screening them") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+    val hashSets = graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.streamingNearDupScreen(
+      in.toDF().toDF("doc_id", "text", "ts"),
+      index, hashSets, "text", "doc_id", "ts", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup_late")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to 5000
+      in.addData((1L, "the quick brown fox jumps over the lazy dog tonight", ts(5000)))
+      q.processAllAvailable()
+      // batch 2: an exact corpus dup, but event-time 100 — older than the
+      // watermark. The Append-mode contract says late rows are DROPPED
+      // before the aggregation, not emitted half-screened.
+      in.addData((2L, "the quick brown fox jumps over the lazy dog tonight", ts(100)))
+      q.processAllAvailable()
+      // close the remaining open group
+      in.addData((99L, "w a t e r m a r k advance sentinel", ts(20000)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, near_dup_of, jaccard FROM neardup_late ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, 10L, 1.0)),
+        s"in-time doc screens, late doc is dropped entirely: $got")
+    } finally q.stop()
+  }
+
+  test("near-dup ingest appends accepted survivors so the next micro-batch screens against them") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndingest").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    // seed epoch follows the layout contract: hive batch=<id> partitions
+    graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=-1")
+    graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=-1")
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Long], Seq[(Long, Long)])]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupIngest(
+      in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/hashsets", "text", "doc_id",
+      onBatch = (accepted, blocked, id) => results.synchronized {
+        results += ((id,
+          accepted.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+          blocked.select("doc_id", "near_dup_of").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted))
+      }).start()
+    try {
+      // batch 1: one corpus dup (blocked), one novel doc (accepted+appended)
+      in.addData(
+        (20L, "the quick brown fox jumps over the lazy dog tonight"),
+        (21L, "completely novel sentence about catalyst physical planning"))
+      q.processAllAvailable()
+      // batch 2: duplicates the batch-1 SURVIVOR — only catchable if the
+      // survivor's keys were appended to the persisted index
+      in.addData(
+        (30L, "completely novel sentence about catalyst physical planning"),
+        (31L, "another entirely fresh document about shuffle partitions"))
+      q.processAllAvailable()
+      val byId = results.sortBy(_._1).toSeq
+      assert(byId.map(_._1) == Seq(0L, 1L))
+      assert(byId(0)._2 == Seq(21L) && byId(0)._3 == Seq((20L, 10L)),
+        s"batch 0 verdicts: ${byId(0)}")
+      assert(byId(1)._2 == Seq(31L) && byId(1)._3 == Seq((30L, 21L)),
+        s"batch 1 must block the dup of the batch-0 survivor: ${byId(1)}")
+      // and the index now carries every accepted epoch
+      val indexed = spark.read.parquet(s"$dir/index")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(10L, 21L, 31L))
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions when the watermark passes the gap") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
