@@ -130,8 +130,9 @@ object DedupOps {
     // absent filter and "never seen" are the same statement
     val maybeSeen: Column = if (corpusKeys.isEmpty) lit(false) else {
       val bloom = corpusKeys.stat.bloomFilter("__k", expectedKeys, fpp)
-      val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-      udf((k: String) => bc.value.mightContainString(k)).apply(col("__k"))
+      // codegen probe, not a ScalaUDF: the sketch rides the (per-stage
+      // broadcast) task binary and the delta path stays interpreter-free
+      graft.functions.BloomProbe.probe(col("__k"), bloom)
     }
     val shard = newDocs
       .filter(col(keyCol).isNotNull)

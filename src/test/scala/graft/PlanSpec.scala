@@ -149,6 +149,23 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from the (band, bh) bucket shuffle:\n${plan.take(600)}")
   }
 
+  test("bloom incremental dedup: the probe is codegen, no ScalaUDF row boundary") {
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.{col, concat_ws, slice}
+    val keyed = docs.filter(col("text").isNotNull)
+      .withColumn("k", concat_ws(" ",
+        slice(graft.functions.TextHash.tokens(col("text")), 1, 8)))
+    val plan = graft.ops.DedupOps.exactDedupDeltaBloom(
+      keyed.filter(col("doc_id") % 3 === 0),
+      keyed.filter(col("doc_id") % 3 =!= 0),
+      "k", "doc_id", expectedKeys = 1000L, fpp = 0.03)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"),
+      s"the bloom probe must not plan a ScalaUDF:\n${plan.take(800)}")
+    assert(plan.contains("bloomprobe") || plan.contains("BloomProbe"),
+      s"the codegen probe expression must appear in the plan:\n${plan.take(800)}")
+  }
+
   test("strided segment dedup: window frequency shuffles on window text, no cartesian") {
     val plan = graft.ops.DedupOps.segmentDedupStrided(
       Tables.documents(spark, sf), "text", "doc_id",
