@@ -1,10 +1,20 @@
 package graft
-/** Driver-run benchmark: warmup pass + best-of-2 timed passes over the whole
-  * query catalog; prints ONE JSON line. */
+/** Driver-run benchmark: warmup pass + MEDIAN of 3 timed passes over the
+  * whole query catalog; prints the per-query JSON line plus a compact
+  * trailer, and writes `BENCH_SUMMARY.json` itself so the numbers never
+  * depend on how much stdout the driver's tail capture kept.
+  *
+  * Median, not best-of: best-of-N systematically under-reports (it keeps
+  * whichever pass dodged every GC pause) and cannot distinguish a real
+  * 0.2 s regression from one noisy pass. The median of three is robust to
+  * a single outlier pass in either direction and makes round-over-round
+  * drifts diagnosable (median vs median). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
+    val nPasses = 3
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     // Materialize through the `noop` sink, NOT `.count()`: count() lets
     // Catalyst prune every payload column (a simhash/fingerprint query would
@@ -18,17 +28,19 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
-    // Best-of-2 timed passes: one GC pause / scheduling hiccup should not
-    // define a query's reported steady-state latency.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val passes = Seq.fill(nPasses)(timedPass())
+    // per-query median across passes (middle of the sorted three)
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> passes.map(_(name)).sorted.apply(nPasses / 2)
+    }.toMap
+    def jnum(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jnum(results.toSeq)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // The driver captures a bounded TAIL of stdout; with 90+ queries the line
@@ -36,8 +48,16 @@ object Bench {
     // compact summary LAST so the tail always carries the totals + the
     // slowest-10 queries, whatever the catalog size.
     val slowest = results.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_last","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_last","value":$total,"unit":"sec","n_queries":${results.size},"slowest":${jnum(slowest)},"sf":"$sfDir"}""")
+    // Self-reported artifact: the full numbers, written by the harness —
+    // stdout truncation can no longer lose data ("parsed": null in the
+    // driver's capture stops mattering).
+    val summary =
+      s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses",""" +
+        s""""total":$total,"n_queries":${results.size},""" +
+        s""""slowest":${jnum(slowest)},""" +
+        s""""queries":${jnum(results.toSeq.sortBy(_._1))}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(summaryPath), summary + "\n")
     spark.stop()
   }
 }

@@ -27,9 +27,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleBench {
 
-  /** One measured point for one query: corpus rows at that scale factor
-    * and the query's wall seconds. */
-  final case class Point(rows: Long, sec: Double)
+  /** One measured point for one query: corpus rows at that scale factor,
+    * the query's wall seconds, and whether it actually SUCCEEDED — a
+    * crashed query's time-to-failure is not a measurement, and silently
+    * classifying it (a fast OOM looks sublinear!) would mask exactly the
+    * scale regressions this harness exists to catch. */
+  final case class Point(rows: Long, sec: Double, ok: Boolean = true)
 
   /** Pure classifier (spec-pinned in `ScaleBenchSpec`): flag queries whose
     * top-pair time growth exceeds `allowance ×` the rows growth.
@@ -40,6 +43,10 @@ object ScaleBench {
     *     scale (the next decade of scale points would catch it).
     *   - points may arrive in any order; only the two largest-rows points
     *     are used. Fewer than two points above zero rows → not flagged.
+    *   - FAILED points (`ok = false`) are excluded before pairing: a
+    *     crash is surfaced separately (main's `failures` field), never
+    *     ratioed — with fewer than two surviving points the query is
+    *     unclassifiable rather than silently linear.
     *
     * Returns (query, timeRatio / rowsRatio) for flagged queries — the
     * "growth excess", 1.0 meaning exactly-proportional growth. */
@@ -48,9 +55,9 @@ object ScaleBench {
       allowance: Double = 1.5,
       noiseFloorSec: Double = 0.5): Seq[(String, Double)] = {
     byQuery.toSeq.flatMap { case (name, pts) =>
-      val top = pts.sortBy(_.rows).takeRight(2)
+      val top = pts.filter(_.ok).sortBy(_.rows).takeRight(2)
       top match {
-        case Seq(Point(r1, t1), Point(r2, t2))
+        case Seq(Point(r1, t1, _), Point(r2, t2, _))
             if r2 > r1 && r1 > 0 && t2 >= noiseFloorSec =>
           val rowsRatio = r2.toDouble / r1
           // guard t1 by the per-job floor: a 5 ms small-point time would
@@ -72,15 +79,25 @@ object ScaleBench {
     tables.map(t => spark.read.parquet(s"$dir/$t.parquet").count()).sum
 
   /** Timed pass of the named queries against one scale dir (noop sink —
-    * full row production, zero write cost, same contract as [[Bench]]). */
+    * full row production, zero write cost, same contract as [[Bench]]).
+    * Returns (seconds, succeeded) per query: a crash is RECORDED, logged
+    * to stderr, and excluded from classification — never swallowed into
+    * a bogus time-to-failure measurement. */
   def timedPass(spark: SparkSession, dir: String,
-      names: Seq[String]): Map[String, Double] =
+      names: Seq[String]): Map[String, (Double, Boolean)] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[scalebench] $name FAILED at $dir: " +
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")
+                .linesIterator.take(1).mkString}")
+            false
+        }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }.toMap
 
   /** Run the catalog over `dirs` (ascending scale), returning per-query
@@ -95,7 +112,9 @@ object ScaleBench {
       (d, rows, timedPass(spark, d, names))
     }
     names.map { n =>
-      n -> byDir.map { case (_, rows, times) => Point(rows, times(n)) }
+      n -> byDir.map { case (_, rows, times) =>
+        Point(rows, times(n)._1, times(n)._2)
+      }
     }.toMap
   }
 
@@ -111,7 +130,12 @@ object ScaleBench {
     val spark = GraftSession.local(cores = cpus, appName = "graft-scalebench")
 
     val points = runScale(spark, dirs, names)
-    val rowsByDir = dirs.map(d => d -> corpusRows(spark, d)).toMap
+    // rows were already counted once per dir inside runScale and ride in
+    // every Point — reuse them instead of re-running the count jobs
+    val rowsByDir =
+      if (names.nonEmpty)
+        dirs.indices.map(i => dirs(i) -> points(names.head)(i).rows).toMap
+      else dirs.map(d => d -> corpusRows(spark, d)).toMap
 
     def jmap(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -123,18 +147,24 @@ object ScaleBench {
     }
     val flagged = flagSuperlinear(points)
     val growth = jmap(names.map { n =>
-      val top = points(n).sortBy(_.rows).takeRight(2)
+      val top = points(n).filter(_.ok).sortBy(_.rows).takeRight(2)
       val g = top match {
-        case Seq(Point(r1, t1), Point(r2, t2)) if r1 > 0 && r2 > r1 =>
+        case Seq(Point(r1, t1, _), Point(r2, t2, _)) if r1 > 0 && r2 > r1 =>
           (t2 / math.max(t1, 0.05)) / (r2.toDouble / r1)
         case _ => 0.0
       }
       n -> f"$g%.4f".toDouble.toString
     })
+    // surfaced, not swallowed: every (query, dir) whose measured pass
+    // crashed — these points were excluded from classification above
+    val failures = names.flatMap(n => points(n).zipWithIndex.collect {
+      case (p, i) if !p.ok => s"""{"query":"$n","sf":"${dirs(i)}"}"""
+    })
     val verdict = s"""{"metric":"scale","dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""rows":${jmap(dirs.map(d => d -> rowsByDir(d).toString))},""" +
       s""""growth_excess":$growth,""" +
       s""""superlinear":${flagged.map { case (n, e) => s"""{"query":"$n","excess":$e}""" }.mkString("[", ",", "]")},""" +
+      s""""failures":${failures.mkString("[", ",", "]")},""" +
       s""""n_queries":${names.size}}"""
     println(verdict)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), verdict + "\n")

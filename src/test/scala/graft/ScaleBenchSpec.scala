@@ -51,6 +51,26 @@ class ScaleBenchSpec extends AnyFunSuite {
     assert(blowup.map(_._1) == Seq("q"))
   }
 
+  test("failed measurements are excluded from classification, not ratioed") {
+    // a crash at the TOP point: its time-to-failure (fast OOM) must not
+    // be classified — one surviving point cannot pair, so no flag
+    val crashTop = Map("q_crash_top" -> Seq(
+      Point(600_000L, 0.5), Point(6_000_000L, 0.1, ok = false)))
+    assert(ScaleBench.flagSuperlinear(crashTop).isEmpty)
+    // a crash at the MIDDLE point: the pair falls back to the remaining
+    // ok points (60k, 6M), whose ratio classifies honestly
+    val crashMid = Map("q_crash_mid" -> Seq(
+      Point(60_000L, 0.30), Point(600_000L, 0.05, ok = false),
+      Point(6_000_000L, 20.0)))
+    assert(ScaleBench.flagSuperlinear(crashMid).isEmpty,
+      "20/0.3 ≈ 67 < 1.5 × 100 over the surviving pair")
+    // and a genuine blowup among the surviving points still flags
+    val blowup = Map("q_blowup" -> Seq(
+      Point(60_000L, 0.30, ok = false), Point(600_000L, 0.50),
+      Point(6_000_000L, 20.0)))
+    assert(ScaleBench.flagSuperlinear(blowup).map(_._1) == Seq("q_blowup"))
+  }
+
   test("degenerate inputs (one point, equal rows, zero rows) are not flagged") {
     val pts = Map(
       "one_point" -> Seq(Point(1000L, 5.0)),
