@@ -1,0 +1,110 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ABSOLUTE recall measurement for the ANN family — the number the
+  * relative specs cannot give: multi-probe ≥ single-probe and
+  * refinement-monotone are ordering guarantees, but whether IVF@nprobe=3
+  * means recall 0.4 or 0.9 at the catalog's own parameters is an
+  * empirical fact of the data. This main measures recall@k against
+  * [[graft.ops.SimilarityOps.annBruteForce]] ground truth for every
+  * approximate method, AT THE EXACT CATALOG PARAMETERS of its gate query,
+  * and writes the committed `RECALL.json` artifact (`RecallBenchSpec`
+  * asserts the committed numbers regenerate bit-identically — recall is a
+  * deterministic function of the deterministic index structures).
+  *
+  * Macro-averaged recall@k: per query, |approx ∩ truth| / |truth|; a
+  * query the approximate method returns NOTHING for counts 0 — silent
+  * misses are precisely what the number must expose. */
+object RecallBench {
+
+  final case class MethodRecall(method: String, recall: Double, nQueries: Int)
+
+  /** (query → neighbor set) from a ranked ANN result frame. */
+  private[graft] def topk(df: DataFrame, qCol: String, nCol: String): Map[Long, Set[Long]] =
+    df.select(qCol, nCol).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  /** Macro-averaged recall@k of `approx` against exact `truth` (summed in
+    * query-id order — bit-reproducible double arithmetic). */
+  private[graft] def recallAtK(
+      truth: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double =
+    if (truth.isEmpty) 0.0
+    else truth.toSeq.sortBy(_._1).map { case (q, t) =>
+      if (t.isEmpty) 1.0
+      else approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+
+  /** Measure every approximate method at its gate query's parameters. */
+  def compute(spark: SparkSession, dir: String): Seq[MethodRecall] = {
+    // one read feeds 3 ground truths + 7 methods
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val id = "vec_id"; val v = "embedding"
+    // ground truths, one per (queryMod, k) the catalog uses
+    val bf20k5 = topk(SimilarityOps.annBruteForce(emb, id, v, queryMod = 20, k = 5),
+      "query_id", "neighbor_id")
+    val bf40k5 = topk(SimilarityOps.annBruteForce(emb, id, v, queryMod = 40, k = 5),
+      "query_id", "neighbor_id")
+    val bfAllk3 = topk(SimilarityOps.annBruteForce(emb, id, v, queryMod = 1, k = 3),
+      "query_id", "neighbor_id")
+    def m(name: String, truth: Map[Long, Set[Long]], df: DataFrame,
+        qCol: String = "query_id"): MethodRecall =
+      MethodRecall(name, recallAtK(truth, topk(df, qCol, "neighbor_id")), truth.size)
+    Seq(
+      m("ann_lsh[q25:planes=4,mod=20,k=5]", bf20k5,
+        SimilarityOps.annLsh(emb, id, v, queryMod = 20, k = 5, nPlanes = 4, dim = 64)),
+      m("ann_lsh_multiprobe[q38:planes=6,mod=40,k=5]", bf40k5,
+        SimilarityOps.annLshMultiProbe(emb, id, v, queryMod = 40, k = 5, nPlanes = 6, dim = 64)),
+      m("ann_ivf[q33:cmod=50,mod=40,k=5]", bf40k5,
+        SimilarityOps.annIvf(emb, id, v, centroidMod = 50, queryMod = 40, k = 5)),
+      m("ann_ivf_multiprobe[q46:nprobe=3,mod=40,k=5]", bf40k5,
+        SimilarityOps.annIvfMultiProbe(emb, id, v,
+          centroidMod = 50, queryMod = 40, k = 5, nprobe = 3)),
+      m("pq_ann[q51:m=2,ksub=4,iters=2,mod=40,k=5]", bf40k5,
+        SimilarityOps.pqAnn(emb, id, v, dim = 64, m = 2, ksub = 4, iters = 2,
+          queryMod = 40, k = 5)),
+      m("knn_graph[q83:cmod=50,k=3]", bfAllk3,
+        SimilarityOps.knnGraph(emb, id, v, centroidMod = 50, kNbrs = 3), qCol = "vec_id"),
+      m("knn_graph_refined[cmod=50,k=3,rounds=2]", bfAllk3,
+        SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
+          rounds = 2), qCol = "vec_id"),
+      // the same machinery at RECALL-oriented parameters (the gate params
+      // above are sized for oracle-checkable outputs, not recall): fewer
+      // planes = bigger LSH buckets, more probes = more lists scanned,
+      // more/finer PQ codebooks = finer distance resolution — the knobs a
+      // production deployment turns
+      m("ann_lsh_multiprobe[scaled:planes=2,mod=40,k=5]", bf40k5,
+        SimilarityOps.annLshMultiProbe(emb, id, v, queryMod = 40, k = 5, nPlanes = 2, dim = 64)),
+      m("ann_ivf_multiprobe[scaled:nprobe=10,mod=40,k=5]", bf40k5,
+        SimilarityOps.annIvfMultiProbe(emb, id, v,
+          centroidMod = 50, queryMod = 40, k = 5, nprobe = 10)),
+      m("pq_ann[scaled:m=8,ksub=16,iters=2,mod=40,k=5]", bf40k5,
+        SimilarityOps.pqAnn(emb, id, v, dim = 64, m = 8, ksub = 16, iters = 2,
+          queryMod = 40, k = 5)))
+  }
+
+  /** The committed artifact's exact text (4-dp recall — stable across
+    * regenerations; shared with `RecallBenchSpec`). */
+  def render(dir: String, rs: Seq[MethodRecall]): String = {
+    val body = rs.map(r =>
+      s"""  {"method":"${r.method}","recall":${f"${r.recall}%.4f"},"n_queries":${r.nQueries}}""")
+      .mkString(",\n")
+    s"""{"metric":"ann_recall","truth":"annBruteForce","sf":"$dir",""" +
+      s""""note":"[qNN:...] rows use the correctness gate's exact parameters (sized for oracle-checkable outputs); [scaled:...] rows turn the recall knobs a production deployment would",""" +
+      s""""methods":[\n$body\n]}\n"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (args.length > 1) args(1) else "RECALL.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cores = cpus, appName = "graft-recall")
+    val out = render(dir, compute(spark, dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out)
+    print(out)
+    spark.stop()
+  }
+}
