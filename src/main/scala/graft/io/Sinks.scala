@@ -38,4 +38,26 @@ object Sinks {
   /** Distributed headered CSV export (one file per partition). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JDBC write-back — the sink half of the S1 source (the engine could
+    * read a database but not publish results back to one). Each write
+    * partition opens its own connection and inserts in `batchSize`-row
+    * batches; `numPartitions` caps concurrent connections (the writer
+    * coalesces to it), which is the knob that keeps a 1000-executor job
+    * from opening 1000 sessions against one database. `overwrite`
+    * recreates the table (report-publishing); `append` adds rows
+    * (incremental fact loads). */
+  def writeJdbc(
+      df: DataFrame, url: String, table: String,
+      mode: String = "append", user: String = "", password: String = "",
+      numPartitions: Int = 8, batchSize: Int = 1000): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+    val authed =
+      if (user.nonEmpty) w.option("user", user).option("password", password) else w
+    authed.mode(mode).save()
+  }
 }

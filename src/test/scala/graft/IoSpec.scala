@@ -129,6 +129,25 @@ class IoSpec extends AnyFunSuite {
     assert(got.forall(_.getString(0) != null)) // not-null filter applied DB-side
   }
 
+  test("jdbc sink: write-back round-trips against an embedded Derby database") {
+    import spark.implicits._
+    val home = Files.createTempDirectory("graft_derby_sink").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/db;create=true"
+    val df = (1 to 50).map(i => (i.toLong, s"name$i", i * 2.5)).toDF("id", "name", "score")
+    graft.io.Sinks.writeJdbc(df, url, "scores", mode = "overwrite", numPartitions = 2)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "scores").load()
+    assert(back.count() == 50)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      (1 to 50).map(i => (i.toLong, s"name$i", i * 2.5)))
+    // append mode adds rows instead of recreating
+    graft.io.Sinks.writeJdbc(df, url, "scores", mode = "append", numPartitions = 2)
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "scores").load().count() == 100)
+  }
+
   test("distributed csv export writes one headered file per partition") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv_dist").toString + "/export"
