@@ -87,7 +87,10 @@ object CurationOps {
     // list would change cluster structure), connected components, keep
     // the lowest doc id per cluster. Docs in no pair are singletons and
     // survive. Adds the stages' only iterative step; every round is one
-    // shuffle join + aggregate, no driver-side data.
+    // shuffle join + aggregate, no driver-side data. Measured cost at
+    // sf0.1: ~5.7 s enabled vs ~1.5 s disabled — almost exactly the
+    // standalone pairs+clustering queries' cost added to the base
+    // funnel; the stage's cost IS the stage.
     val s2b =
       if (ndBands <= 0) s2
       else {

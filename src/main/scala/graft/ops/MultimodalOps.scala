@@ -728,6 +728,38 @@ object MultimodalOps {
     }.toDF("media_id", "frame_no", "frame_png", "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL video frame-rate downsample — [[resampleAudioMedia]]'s video
+    * sibling: parse the AVI, keep every (fps/targetFps)-th frame (plain
+    * integer decimation — deterministic and exactly recomputable),
+    * re-encode at the target rate, and rewrite the metadata from the
+    * DECODED container. `targetFps` must divide the decoded fps — a
+    * decodable clip whose rate is not divisible throws loudly, same
+    * contract as the audio path. Wall-clock duration is preserved: 1/f
+    * of the frames at 1/f of the rate. Undecodable payloads pass
+    * through unchanged. */
+  def resampleVideoMedia(media: Dataset[MediaRow], targetFps: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetFps >= 1, s"bad target fps: $targetFps")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAvi(r.content) match {
+          case Some(v) =>
+            if (v.fps % targetFps != 0)
+              throw new IllegalArgumentException(
+                s"target fps $targetFps does not divide decoded fps ${v.fps} " +
+                  s"for media ${r.mediaId}: integer decimation cannot resample this clip")
+            val factor = v.fps / targetFps
+            val n = (v.frames.length + factor - 1) / factor
+            val kept = Array.tabulate(n)(i => v.frames(i * factor))
+            r.copy(content = encodeAvi(v.width, v.height, targetFps, kept.toIndexedSeq),
+              meta = r.meta.copy(format = "avi", width = v.width, height = v.height,
+                durationMs = kept.length.toLong * 1000 / targetFps))
+          case None => r
+        }
+      }
+    }
+  }
+
   /** Frame-sampling summary — the oracle-checked entry point for
     * [[sampleFrames]]'s fan-out path: every `stride`-th `frameSize`-byte
     * window of each payload gets the engine's rolling checksum, aggregated

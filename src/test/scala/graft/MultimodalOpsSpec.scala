@@ -283,6 +283,35 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleVideoMedia really decimates decoded frames and re-encodes AVI") {
+    val media = MultimodalOps.videoCorpus(spark, Tables.documents(spark, sf).limit(12))
+    val src = media.collect().map(m => m.mediaId -> m).toMap
+    // fps is 10..12 across the corpus; 1 divides all of them
+    val out = MultimodalOps.resampleVideoMedia(media, targetFps = 1).collect()
+    assert(out.length == src.size)
+    out.foreach { r =>
+      val v = MultimodalOps.decodeAvi(r.content).get
+      val orig = MultimodalOps.decodeAvi(src(r.mediaId).content).get
+      assert(v.fps == 1 && v.width == orig.width && v.height == orig.height)
+      // plain decimation: every fps-th source frame, bit-exact rasters
+      val expected = orig.frames.indices.collect {
+        case i if i % orig.fps == 0 => orig.frames(i).toSeq
+      }.toSeq
+      assert(v.frames.map(_.toSeq).toSeq == expected)
+      assert(r.meta.durationMs == v.frames.length.toLong * 1000)
+    }
+    // non-divisible rate throws instead of silently passing through
+    val ex = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.resampleVideoMedia(media, targetFps = 7).collect()
+    }
+    assert(ex.getMessage != null)
+    // payloads the container parser cannot decode pass through unchanged
+    val img = MultimodalOps.imageCorpus(spark, Tables.documents(spark, sf).limit(3))
+    MultimodalOps.resampleVideoMedia(img, 1).collect().foreach { r =>
+      assert(MultimodalOps.decodeImage(r.content).isDefined, "image bytes untouched")
+    }
+  }
+
   test("resampleAudioMedia throws loudly when the target rate cannot be decimated to") {
     val media = MultimodalOps.audioCorpus(spark, Tables.documents(spark, sf).limit(3))
     val ex = intercept[org.apache.spark.SparkException] {

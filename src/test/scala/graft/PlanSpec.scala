@@ -149,6 +149,22 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from the (band, bh) bucket shuffle:\n${plan.take(600)}")
   }
 
+  test("indexed near-dup screen: no cartesian product, no interpreted row boundary") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val plan = graft.ops.DedupOps.minhashDeltaIndexed(
+      docs.filter(col("doc_id") % 3 === 0),
+      graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id"),
+      graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id"),
+      "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"index screening must never be all-pairs:\n${plan.take(600)}")
+    assert(!plan.contains("UDF"),
+      s"the whole screen must stay codegen:\n${plan.take(600)}")
+  }
+
   test("bloom incremental dedup: the probe is codegen, no ScalaUDF row boundary") {
     val docs = Tables.documents(spark, sf)
     import org.apache.spark.sql.functions.{col, concat_ws, slice}
