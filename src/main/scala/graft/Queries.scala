@@ -309,6 +309,24 @@ object Queries {
       Some(graft.sql.SimilaritySql.annIvfMultiProbe("embeddings",
         centroidMod = 50, queryMod = 40, k = 5, nprobe = 3, dim = 64))),
 
+    ("q98_ann_ivf_delta",
+      // ingest-time ANN from the PERSISTED IVF index artifacts (centroid
+      // relation + vector-bearing inverted lists): every 4th vector plays
+      // the arriving shard, probes its 3 nearest corpus lists, exact
+      // cosine top-k — the similarity sibling of q97's indexed screen
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", centroidMod = 50)
+        SimilarityOps.annIvfDelta(
+          emb.filter(col("vec_id") % 4 === 0),
+          cents,
+          SimilarityOps.ivfAssignments(corpus, "vec_id", "embedding", cents),
+          "vec_id", "embedding", k = 5, nprobe = 3)
+      },
+      Some(graft.sql.SimilaritySql.annIvfDelta("embeddings",
+        centroidMod = 50, shardMod = 4, k = 5, nprobe = 3, dim = 64))),
+
     ("q44_kmeans_centroids",
       // flat (cid, dim, mean, n_vecs) catalog shape — array columns cannot
       // be gate-compared (harness sorts columns; arrays are unhashable)

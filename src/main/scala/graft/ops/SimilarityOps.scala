@@ -407,6 +407,66 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** The k-sized centroid relation of a PERSISTED IVF index
+    * (deterministic id-residue centroids, [[annIvf]]'s convention) — with
+    * [[ivfAssignments]] these are the durable ANN artifacts of the
+    * production similarity-ingest design, the exact counterpart of the
+    * near-dup index pair ([[graft.ops.DedupOps.bandKeyIndex]] +
+    * [[graft.ops.DedupOps.shingleHashSets]]). */
+  def ivfCentroids(
+      emb: DataFrame, idCol: String, vecCol: String, centroidMod: Int): DataFrame =
+    emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+
+  /** The inverted-list relation of a PERSISTED IVF index: every corpus
+    * vector in exactly ONE list (nearest centroid, crk=1, cid tiebreak —
+    * [[annIvf]]'s assignment verbatim), the vector stored WITH its list
+    * so probes never re-read the corpus. Persist hive-partitioned by
+    * `cid` and probe scans prune to the probed lists. */
+  def ivfAssignments(
+      emb: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cv"))))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+  }
+
+  /** INGEST-time ANN from the PERSISTED index artifacts: each arriving
+    * vector ranks the broadcast centroid relation, probes its `nprobe`
+    * nearest lists in [[ivfAssignments]], and reports its exact-cosine
+    * top-k corpus neighbors — [[graft.ops.DedupOps.minhashDeltaIndexed]]'s
+    * similarity sibling (shard embeds, corpus only via its index; the
+    * corpus is never re-assigned per query batch).
+    *
+    * 100 TB shape: the probe fan-out lives on the SMALL broadcast shard
+    * side (shard × nprobe rows); the assignments relation is the big
+    * side and joins on its own `cid` — persisted partitioned by cid, the
+    * broadcast join prunes the scan to the probed lists (dynamic
+    * partition pruning), so screening cost follows list sizes, not
+    * corpus size. Returns (query_id, neighbor_id, cos, rk). */
+  def annIvfDelta(
+      newVecs: DataFrame, corpusCentroids: DataFrame, corpusAssignments: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = newVecs.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(corpusCentroids.select(col("cid"), col("cv"))))
+      .select(col("qid"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select(col("qid").as("query_id"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpusAssignments.select(col("id").as("neighbor_id"), col("v").as("nv"), col("cid"))
+      .join(broadcast(probes), "cid")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Multi-probe IVF: like [[annIvf]] but each query probes its `nprobe`
     * NEAREST centroids' inverted lists instead of only its own — the
     * standard IVF recall knob (recall rises toward brute force as nprobe →

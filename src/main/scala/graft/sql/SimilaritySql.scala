@@ -153,6 +153,33 @@ cand AS (SELECT q.query_id, a.id AS neighbor_id, ${cosSql("q.qv", "a.v", dim)} A
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
 SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.annIvfDelta]] over
+    * [[graft.ops.SimilarityOps.ivfCentroids]] +
+    * [[graft.ops.SimilarityOps.ivfAssignments]] with the shard split
+    * expressed as `vec_id % shardMod` (= 0 → arriving shard, ≠ 0 →
+    * indexed corpus): centroids are the corpus's id-residue set, every
+    * corpus vector sits in its crk=1 list, each shard vector probes its
+    * `nprobe` nearest lists, exact-cosine top-k. No self-exclusion —
+    * shard and corpus ids are disjoint by the split. */
+  def annIvfDelta(table: String, centroidMod: Int, shardMod: Int,
+      k: Int, nprobe: Int, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+cp AS (SELECT vec_id AS id, v FROM e WHERE vec_id % $shardMod <> 0),
+sh AS (SELECT vec_id AS id, v FROM e WHERE vec_id % $shardMod = 0),
+c AS (SELECT id AS cid, v AS cv FROM cp WHERE id % $centroidMod = 0),
+a AS (SELECT id, v, cid FROM (
+  SELECT cp.id, cp.v, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY cp.id ORDER BY ${cosSql("cp.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM cp, c) WHERE crk = 1),
+q AS (SELECT id AS query_id, qv, cid FROM (
+  SELECT sh.id, sh.v AS qv, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY sh.id ORDER BY ${cosSql("sh.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM sh, c) WHERE crk <= $nprobe),
+cand AS (SELECT q.query_id, a.id AS neighbor_id, ${cosSql("q.qv", "a.v", dim)} AS cos
+  FROM q JOIN a ON a.cid = q.cid),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
+SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
   /** Fixed-iteration Lloyd k-means, UNROLLED: iteration t's assign/update
     * become CTEs a{t}/d{t}/c{t+1}, mirroring
     * [[graft.ops.SimilarityOps.kmeansCentroidsFlat]] step for step (6-dp
