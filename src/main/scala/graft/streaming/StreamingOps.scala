@@ -204,6 +204,45 @@ object StreamingOps {
       onBatch(accepted, blocked, batchId)
     }
 
+  /** PRODUCTION ingest loop for the persisted IVF index —
+    * [[nearDupIngest]]'s similarity sibling: a `foreachBatch` writer that
+    * matches each micro-batch of vectors against the on-disk
+    * [[graft.ops.SimilarityOps.ivfAssignments]] inverted lists (via
+    * [[graft.ops.SimilarityOps.annIvfDelta]]) and then APPENDS the
+    * batch's own vectors to the lists, so every later micro-batch can
+    * find everything indexed before it — the growing-index semantics a
+    * stream-static join cannot express. Unlike the near-dup screen there
+    * is no accept/reject verdict: ANN indexes every arrival; the match
+    * report is the per-batch product (`onBatch(matches, batchId)`).
+    *
+    * Layout contract (same as [[nearDupIngest]]): `listsDir` is
+    * hive-partitioned by micro-batch (`batch=<id>` subdirs, seed corpus
+    * at e.g. `batch=-1`); each batch OVERWRITES its own partition, so a
+    * retried micro-batch rewrites instead of double-appending. The
+    * within-partition layout further partitions by `cid`, keeping probe
+    * scans prunable to the probed lists. The centroid relation is fixed
+    * at seed time (re-train + re-index offline to re-center — standard
+    * IVF practice; the lists stay valid for the centroids they were
+    * assigned under). */
+  def ivfIngest(
+      vecs: DataFrame, centroidsDir: String, listsDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      // the micro-batch feeds the match query and the index append
+      val b = batch.localCheckpoint()
+      val cents = spark.read.parquet(centroidsDir)
+      val matches = graft.ops.SimilarityOps.annIvfDelta(
+        b, cents, spark.read.parquet(listsDir), idCol, vecCol, k, nprobe)
+        .localCheckpoint()
+      graft.ops.SimilarityOps.ivfAssignments(b, idCol, vecCol, cents)
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$listsDir/batch=$batchId")
+      onBatch(matches, batchId)
+    }
+
   /** Stream-stream INTERVAL join: pair each `right`-stream event with the
     * same-key `left`-stream events that happened at most `maxDelaySeconds`
     * BEFORE it (inclusive on both ends) — the attribution join (view →

@@ -250,6 +250,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ivf ingest appends each batch's vectors so later batches find them") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfingest").toString
+    // tiny 4-d corpus: ids 0 and 2 are the id-residue centroids
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ops.SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", centroidMod = 2)
+    cents.write.parquet(s"$dir/centroids")
+    graft.ops.SimilarityOps.ivfAssignments(corpus, "vec_id", "embedding", cents)
+      .write.partitionBy("cid").parquet(s"$dir/lists/batch=-1")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long, Long)])]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfIngest(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$dir/centroids", s"$dir/lists", "vec_id", "embedding", k = 3, nprobe = 2,
+      onBatch = (matches, id) => results.synchronized {
+        results += ((id, matches.select("query_id", "neighbor_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted))
+      }).start()
+    try {
+      in.addData((10L, Seq(0.95f, 0.05f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch 2 repeats batch 1's vector exactly — its nearest neighbor
+      // MUST be vec 10, only findable through the appended lists
+      in.addData((20L, Seq(0.95f, 0.05f, 0f, 0f)))
+      q.processAllAvailable()
+      val byId = results.sortBy(_._1).toSeq
+      assert(byId.map(_._1) == Seq(0L, 1L))
+      assert(byId(0)._2.map(_._2).toSet == Set(0L, 1L, 2L),
+        s"batch 0 sees the seeded corpus: ${byId(0)}")
+      val top20 = byId(1)._2.find(m => m._1 == 20L && m._3 == 1L).map(_._2)
+      assert(top20.contains(10L),
+        s"batch 1's top match must be the batch-0 vector from the appended index: ${byId(1)}")
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions when the watermark passes the gap") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
