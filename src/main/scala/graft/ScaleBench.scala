@@ -10,8 +10,12 @@ import org.apache.spark.sql.SparkSession
   * inspection cannot see (a capped bucket that stopped capping, a window
   * that silently became global, a broadcast that grew with the corpus).
   *
-  * Method: one timed pass per scale dir (after a warmup pass at the
-  * smallest dir for JIT/codegen), rows counted from parquet metadata.
+  * Method: per scale dir, the MIN of two timed passes per query (after a
+  * warmup pass at the smallest dir for JIT/codegen), rows counted from
+  * parquet metadata. Min-of-2, because a single pass fabricates flags: a
+  * one-off GC pause or codec-provider stall at the largest point once
+  * measured a steady-state 2.7 s query at 13.7 s — a 2.4 growth excess
+  * on a query whose honest excess is 0.5.
   * Classification uses only the two LARGEST scale points: at small SFs
   * every query is dominated by the fixed per-job floor (scheduling,
   * codegen cache hits, parquet footers — ~0.2 s), so small-point ratios
@@ -109,7 +113,16 @@ object ScaleBench {
     timedPass(spark, dirs.head, names)
     val byDir = dirs.map { d =>
       val rows = corpusRows(spark, d)
-      (d, rows, timedPass(spark, d, names))
+      // min of two passes, over the SUCCESSFUL ones: a query that failed
+      // both passes stays a recorded failure; one crashed pass plus one
+      // clean pass is a measurement
+      val (p1, p2) = (timedPass(spark, d, names), timedPass(spark, d, names))
+      val merged = names.map { n =>
+        val good = Seq(p1(n), p2(n)).filter(_._2)
+        n -> (if (good.isEmpty) (math.min(p1(n)._1, p2(n)._1), false)
+        else (good.map(_._1).min, true))
+      }.toMap
+      (d, rows, merged)
     }
     names.map { n =>
       n -> byDir.map { case (_, rows, times) =>
