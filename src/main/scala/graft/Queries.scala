@@ -798,6 +798,18 @@ GROUP BY segment ORDER BY segment""")),
         maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L,
         ndMinJaccard = 0.3, ndBands = 8, ndR = 2))),
 
+    ("q99_perceptron_train",
+      // classifier TRAINING as relational algebra: pooled integer
+      // perceptron over hashed bag-of-token features, epochs as
+      // broadcast-join + aggregate rounds; the training half of q74's
+      // inference (same md5 feature map). Oracle unrolls the epochs as
+      // CTEs, kmeans-style; all-integer weights make it bit-exact.
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.perceptronTrain(Tables.documents(s, dir), "text", "doc_id",
+          labelExpr = col("lang") === "en", dim = 64, epochs = 3),
+      Some(graft.sql.TextAnalysisSql.perceptronTrain("documents",
+        labelSql = "lang = 'en'", dim = 64, epochs = 3))),
+
     ("q74_hashed_linear_score",
       // classifier inference as relational algebra: md5 feature hashing,
       // integer weights, exact BIGINT doc scores, top-N ranking

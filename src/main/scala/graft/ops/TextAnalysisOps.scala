@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextHash._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -244,6 +244,69 @@ object TextAnalysisOps {
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topN)
+  }
+
+  /** In-engine quality-classifier TRAINING — the training half of
+    * [[hashedLinearScore]]'s inference: a POOLED (batch) perceptron over
+    * hashed bag-of-token features, integer arithmetic end to end. Per
+    * epoch: score every doc with the current weights (one broadcast join
+    * + doc-key partial agg), pool the misclassified docs' feature
+    * updates (`w += Σ y·count` — one feature-key agg), apply. Pooling is
+    * what makes the perceptron DISTRIBUTED and deterministic: the
+    * classic per-sample update is inherently sequential, but the pooled
+    * step is one associative aggregate per epoch, independent of row
+    * order and partitioning (the same move that makes Lloyd k-means a
+    * DataFrame op). All-integer scores and weights mean the DuckDB
+    * mirror (epochs unrolled as CTEs, [[graft.sql.TextAnalysisSql]])
+    * is bit-exact — no learning-rate doubles, no sigmoid.
+    *
+    * `labelExpr` is any boolean column (y = +1/−1); prediction is
+    * `score > 0`. Feature hashing is [[hashedLinearScore]]'s md5 map,
+    * so trained weights drop into the same serving shape.
+    *
+    * 100 TB shape: the (doc, feature, count) relation is computed ONCE
+    * (localCheckpoint) and feeds every epoch; weights are `dim` rows
+    * broadcast to the scorers; each epoch is two map-side-combinable
+    * aggregates and a metadata-sized misclassified join — no collect,
+    * no driver-side data, lineage truncated per epoch. */
+  def perceptronTrain(
+      docs: DataFrame, textCol: String, idCol: String,
+      labelExpr: Column, dim: Int, epochs: Int): DataFrame = {
+    require(dim >= 2, s"feature dim must be >= 2: $dim")
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    val spark = docs.sparkSession
+    val fIdx = pmod(
+      conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long"), lit(dim))
+    val tf = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        when(labelExpr, 1L).otherwise(-1L).as("y"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .select(col("doc_id"), col("y"), fIdx.as("f"))
+      .groupBy("doc_id", "y", "f")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    var w: DataFrame = spark.range(dim.toLong)
+      .select(col("id").as("f"), lit(0L).as("weight"))
+    var t = 0
+    while (t < epochs) {
+      val scores = tf
+        .join(broadcast(w), "f")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("c") * col("weight")).as("s"))
+      val mis = scores
+        .filter(when(col("s") > 0, 1L).otherwise(-1L) =!= col("y"))
+        .select(col("doc_id").as("__mid"))
+      val upd = tf
+        .join(mis, col("doc_id") === col("__mid"))
+        .groupBy("f")
+        .agg(sum(col("y") * col("c")).as("__d"))
+      w = w.join(upd, Seq("f"), "left")
+        .select(col("f"), (col("weight") + coalesce(col("__d"), lit(0L))).as("weight"))
+        .localCheckpoint()
+      t += 1
+    }
+    w.orderBy("f")
   }
 
   /** Gopher-style composite quality filter (Rae et al. 2021 §A1.1

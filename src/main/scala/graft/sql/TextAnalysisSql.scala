@@ -112,6 +112,36 @@ SELECT doc_id, CAST(SUM((idx * 2654435761) % 1001 - 500) AS BIGINT) AS score,
   CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM f GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $topN"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.perceptronTrain]] with the
+    * epochs UNROLLED as CTEs (the kmeans-oracle pattern): per epoch t,
+    * `s{t}` scores every doc with `w{t}`, `m{t}` is the misclassified
+    * set (predict +1 iff score > 0), `u{t}` pools the integer feature
+    * updates, `w{t+1}` applies them. All-integer weights/scores make
+    * the mirror bit-exact — no learning-rate doubles. `labelSql` is the
+    * boolean label expression over the table's columns. */
+  def perceptronTrain(
+      table: String, labelSql: String, dim: Int, epochs: Int): String = {
+    require(epochs >= 1)
+    val sb = new StringBuilder
+    sb.append(s"""WITH raw AS (SELECT doc_id, CASE WHEN $labelSql THEN 1 ELSE -1 END AS y,
+  unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+tf AS (SELECT doc_id, y, (('0x' || substr(md5(term), 1, 7))::BIGINT % $dim) AS f,
+  COUNT(*) AS c FROM raw GROUP BY doc_id, y, f),
+w0 AS (SELECT unnest(range(0, $dim)) AS f, 0::BIGINT AS w)""")
+    for (t <- 0 until epochs) {
+      sb.append(s""",
+s$t AS (SELECT tf.doc_id, tf.y, SUM(tf.c * w$t.w) AS s
+  FROM tf JOIN w$t ON tf.f = w$t.f GROUP BY tf.doc_id, tf.y),
+m$t AS (SELECT doc_id FROM s$t WHERE (CASE WHEN s > 0 THEN 1 ELSE -1 END) <> y),
+u$t AS (SELECT tf.f, SUM(tf.y * tf.c) AS d
+  FROM tf JOIN m$t ON tf.doc_id = m$t.doc_id GROUP BY tf.f),
+w${t + 1} AS (SELECT w$t.f, w$t.w + COALESCE(u$t.d, 0) AS w
+  FROM w$t LEFT JOIN u$t ON w$t.f = u$t.f)""")
+    }
+    sb.append(s"\nSELECT f, CAST(w AS BIGINT) AS weight FROM w$epochs ORDER BY f")
+    sb.toString
+  }
+
   def patternScrub(
       table: String, sampleMod: Int,
       patterns: Seq[(String, String, String)]): String = {

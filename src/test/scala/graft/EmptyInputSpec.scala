@@ -45,7 +45,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q81_vocab_coverage" -> 1L,
     // the table profile is one ungrouped aggregate exploded to a row per
     // profiled column: empty input still describes all 5 columns
-    "q87_table_profile" -> 5L)
+    "q87_table_profile" -> 5L,
+    // perceptron weights start as a dim-row zero relation; an empty
+    // corpus trains nothing and returns all 64 zeros
+    "q99_perceptron_train" -> 64L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

@@ -9,6 +9,37 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private def docs = Tables.documents(spark, sf)
 
+  test("pooled perceptron separates a disjoint-vocabulary training set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // positive docs speak {aaaa,bbbb}, negative docs {cccc,dddd} —
+    // linearly separable unless two of the four tokens hash-collide at
+    // dim=512 (deterministic md5 map: if this passes once it always does)
+    val df = Seq(
+      (1L, "aaaa bbbb aaaa"), (2L, "bbbb aaaa"), (3L, "aaaa aaaa"),
+      (10L, "cccc dddd"), (11L, "dddd dddd cccc"), (12L, "cccc"))
+      .toDF("doc_id", "text")
+    val w = TextAnalysisOps.perceptronTrain(
+      df, "text", "doc_id", labelExpr = col("doc_id") < 10L, dim = 512, epochs = 5)
+    assert(w.count() == 512)
+    // score every training doc with the learned weights: the separable
+    // set must be fully classified after pooled epochs
+    val fIdx = pmod(conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long"), lit(512))
+    val scores = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), fIdx.as("f"))
+      .join(w, "f")
+      .groupBy("doc_id").agg(sum(col("weight")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L).foreach(id => assert(scores(id) > 0, s"doc $id must score positive: $scores"))
+    Seq(10L, 11L, 12L).foreach(id => assert(scores(id) <= 0, s"doc $id must score non-positive: $scores"))
+    // all-zero weights on an empty corpus: training nothing is explicit
+    val w0 = TextAnalysisOps.perceptronTrain(
+      df.filter(col("doc_id") < 0), "text", "doc_id", col("doc_id") < 10L, dim = 8, epochs = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(w0 == Seq.fill(8)(0L))
+  }
+
   test("langid confusion matrix counts every document exactly once") {
     val rows = TextAnalysisOps.langIdConfusion(docs, "text", "lang", "doc_id").collect()
     assert(rows.map(_.getLong(2)).sum == docs.count())
