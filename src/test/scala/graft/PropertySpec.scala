@@ -32,6 +32,28 @@ class PropertySpec extends AnyFunSuite {
   private val corpusGen: Gen[List[String]] =
     Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, textGen))
 
+  test("property: AVI container round trip is identity for any frame geometry") {
+    import graft.ops.MultimodalOps
+    val videoGen = for {
+      w <- Gen.chooseNum(1, 23)   // crosses every rowBytes padding residue
+      h <- Gen.chooseNum(1, 9)
+      fps <- Gen.chooseNum(1, 60)
+      nf <- Gen.chooseNum(1, 7)
+      pix <- Gen.listOfN(nf * w * h, Gen.chooseNum(0, 0xffffff))
+    } yield (w, h, fps, pix.grouped(w * h).map(_.toArray).toSeq)
+    forAll(videoGen) { case (w, h, fps, frames) =>
+      val avi = MultimodalOps.encodeAvi(w, h, fps, frames)
+      val dec = MultimodalOps.decodeAvi(avi).getOrElse(
+        fail(s"decode failed for ${w}x$h@$fps x${frames.length}"))
+      assert(dec.width == w && dec.height == h && dec.fps == fps)
+      assert(dec.frames.length == frames.length)
+      dec.frames.zip(frames).foreach { case (d, s) => assert(d.toSeq == s.toSeq) }
+      // and the container itself is a fixed point: encode(decode(x)) == x
+      assert(MultimodalOps.encodeAvi(
+        dec.width, dec.height, dec.fps, dec.frames.toSeq).toSeq == avi.toSeq)
+    }
+  }
+
   test("property: tag labels always come from the taxonomy, in taxonomy order") {
     val tax = Defaults.taxonomy
     forAll(corpusGen) { texts =>
