@@ -24,6 +24,13 @@ object Queries {
     "src2" -> ((1L, 4L)), "src3" -> ((3L, 4L)))
   private val analyzer = SimpleAnalyzer(cfg.stopwords)
 
+  /** q101's retrieval fixture: three multi-term queries over the synthetic
+    * corpus vocabulary (terms chosen to span common and rarer tokens). */
+  private[graft] val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_spark_stream" -> Seq("spark", "stream"),
+    "q_join_filter" -> Seq("join", "filter"),
+    "q_fast_scan" -> Seq("fast", "scan", "vector"))
+
   /** Unicode/Persian fixture for q43: a deterministic phrase keyed on
     * doc_id, exercising ZWNJ-joined tokens, Arabic codepoint variants,
     * diacritics, the lemma `#` convention, stopwords and the ASCII-noise
@@ -974,7 +981,39 @@ GROUP BY segment ORDER BY segment""")),
         MultimodalOps.videoDecodeStats(
           MultimodalOps.videoCorpus(s, Tables.documents(s, dir)))
           .orderBy("doc_id"),
-      Some(graft.sql.MultimodalSql.videoDecodeStats("documents")))
+      Some(graft.sql.MultimodalSql.videoDecodeStats("documents"))),
+
+    ("q100_inverted_index",
+      // distributed index build, dictionary view: per-term df / tf totals
+      // plus an integer postings-set fingerprint (min/max/sum of doc ids)
+      // — every aggregate constant-memory and map-side combinable; no
+      // collect_list postings row that a stop-term would blow up at scale
+      (s: SparkSession, dir: String) =>
+        RetrievalOps.invertedIndexStats(Tables.documents(s, dir), "text", "doc_id",
+          minDf = 2),
+      Some(graft.sql.RetrievalSql.invertedIndexStats("documents", minDf = 2))),
+
+    ("q101_bm25_topk",
+      // ranked retrieval: BM25 top-15 docs per query from a broadcast
+      // query relation; postings semi-joined to query terms BEFORE the tf
+      // shuffle, per-term contributions integer-micro so the cross-term
+      // sum is exact in any order on any engine
+      (s: SparkSession, dir: String) =>
+        RetrievalOps.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+          Queries.bm25Queries, k = 15),
+      Some(graft.sql.RetrievalSql.bm25TopK("documents", Queries.bm25Queries, k = 15))),
+
+    ("q102_bpe_top_pairs",
+      // BPE training's round-1 candidate table: word-count-weighted
+      // adjacent character-pair totals, top 30 under the training loop's
+      // exact total order (count desc, pair asc) — the oracle-expressible
+      // step of BpeOps.bpeTrain (the iterative merges are spec-pinned on
+      // the classic low/lower/newest/widest fixture)
+      (s: SparkSession, dir: String) =>
+        BpeOps.adjacentPairCounts(
+            BpeOps.wordCounts(Tables.documents(s, dir), "text"))
+          .limit(30),
+      Some(graft.sql.BpeSql.topPairCounts("documents", n = 30)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a distributed pipeline —
+  * the vocabulary-learning step every LLM data stack runs before token
+  * counting, packing, or budget planning (the applied counterparts
+  * already live in [[TextAnalysisOps]] / [[graft.functions.Generators]]).
+  *
+  * Classic BPE (Sennrich et al. 2016, arXiv:1508.07909) trains on a
+  * WORD-COUNT table, not the raw corpus: the corpus collapses to
+  * (word, count) once — at 100 TB that is the only full-corpus pass,
+  * and the table it produces is vocabulary-sized (heavy-tailed, millions
+  * of rows, not billions). Each training round is then one small
+  * aggregate over that table:
+  *
+  *   1. explode each word's adjacent symbol pairs, weighted by word count
+  *      (map-side combinable sum — one bounded shuffle on pair),
+  *   2. take the single best pair (count desc, then lexicographic — a
+  *      total order, so training is deterministic on any engine or
+  *      partitioning) to the driver,
+  *   3. apply the merge to every word's symbol array (map-only), and
+  *      localCheckpoint to keep the lineage flat across rounds.
+  *
+  * This is the k-means shape ([[SimilarityOps]]): tiny driver state (the
+  * learned merge), distributed everything else.
+  */
+object BpeOps {
+
+  /** (word, wc) — the corpus's whitespace-token counts; the one
+    * corpus-scale pass of BPE training. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(graft.functions.Generators.ngramExplode(col(textCol), 1).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("wc"))
+
+  /** One symbol per character: the round-0 symbolization. */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent-pair explode over a symbol array, empty for single-symbol
+    * words (sequence() would count DOWN on a negative span — guard it). */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2), i =>
+        struct(element_at(syms, i + 1).as("left_sym"),
+          element_at(syms, i + 2).as("right_sym"))))
+      .otherwise(array().cast("array<struct<left_sym:string,right_sym:string>>"))
+
+  /** ADJACENT-PAIR COUNTS of the round-0 (character) symbolization —
+    * BPE training round 1's candidate table, exposed separately because
+    * it is the step a SQL oracle can mirror exactly. Output:
+    * (left_sym, right_sym, pair_count), pair_count = Σ word-count over
+    * occurrences, totally ordered (count desc, pair asc). */
+  def adjacentPairCounts(words: DataFrame): DataFrame =
+    words
+      .select(explode(pairsOf(charSyms(col("word")))).as("p"), col("wc"))
+      .groupBy(col("p.left_sym").as("left_sym"), col("p.right_sym").as("right_sym"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+
+  /** Greedy left-to-right, non-overlapping merge of one learned pair —
+    * the textbook BPE apply step, used per training round. */
+  private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE TRAIN: learn `rounds` merges from the corpus. Returns the merge
+    * table (round, left_sym, right_sym, pair_count) in learned order —
+    * the artifact a tokenizer ships. Stops early if no pair remains
+    * (every word fully merged). */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bad rounds: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val mergeUdf = udf((syms: Seq[String], l: String, r: String) => applyMerge(syms, l, r))
+    var words = wordCounts(docs, textCol)
+      .select(charSyms(col("word")).as("syms"), col("wc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val top = words
+        .select(explode(pairsOf(col("syms"))).as("p"), col("wc"))
+        .groupBy(col("p.left_sym").as("l"), col("p.right_sym").as("r"))
+        .agg(sum(col("wc")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, c))
+        words = words
+          .select(mergeUdf(col("syms"), lit(l), lit(r)).as("syms"), col("wc"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** BPE ENCODE: apply a learned merge table to the corpus and report
+    * per-document BPE token counts — inference over the trained
+    * vocabulary. Map-only over the corpus (merges ride the closure,
+    * vocabulary-sized); one corpus pass regardless of merge count. */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ms = merges.toIndexedSeq
+    val enc = udf((text: String) => {
+      val words = text.trim.split(" +").filter(_.nonEmpty)
+      var total = 0L
+      words.foreach { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        total += syms.length
+      }
+      total
+    })
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), enc(col(textCol)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+}

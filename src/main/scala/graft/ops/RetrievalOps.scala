@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval operator family for training-data pipelines: distributed
+  * inverted-index construction and BM25 top-k search over the document
+  * corpus.
+  *
+  * Retrieval is a first-class curation primitive at 100 TB — RAG corpus
+  * selection, benchmark-decontamination lookups, and "find documents like
+  * these seeds" expansion all reduce to (a) a term→postings index built
+  * with one shuffle and (b) a scoring join against a tiny broadcast query
+  * relation. The reference's keyword filter (`/root/reference/main.py:307`
+  * `filter_posts_by_industry`) is the degenerate boolean form of the same
+  * shape; this family generalizes it to ranked retrieval.
+  *
+  * Tokenization is the catalog's whitespace convention
+  * ([[graft.functions.Generators.ngramExplode]] with w=1), identical to the
+  * DuckDB mirror's `string_split_regex(trim(text), ' +')`.
+  */
+object RetrievalOps {
+
+  /** INVERTED-INDEX STATS: the term dictionary + postings summary of a
+    * distributed index build. One explode pass, a partial-agg shuffle on
+    * (doc, term) for tf, then a term-level aggregate producing, per term:
+    * document frequency, total/max term frequency, and a postings-set
+    * fingerprint (min/max/sum of doc ids — the repo's integer checksum
+    * convention).
+    *
+    * Deliberately NO `collect_list` postings column: materializing the
+    * full posting list of a stop-term as one row is the classic index-build
+    * scale trap (billions of doc ids in a single aggregation buffer at
+    * 100 TB). Every aggregate here is constant-memory and map-side
+    * combinable; a real posting-list sink would instead range-partition by
+    * (term, doc_id) and write sorted runs — the stats relation this op
+    * emits is exactly the dictionary such a sink needs.
+    *
+    * `minDf` prunes hapax noise (df < minDf) AFTER aggregation, like a
+    * HAVING clause — it cannot be pushed below the term aggregate.
+    */
+  def invertedIndexStats(docs: DataFrame, textCol: String, idCol: String,
+      minDf: Int): DataFrame = {
+    require(minDf >= 1, s"bad minDf: $minDf")
+    val tf = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df_docs"),
+        sum(col("tf")).as("total_tf"),
+        max(col("tf")).as("max_tf"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("doc_id")).as("doc_id_sum"))
+      .filter(col("df_docs") >= minDf)
+      .orderBy("term")
+  }
+
+  /** BM25 TOP-K SEARCH: ranked retrieval of the best `k` documents per
+    * query from a tiny query relation `(query_id, term)` — the standard
+    * Robertson/Lucene BM25:
+    *
+    *   idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape (one corpus scan for tf + one for doc lengths):
+    *  1. Explode tokens and SEMI-JOIN against the broadcast query-term set
+    *     BEFORE the tf shuffle — only query-term postings ever shuffle;
+    *     at 100 TB this is the difference between shuffling the whole
+    *     index and shuffling a few thousand rows per term.
+    *  2. Doc lengths aggregate map-side (partial count per doc); N and
+    *     avgdl reduce to one broadcast scalar row.
+    *  3. df per query term comes off the pruned tf relation; joined back
+    *     via broadcast (terms are few by construction).
+    *  4. Per-(query, doc) sum, then a bounded top-k window per query.
+    *
+    * Determinism contract: each per-term contribution is rounded to
+    * MICRO-units and cast to BIGINT before the cross-term sum, so the
+    * aggregate is an exact integer — immune to float summation order
+    * across engines and partitionings. Output `score_micro` is that
+    * integer (1e-6 score units); ranking orders by it with doc_id as the
+    * total tiebreaker.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    require(queries.nonEmpty, "empty query set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+
+    val base = docs.filter(col(textCol).isNotNull)
+    val toks = base.select(col(idCol).as("doc_id"),
+      graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+
+    // postings restricted to query terms before any shuffle
+    val tf = toks
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_docs") + lit(0.5)) / (col("df_docs") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfNorm * lit(1e6), 0).cast("long").as("contrib_micro"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score_micro"), col("n_terms_hit"))
+      .orderBy("query_id", "rk")
+  }
+}
