@@ -1013,7 +1013,31 @@ GROUP BY segment ORDER BY segment""")),
         BpeOps.adjacentPairCounts(
             BpeOps.wordCounts(Tables.documents(s, dir), "text"))
           .limit(30),
-      Some(graft.sql.BpeSql.topPairCounts("documents", n = 30)))
+      Some(graft.sql.BpeSql.topPairCounts("documents", n = 30))),
+
+    ("q103_bigram_lm_nll",
+      // CCNet-style perplexity filter: add-one bigram LM trained on the
+      // odd-id reference half, held-out even-id docs scored by integer
+      // micro-nat NLL (per-occurrence round BEFORE the sum — order-immune
+      // exact BIGINT score), top-100 most-surprising docs surfaced
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.bigramLmNll(Tables.documents(s, dir), "text", "doc_id",
+          topN = 100),
+      Some(graft.sql.TextAnalysisSql.bigramLmNll("documents", topN = 100))),
+
+    ("q104_pagerank",
+      // integer PageRank over the symmetric customer-supplier interaction
+      // graph (disjoint odd/even node namespaces), 5 rounds of exact
+      // BIGINT recurrence — one shuffle per round, no driver-side data;
+      // the oracle re-runs the identical recurrence as a recursive CTE
+      (s: SparkSession, dir: String) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        GraphOps.pageRankSymmetric(pairs, "a", "b", iters = 5).limit(100)
+      },
+      Some(graft.sql.GraphSql.pageRankCustomerSupplier(iters = 5, limit = 100)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality operators over relational pair data. The corpus-side
+  * use case is link/interaction-graph quality ranking — host- or
+  * entity-level PageRank is a standard crawl-curation signal (which
+  * domains to trust, which entities anchor a knowledge slice) next to
+  * the per-document scores in [[TextAnalysisOps]].
+  *
+  * Sibling of [[DedupOps.connectedComponents]] (same iterative
+  * one-shuffle-per-round shape, same loud-failure convention): where
+  * components answer "which nodes belong together", PageRank answers
+  * "which nodes matter".
+  */
+object GraphOps {
+
+  /** PAGERANK over the undirected graph induced by a pair relation —
+    * each input pair contributes both directed edges, so every node has
+    * in- AND out-degree ≥ 1 and no rank mass leaks through sinks (the
+    * dangling-node complication of directed PageRank disappears by
+    * construction).
+    *
+    * All arithmetic is INTEGER: ranks live in `scale` units (micro-ranks
+    * at the default), per-edge contributions are truncating division
+    * `rank div outdeg` BEFORE the sum, and the damped update is
+    * `base + (dampNum · Σ) div dampDen` — every step exact BIGINT, so
+    * `iters` rounds produce bit-identical ranks on any engine,
+    * partitioning, or summation order (the repo's determinism convention;
+    * float PageRank cannot promise that).
+    *
+    * 100 TB shape: degree table computed once; each round is ONE shuffle
+    * (contributions grouped by destination) joined against the static
+    * edge+degree relation — the [[SimilarityOps]] k-means / Jacobi
+    * iteration shape with tiny driver state (none at all here), and
+    * `localCheckpoint` per round keeps lineage flat. Rank mass is
+    * conserved up to truncation (≤ 1 unit lost per node per round),
+    * which is why `scale` defaults to 1e6.
+    */
+  def pageRankSymmetric(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"bad iters: $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
+    val base = scale * (dampDen - dampNum) / dampDen
+
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val eout = edges.join(deg, "src").localCheckpoint()
+
+    var rank = deg.select(col("src").as("node"), lit(scale).as("r"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      rank = rank
+        .join(eout, col("node") === col("src"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("csum"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr(s"($dampNum * csum) div $dampDen")).as("r"))
+        .localCheckpoint()
+    }
+    rank.join(deg, col("node") === col("src"))
+      .select(col("node"), col("r").as("rank_micro"), col("d").as("degree"))
+      .orderBy(col("rank_micro").desc, col("node").asc)
+  }
+}

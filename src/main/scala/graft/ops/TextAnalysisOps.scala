@@ -513,4 +513,79 @@ object TextAnalysisOps {
           (h, x) => (h * 131L + x) % p).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** Adjacent token-bigram explode: (prev, cur) structs, empty below two
+    * tokens (guarded — a negative `sequence` span would count DOWN). */
+  private def bigramsOf(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2), i =>
+        struct(element_at(tk, i + 1).as("prev"), element_at(tk, i + 2).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+
+  /** BIGRAM-LM PERPLEXITY FILTER (CCNet-style): train an add-one-smoothed
+    * bigram language model on the reference half of the corpus
+    * (`idCol % 2 == 1`), score every held-out doc (`% 2 == 0`) by its
+    * per-bigram negative log-likelihood, and surface the `topN` most
+    * surprising docs — the classic second quality signal next to the
+    * linear classifier ([[hashedLinearScore]]): gibberish, boilerplate,
+    * and wrong-language text all score high NLL under a clean-reference
+    * LM.
+    *
+    *   p(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V)
+    *
+    * with V = distinct unigram types in the training half; unseen
+    * prev/bigram counts coalesce to 0, so the formula covers OOV exactly.
+    *
+    * Determinism: counts and V are exact integers, p is a ratio of
+    * integers, and each bigram OCCURRENCE's −ln(p) is rounded to integer
+    * micro-nats before the per-doc sum — the BM25 convention
+    * ([[RetrievalOps.bm25TopK]]): integer summation is order-immune, so
+    * the score is bit-stable under any partitioning or engine. The
+    * per-doc average is integer division (sum // n).
+    *
+    * 100 TB shape: training is one bigram-count shuffle over the
+    * reference half (map-side combinable; the count table is
+    * bigram-vocabulary-sized, heavy-tailed). Scoring shuffles scored-doc
+    * bigram occurrences against that table on the bigram key, plus one
+    * unigram join on prev — for a small reference LM both count tables
+    * broadcast instead (AQE does this when they fit); the plan degrades
+    * gracefully to shuffle joins when the LM outgrows memory. Final
+    * per-doc aggregate is one partial-agg shuffle; topN is a bounded
+    * TakeOrdered, never a global sort. */
+  def bigramLmNll(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"bad topN: $topN")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+
+    val train = base.filter(col("doc_id") % 2 === 1)
+    val uni = train
+      .select(explode(col("tk")).as("w"))
+      .groupBy(col("w").as("prev")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = train
+      .select(explode(bigramsOf(col("tk"))).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .agg(count(lit(1)).as("cb"))
+
+    val scoredBigrams = base.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), explode(bigramsOf(col("tk"))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+
+    val p = (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")
+    scoredBigrams
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uni, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log(p) * lit(1e6), 0).cast("long").as("nll_micro"))
+      .groupBy("doc_id")
+      .agg(sum(col("nll_micro")).as("nll_micro_sum"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro_sum"),
+        expr("nll_micro_sum div n_bigrams").as("avg_nll_micro"))
+      .orderBy(col("avg_nll_micro").desc, col("doc_id").asc)
+      .limit(topN)
+  }
 }

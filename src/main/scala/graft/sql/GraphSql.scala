@@ -1,0 +1,36 @@
+package graft.sql
+
+/** DuckDB oracle SQL mirroring [[graft.ops.GraphOps]]. The recursive CTE
+  * carries an iteration counter and re-aggregates per round — an
+  * independent formulation of the same integer recurrence (DuckDB allows
+  * GROUP BY on the recursive reference; the engine's loop is a join +
+  * aggregate per round). */
+object GraphSql {
+
+  /** Mirror of [[graft.ops.GraphOps.pageRankSymmetric]] over the
+    * customer–supplier interaction graph (customers and suppliers
+    * namespaced onto disjoint odd/even node ids). Symmetric edges mean
+    * every node re-appears as a destination each round, so the recursion
+    * carries the full node set. */
+  def pageRankCustomerSupplier(iters: Int, limit: Int,
+      scale: Long = 1000000L, dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val base = scale * (dampDen - dampNum) / dampDen
+    s"""WITH RECURSIVE p AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+pr(iter, node, r) AS (
+  SELECT 0, src, CAST($scale AS BIGINT) FROM deg
+  UNION ALL
+  SELECT pr.iter + 1, e.dst,
+    CAST($base + ($dampNum * SUM(pr.r // deg.d)) // $dampDen AS BIGINT)
+  FROM pr JOIN e ON e.src = pr.node JOIN deg ON deg.src = pr.node
+  WHERE pr.iter < $iters
+  GROUP BY pr.iter + 1, e.dst)
+SELECT node, r AS rank_micro, CAST(deg.d AS BIGINT) AS degree
+FROM pr JOIN deg ON deg.src = pr.node
+WHERE iter = $iters
+ORDER BY rank_micro DESC, node ASC LIMIT $limit"""
+  }
+}

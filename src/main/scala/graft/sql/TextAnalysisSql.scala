@@ -228,4 +228,29 @@ h AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substr(md5(x),1,15))::BIGI
   FROM t WHERE len(tk) > 0)
 SELECT doc_id, CAST(list_reduce(hl, (a, b) -> (a * 131 + b) % 2147483647) AS BIGINT) AS fingerprint
 FROM h ORDER BY doc_id"""
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.bigramLmNll]]: identical
+    * add-one-smoothed model, per-occurrence −ln(p) rounded to integer
+    * micro-nats before the BIGINT sum, integer-division average. */
+  def bigramLmNll(table: String, topN: Int): String =
+    s"""WITH base AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+tr AS (SELECT tk FROM base WHERE doc_id % 2 = 1),
+uni AS (SELECT w AS prev, COUNT(*) AS cu FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+bi AS (SELECT prev, cur, COUNT(*) AS cb FROM
+  (SELECT tk[i] AS prev, tk[i + 1] AS cur
+   FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tr WHERE len(tk) >= 2))
+  GROUP BY prev, cur),
+sb AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM base WHERE doc_id % 2 = 0 AND len(tk) >= 2)),
+contrib AS (SELECT sb.doc_id,
+  CAST(round(-ln((COALESCE(bi.cb, 0) + 1)::DOUBLE
+    / (COALESCE(uni.cu, 0) + vocab.v)::DOUBLE) * 1e6) AS BIGINT) AS nll_micro
+  FROM sb LEFT JOIN bi USING (prev, cur) LEFT JOIN uni USING (prev) CROSS JOIN vocab),
+s AS (SELECT doc_id, CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM contrib GROUP BY doc_id)
+SELECT doc_id, n_bigrams, nll_micro_sum,
+  CAST(nll_micro_sum // n_bigrams AS BIGINT) AS avg_nll_micro
+FROM s ORDER BY avg_nll_micro DESC, doc_id ASC LIMIT $topN"""
 }

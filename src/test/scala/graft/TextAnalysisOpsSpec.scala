@@ -311,4 +311,28 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"),
       s"chunking must not shuffle (sort exchange only):\n${plan.take(600)}")
   }
+
+  test("bigram LM NLL matches hand-computed micro-nats on a closed-form fixture") {
+    import spark.implicits._
+    // train (odd ids): "a b a b" -> V=2, c(a)=2, c(b)=2, c(a,b)=2, c(b,a)=1
+    // scored (even ids): doc 2 = "a b c":
+    //   (a,b): p=(2+1)/(2+2)=3/4 -> -ln(3/4)*1e6 = 287682.07 -> 287682
+    //   (b,c): p=(0+1)/(2+2)=1/4 -> -ln(1/4)*1e6 = 1386294.36 -> 1386294
+    // doc 4 = "z" has no bigrams -> no row
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.bigramLmNll(df, "text", "doc_id", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 2L, 1673976L, 836988L)), s"got ${out.toSeq}")
+  }
+
+  test("bigram LM scores only the held-out half, deterministically") {
+    val a = TextAnalysisOps.bigramLmNll(docs, "text", "doc_id", topN = 25).collect().toSeq
+    assert(a.nonEmpty)
+    // only even ids are scored
+    assert(a.forall(_.getLong(0) % 2 == 0))
+    val b = TextAnalysisOps.bigramLmNll(
+      docs.repartition(13), "text", "doc_id", topN = 25).collect().toSeq
+    assert(a == b)
+  }
 }
