@@ -46,10 +46,15 @@ object GraphOps {
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
     val base = scale * (dampDen - dampNum) / dampDen
 
+    // checkpoint the static relations once: edges feed deg + eout, deg
+    // feeds eout + the rank init + the final join — without the
+    // checkpoints each consumer would re-run the pair scan and dedup
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val eout = edges.join(deg, "src").localCheckpoint()
 
     var rank = deg.select(col("src").as("node"), lit(scale).as("r"))

@@ -99,18 +99,24 @@ object RetrievalOps {
       .toDF("query_id", "term")
 
     val base = docs.filter(col(textCol).isNotNull)
-    val toks = base.select(col(idCol).as("doc_id"),
-      graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
 
     // postings restricted to query terms before any shuffle
-    val tf = toks
+    val tf = base
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
 
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doc length is the token-array SIZE — map-only, no explode shuffle;
+    // zero-token docs are excluded (they can match no term, and the df/
+    // avgdl statistics count tokenizable docs only)
+    val dl = base
+      .select(col(idCol).as("doc_id"),
+        size(graft.functions.TextHash.tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
