@@ -1037,7 +1037,22 @@ GROUP BY segment ORDER BY segment""")),
           .distinct()
         GraphOps.pageRankSymmetric(pairs, "a", "b", iters = 5).limit(100)
       },
-      Some(graft.sql.GraphSql.pageRankCustomerSupplier(iters = 5, limit = 100)))
+      Some(graft.sql.GraphSql.pageRankCustomerSupplier(iters = 5, limit = 100))),
+
+    ("q105_bm25_indexed",
+      // the SAME retrieval from the PERSISTED index relations (full
+      // postings + doc lengths) instead of corpus text — the build-once/
+      // query-many production path; query terms prune via a literal In
+      // filter that reaches the postings parquet scan. Bit-identical to
+      // the direct path, so it shares q101's oracle form (k=10 here).
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        RetrievalOps.bm25FromIndex(
+          RetrievalOps.bm25Postings(docs, "text", "doc_id"),
+          RetrievalOps.docLengths(docs, "text", "doc_id"),
+          Queries.bm25Queries, k = 10)
+      },
+      Some(graft.sql.RetrievalSql.bm25TopK("documents", Queries.bm25Queries, k = 10)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

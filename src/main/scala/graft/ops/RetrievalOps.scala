@@ -89,34 +89,77 @@ object RetrievalOps {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       queries: Seq[(String, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"bad k: $k")
-    require(queries.nonEmpty, "empty query set")
     val spark = docs.sparkSession
-    import spark.implicits._
-
-    val qterms = queries
-      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
-      .toDF("query_id", "term")
-
     val base = docs.filter(col(textCol).isNotNull)
 
     // postings restricted to query terms before any shuffle
     val tf = base
       .select(col(idCol).as("doc_id"),
         graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .join(broadcast(queryRelation(spark, queries).select("term").distinct()),
+        Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    scoreBm25(tf, docLengths(base, textCol, idCol), spark, queries, k, k1, b)
+  }
 
-    // doc length is the token-array SIZE — map-only, no explode shuffle;
-    // zero-token docs are excluded (they can match no term, and the df/
-    // avgdl statistics count tokenizable docs only)
-    val dl = base
+  /** Full (term, doc_id, tf) postings — the BM25 index-build pass: one
+    * explode, one (doc, term) partial-agg shuffle over the whole vocab.
+    * Persist with `repartitionByRange($"term").sortWithinPartitions("term")`
+    * so parquet row-group min/max stats on `term` prune query-time scans. */
+  def bm25Postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, dl) — map-only token-array sizes, zero-token docs excluded
+    * (they can match no term; df/avgdl count tokenizable docs only). */
+  def docLengths(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         size(graft.functions.TextHash.tokens(col(textCol))).cast("long").as("dl"))
       .filter(col("dl") > 0)
+
+  /** BM25 FROM A PERSISTED INDEX: answer queries off pre-built
+    * [[bm25Postings]] + [[docLengths]] relations instead of the corpus —
+    * the production shape: build once (the only corpus-text scans),
+    * persist, then every query run reads just the matching postings.
+    * Query terms prune via an `isin` LITERAL filter, which reaches the
+    * parquet scan as a pushed `In` predicate — with term-sorted postings
+    * files, row-group stats skip everything else. Verdicts are
+    * bit-identical to [[bm25TopK]] (same integer-micro contributions from
+    * the same tf/df/dl values — spec-pinned across a write/reload
+    * boundary). */
+  def bm25FromIndex(postings: DataFrame, dl: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    val tf = postings.filter(col("term").isin(terms: _*))
+    scoreBm25(tf, dl, postings.sparkSession, queries, k, k1, b)
+  }
+
+  private def queryRelation(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "empty query set")
+    queries
+      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+  }
+
+  /** Shared scoring stage: df off the pruned tf relation, N/avgdl off the
+    * doc-length relation, integer-micro per-term contributions, exact
+    * BIGINT per-(query, doc) sum, bounded top-k window per query. */
+  private def scoreBm25(tf: DataFrame, dl: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val qterms = queryRelation(spark, queries)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))

@@ -59,6 +59,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.count() == 5)
   }
 
+  test("bm25 from a persisted index survives write/reload bit-identically and prunes the scan") {
+    import org.apache.spark.sql.functions.col
+    val qs = Seq("qa" -> Seq("join", "filter"), "qb" -> Seq("spark", "stream"))
+    val direct = RetrievalOps.bm25TopK(docs, "text", "doc_id", qs, k = 10)
+      .collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    // term-sorted postings files so row-group min/max stats prune terms
+    RetrievalOps.bm25Postings(docs, "text", "doc_id")
+      .repartitionByRange(4, col("term")).sortWithinPartitions("term")
+      .write.parquet(s"$dir/postings")
+    RetrievalOps.docLengths(docs, "text", "doc_id").write.parquet(s"$dir/dl")
+    val fromIdx = RetrievalOps.bm25FromIndex(
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/dl"), qs, k = 10)
+    assert(fromIdx.collect().toSeq == direct,
+      "indexed retrieval must reproduce the direct path bit-for-bit")
+    // the query-term filter reaches the postings parquet scan
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"expected a pushed In(term, ...) filter on the postings scan in:\n${plan.take(1500)}")
+  }
+
   test("bm25 is deterministic across repartitionings (integer-micro scores)") {
     val a = RetrievalOps.bm25TopK(docs, "text", "doc_id",
       Seq("qa" -> Seq("join", "filter"), "qb" -> Seq("fast", "scan", "vector")), k = 12)
