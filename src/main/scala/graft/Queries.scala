@@ -1052,7 +1052,53 @@ GROUP BY segment ORDER BY segment""")),
           RetrievalOps.docLengths(docs, "text", "doc_id"),
           Queries.bm25Queries, k = 10)
       },
-      Some(graft.sql.RetrievalSql.bm25TopK("documents", Queries.bm25Queries, k = 10)))
+      Some(graft.sql.RetrievalSql.bm25TopK("documents", Queries.bm25Queries, k = 10))),
+
+    ("q106_sq_ann",
+      // SCALAR (int8) quantization ANN — PQ's training-free sibling: max-abs
+      // per-dimension calibration, clamp(floor(x*127/s)) codes, exact BIGINT
+      // dot-product ranking (no float score anywhere near the top-k order)
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.annScalarQuant(Tables.embeddings(s, dir),
+          "vec_id", "embedding", queryMod = 20, k = 5),
+      Some(graft.sql.SimilaritySql.annScalarQuant("embeddings",
+        queryMod = 20, k = 5, dim = 64))),
+
+    ("q107_temperature_mix",
+      // temperature-scaled (α = 1/2) source rebalance: weights DERIVED from
+      // the source-size distribution (w_num = isqrt(n_min·n_s)), exact
+      // integer keep test h·n < w_num·2^32 — profile form pins membership
+      (s: SparkSession, dir: String) =>
+        SampleOps.temperatureMixProfile(
+          Tables.documents(s, dir), "source", "doc_id"),
+      Some(graft.sql.SampleSql.temperatureMixProfile("documents", "source", "doc_id"))),
+
+    ("q108_ngram_novelty",
+      // cross-document memorization diagnostic: share of each doc's distinct
+      // trigrams first seen in an earlier doc; n-grams shuffle as 60-bit
+      // hashes, novel share in exact integer micro-units
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.ngramNovelty(Tables.documents(s, dir), "text", "doc_id", n = 3),
+      Some(graft.sql.TextAnalysisSql.ngramNovelty("documents", n = 3))),
+
+    ("q109_pmi_collocations",
+      // collocation mining: top adjacent pairs by lift (the monotone
+      // exponential of PMI — no ln anywhere near the ranking), min-count
+      // floor kills the hapax-pair failure mode
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.pmiCollocations(Tables.documents(s, dir), "text",
+          minCount = 5, topN = 40),
+      Some(graft.sql.TextAnalysisSql.pmiCollocations("documents", minCount = 5, topN = 40))),
+
+    ("q110_containment_pairs",
+      // excerpt/superset detection: Broder containment |A∩B|/min(|A|,|B|)
+      // over the shared LSH candidate pipeline, jaccard reported alongside
+      // so the high-containment/low-jaccard corner is visible
+      (s: SparkSession, dir: String) =>
+        DedupOps.containmentPairs(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, nBands = 8, r = 2, minContainment = 0.5, limit = 50),
+      Some(graft.sql.DedupSql.containmentPairs("documents",
+        w = 3, nBands = 8, r = 2, minContainment = 0.5, limit = 50)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -39,6 +39,41 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** COMPACT a hive `batch=<id>`-partitioned artifact directory (the
+    * layout [[graft.streaming.StreamingOps.nearDupIngest]] /
+    * [[graft.streaming.StreamingOps.ivfIngest]] grow one small partition
+    * per micro-batch) into a single `batch=<epochId>` epoch under a NEW
+    * directory: the maintenance job that keeps an always-appending index
+    * readable. Thousands of per-batch files become `numFiles`
+    * range-partitioned files sorted on `sortCols` within each file, so
+    * every row group carries tight min/max stats on the probe keys and
+    * the per-screen scan does metadata-sized file listing again.
+    *
+    * Contract: `dstDir` is fresh (never compact in place — readers of
+    * `srcDir` stay consistent while the epoch is written; cut readers
+    * over to `dstDir` after this returns, then retire `srcDir`). The
+    * rewrite only reorganizes rows — same schema minus the consumed
+    * `batch` column re-emitted as the single epoch partition — so any
+    * consumer joining the artifact gets bit-identical results before and
+    * after (spec-pinned for the near-dup screen). `partitionBy` preserves
+    * an inner layout (e.g. the IVF lists' `cid` partitioning) inside the
+    * epoch. */
+  def compactBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, epochId: Long,
+      numFiles: Int, sortCols: Seq[String],
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    require(sortCols.nonEmpty, "compaction needs at least one sort column")
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    val df = spark.read.parquet(srcDir).drop("batch")
+      .repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$dstDir/batch=$epochId")
+  }
+
   /** JDBC write-back — the sink half of the S1 source (the engine could
     * read a database but not publish results back to one). Each write
     * partition opens its own connection and inserts in `batchSize`-row

@@ -296,7 +296,20 @@ object DedupOps {
   private[graft] def minhashVerifiedPairs(
       docs: DataFrame, textCol: String, idCol: String,
       w: Int, nBands: Int, r: Int,
-      minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+      minJaccard: Double, maxBucket: Int = 1000): DataFrame =
+    candidateHashPairs(docs, textCol, idCol, w, nBands, r, maxBucket)
+      .select(col("doc_a"), col("doc_b"),
+        hashSetJaccard(col("__ha"), col("__hb")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+  /** The shared LSH candidate pipeline behind [[minhashVerifiedPairs]]
+    * and [[containmentPairs]]: one-scan signature + carried hash sets,
+    * (band, bh) bucket collect with the `maxBucket` degenerate cap, lazy
+    * pair expansion, both sides' distinct shingle-hash sets attached.
+    * Returns (doc_a, doc_b, __ha, __hb). */
+  private def candidateHashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int, nBands: Int, r: Int, maxBucket: Int): DataFrame = {
     val k = nBands * r
     // Signature + verify set in ONE corpus scan: the aggregate takes the
     // k family minima AND collect_sets the distinct 28-bit shingle hashes
@@ -341,10 +354,42 @@ object DedupOps {
     cand
       .join(sig.select(col("id").as("doc_a"), col("hs").as("__ha")), "doc_a")
       .join(sig.select(col("id").as("doc_b"), col("hs").as("__hb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        hashSetJaccard(col("__ha"), col("__hb")).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("__ha"), col("__hb"))
   }
+
+  /** CONTAINMENT near-dup pairs (Broder's containment coefficient): pairs
+    * where the SMALLER document's distinct shingle set is largely inside
+    * the larger's — |A∩B| / min(|A|, |B|) — the excerpt/quotation/
+    * superset-page detector that symmetric Jaccard structurally misses
+    * (a 100-line doc embedded verbatim in a 10,000-line doc has Jaccard
+    * ≈ 0.01 but containment 1.0). Also reports the pair's Jaccard so
+    * consumers can see exactly the high-containment/low-jaccard corner.
+    *
+    * Candidates come from the SAME MinHash band buckets as
+    * [[minhashPairs]] (shared pipeline, shared one-scan signature), so
+    * RECALL is governed by Jaccard-tuned banding: a containment pair with
+    * tiny Jaccard may never share a band. That is the documented
+    * trade-off of reusing the index everyone already maintains; raise
+    * nBands/lower r for containment-heavy corpora, or run
+    * [[prefixContainedDocs]] / [[segmentDedupReport]] for the
+    * truncation/boilerplate cases with stronger guarantees. Verification
+    * is exact over the carried hash sets either way — no false
+    * positives. Returns (doc_a, doc_b, containment, jaccard) by
+    * containment desc, capped at `limit`. */
+  def containmentPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minContainment: Double = 0.8, limit: Int = 50,
+      maxBucket: Int = 1000): DataFrame =
+    candidateHashPairs(docs, textCol, idCol, w, nBands, r, maxBucket)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          least(size(col("__ha")), size(col("__hb"))).cast("double"), 6)
+          .as("containment"),
+        hashSetJaccard(col("__ha"), col("__hb")).as("jaccard"))
+      .filter(col("containment") >= minContainment)
+      .orderBy(col("containment").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
 
   /** INCREMENTAL near-dup screening: NEW-shard docs that are MinHash
     * near-duplicates of the EXISTING corpus — the fuzzy counterpart of

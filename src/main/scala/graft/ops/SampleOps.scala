@@ -257,4 +257,65 @@ object SampleOps {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= n)
   }
+
+  /** TEMPERATURE-scaled source weights for α = 1/2 — the multilingual /
+    * multi-source rebalancing move (sample sources ∝ n^α instead of ∝ n,
+    * so small sources are upweighted relative to their share; the
+    * standard T=2 setting of the `p_s ∝ p̂_s^α` schedule LLM data mixes
+    * use). The per-row keep RATE for source s works out to
+    * sqrt(n_min/n_s): the smallest source keeps everything, a source 100×
+    * larger keeps 1/10 — computed from the data itself, no hand-tuned
+    * fraction map (that is [[weightedMix]]'s job).
+    *
+    * Exact-arithmetic form: rate_s = isqrt(n_min·n_s)/n_s, a RATIONAL
+    * with integer numerator w_num = floor(sqrt(n_min·n_s)) — sqrt is
+    * correctly rounded on every IEEE-754 engine and n_min·n_s < 2^52
+    * keeps the long→double cast exact, so w_num is bit-identical on any
+    * engine (and exactly isqrt below that bound). Returns one row per
+    * source: (g, n, w_num). Metadata-sized: one count aggregate + a
+    * single-row min joined back. */
+  def temperatureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    val nmin = counts.groupBy().agg(min(col("n")).as("__nmin"))
+    counts.crossJoin(broadcast(nmin))
+      .select(col("g"), col("n"),
+        floor(sqrt((col("n") * col("__nmin")).cast("double"))).as("w_num"))
+  }
+
+  /** Temperature mix (α = 1/2): keep a row of source s iff its 32-bit md5
+    * hash falls under rate_s = w_num_s/n_s of the hash space — the exact
+    * integer comparison h·n_s < w_num_s·2^32 (both sides < 2^58, no
+    * overflow, no double ever near the boundary). One metadata-sized
+    * weight aggregate broadcast back, then one map-only filter: the same
+    * scale shape as [[weightedMix]], with the fractions DERIVED from the
+    * source-size distribution instead of supplied. Inherits
+    * [[hashSample]]'s nesting per source. Rows with a null group are
+    * dropped (explicit mix contract, as in [[weightedMix]]). */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val wt = temperatureWeights(df, groupCol)
+    val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.join(broadcast(wt), df(groupCol) === wt("g"))
+      .filter(h32 * col("n") < col("w_num") * lit(1L << 32))
+      .drop("g", "n", "w_num")
+  }
+
+  /** Per-source profile of [[temperatureMix]] — the catalog/report form:
+    * source size, its integer weight numerator, surviving count, and a
+    * key checksum pinning the exact membership. */
+  def temperatureMixProfile(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    // tiny (one row per source) and feeds both the filter join and the
+    // reported n/w_num columns
+    val wt = temperatureWeights(df, groupCol).localCheckpoint()
+    val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.join(broadcast(wt), df(groupCol) === wt("g"))
+      .filter(h32 * col("n") < col("w_num") * lit(1L << 32))
+      .groupBy(col("g").as("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(col("w_num")).as("w_num"),
+        count(lit(1)).as("n_kept"),
+        sum(col(keyCol)).as("key_sum"))
+      .orderBy("source")
+  }
 }

@@ -860,4 +860,69 @@ object SimilarityOps {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+
+  // --- SCALAR (int8-style symmetric) QUANTIZATION -------------------------
+
+  /** Per-dimension quantization scales: the max absolute component value
+    * over the corpus, assembled into ONE single-row array<double> relation
+    * (`sv`, dim entries) ready to broadcast — the calibration half of
+    * symmetric int8 scalar quantization (the "SQ8" path every production
+    * vector store ships next to PQ: 4× smaller vectors, integer distance
+    * kernels, no codebook training). One posexplode pass + a dim-sized
+    * aggregate; corpus vectors are never collected. */
+  def sqScales(emb: DataFrame, vecCol: String): DataFrame =
+    emb
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(max(abs(col("x").cast("double"))).as("s"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("d"), col("s")))).as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("s")).as("sv"))
+
+  /** Symmetric int8 codes from a broadcast scale row: component d maps to
+    * clamp(floor(x_d * 127 / s_d), -127, 127), an all-zero dimension
+    * (s_d = 0) to 0. floor keeps the boundary integer-exact on any
+    * IEEE-754 engine (round-half cases cannot diverge), and the clamp is
+    * symmetric so code arithmetic never touches -128. Map-only: one
+    * zip_with against the broadcast single-row scales. */
+  def sqEncode(emb: DataFrame, idCol: String, vecCol: String, scales: DataFrame): DataFrame =
+    emb
+      .filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(scales))
+      .select(col(idCol).as("id"),
+        zip_with(asDouble(col(vecCol)), col("sv"), (x, s) =>
+          when(s === 0.0, lit(0L)).otherwise(
+            greatest(lit(-127L), least(lit(127L), floor(x * lit(127.0) / s))))).as("q"))
+
+  /** SCALAR-QUANTIZED top-k ANN: calibrate ([[sqScales]]) + encode
+    * ([[sqEncode]]) + search by exact integer dot product over the int8
+    * codes — the compressed-corpus retrieval path that needs NO codebook
+    * training (PQ's cheaper sibling; at 100 TB the corpus is stored as
+    * dim bytes per vector instead of 4·dim, and the scan kernel is
+    * integer multiply-add). The query side (`idCol % queryMod == 0`) is
+    * broadcast with its codes; the corpus streams once; the per-query
+    * top-k window ranks by the BIGINT dot (exact, aggregation-order
+    * immune — scores cannot differ by a ulp between engines). Returns
+    * all-BIGINT (query_id, neighbor_id, dot_q, rk). */
+  def annScalarQuant(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryMod: Int, k: Int): DataFrame = {
+    // one calibration pass feeds both encodes; dim-sized single row
+    val scales = sqScales(emb, vecCol).localCheckpoint()
+    val codes = sqEncode(emb, idCol, vecCol, scales)
+    val queries = codes.filter(col("id") % queryMod === 0)
+      .select(col("id").as("query_id"), col("q").as("qq"))
+    val dot = aggregate(
+      zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id").asc)
+    codes.select(col("id").as("neighbor_id"), col("q").as("nq"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot.as("dot_q"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

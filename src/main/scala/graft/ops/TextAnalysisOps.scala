@@ -588,4 +588,95 @@ object TextAnalysisOps {
       .orderBy(col("avg_nll_micro").desc, col("doc_id").asc)
       .limit(topN)
   }
+
+  /** PMI COLLOCATION mining: the corpus's most associated adjacent word
+    * pairs — ranked by LIFT p(x,y)/(p(x)·p(y)), the monotone exponential
+    * of pointwise mutual information (Church & Hanks 1990). Collocations
+    * feed phrase-vocabulary induction for tokenizers and quality
+    * analysis (boilerplate has distinctive high-lift pairs). `minCount`
+    * drops singleton-noise pairs (the classic PMI failure mode: a pair
+    * seen once between two hapax words scores arbitrarily high).
+    *
+    * Arithmetic contract: no `ln` anywhere (PMI's log is monotone, so
+    * ranking by the raw lift ratio is the same ranking, and `+ - * /`
+    * are IEEE exact-rounded where `ln` is not cross-engine) — lift =
+    * (c_xy·N·N)/(M·c_x·c_y) evaluated in that literal operation order on
+    * both engines, rounded 6 dp for display; ties break by pair text.
+    *
+    * Shape: one aggregate pass for unigram counts, one for bigram
+    * counts, one single-row totals pass (N tokens, M bigrams) broadcast
+    * back; the pair relation (vocabulary², bounded far below occurrence
+    * count after the partial agg) joins the unigram counts twice on the
+    * term key. No corpus text survives past the partial aggregates. */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 5, topN: Int = 50): DataFrame = {
+    require(minCount >= 1 && topN >= 1, s"bad minCount=$minCount/topN=$topN")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("tk"))
+    val totals = base.agg(
+      sum(size(col("tk")).cast("long")).as("n_tokens"),
+      sum(greatest(size(col("tk")) - 1, lit(0)).cast("long")).as("m_bigrams"))
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val pairs = base.select(explode(bigramsOf(col("tk"))).as("b"))
+      .groupBy(col("b.prev").as("term_a"), col("b.cur").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("term_a"), col("cw").as("ca")), "term_a")
+      .join(uni.select(col("w").as("term_b"), col("cw").as("cb")), "term_b")
+      .crossJoin(broadcast(totals))
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        round((col("n_pair").cast("double") * col("n_tokens") * col("n_tokens"))
+          / (col("m_bigrams").cast("double") * col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topN)
+  }
+
+  /** Per-document n-gram NOVELTY profile: how much of each document's
+    * distinct n-gram vocabulary already appeared in an EARLIER document
+    * (smaller id) anywhere in the corpus — the cross-document
+    * memorization/boilerplate diagnostic that doc-level and segment-level
+    * dedup both consult (a doc can be 0% a duplicate yet 95% non-novel).
+    * First occurrence owns the n-gram: the corpus-min doc id per n-gram
+    * is the "seen since" mark, so novelty is order-stable under corpus
+    * growth (new docs never change an old doc's score).
+    *
+    * Returns (doc_id, n_distinct, n_repeated, novelty_e6) ordered by id:
+    * distinct n-gram count, how many were seen earlier, and the novel
+    * share in exact integer micro-units ((new·10^6) div distinct — no
+    * ratio double near a comparison boundary). Docs with fewer than `n`
+    * tokens carry no n-grams and are absent.
+    *
+    * Shape: n-grams leave the scan as 60-bit md5 hashes (8 bytes through
+    * every shuffle instead of raw strings; a collision conflates two
+    * n-grams at ~2^-60, identically in the oracle mirror). One distinct
+    * over (doc, hash), one partial-agg min per hash, a hash-keyed join
+    * that reuses the aggregate's partitioning, one per-doc count — no
+    * corpus text ever shuffles twice. */
+  def ngramNovelty(
+      docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val gh = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+    // distinct (doc, gram-hash) pairs feed the first-seen aggregate AND
+    // the join back — localCheckpoint so the explode scan runs once
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), n).as("g"))
+      .select(col("doc_id"), gh.as("gh"))
+      .distinct()
+      .localCheckpoint()
+    val first = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+    grams
+      .join(first, "gh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_repeated"))
+      .select(col("doc_id"), col("n_distinct"), col("n_repeated"),
+        expr("((n_distinct - n_repeated) * 1000000) div n_distinct").as("novelty_e6"))
+      .orderBy("doc_id")
+  }
 }

@@ -57,7 +57,8 @@ cand AS (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
   JOIN ok_buckets o ON x.b = o.b AND x.bh = o.bh),
 dh AS (SELECT id, list_distinct(hl) AS dh FROM hs),
 v AS (SELECT c.doc_a, c.doc_b,
-  round(len(list_intersect(a.dh, b.dh))::DOUBLE / len(list_distinct(list_concat(a.dh, b.dh))), 6) AS jaccard
+  round(len(list_intersect(a.dh, b.dh))::DOUBLE / len(list_distinct(list_concat(a.dh, b.dh))), 6) AS jaccard,
+  round(len(list_intersect(a.dh, b.dh))::DOUBLE / least(len(a.dh), len(b.dh)), 6) AS containment
   FROM cand c JOIN dh a ON c.doc_a = a.id JOIN dh b ON c.doc_b = b.id)"""
 
   def minhashPairs(table: String, w: Int, nBands: Int, r: Int, minJaccard: Double, limit: Int,
@@ -66,6 +67,18 @@ v AS (SELECT c.doc_a, c.doc_b,
 ${minhashPairCtes("toks", w, nBands, r, maxBucket)}
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
+
+  /** Mirror of [[graft.ops.DedupOps.containmentPairs]]: same shared LSH
+    * candidate pipeline, same exact hash-set verify, score =
+    * |A∩B| / min(|A|,|B|) (Broder containment) with the pair's Jaccard
+    * alongside. */
+  def containmentPairs(
+      table: String, w: Int, nBands: Int, r: Int,
+      minContainment: Double, limit: Int, maxBucket: Int = 1000): String =
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+${minhashPairCtes("toks", w, nBands, r, maxBucket)}
+SELECT doc_a, doc_b, containment, jaccard FROM v WHERE containment >= $minContainment
+ORDER BY containment DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
   /** Mirror of [[graft.ops.DedupOps.minhashDedupDelta]] with the shard
     * split expressed as `doc_id % shardMod` (= 0 → new shard, ≠ 0 →

@@ -126,4 +126,21 @@ q AS (SELECT $groupCol, $keyCol,
 SELECT $groupCol, $keyCol, CAST(rk AS BIGINT) AS rk FROM q
 WHERE rk <= $n ORDER BY $groupCol, rk"""
   }
+
+  /** Mirror of [[graft.ops.SampleOps.temperatureMixProfile]]: same
+    * data-derived w_num = floor(sqrt(n_min·n_s)) integer weights (IEEE
+    * sqrt is correctly rounded in both engines and n_min·n_s < 2^52, so
+    * the floor is bit-equal), same exact h·n < w_num·2^32 keep test. */
+  def temperatureMixProfile(table: String, groupCol: String, keyCol: String): String =
+    s"""WITH c AS (SELECT $groupCol AS g, CAST(COUNT(*) AS BIGINT) AS n FROM $table
+  WHERE $groupCol IS NOT NULL GROUP BY 1),
+m AS (SELECT MIN(n) AS nmin FROM c),
+wt AS (SELECT g, n, CAST(floor(sqrt(CAST(n * m.nmin AS DOUBLE))) AS BIGINT) AS w_num FROM c, m),
+k AS (SELECT t.$groupCol AS g, t.$keyCol, wt.n, wt.w_num FROM $table t
+  JOIN wt ON t.$groupCol = wt.g
+  WHERE ('0x' || substr(md5(CAST(t.$keyCol AS VARCHAR)), 1, 8))::BIGINT * wt.n
+        < wt.w_num * 4294967296)
+SELECT g AS source, MAX(n) AS n_docs, MAX(w_num) AS w_num,
+  CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM($keyCol) AS BIGINT) AS key_sum
+FROM k GROUP BY 1 ORDER BY 1"""
 }

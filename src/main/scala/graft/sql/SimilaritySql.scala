@@ -290,4 +290,23 @@ SELECT query_id, neighbor_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM ranked WHE
 round(CAST(SUM(CAST(embedding[1]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_d0,
 round(CAST(SUM(CAST(embedding[2]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_d1
 FROM $table GROUP BY label ORDER BY label"""
+
+  /** Mirror of [[graft.ops.SimilarityOps.annScalarQuant]]: same max-abs
+    * per-dimension scales, same clamp(floor(x*127/s)) int8 codes (floor,
+    * not round — half-way doubles cannot diverge), same exact BIGINT dot
+    * ranking. All arithmetic either integer or identical IEEE-754 double
+    * ops, so codes and scores are bit-equal across engines. */
+  def annScalarQuant(table: String, queryMod: Int, k: Int, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table WHERE embedding IS NOT NULL),
+s AS (SELECT i.i AS d, max(abs(v[i.i])) AS s FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY 1),
+sv AS (SELECT list(s ORDER BY d) AS sv FROM s),
+c AS (SELECT vec_id, list_transform(range(1, ${dim + 1}), i ->
+    CASE WHEN sv[i] = 0 THEN 0
+         ELSE greatest(-127, least(127, CAST(floor(v[i] * 127.0 / sv[i]) AS BIGINT))) END) AS q
+  FROM e, sv),
+cand AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> qs.q[i] * c.q[i])) AS BIGINT) AS dot_q
+  FROM c qs JOIN c ON c.vec_id <> qs.vec_id WHERE qs.vec_id % $queryMod = 0),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC) AS rk FROM cand)
+SELECT query_id, neighbor_id, dot_q, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
 }

@@ -58,6 +58,46 @@ round(SUM(ws)::DOUBLE / COUNT(*), 6) AS avg_ws_tokens FROM t"""
     * [[graft.ops.TextAnalysisOps.repetitionProfile]]: every bigram
     * OCCURRENCE (multiset, unlike the dedup shingle CTEs' list_distinct);
     * integer counts, ratios rounded to 6 dp. */
+  /** Mirror of [[graft.ops.TextAnalysisOps.pmiCollocations]]: same
+    * adjacent-pair counts, same ln-free lift ratio in the same literal
+    * operation order (IEEE multiply/divide are exact-rounded; ln is
+    * not cross-engine), same min-count floor and tiebreak. */
+  def pmiCollocations(table: String, minCount: Long, topN: Int): String =
+    s"""WITH t AS (SELECT $toks AS tk FROM $table WHERE text IS NOT NULL),
+tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
+  CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS m_bigrams FROM t),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+bc AS (SELECT split_part(bg, ' ', 1) AS term_a, split_part(bg, ' ', 2) AS term_b,
+    CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM t WHERE len(tk) >= 2)
+  GROUP BY 1, 2 HAVING COUNT(*) >= $minCount),
+s AS (SELECT term_a, term_b, n_pair,
+    round((n_pair::DOUBLE * tot.n_tokens * tot.n_tokens)
+      / (tot.m_bigrams::DOUBLE * ca.cw * cb.cw), 6) AS lift
+  FROM bc JOIN uc ca ON ca.w = bc.term_a JOIN uc cb ON cb.w = bc.term_b, tot)
+SELECT term_a, term_b, n_pair, lift FROM s
+ORDER BY lift DESC, term_a ASC, term_b ASC LIMIT $topN"""
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.ngramNovelty]]: same
+    * space-joined token n-grams, same 60-bit md5 hash, same corpus-min
+    * first-seen mark and integer-micro novel share. */
+  def ngramNovelty(table: String, n: Int): String = {
+    val gram = (0 until n).map(o => s"tk[i + $o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+ng AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${n - 2}), i -> $gram)) AS g
+  FROM t WHERE len(tk) >= $n),
+gh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM ng),
+f AS (SELECT gh, MIN(doc_id) AS first_doc FROM gh GROUP BY 1),
+a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  CAST(COALESCE(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_repeated
+  FROM gh JOIN f USING (gh) GROUP BY doc_id)
+SELECT doc_id, n_distinct, n_repeated,
+  CAST(((n_distinct - n_repeated) * 1000000) // n_distinct AS BIGINT) AS novelty_e6
+FROM a ORDER BY doc_id"""
+  }
+
   def repetitionProfile(table: String): String =
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg

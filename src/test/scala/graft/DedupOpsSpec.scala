@@ -417,6 +417,37 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(solo.head.getLong(2) == 0L && solo.head.getLong(3) == 4L)
   }
 
+  test("containment pairs: an embedded excerpt scores containment 1.0 with jaccard < 1") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, a),
+      (2L, a + " omega"), // superset: every shingle of doc 1 plus one more
+      (3L, "entirely unrelated content about spark physical planning today"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(df, "text", "doc_id",
+      minContainment = 0.9, limit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq.map(p => (p._1, p._2, p._3)) == Seq((1L, 2L, 1.0)),
+      s"the excerpt pair must surface with containment 1.0: ${out.toSeq}")
+    assert(out.head._4 < 1.0, s"jaccard must stay below 1: ${out.head}")
+  }
+
+  test("containment >= jaccard on every surfaced pair; deterministic on the corpus") {
+    val docs = graft.io.Tables.documents(spark, sf)
+    val a = DedupOps.containmentPairs(docs, "text", "doc_id",
+      minContainment = 0.3, limit = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(a.nonEmpty)
+    a.foreach { case (da, db, c, j) =>
+      assert(c >= j, s"containment < jaccard on ($da,$db): $c < $j")
+    }
+    val b = DedupOps.containmentPairs(docs.repartition(13), "text", "doc_id",
+      minContainment = 0.3, limit = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(a == b)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

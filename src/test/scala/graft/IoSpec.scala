@@ -195,4 +195,46 @@ class IoSpec extends AnyFunSuite {
     assert(conf == Map("DB_USER" -> "u"))
     assert(graft.io.EnvConfig.jdbcConfig(conf).isEmpty)
   }
+
+  test("compactBatches: epoch rewrite keeps screen verdicts bit-identical and shrinks files") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // an ingest history: seed epoch plus two appended micro-batch partitions
+    val batches = Seq(
+      (-1L, Seq((10L, "the quick brown fox jumps over the lazy dog tonight"))),
+      (0L, Seq((21L, "completely novel sentence about catalyst physical planning"))),
+      (1L, Seq((31L, "another entirely fresh document about shuffle partitions"))))
+    batches.foreach { case (id, rows) =>
+      val docs = rows.toDF("doc_id", "text")
+      DedupOps.bandKeyIndex(docs, "text", "doc_id")
+        .write.parquet(s"$dir/index/batch=$id")
+      DedupOps.shingleHashSets(docs, "text", "doc_id")
+        .write.parquet(s"$dir/hashsets/batch=$id")
+    }
+    Sinks.compactBatches(spark, s"$dir/index", s"$dir/index_c", epochId = 2,
+      numFiles = 1, sortCols = Seq("band", "bh"))
+    Sinks.compactBatches(spark, s"$dir/hashsets", s"$dir/hashsets_c", epochId = 2,
+      numFiles = 1, sortCols = Seq("id"))
+    val shard = Seq(
+      (40L, "completely novel sentence about catalyst physical planning"),
+      (41L, "no corpus doc resembles this one at all frankly"))
+      .toDF("doc_id", "text")
+    def verdicts(ix: String, hs: String) = DedupOps.minhashDeltaIndexed(
+      shard, spark.read.parquet(ix), spark.read.parquet(hs), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = verdicts(s"$dir/index", s"$dir/hashsets")
+    val after = verdicts(s"$dir/index_c", s"$dir/hashsets_c")
+    assert(before == Seq((40L, 21L, 1.0)), s"pre-compaction verdicts: $before")
+    assert(after == before, "compaction must not change a single verdict")
+    def parquetFiles(p: String): Int = {
+      val b = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(b)
+      try s.filter(f => f.toString.endsWith(".parquet")).count().toInt finally s.close()
+    }
+    assert(parquetFiles(s"$dir/index_c") == 1 &&
+      parquetFiles(s"$dir/index_c") < parquetFiles(s"$dir/index"),
+      s"compaction must shrink the file count: ${parquetFiles(s"$dir/index")} -> " +
+        s"${parquetFiles(s"$dir/index_c")}")
+  }
 }

@@ -239,4 +239,35 @@ class PlanSpec extends AnyFunSuite {
     assert(segPlan.contains("segmentexplode"),
       s"segmentation must be the SegmentExplode generator:\n${segPlan.take(500)}")
   }
+
+  test("scalar-quantized ANN broadcasts only the query codes; corpus streams once") {
+    val plan = graft.ops.SimilarityOps.annScalarQuant(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", queryMod = 20, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n${plan.take(500)}")
+    assert(!plan.contains("CartesianProduct"),
+      "the corpus must never plan a cartesian against itself")
+  }
+
+  test("temperature mix: the weight join broadcasts; the corpus side never shuffles") {
+    val df = graft.ops.SampleOps.temperatureMix(
+      Tables.documents(spark, sf), "source", "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the metadata-sized weights must broadcast:\n${plan.take(600)}")
+    // the only exchanges belong to the tiny weight aggregate (its groupBy
+    // and single-row min), never to the corpus data path: the corpus scan
+    // must feed the broadcast join directly
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the weight join:\n${plan.take(600)}")
+  }
+
+  test("containment pairs share the verified-pair pipeline: generator expansion, no cartesian") {
+    val plan = graft.ops.DedupOps.containmentPairs(
+        Tables.documents(spark, sf), "text", "doc_id", minContainment = 0.5, limit = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pairsexplode"), s"lazy pair generator:\n${plan.take(500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -240,4 +240,55 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(__bkt"),
       s"expected the per-bucket window exchange:\n${plan.take(800)}")
   }
+
+  // sources of size 100 / 400 / 900: n_min = 100, so the exact isqrt
+  // weights are 100 / 200 / 300 and the keep rates 1, 1/2, 1/3
+  private def skewed = {
+    import spark.implicits._
+    ((1L to 100L).map(i => (i, "small")) ++
+      (101L to 500L).map(i => (i, "mid")) ++
+      (501L to 1400L).map(i => (i, "big"))).toDF("id", "src")
+  }
+
+  test("temperatureWeights: exact isqrt(n_min*n) numerators from the data") {
+    val wt = SampleOps.temperatureWeights(skewed, "src")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("w_num"))).toMap
+    assert(wt == Map("small" -> (100L, 100L), "mid" -> (400L, 200L), "big" -> (900L, 300L)))
+  }
+
+  test("temperatureMix keeps the smallest source whole and matches the exact integer test") {
+    val kept = SampleOps.temperatureMix(skewed, "src", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((1L to 100L).forall(kept)) // rate 1: every small-source row survives
+    // recompute the keep predicate independently in the JVM
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = ((1L to 100L).filter(i => h32(i) * 100L < 100L * (1L << 32)) ++
+      (101L to 500L).filter(i => h32(i) * 400L < 200L * (1L << 32)) ++
+      (501L to 1400L).filter(i => h32(i) * 900L < 300L * (1L << 32))).toSet
+    assert(kept == expect)
+    // and the realized rates sit near sqrt(n_min/n): ~1, ~1/2, ~1/3
+    val mid = kept.count(i => i > 100 && i <= 500)
+    val big = kept.count(_ > 500)
+    assert(math.abs(mid - 200) < 60, s"mid kept $mid of 400 at rate 1/2")
+    assert(math.abs(big - 300) < 70, s"big kept $big of 900 at rate 1/3")
+  }
+
+  test("temperatureMix is invariant under repartitioning and profile counts agree") {
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(key(SampleOps.temperatureMix(skewed, "src", "id")) ==
+      key(SampleOps.temperatureMix(skewed.repartition(13), "src", "id")))
+    val prof = SampleOps.temperatureMixProfile(skewed, "src", "id")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    val byGroup = SampleOps.temperatureMix(skewed, "src", "id")
+      .groupBy("src").count()
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("count")).toMap
+    assert(prof == byGroup)
+  }
 }

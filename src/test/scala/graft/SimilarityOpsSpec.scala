@@ -412,4 +412,42 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(SimilarityOps.knnGraphRefined(empty, "vec_id", "embedding",
       centroidMod = 4, kNbrs = 2, rounds = 2).isEmpty)
   }
+
+  test("scalar quantization: codes are clamp(floor(x*127/maxabs)) with zero-dim -> 0") {
+    import spark.implicits._
+    // dim 0 max-abs 2.0; dim 1 max-abs 4.0; dim 2 all-zero
+    val vecs = Seq(
+      (1L, Array(2.0f, -4.0f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val scales = SimilarityOps.sqScales(vecs, "embedding")
+    assert(scales.collect().head.getSeq[Double](0) == Seq(2.0, 4.0, 0.0))
+    val codes = SimilarityOps.sqEncode(vecs, "vec_id", "embedding", scales)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // x = +maxabs clamps the float-rounding overshoot to +127; x = -maxabs
+    // floors to -128 and clamps symmetric to -127
+    assert(codes(1L) == Seq(127L, -127L, 0L))
+    assert(codes(2L) == Seq(-127L, math.floor(1.0 * 127 / 4).toLong, 0L))
+    assert(codes(3L) == Seq(math.floor(0.5 * 127 / 2).toLong,
+      math.floor(3.0 * 127 / 4).toLong, 0L))
+  }
+
+  test("scalar-quantized ANN ranks an exact duplicate first and is repartition-invariant") {
+    import spark.implicits._
+    val dup = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),   // exact duplicate of the query
+      (2L, Array(-1.0f, -2.0f, -3.0f, -4.0f)),
+      (3L, Array(4.0f, 3.0f, 2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.annScalarQuant(dup, "vec_id", "embedding", queryMod = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head == ((0L, 1L, out.head._3, 1L)), s"duplicate must rank first: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L), s"integer-dot order: ${out.toSeq}")
+    val real = SimilarityOps.annScalarQuant(emb, "vec_id", "embedding", queryMod = 50, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val reparted = SimilarityOps.annScalarQuant(emb.repartition(13), "vec_id", "embedding",
+      queryMod = 50, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(real.nonEmpty && real == reparted)
+  }
 }

@@ -335,4 +335,66 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       docs.repartition(13), "text", "doc_id", topN = 25).collect().toSeq
     assert(a == b)
   }
+
+  test("pmi collocations: hand-computed lift ratios, min-count floor, tie-free order") {
+    import spark.implicits._
+    // N = 12 tokens, M = 9 bigrams; counts: new=3 york=3 the=4 a=1 b=1
+    //   (new,york) 3x -> 3*144/(9*3*3) = 5.333333
+    //   (york,new) 2x -> 2*144/(9*3*3) = 3.555556
+    //   (the,the)  3x -> 3*144/(9*4*4) = 3.0
+    //   (a,b) appears once -> dropped by minCount=2
+    val df = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the the the the"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.pmiCollocations(df, "text", minCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("new", "york", 3L, 5.333333),
+      ("york", "new", 2L, 3.555556),
+      ("the", "the", 3L, 3.0)), s"got ${out.toSeq}")
+  }
+
+  test("pmi collocations are deterministic on the real corpus") {
+    val a = TextAnalysisOps.pmiCollocations(docs, "text", minCount = 3, topN = 20)
+      .collect().toSeq
+    assert(a.nonEmpty)
+    val b = TextAnalysisOps.pmiCollocations(docs.repartition(13), "text",
+      minCount = 3, topN = 20).collect().toSeq
+    assert(a == b)
+  }
+
+  test("ngram novelty: first occurrence owns the gram, later docs count it as repeated") {
+    import spark.implicits._
+    // doc 1: trigrams {a b c, b c d} — both first here -> fully novel
+    // doc 2: {a b c (seen in 1), b c x} -> 1 of 2 repeated, novelty 500000
+    // doc 3: "a b c" REPEATED twice in one doc -> distinct counts once;
+    //        all its grams seen earlier -> novelty 0
+    // doc 4: two tokens, no trigrams -> absent
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c x"),
+      (3L, "a b c a b c"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.ngramNovelty(df, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      // doc 3 grams: {a b c, b c a, c a b} distinct=3; only "a b c" seen
+      // earlier -> repeated=1, novelty (2*1e6) div 3
+      (3L, 3L, 1L, 666666L)), s"got ${out.toSeq}")
+  }
+
+  test("ngram novelty is repartition-invariant on the real corpus") {
+    val a = TextAnalysisOps.ngramNovelty(docs, "text", "doc_id", n = 3).collect().toSeq
+    assert(a.nonEmpty)
+    val b = TextAnalysisOps.ngramNovelty(docs.repartition(13), "text", "doc_id", n = 3)
+      .collect().toSeq
+    assert(a == b)
+    // ratios are internally consistent
+    a.foreach { r =>
+      val (d, rep, nov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rep <= d && nov == ((d - rep) * 1000000L) / d)
+    }
+  }
 }
