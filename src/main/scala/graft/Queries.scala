@@ -1098,7 +1098,26 @@ GROUP BY segment ORDER BY segment""")),
         DedupOps.containmentPairs(Tables.documents(s, dir), "text", "doc_id",
           w = 3, nBands = 8, r = 2, minContainment = 0.5, limit = 50),
       Some(graft.sql.DedupSql.containmentPairs("documents",
-        w = 3, nBands = 8, r = 2, minContainment = 0.5, limit = 50)))
+        w = 3, nBands = 8, r = 2, minContainment = 0.5, limit = 50))),
+
+    ("q111_order_marginals",
+      // GROUPING SETS: per-status and per-priority marginals plus the
+      // grand total WITHOUT the cross — the set list neither rollup nor
+      // cube can express; same one-Expand one-aggregate execution
+      (s: SparkSession, dir: String) =>
+        RelationalOps.orderMarginals(Tables.orders(s, dir)),
+      Some(graft.sql.RelationalSql.orderMarginals)),
+
+    ("q112_term_drift",
+      // distribution-shift monitor: chi-square of each term's 2x2 slice
+      // contingency between the even- and odd-id halves; exact BIGINT
+      // counts, pinned-order double chi2, min-count floor
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.termDrift(
+          Tables.documents(s, dir).withColumn("side", col("doc_id") % 2),
+          "text", "side", minCount = 10, topN = 50),
+      Some(graft.sql.TextAnalysisSql.termDrift("documents", "doc_id % 2",
+        minCount = 10, topN = 50)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -66,6 +66,8 @@ object RecallBench {
       m("pq_ann[q51:m=2,ksub=4,iters=2,mod=40,k=5]", bf40k5,
         SimilarityOps.pqAnn(emb, id, v, dim = 64, m = 2, ksub = 4, iters = 2,
           queryMod = 40, k = 5)),
+      m("sq_ann[q106:int8,mod=20,k=5]", bf20k5,
+        SimilarityOps.annScalarQuant(emb, id, v, queryMod = 20, k = 5)),
       m("knn_graph[q83:cmod=50,k=3]", bfAllk3,
         SimilarityOps.knnGraph(emb, id, v, centroidMod = 50, kNbrs = 3), qCol = "vec_id"),
       m("knn_graph_refined[cmod=50,k=3,rounds=2]", bfAllk3,

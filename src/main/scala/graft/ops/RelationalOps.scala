@@ -136,6 +136,28 @@ object RelationalOps {
       .select("status", "priority", "n_orders", "total_price_e2")
       .orderBy("status", "priority")
 
+  /** GROUPING SETS companion to [[orderRollup]]/[[orderCube]]: the
+    * MARGINALS-ONLY report — per-status totals, per-priority totals, and
+    * the grand total, WITHOUT the (status, priority) cross — the set
+    * combination neither rollup (which would add the cross's prefix) nor
+    * cube (which includes every cross) can express. Same single-pass
+    * `Expand` + one hash aggregate execution: arbitrary set lists cost
+    * one shuffle, the same as the fixed hierarchies. */
+  def orderMarginals(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"),
+        sum(e2(col("o_totalprice"))).as("total_price_e2"))
+      .select("status", "priority", "n_orders", "total_price_e2")
+      .orderBy("status", "priority")
+
   /** Top-K customers by total spend per market segment: shuffle agg to the
     * (custkey) domain, then a window over the small aggregated relation. */
   def topCustomersPerSegment(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {

@@ -589,6 +589,52 @@ object TextAnalysisOps {
       .limit(topN)
   }
 
+  /** TERM DRIFT between two corpus slices: the chi-square statistic of
+    * each term's 2×2 contingency table (term vs other-tokens × slice A vs
+    * slice B) — the distribution-shift monitor a production pipeline runs
+    * between crawl snapshots, sources, or time windows to catch topical
+    * drift, template changes, and spam bursts before they hit training.
+    * `sideCol` is a caller-computed 0/1 slice label (parity, month
+    * bucket, source flag — the op does not care).
+    *
+    * Arithmetic contract: counts are exact BIGINTs off one aggregate; the
+    * chi² itself is double but every multiply/divide is IEEE
+    * exact-rounded and evaluated in one pinned operation order on both
+    * engines (no ln, no variance estimate), so the ranking cannot differ
+    * by a ulp. `minCount` floors total occurrences (chi² is unreliable
+    * on tiny cells). Returns (term, n_a, n_b, chi2) by chi2 desc.
+    *
+    * Shape: ONE token-explode scan → one (term) partial-agg shuffle; the
+    * slice totals derive from the term aggregate itself (summing the
+    * term counts — no second corpus pass), broadcast back as one row.
+    * The term-count frame feeds both branches, so it is
+    * localCheckpoint'ed (the tf-idf precedent). */
+  def termDrift(
+      docs: DataFrame, textCol: String, sideCol: String,
+      minCount: Long = 10, topN: Int = 50): DataFrame = {
+    require(topN >= 1 && minCount >= 1, s"bad minCount=$minCount/topN=$topN")
+    val c0 = docs
+      .filter(col(textCol).isNotNull && col(sideCol).isNotNull)
+      .select(col(sideCol).cast("int").as("side"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint()
+    val totals = c0.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val oa = col("ta") - col("n_a")
+    val ob = col("tb") - col("n_b")
+    val det = col("n_a").cast("double") * ob - col("n_b").cast("double") * oa
+    val chi2 = ((col("ta") + col("tb")).cast("double") * det * det) /
+      ((col("n_a") + col("n_b")).cast("double") * (oa + ob) * col("ta") * col("tb"))
+    c0.filter(col("n_a") + col("n_b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("n_a"), col("n_b"), round(chi2, 6).as("chi2"))
+      .orderBy(col("chi2").desc, col("term").asc)
+      .limit(topN)
+  }
+
   /** PMI COLLOCATION mining: the corpus's most associated adjacent word
     * pairs — ranked by LIFT p(x,y)/(p(x)·p(y)), the monotone exponential
     * of pointwise mutual information (Church & Hanks 1990). Collocations
@@ -604,25 +650,29 @@ object TextAnalysisOps {
     * both engines, rounded 6 dp for display; ties break by pair text.
     *
     * Shape: one aggregate pass for unigram counts, one for bigram
-    * counts, one single-row totals pass (N tokens, M bigrams) broadcast
-    * back; the pair relation (vocabulary², bounded far below occurrence
-    * count after the partial agg) joins the unigram counts twice on the
-    * term key. No corpus text survives past the partial aggregates. */
+    * counts — and NOTHING else touches the corpus: the totals (N tokens,
+    * M bigrams) are the SUMS of those two aggregates' counts, computed
+    * from the vocabulary-sized relations and broadcast back as one row.
+    * The pair relation (vocabulary², bounded far below occurrence count
+    * after the partial agg) joins the unigram counts twice on the term
+    * key. Both aggregates feed two consumers each, so they are
+    * localCheckpoint'ed. */
   def pmiCollocations(
       docs: DataFrame, textCol: String,
       minCount: Long = 5, topN: Int = 50): DataFrame = {
     require(minCount >= 1 && topN >= 1, s"bad minCount=$minCount/topN=$topN")
     val base = docs.filter(col(textCol).isNotNull)
       .select(tokens(col(textCol)).as("tk"))
-    val totals = base.agg(
-      sum(size(col("tk")).cast("long")).as("n_tokens"),
-      sum(greatest(size(col("tk")) - 1, lit(0)).cast("long")).as("m_bigrams"))
     val uni = base.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-    val pairs = base.select(explode(bigramsOf(col("tk"))).as("b"))
+      .localCheckpoint()
+    val pairs0 = base.select(explode(bigramsOf(col("tk"))).as("b"))
       .groupBy(col("b.prev").as("term_a"), col("b.cur").as("term_b"))
       .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
+      .localCheckpoint()
+    val totals = uni.agg(sum(col("cw")).as("n_tokens"))
+      .crossJoin(pairs0.agg(sum(col("n_pair")).as("m_bigrams")))
+    val pairs = pairs0.filter(col("n_pair") >= minCount)
     pairs
       .join(uni.select(col("w").as("term_a"), col("cw").as("ca")), "term_a")
       .join(uni.select(col("w").as("term_b"), col("cw").as("cb")), "term_b")

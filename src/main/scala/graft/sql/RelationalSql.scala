@@ -68,6 +68,18 @@ CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) A
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority"""
 
+  /** Mirror of [[graft.ops.RelationalOps.orderMarginals]]: the arbitrary
+    * set list — both one-dimension marginals and the grand total, no
+    * cross. */
+  def orderMarginals: String =
+    """SELECT
+CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+COUNT(*) AS n_orders,
+CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_price_e2
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority"""
+
   def topCustomersPerSegment(k: Int): String =
     s"""WITH spend AS (
   SELECT o_custkey, CAST(SUM(${e2("o_totalprice")}) AS BIGINT) AS total_spend_e2, COUNT(*) AS n_orders

@@ -58,6 +58,27 @@ round(SUM(ws)::DOUBLE / COUNT(*), 6) AS avg_ws_tokens FROM t"""
     * [[graft.ops.TextAnalysisOps.repetitionProfile]]: every bigram
     * OCCURRENCE (multiset, unlike the dedup shingle CTEs' list_distinct);
     * integer counts, ratios rounded to 6 dp. */
+  /** Mirror of [[graft.ops.TextAnalysisOps.termDrift]]: same one-pass
+    * term × slice counts, slice totals summed off the term aggregate,
+    * same pinned-order chi² double expression (multiplies before the one
+    * divide, left-associative on both engines). `sideExpr` is the 0/1
+    * slice label SQL for one row of `table`. */
+  def termDrift(table: String, sideExpr: String, minCount: Long, topN: Int): String =
+    s"""WITH t AS (SELECT $sideExpr AS side, unnest($toks) AS term
+  FROM $table WHERE text IS NOT NULL),
+c0 AS (SELECT term,
+    CAST(COALESCE(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+    CAST(COALESCE(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b
+  FROM t GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM c0),
+s AS (SELECT term, n_a, n_b,
+    round(((ta + tb)::DOUBLE
+        * (n_a::DOUBLE * (tb - n_b) - n_b::DOUBLE * (ta - n_a))
+        * (n_a::DOUBLE * (tb - n_b) - n_b::DOUBLE * (ta - n_a)))
+      / ((n_a + n_b)::DOUBLE * ((ta - n_a) + (tb - n_b)) * ta * tb), 6) AS chi2
+  FROM c0, tot WHERE n_a + n_b >= $minCount)
+SELECT term, n_a, n_b, chi2 FROM s ORDER BY chi2 DESC, term ASC LIMIT $topN"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.pmiCollocations]]: same
     * adjacent-pair counts, same ln-free lift ratio in the same literal
     * operation order (IEEE multiply/divide are exact-rounded; ln is

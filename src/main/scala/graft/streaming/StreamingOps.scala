@@ -276,6 +276,36 @@ object StreamingOps {
           .as("delay_sec"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution join's
+    * "and which views never converted?" half: every left event is
+    * emitted, matched rows as in [[streamStreamIntervalJoin]], UNMATCHED
+    * rows with a null right_id/delay_sec once the watermark proves no
+    * partner can still arrive (Spark holds an unmatched left row in
+    * state until right-side event time passes its join window, then
+    * emits the null-padded row — so "unconverted" rows are late by
+    * exactly the watermark + interval, never wrong). Same bounded-state
+    * contract as the inner form: both sides age out at rate ×
+    * (delay + watermark) per key. */
+  def streamStreamIntervalJoinLeftOuter(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, idCol: String,
+      watermarkDelay: String, maxDelaySeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+      .select(col(keyCol).as("key"), col(idCol).as("left_id"),
+        col(leftTsCol).as("__lts"))
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .select(col(keyCol).as("__rkey"), col(idCol).as("right_id"),
+        col(rightTsCol).as("__rts"))
+    l.join(r,
+        col("key") === col("__rkey") &&
+          col("__rts") >= col("__lts") &&
+          col("__rts") <= col("__lts") + expr(s"INTERVAL $maxDelaySeconds SECONDS"),
+        "leftOuter")
+      .select(col("key"), col("left_id"), col("right_id"),
+        (unix_timestamp(col("__rts")) - unix_timestamp(col("__lts")))
+          .as("delay_sec"))
+  }
+
   /** Windowed COUNT-MIN sketch on a stream: per tumbling window, the same
     * depth × 16^hexChars cell grid as [[graft.ops.SketchOps.countMinSketch]]
     * (the cell expression is SHARED, so batch and stream place every term

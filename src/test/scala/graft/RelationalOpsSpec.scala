@@ -44,6 +44,28 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"cube should execute via Expand:\n${plan.take(400)}")
   }
 
+  test("grouping-sets marginals: one-dim totals and grand total only, never the cross") {
+    val rows = RelationalOps.orderMarginals(Tables.orders(spark, sf)).collect()
+    // every row has at least one ALL — the (status, priority) cross is
+    // exactly what this set list excludes
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) == "ALL" || r.getString(1) == "ALL",
+        s"unexpected cross cell: $r")
+    }
+    val cube = RelationalOps.orderCube(Tables.orders(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // each marginal row equals the identical cube cell
+    rows.foreach { r =>
+      assert(cube((r.getString(0), r.getString(1))) == ((r.getLong(2), r.getLong(3))),
+        s"marginal differs from cube at $r")
+    }
+    // and it executes as one Expand, not one job per set
+    val plan = RelationalOps.orderMarginals(Tables.orders(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"grouping sets should execute via Expand:\n${plan.take(400)}")
+  }
+
   test("revenue by nation covers every nation with lineitems and is positive") {
     val df = RelationalOps.revenueByNation(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf),

@@ -398,6 +398,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched views null-padded after the watermark closes them") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = StreamingOps.streamStreamIntervalJoinLeftOuter(
+      views.toDF().toDF("user_id", "ts", "event_id"),
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "ts", "event_id",
+      watermarkDelay = "10 seconds", maxDelaySeconds = 60)
+    val q = out.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, ts(100), 10L), (2L, ts(100), 12L))
+      clicks.addData((1L, ts(130), 20L)) // attributes to view 10; user 2 never clicks
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view 12's join window (100+60+10):
+      // only then may the engine prove no partner can arrive and emit null
+      views.addData((9L, ts(10000), 90L))
+      clicks.addData((9L, ts(10000), 91L))
+      q.processAllAvailable()
+      views.addData((9L, ts(20000), 92L))
+      clicks.addData((9L, ts(20000), 93L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT key, left_id, right_id, delay_sec FROM attrib_outer
+           WHERE left_id IN (10, 12) ORDER BY left_id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 10L, 20L, 30L), (2L, 12L, -1L, -1L)),
+        s"matched view joins, unconverted view emits null-padded: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("file-source stream over events.parquet matches the batch aggregate") {
     val sf = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString

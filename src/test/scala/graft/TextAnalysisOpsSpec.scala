@@ -2,6 +2,7 @@ package graft
 
 import graft.io.Tables
 import graft.ops.TextAnalysisOps
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisOpsSpec extends AnyFunSuite {
@@ -333,6 +334,37 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(a.forall(_.getLong(0) % 2 == 0))
     val b = TextAnalysisOps.bigramLmNll(
       docs.repartition(13), "text", "doc_id", topN = 25).collect().toSeq
+    assert(a == b)
+  }
+
+  test("term drift: hand-computed chi2 on a 2x2 fixture, symmetric between terms") {
+    import spark.implicits._
+    // side 0: "a a b" (ta=3), side 1: "a b b b" (tb=4). For BOTH terms the
+    // 2x2 table has |det| = 5, total 7, row/col products 3*4*3*4 = 144:
+    // chi2 = 7*25/144 = 1.215278 — equal scores, order falls to term asc
+    val df = Seq((0L, "a a b"), (1L, "a b b b")).toDF("doc_id", "text")
+      .withColumn("side", col("doc_id") % 2)
+    val out = TextAnalysisOps.termDrift(df, "text", "side", minCount = 1, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1L, 1.215278),
+      ("b", 1L, 3L, 1.215278)), s"got ${out.toSeq}")
+  }
+
+  test("term drift is deterministic and identical terms score zero") {
+    import spark.implicits._
+    // both slices have the same distribution -> det = 0 for every term
+    val flat = Seq((0L, "x y x y"), (1L, "x y x y")).toDF("doc_id", "text")
+      .withColumn("side", col("doc_id") % 2)
+    TextAnalysisOps.termDrift(flat, "text", "side", minCount = 1, topN = 10)
+      .collect().foreach(r => assert(r.getDouble(3) == 0.0, s"$r"))
+    val a = TextAnalysisOps.termDrift(
+      docs.withColumn("side", col("doc_id") % 2), "text", "side",
+      minCount = 5, topN = 20).collect().toSeq
+    assert(a.nonEmpty)
+    val b = TextAnalysisOps.termDrift(
+      docs.repartition(13).withColumn("side", col("doc_id") % 2), "text", "side",
+      minCount = 5, topN = 20).collect().toSeq
     assert(a == b)
   }
 
