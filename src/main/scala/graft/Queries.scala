@@ -1117,7 +1117,39 @@ GROUP BY segment ORDER BY segment""")),
           Tables.documents(s, dir).withColumn("side", col("doc_id") % 2),
           "text", "side", minCount = 10, topN = 50),
       Some(graft.sql.TextAnalysisSql.termDrift("documents", "doc_id % 2",
-        minCount = 10, topN = 50)))
+        minCount = 10, topN = 50))),
+
+    ("q113_mad_outliers",
+      // robust outlier report: docs more than 2 MADs from the median
+      // char length — nearest-rank median/MAD, integer cross-multiplied
+      // flag, no ratio double near the boundary
+      (s: SparkSession, dir: String) =>
+        RelationalOps.madOutliers(Tables.documents(s, dir), "doc_id", "n_chars",
+          num = 2, den = 1, limit = 100),
+      Some(graft.sql.RelationalSql.madOutliers("documents", "doc_id", "n_chars",
+        num = 2, den = 1, limit = 100))),
+
+    ("q114_decayed_counts",
+      // freshness-weighted event mass: exact half-life shift weights
+      // (10^6 >> age-bucket), as-of = the data's newest day — no
+      // pow/exp double anywhere near an aggregate
+      (s: SparkSession, dir: String) =>
+        ResampleOps.decayedCounts(
+          Tables.events(s, dir), "ts", "event_type", halfLifeDays = 14),
+      Some(graft.sql.OracleSql.decayedCounts("events", "ts", "event_type",
+        halfLifeDays = 14))),
+
+    ("q115_hybrid_search",
+      // vector+keyword retrieval: document-as-query BM25 (more-like-this,
+      // self excluded) fused with brute-force cosine by exact-integer
+      // reciprocal-rank fusion — each side covers the other's blind spot
+      (s: SparkSession, dir: String) =>
+        RetrievalOps.hybridSearch(
+          Tables.documents(s, dir), Tables.embeddings(s, dir),
+          "text", "doc_id", "vec_id", "embedding",
+          queryMod = 100, kEach = 20, kRrf = 60, k = 10),
+      Some(graft.sql.RetrievalSql.hybridSearch("documents", "embeddings",
+        queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -324,6 +324,44 @@ object RelationalOps {
     cum.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MAD OUTLIERS: rows whose integer metric sits more than `num/den`
+    * median-absolute-deviations from the median — the robust outlier
+    * detector (median/MAD shrug off the very outliers that wreck a
+    * mean/stddev z-score; Hampel's rule). Median and MAD are NEAREST-RANK
+    * order statistics off the shared [[nearestRankBounds]] machinery, so
+    * everything is integer-exact: the flag predicate is the
+    * cross-multiplication dev·den > mad·num — no ratio double within a
+    * ulp of the boundary. Returns (id, metric, median, dev, mad) for
+    * flagged rows, most-deviant first, capped at `limit`.
+    *
+    * A degenerate metric (over half the rows at one value) gives mad = 0
+    * and flags every row off the median — the documented Hampel edge;
+    * use the percentile clip for such distributions.
+    *
+    * Scale shape: two bounded distinct-value histogram passes (metric,
+    * then deviation), each broadcast back as one row; the corpus path is
+    * one map-only filter. */
+  def madOutliers(
+      df: DataFrame, idCol: String, metricCol: String,
+      num: Long, den: Long, limit: Int): DataFrame = {
+    require(num >= 0 && den > 0 && limit >= 1, s"bad num=$num/den=$den/limit=$limit")
+    val med = nearestRankBounds(df, metricCol, Seq(50))
+      .select(col("bound_0").cast("long").as("median"))
+    val withDev = df
+      .filter(col(metricCol).isNotNull)
+      .crossJoin(broadcast(med))
+      .withColumn("dev", abs(col(metricCol).cast("long") - col("median")))
+    val madRel = nearestRankBounds(withDev, "dev", Seq(50))
+      .select(col("bound_0").cast("long").as("mad"))
+    withDev
+      .crossJoin(broadcast(madRel))
+      .filter(col("dev") * den > col("mad") * num)
+      .select(col(idCol).as("id"), col(metricCol).cast("long").as("metric"),
+        col("median"), col("dev"), col("mad"))
+      .orderBy(col("dev").desc, col("id").asc)
+      .limit(limit)
+  }
+
   /** EQUI-DEPTH histogram of an integer metric: `nBuckets` buckets of
     * near-equal row count, cut at the nearest-rank percentile bounds —
     * the distribution summary ("what does the token-length distribution

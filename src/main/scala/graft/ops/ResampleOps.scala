@@ -83,4 +83,36 @@ object ResampleOps {
       .select(col("bucket") +: filled: _*)
       .orderBy("bucket")
   }
+
+  /** TIME-DECAYED counts with EXACT integer half-life weights: every
+    * event contributes 10^6 >> (age_days div halfLifeDays) micro-units —
+    * exponential decay quantized to half-life buckets, so the "how much
+    * recent signal does each event type carry" freshness report
+    * (recency-weighted data valuation, decayed engagement scores) needs
+    * no `pow`/`exp` double anywhere: the weight is one BIGINT shift,
+    * bit-identical on any engine. Age is measured in whole days back
+    * from the NEWEST event day in the data (deterministic — no
+    * wall-clock), shifts cap at 30 (weight 0 beyond ~30 half-lives).
+    * Returns per type: event count, newest/oldest day, exact
+    * `decayed_e6` mass. One corpus aggregate; the as-of day derives from
+    * a single-row broadcast max. */
+  def decayedCounts(
+      events: DataFrame, tsCol: String, typeCol: String,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"bad half-life: $halfLifeDays")
+    val base = events.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("event_type"), to_date(col(tsCol)).as("__day"))
+    val asOf = base.agg(max(col("__day")).as("__as_of"))
+    base
+      .crossJoin(broadcast(asOf))
+      .withColumn("__w", expr(
+        s"shiftright(1000000L, cast(least(datediff(__as_of, __day) div $halfLifeDays, 30) as int))"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__day")).as("oldest_day"),
+        max(col("__day")).as("newest_day"),
+        sum(col("__w")).as("decayed_e6"))
+      .orderBy("event_type")
+  }
 }

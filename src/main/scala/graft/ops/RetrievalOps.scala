@@ -101,7 +101,79 @@ object RetrievalOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-    scoreBm25(tf, docLengths(base, textCol, idCol), spark, queries, k, k1, b)
+    scoreBm25(tf, docLengths(base, textCol, idCol),
+      queryRelation(spark, queries), k, k1, b)
+  }
+
+  /** MORE-LIKE-THIS: document-as-query BM25 — each query document's
+    * DISTINCT tokens become its query terms, ranking every other doc by
+    * the same integer-micro BM25 the term-relation path uses (self-match
+    * excluded; it would trivially rank first). The lexical half of
+    * [[hybridSearch]], and the classic "related documents" retrieval
+    * primitive.
+    *
+    * Scale shape: the query side is `idCol % queryMod == 0` — a small,
+    * broadcastable (query_id, term) relation exactly like the literal
+    * query path, so postings still semi-join-prune BEFORE the tf
+    * shuffle; corpus cost does not depend on how verbose the query docs
+    * are beyond their distinct-term count. */
+  def moreLikeThis(docs: DataFrame, textCol: String, idCol: String,
+      queryMod: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryMod >= 2, s"bad queryMod: $queryMod")
+    val base = docs.filter(col(textCol).isNotNull)
+    val qterms = base.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(graft.functions.TextHash.tokens(col(textCol)))).as("term"))
+    val tf = base
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, docLengths(base, textCol, idCol), qterms, k, k1, b,
+      excludeSelf = true)
+  }
+
+  /** RECIPROCAL-RANK FUSION (Cormack et al., SIGIR 2009): merge two
+    * rankings of the same (query, doc) domain by the exact-integer RRF
+    * score Σ floor(10^6 / (kRrf + rank)) — the standard hybrid-search
+    * combiner, rank-only so the two sides' incomparable score scales
+    * (BM25 micro-units vs cosine) never meet. Docs ranked by one side
+    * only still score on that side (full outer join); ties break by doc
+    * id. Inputs expose (query_id, doc_id, rk); output is the fused
+    * top-`k` with `rrf_e6` and a fresh rank. All-BIGINT — no float
+    * anywhere. */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int, k: Int): DataFrame = {
+    require(kRrf >= 1 && k >= 1, s"bad kRrf=$kRrf/k=$k")
+    val l = a.select(col("query_id"), col("doc_id"), col("rk").as("rk_a"))
+    val r = b.select(col("query_id"), col("doc_id"), col("rk").as("rk_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    l.join(r, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000 div ($kRrf + rk_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + rk_b)"), lit(0L)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_e6"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** HYBRID lexical + semantic search: BM25 [[moreLikeThis]] fused with
+    * brute-force embedding cosine by [[rrfFuse]] — the vector+keyword
+    * retrieval stack (each side covers the other's blind spot: exact
+    * terminology vs paraphrase). Assumes the document and embedding
+    * tables share an id space (doc_id == vec_id), as aligned corpus
+    * exports do. Both sides retrieve `kEach`, the fusion keeps `k`. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame,
+      textCol: String, idCol: String, embIdCol: String, vecCol: String,
+      queryMod: Int, kEach: Int, kRrf: Int, k: Int): DataFrame = {
+    val lex = moreLikeThis(docs, textCol, idCol, queryMod, kEach)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val sem = SimilarityOps.annBruteForce(emb, embIdCol, vecCol, queryMod, kEach)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+    rrfFuse(lex, sem, kRrf, k)
   }
 
   /** Full (term, doc_id, tf) postings — the BM25 index-build pass: one
@@ -138,7 +210,7 @@ object RetrievalOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
     val tf = postings.filter(col("term").isin(terms: _*))
-    scoreBm25(tf, dl, postings.sparkSession, queries, k, k1, b)
+    scoreBm25(tf, dl, queryRelation(postings.sparkSession, queries), k, k1, b)
   }
 
   private def queryRelation(spark: org.apache.spark.sql.SparkSession,
@@ -152,13 +224,14 @@ object RetrievalOps {
 
   /** Shared scoring stage: df off the pruned tf relation, N/avgdl off the
     * doc-length relation, integer-micro per-term contributions, exact
-    * BIGINT per-(query, doc) sum, bounded top-k window per query. */
+    * BIGINT per-(query, doc) sum, bounded top-k window per query.
+    * `qterms` is any broadcastable (query_id, term) relation — literal
+    * VALUES or document-derived; `excludeSelf` drops query_id == doc_id
+    * rows before ranking (the doc-as-query case). */
   private def scoreBm25(tf: DataFrame, dl: DataFrame,
-      spark: org.apache.spark.sql.SparkSession,
-      queries: Seq[(String, Seq[String])], k: Int,
-      k1: Double, b: Double): DataFrame = {
+      qterms: DataFrame, k: Int,
+      k1: Double, b: Double, excludeSelf: Boolean = false): DataFrame = {
     require(k >= 1, s"bad k: $k")
-    val qterms = queryRelation(spark, queries)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
@@ -169,13 +242,16 @@ object RetrievalOps {
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
 
-    val contrib = tf
+    val contrib0 = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(df), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
       .select(col("query_id"), col("doc_id"),
         round(idf * tfNorm * lit(1e6), 0).cast("long").as("contrib_micro"))
+    val contrib =
+      if (excludeSelf) contrib0.filter(col("query_id") =!= col("doc_id"))
+      else contrib0
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)

@@ -129,6 +129,21 @@ SELECT cal.bucket AS bucket, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
 CAST(COALESCE(agg.total_value_e6, 0) AS BIGINT) AS total_value_e6
 FROM cal LEFT JOIN agg ON cal.bucket = agg.bucket ORDER BY bucket"""
 
+  /** Mirror of [[graft.ops.ResampleOps.decayedCounts]]: same whole-day
+    * ages back from the data's newest day, same exact BIGINT half-life
+    * shift weights (10^6 >> bucket, capped at 30) — no pow/exp double
+    * anywhere. */
+  def decayedCounts(table: String, tsCol: String, typeCol: String, halfLifeDays: Int): String =
+    s"""WITH e AS (SELECT $typeCol AS event_type, CAST($tsCol AS DATE) AS day
+  FROM $table WHERE $tsCol IS NOT NULL AND $typeCol IS NOT NULL),
+m AS (SELECT MAX(day) AS as_of FROM e),
+w AS (SELECT event_type, day,
+  1000000 >> least(date_diff('day', day, m.as_of) // $halfLifeDays, 30) AS wt FROM e, m)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(day) AS oldest_day, MAX(day) AS newest_day,
+  CAST(SUM(wt) AS BIGINT) AS decayed_e6
+FROM w GROUP BY 1 ORDER BY 1"""
+
   /** Mirror of [[graft.ops.AnomalyOps.anomalyDaily]]: same daily
     * scaled-int aggregate and gap-filled calendar, same trailing frame,
     * same cross-multiplied integer z-score verdict — HUGEINT here,

@@ -202,6 +202,25 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   CAST(SUM(${e6("value")}) AS BIGINT) AS total_value_e6
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  /** Mirror of [[graft.ops.RelationalOps.madOutliers]]: same nearest-rank
+    * median and MAD off the distinct-value cumulative histograms, same
+    * integer cross-multiplied flag predicate. */
+  def madOutliers(
+      table: String, idCol: String, metricCol: String,
+      num: Long, den: Long, limit: Int): String =
+    s"""WITH h AS (SELECT $metricCol AS v, COUNT(*) AS c FROM $table
+  WHERE $metricCol IS NOT NULL GROUP BY 1),
+cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h),
+b AS (SELECT CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS median FROM cm),
+d AS (SELECT $idCol AS id, CAST($metricCol AS BIGINT) AS metric, b.median,
+    abs(CAST($metricCol AS BIGINT) - b.median) AS dev
+  FROM $table, b WHERE $metricCol IS NOT NULL),
+h2 AS (SELECT dev AS v, COUNT(*) AS c FROM d GROUP BY 1),
+cm2 AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h2),
+b2 AS (SELECT CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS mad FROM cm2)
+SELECT id, metric, median, dev, mad FROM d, b2 WHERE dev * $den > mad * $num
+ORDER BY dev DESC, id ASC LIMIT $limit"""
+
   /** Mirror of [[graft.ops.RelationalOps.equiDepthHistogram]]: same
     * distinct-value cumulative histogram, integer ceiling-division
     * nearest-rank bounds, and strictly-below bucket rule as

@@ -66,6 +66,19 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"grouping sets should execute via Expand:\n${plan.take(400)}")
   }
 
+  test("mad outliers: nearest-rank median/MAD, integer flag rule, hand-checked") {
+    import spark.implicits._
+    // metric values 10,10,11,12,13,100: median (nearest-rank p50 over the
+    // distinct-value histogram, ceil(6*50/100)=3rd row) = 11;
+    // deviations 1,1,0,1,2,89 -> sorted 0,1,1,1,2,89, median dev (3rd) = 1
+    // flag rule dev*1 > 1*3: only the 89 row
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L), (5L, 13L), (6L, 100L))
+      .toDF("id", "m")
+    val out = RelationalOps.madOutliers(df, "id", "m", num = 3, den = 1, limit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((6L, 100L, 11L, 89L, 1L)), s"got ${out.toSeq}")
+  }
+
   test("revenue by nation covers every nation with lineitems and is positive") {
     val df = RelationalOps.revenueByNation(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf),

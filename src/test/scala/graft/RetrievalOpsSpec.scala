@@ -89,4 +89,48 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("rrf fusion: hand-computed integer scores, one-sided docs still score") {
+    import spark.implicits._
+    // query 1: doc 5 ranks 1st on A and 2nd on B -> 1e6/61 + 1e6/62 = 32520
+    //          doc 6 only on A at rank 2        -> 1e6/62         = 16129
+    //          doc 7 only on B at rank 1        -> 1e6/61         = 16393
+    val a = Seq((1L, 5L, 1L), (1L, 6L, 2L)).toDF("query_id", "doc_id", "rk")
+    val b = Seq((1L, 7L, 1L), (1L, 5L, 2L)).toDF("query_id", "doc_id", "rk")
+    val out = RetrievalOps.rrfFuse(a, b, kRrf = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 5L, 1000000L / 61 + 1000000L / 62),
+      (1L, 2L, 7L, 1000000L / 61),
+      (1L, 3L, 6L, 1000000L / 62)), s"got ${out.toSeq}")
+  }
+
+  test("more-like-this ranks a near-duplicate of the query doc first, self excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "catalyst optimizer rewrites logical plans into physical plans"),
+      (1L, "catalyst optimizer rewrites logical plans into physical plans quickly"),
+      (2L, "gardening tips for growing tomatoes in small urban spaces"),
+      (3L, "completely different text about cooking pasta sauces"))
+      .toDF("doc_id", "text")
+    val out = RetrievalOps.moreLikeThis(df, "text", "doc_id", queryMod = 100, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // query doc 0: its near-copy (doc 1) must rank first; doc 0 itself absent
+    assert(out.nonEmpty && out.forall(_._3 != 0L), s"self-match must be excluded: ${out.toSeq}")
+    assert(out.head == ((0L, 1L, 1L)), s"near-duplicate first: ${out.toSeq}")
+  }
+
+  test("hybrid search fuses both sides and is deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = RetrievalOps.hybridSearch(docs, emb, "text", "doc_id", "vec_id", "embedding",
+      queryMod = 100, kEach = 10, kRrf = 60, k = 5).collect().toSeq
+    assert(a.nonEmpty)
+    // every query returns at most k fused rows with ranks 1..n
+    a.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    val b = RetrievalOps.hybridSearch(docs.repartition(7), emb, "text", "doc_id",
+      "vec_id", "embedding", queryMod = 100, kEach = 10, kRrf = 60, k = 5).collect().toSeq
+    assert(a == b)
+  }
 }
