@@ -1149,7 +1149,30 @@ GROUP BY segment ORDER BY segment""")),
           "text", "doc_id", "vec_id", "embedding",
           queryMod = 100, kEach = 20, kRrf = 60, k = 10),
       Some(graft.sql.RetrievalSql.hybridSearch("documents", "embeddings",
-        queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64)))
+        queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64))),
+
+    ("q116_triangle_counts",
+      // local clustering audit of the near-dup pair graph (q39's pair
+      // set): exact per-node triangle counts via the ordered-wedge
+      // enumeration — dense triangle neighborhoods are genuine dup
+      // communities, triangle-free stars are hub/template artifacts
+      (s: SparkSession, dir: String) =>
+        GraphOps.triangleCounts(
+          DedupOps.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+            w = 3, nBands = 8, r = 2, minJaccard = 0.3, limit = 10000),
+          "doc_a", "doc_b"),
+      Some(graft.sql.GraphSql.triangleCountsNearDup("documents",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.3, limit = 10000))),
+
+    ("q117_pivot_daily_events",
+      // wide-format report surface: daily counts pivoted to one column
+      // per event type (explicit value list keeps the plan one pass and
+      // the schema deterministic), zero-filled cells
+      (s: SparkSession, dir: String) =>
+        RelationalOps.pivotDailyEventCounts(Tables.events(s, dir), "ts", "event_type",
+          types = Seq("click", "error", "purchase", "signup", "view")),
+      Some(graft.sql.RelationalSql.pivotDailyEventCounts("events", "ts", "event_type",
+        types = Seq("click", "error", "purchase", "signup", "view"))))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -158,6 +158,28 @@ object RelationalOps {
       .select("status", "priority", "n_orders", "total_price_e2")
       .orderBy("status", "priority")
 
+  /** PIVOT report: daily event counts with one column per event type —
+    * the wide-format report surface (`RelationalGroupedDataset.pivot`).
+    * `types` is the EXPLICIT pivot-value list: passing it keeps the plan
+    * a single pass (Spark otherwise runs a distinct-values job first to
+    * discover columns) and keeps the output schema deterministic — the
+    * same reason the oracle mirror writes one conditional aggregate per
+    * type. Absent (day, type) cells are zero-filled. */
+  def pivotDailyEventCounts(
+      events: DataFrame, tsCol: String, typeCol: String,
+      types: Seq[String]): DataFrame = {
+    require(types.nonEmpty && types.distinct == types, s"bad pivot values: $types")
+    val day = to_date(col(tsCol))
+    val pivoted = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(day.as("day"))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) =>
+        df.withColumn(t, coalesce(col(s"`$t`"), lit(0L))))
+      .orderBy("day")
+  }
+
   /** Top-K customers by total spend per market segment: shuffle agg to the
     * (custkey) domain, then a window over the small aggregated relation. */
   def topCustomersPerSegment(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {

@@ -33,4 +33,23 @@ FROM pr JOIN deg ON deg.src = pr.node
 WHERE iter = $iters
 ORDER BY rank_micro DESC, node ASC LIMIT $limit"""
   }
+
+  /** Mirror of [[graft.ops.GraphOps.triangleCounts]] over the capped
+    * MinHash near-dup pair graph (the same pair set q39's clustering
+    * consumes): same canonical (lo, hi) edges, ordered-wedge
+    * enumeration, closing-edge semi-join, corner redistribution. */
+  def triangleCountsNearDup(table: String, w: Int, nBands: Int, r: Int,
+      minJaccard: Double, limit: Int): String =
+    s"""WITH toks AS (SELECT doc_id AS id, ${DedupSql.toksSql} AS tk FROM $table WHERE text IS NOT NULL),
+${DedupSql.minhashPairCtes("toks", w, nBands, r)},
+pr AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= $minJaccard
+  ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $limit),
+e AS (SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+  FROM pr WHERE doc_a <> doc_b),
+wdg AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi),
+t AS (SELECT a, b, c FROM wdg
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = wdg.b AND e.hi = wdg.c)),
+n AS (SELECT unnest([a, b, c]) AS node FROM t)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM n GROUP BY 1 ORDER BY 1"""
 }

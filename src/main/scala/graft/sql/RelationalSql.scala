@@ -202,6 +202,19 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   CAST(SUM(${e6("value")}) AS BIGINT) AS total_value_e6
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  /** Mirror of [[graft.ops.RelationalOps.pivotDailyEventCounts]]: one
+    * conditional count per explicit pivot value, zero-filled. */
+  def pivotDailyEventCounts(
+      table: String, tsCol: String, typeCol: String, types: Seq[String]): String = {
+    val cols = types.map(t =>
+      s"""CAST(COUNT(*) FILTER (WHERE $typeCol = '$t') AS BIGINT) AS "$t"""")
+      .mkString(",\n  ")
+    s"""SELECT CAST($tsCol AS DATE) AS day,
+  $cols
+FROM $table WHERE $tsCol IS NOT NULL AND $typeCol IS NOT NULL
+GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Mirror of [[graft.ops.RelationalOps.madOutliers]]: same nearest-rank
     * median and MAD off the distinct-value cumulative histograms, same
     * integer cross-multiplied flag predicate. */

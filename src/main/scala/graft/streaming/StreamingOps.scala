@@ -243,6 +243,40 @@ object StreamingOps {
       onBatch(matches, batchId)
     }
 
+  /** PRODUCTION ingest loop for the persisted BM25 index —
+    * [[nearDupIngest]]'s retrieval sibling: a `foreachBatch` writer that
+    * APPENDS each micro-batch's postings
+    * ([[graft.ops.RetrievalOps.bm25Postings]]) and doc lengths
+    * ([[graft.ops.RetrievalOps.docLengths]]) as idempotent hive
+    * `batch=<id>` partitions, so
+    * [[graft.ops.RetrievalOps.bm25FromIndex]] over the two directories
+    * answers queries against everything ingested so far — the
+    * build-incrementally/query-many search story. There is no
+    * accept/reject verdict (an index wants every document);
+    * `onBatch(batchId)` signals downstream that the index grew.
+    *
+    * Layout contract (same as the near-dup loop): both dirs hive-partition
+    * by micro-batch, seed corpus at e.g. `batch=-1`; each batch OVERWRITES
+    * its own partition so a retried micro-batch rewrites instead of
+    * double-appending. Scoring reads the UNION of partitions, so df/avgdl
+    * always reflect the whole ingested corpus — bit-identical to a
+    * from-scratch build over the same docs (spec-pinned). Compact with
+    * [[graft.io.Sinks.compactBatches]] (sort postings on `term` so
+    * row-group stats prune query scans). */
+  def bm25Ingest(
+      docs: DataFrame, postingsDir: String, dlDir: String,
+      textCol: String, idCol: String,
+      onBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val b = batch.localCheckpoint()
+      graft.ops.RetrievalOps.bm25Postings(b, textCol, idCol)
+        .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
+      graft.ops.RetrievalOps.docLengths(b, textCol, idCol)
+        .write.mode("overwrite").parquet(s"$dlDir/batch=$batchId")
+      onBatch(batchId)
+    }
+
   /** Stream-stream INTERVAL join: pair each `right`-stream event with the
     * same-key `left`-stream events that happened at most `maxDelaySeconds`
     * BEFORE it (inclusive on both ends) — the attribution join (view →

@@ -65,4 +65,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(total <= n * 1000000L)
     assert(total >= n * 1000000L - 100 * n, s"lost too much mass: $total")
   }
+
+  test("triangle counts: K4 minus an edge, stars are triangle-free, edges canonicalize") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    // Edges deliberately reversed/duplicated to exercise canonicalization;
+    // star 5-(6,7,8) closes nothing.
+    val pairs = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L),
+      (5L, 6L), (7L, 5L), (5L, 8L))
+      .toDF("a", "b")
+    val out = GraphOps.triangleCounts(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $out")
+    // determinism under repartitioning
+    val again = GraphOps.triangleCounts(pairs.repartition(7), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
 }

@@ -66,6 +66,23 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"grouping sets should execute via Expand:\n${plan.take(400)}")
   }
 
+  test("pivot daily event counts: wide schema, zero-filled cells, one pass") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 10:00:00")
+    val ev = Seq(
+      (1L, ts("2024-01-01"), "view"), (2L, ts("2024-01-01"), "view"),
+      (3L, ts("2024-01-01"), "click"), (4L, ts("2024-01-02"), "purchase"))
+      .toDF("event_id", "ts", "event_type")
+    val out = RelationalOps.pivotDailyEventCounts(ev, "ts", "event_type",
+      Seq("click", "purchase", "view"))
+    assert(out.columns.toSeq == Seq("day", "click", "purchase", "view"))
+    val rows = out.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 1L, 0L, 2L),
+      ("2024-01-02", 0L, 1L, 0L)), s"got ${rows.toSeq}")
+  }
+
   test("mad outliers: nearest-rank median/MAD, integer flag rule, hand-checked") {
     import spark.implicits._
     // metric values 10,10,11,12,13,100: median (nearest-rank p50 over the

@@ -250,6 +250,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bm25 ingest grows the index per batch; queries see the whole ingested corpus") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25ingest").toString
+    val seed = Seq((10L, "spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    graft.ops.RetrievalOps.bm25Postings(seed, "text", "doc_id")
+      .write.parquet(s"$dir/postings/batch=-1")
+    graft.ops.RetrievalOps.docLengths(seed, "text", "doc_id")
+      .write.parquet(s"$dir/dl/batch=-1")
+    val qs = Seq("q1" -> Seq("catalyst", "shuffle"))
+    def search() = graft.ops.RetrievalOps.bm25FromIndex(
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/dl"), qs, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25Ingest(
+      in.toDF().toDF("doc_id", "text"), s"$dir/postings", s"$dir/dl",
+      "text", "doc_id").start()
+    try {
+      in.addData((20L, "shuffle partitions and catalyst planning"))
+      q.processAllAvailable()
+      assert(search() == Set(10L, 20L), "batch-0 doc must be searchable")
+      in.addData((30L, "catalyst expression codegen"))
+      q.processAllAvailable()
+      assert(search() == Set(10L, 20L, 30L), "the index grows per batch")
+      // incremental build == from-scratch build over the same docs
+      val all = Seq(
+        (10L, "spark catalyst optimizer rules"),
+        (20L, "shuffle partitions and catalyst planning"),
+        (30L, "catalyst expression codegen")).toDF("doc_id", "text")
+      val scratch = graft.ops.RetrievalOps.bm25TopK(all, "text", "doc_id", qs, k = 10)
+        .collect().toSeq
+      val incremental = graft.ops.RetrievalOps.bm25FromIndex(
+        spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/dl"), qs, k = 10)
+        .collect().toSeq
+      assert(incremental == scratch,
+        "incremental index must score bit-identically to a from-scratch build")
+    } finally q.stop()
+  }
+
   test("ivf ingest appends each batch's vectors so later batches find them") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
