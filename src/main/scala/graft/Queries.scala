@@ -1147,9 +1147,9 @@ GROUP BY segment ORDER BY segment""")),
         RetrievalOps.hybridSearch(
           Tables.documents(s, dir), Tables.embeddings(s, dir),
           "text", "doc_id", "vec_id", "embedding",
-          queryMod = 100, kEach = 20, kRrf = 60, k = 10),
+          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30),
       Some(graft.sql.RetrievalSql.hybridSearch("documents", "embeddings",
-        queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64))),
+        queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64, maxQueryTerms = 30))),
 
     ("q116_triangle_counts",
       // local clustering audit of the near-dup pair graph (q39's pair
@@ -1172,7 +1172,22 @@ GROUP BY segment ORDER BY segment""")),
         RelationalOps.pivotDailyEventCounts(Tables.events(s, dir), "ts", "event_type",
           types = Seq("click", "error", "purchase", "signup", "view")),
       Some(graft.sql.RelationalSql.pivotDailyEventCounts("events", "ts", "event_type",
-        types = Seq("click", "error", "purchase", "signup", "view"))))
+        types = Seq("click", "error", "purchase", "signup", "view")))),
+
+    ("q118_merged_distinct_profile",
+      // shard-mergeable statistics maintenance: per-column HLL register
+      // files built per shard, merged by cell-wise max, estimated with
+      // the exact-decimal harmonic sum — the oracle builds the registers
+      // in one shot; merge associativity makes the two bit-identical
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val cols = Seq("doc_id", "lang", "n_chars", "source")
+        ProfileOps.columnDistinctEstimates(
+          ProfileOps.mergeColumnRegisters((0 until 3).map(i =>
+            ProfileOps.columnRegisters(docs.filter(col("doc_id") % 3 === i), cols))))
+      },
+      Some(graft.sql.RelationalSql.columnDistinctEstimates("documents",
+        Seq("doc_id", "lang", "n_chars", "source"), bucketHex = 2)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -100,4 +100,74 @@ object ProfileOps {
         col("p.min_metric"), col("p.max_metric"))
       .orderBy("col_name")
   }
+
+  // --- SHARD-MERGEABLE distinct sketches -------------------------------
+
+  /** Per-COLUMN HLL register file — the MERGEABLE distinct-count artifact
+    * a 100 TB statistics pipeline persists per shard: exact distinct
+    * counts cannot merge across shards without re-touching data, but
+    * register files merge by cell-wise MAX ([[mergeColumnRegisters]]) and
+    * estimate at read time ([[columnDistinctEstimates]]). One stacked
+    * scan over all requested columns (values ride as strings through the
+    * shared md5 cell of [[SketchOps.hllCell]], so column type never
+    * changes placement), one constant-bounded shuffle — at most
+    * cols × 16^`bucketHex` rows survive the map-side combine. */
+  def columnRegisters(df: DataFrame, cols: Seq[String], bucketHex: Int = 2): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.v"))
+      .filter(col("v").isNotNull)
+    stacked
+      .select(col("col_name"), SketchOps.hllCell(col("v"), bucketHex).as("c"))
+      .groupBy(col("col_name"), col("c.bucket").as("bucket"))
+      .agg(max(col("c.rho")).cast("long").as("register"))
+  }
+
+  /** Cell-wise MAX merge of per-shard register files: associative and
+    * idempotent, so shards combine in any order and replayed shards
+    * change nothing — merged == the whole-corpus build, bit-identically
+    * (spec-pinned). Metadata-sized shuffle. */
+  def mergeColumnRegisters(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one register file")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("register")).as("register"))
+  }
+
+  /** Distinct-count estimates from a per-column register file — the HLL
+    * harmonic-mean formula with linear-counting fallback, in the repo's
+    * cross-engine-exact form: Σ 2^(-register) is computed as the EXACT
+    * integer Σ 2^(61-register) over a DECIMAL(38,0) sum (order-free —
+    * the double `pow` sum of the textbook form is summation-order
+    * dependent), missing buckets contribute 2^61 each, and the single
+    * division happens once at the end in one pinned operation order.
+    * Returns (col_name, nonzero_buckets, estimate) — estimate rounded
+    * 6 dp. */
+  def columnDistinctEstimates(registers: DataFrame, bucketHex: Int = 2): DataFrame = {
+    require(bucketHex >= 1 && bucketHex <= 3, s"bucketHex must be in [1, 3]: $bucketHex")
+    val m = math.pow(16, bucketHex)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2, 61)
+    val two61 = 2305843009213693952L // 2^61
+    registers
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("nonzero"),
+        sum(expr("CAST(shiftleft(1L, CAST(61 - register AS INT)) AS DECIMAL(38,0))"))
+          .as("sp"))
+      .select(col("col_name"), col("nonzero"),
+        (lit(num) / (col("sp") +
+          (lit(m.toLong) - col("nonzero")).cast("decimal(38,0)") * lit(two61))
+          .cast("double")).as("raw"))
+      .select(col("col_name"),
+        round(
+          when(col("raw") <= lit(2.5 * m) && col("nonzero") < m.toLong,
+            lit(m) * log(lit(m) / (lit(m) - col("nonzero")).cast("double")))
+            .otherwise(col("raw")), 6).as("estimate"),
+        col("nonzero").cast("long").as("nonzero_buckets"))
+      .select(col("col_name"), col("nonzero_buckets"), col("estimate"))
+      .orderBy("col_name")
+  }
 }

@@ -116,22 +116,54 @@ object RetrievalOps {
     * broadcastable (query_id, term) relation exactly like the literal
     * query path, so postings still semi-join-prune BEFORE the tf
     * shuffle; corpus cost does not depend on how verbose the query docs
-    * are beyond their distinct-term count. */
+    * are beyond their distinct-term count.
+    *
+    * `maxQueryTerms` (Lucene MLT's `maxQueryTerms` knob): keep only each
+    * query's N RAREST terms (lowest corpus total frequency, term-text
+    * tiebreak) before scoring. Without it a verbose query doc matches
+    * nearly the whole corpus through its stopwords; rare terms carry all
+    * the discrimination BM25's idf would weight anyway. Rarity is
+    * measured by TOTAL occurrences, not Lucene's docFreq, deliberately:
+    * occurrence counts come from a term-keyed aggregate that map-side
+    * combines to vocabulary size, where a docFreq pass would shuffle the
+    * full (doc, term) relation — the exact cost pruning exists to avoid
+    * (the two orders agree wherever it matters: rare-by-occurrence ⊆
+    * rare-by-doc). With pruning on, the (doc, term) tf shuffle itself
+    * runs ONLY over the selected terms' postings. 0 disables pruning. */
   def moreLikeThis(docs: DataFrame, textCol: String, idCol: String,
-      queryMod: Int, k: Int,
+      queryMod: Int, k: Int, maxQueryTerms: Int = 0,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryMod >= 2, s"bad queryMod: $queryMod")
+    require(maxQueryTerms >= 0, s"bad maxQueryTerms: $maxQueryTerms")
     val base = docs.filter(col(textCol).isNotNull)
     val qterms = base.filter(col(idCol) % queryMod === 0)
       .select(col(idCol).as("query_id"),
         explode(array_distinct(graft.functions.TextHash.tokens(col(textCol)))).as("term"))
-    val tf = base
+    val corpusTerms = base
       .select(col(idCol).as("doc_id"),
         graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    val qsel =
+      if (maxQueryTerms == 0) qterms
+      else {
+        // vocabulary-sized, map-side-combinable rarity pass
+        val freq = corpusTerms.groupBy(col("term")).agg(count(lit(1)).as("__tfreq"))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("__tfreq").asc, col("term").asc)
+        qterms.join(freq, Seq("term"))
+          .withColumn("__trk", row_number().over(wq))
+          .filter(col("__trk") <= maxQueryTerms)
+          .select("query_id", "term")
+      }
+    // the broadcast term set prunes postings BEFORE the (doc, term)
+    // shuffle; qsel feeds this semi-join AND scoreBm25's contrib join,
+    // and tf feeds scoreBm25's df aggregate AND contrib — checkpoint both
+    val qselC = qsel.localCheckpoint()
+    val tf = corpusTerms
+      .join(broadcast(qselC.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    scoreBm25(tf, docLengths(base, textCol, idCol), qterms, k, k1, b,
+      .localCheckpoint()
+    scoreBm25(tf, docLengths(base, textCol, idCol), qselC, k, k1, b,
       excludeSelf = true)
   }
 
@@ -168,8 +200,9 @@ object RetrievalOps {
     * exports do. Both sides retrieve `kEach`, the fusion keeps `k`. */
   def hybridSearch(docs: DataFrame, emb: DataFrame,
       textCol: String, idCol: String, embIdCol: String, vecCol: String,
-      queryMod: Int, kEach: Int, kRrf: Int, k: Int): DataFrame = {
-    val lex = moreLikeThis(docs, textCol, idCol, queryMod, kEach)
+      queryMod: Int, kEach: Int, kRrf: Int, k: Int,
+      maxQueryTerms: Int = 0): DataFrame = {
+    val lex = moreLikeThis(docs, textCol, idCol, queryMod, kEach, maxQueryTerms)
       .select(col("query_id"), col("doc_id"), col("rk"))
     val sem = SimilarityOps.annBruteForce(emb, embIdCol, vecCol, queryMod, kEach)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))

@@ -257,6 +257,45 @@ SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM t GROUP BY bucket ORDER BY bucket"""
   }
 
+  /** Mirror of [[graft.ops.ProfileOps.columnRegisters]] →
+    * [[graft.ops.ProfileOps.mergeColumnRegisters]] →
+    * [[graft.ops.ProfileOps.columnDistinctEstimates]]: the oracle builds
+    * the registers DIRECTLY over the whole table — cell-wise max merge is
+    * associative, so the engine's shard-merged artifact must equal the
+    * one-shot build. Same md5 cells, same exact DECIMAL Σ 2^(61-reg)
+    * harmonic sum, same pinned-order division and linear-counting
+    * fallback. `num`/`m` literals are formatted by the CALLER from the
+    * same Scala constants the engine embeds. */
+  def columnDistinctEstimates(
+      table: String, cols: Seq[String], bucketHex: Int): String = {
+    val m = math.pow(16, bucketHex)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2, 61)
+    val stacked = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM $table WHERE $c IS NOT NULL")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+  $stacked),
+h AS (SELECT col_name, substr(md5(v), 1, $bucketHex) AS bucket,
+    ('0x' || substr(md5(v), ${bucketHex + 1}, 15))::BIGINT AS hv FROM s),
+r AS (SELECT col_name, bucket,
+    CAST(MAX(CASE WHEN hv = 0 THEN 61 ELSE 61 - length(bin(hv)) END) AS BIGINT) AS register
+  FROM h GROUP BY col_name, bucket),
+a AS (SELECT col_name, COUNT(*) AS nonzero,
+    SUM(CAST(1::BIGINT << CAST(61 - register AS INT) AS DECIMAL(38,0))) AS sp
+  FROM r GROUP BY col_name),
+e AS (SELECT col_name, nonzero,
+    CAST($num AS DOUBLE) / CAST(sp + CAST(${m.toLong} - nonzero AS DECIMAL(38,0))
+      * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+  FROM a)
+SELECT col_name,
+  round(CASE WHEN raw <= ${2.5 * m} AND nonzero < ${m.toLong}
+    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(${m.toLong} - nonzero AS DOUBLE))
+    ELSE raw END, 6) AS estimate,
+  CAST(nonzero AS BIGINT) AS nonzero_buckets
+FROM e ORDER BY col_name"""
+  }
+
   /** Mirror of [[graft.ops.ProfileOps.tableProfile]]: one SELECT per
     * column UNION ALL'd — same null count, exact distinct, and value/
     * length min-max metric (`isString` columns profile `length(col)`,

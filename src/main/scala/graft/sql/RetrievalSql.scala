@@ -15,12 +15,25 @@ object RetrievalSql {
     * the two top-`kEach` rankings. */
   def hybridSearch(table: String, embTable: String,
       queryMod: Int, kEach: Int, kRrf: Int, k: Int, dim: Int,
+      maxQueryTerms: Int = 0,
       k1: Double = 1.2, b: Double = 0.75): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
     val cos = s"round(${dot("cq.qv", "e.v")} / (sqrt(${dot("cq.qv", "cq.qv")}) * sqrt(${dot("e.v", "e.v")})), 6)"
+    // Lucene-MLT term pruning: keep each query's maxQueryTerms RAREST
+    // terms by corpus TOTAL frequency (tfreq asc, term asc) — the same
+    // vocabulary-keyed rarity pass the engine runs; tf then covers only
+    // the selected terms' postings
+    val qsel =
+      if (maxQueryTerms == 0) "q AS (SELECT query_id, term FROM q0)"
+      else s"""fr AS (SELECT term, COUNT(*) AS tfreq FROM t GROUP BY term),
+q AS (SELECT query_id, term FROM (
+  SELECT q0.query_id, q0.term,
+    ROW_NUMBER() OVER (PARTITION BY q0.query_id ORDER BY fr.tfreq ASC, q0.term ASC) AS trk
+  FROM q0 JOIN fr USING (term)) WHERE trk <= $maxQueryTerms)"""
     s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
-q AS (SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id % $queryMod = 0),
+q0 AS (SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id % $queryMod = 0),
+$qsel,
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
   WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
 df AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),

@@ -71,4 +71,37 @@ class ProfileOpsSpec extends AnyFunSuite {
     val df = Seq((1L, 1.5)).toDF("id", "d")
     intercept[IllegalArgumentException](ProfileOps.tableProfile(df, Seq("d")))
   }
+
+  test("column registers: shard-merge equals the one-shot build bit-identically") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cols = Seq("doc_id", "lang", "n_chars", "source")
+    val whole = ProfileOps.columnRegisters(docs, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val merged = ProfileOps.mergeColumnRegisters((0 until 3).map(i =>
+      ProfileOps.columnRegisters(docs.filter(col("doc_id") % 3 === i), cols)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(whole.nonEmpty && merged == whole,
+      "cell-wise max merge must reproduce the one-shot register file")
+    // and replaying a shard changes nothing (idempotent merge)
+    val s0 = ProfileOps.columnRegisters(docs.filter(col("doc_id") % 3 === 0), cols)
+    val withDup = ProfileOps.mergeColumnRegisters(Seq(s0, s0) ++ (1 until 3).map(i =>
+      ProfileOps.columnRegisters(docs.filter(col("doc_id") % 3 === i), cols)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(withDup == whole, "replayed shards must not change the artifact")
+  }
+
+  test("column distinct estimates land within HLL error of the exact counts") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cols = Seq("doc_id", "lang", "source")
+    val est = ProfileOps.columnDistinctEstimates(
+      ProfileOps.columnRegisters(docs, cols))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = cols.map(c => c -> docs.select(c).distinct().count().toDouble).toMap
+    cols.foreach { c =>
+      val rel = math.abs(est(c) - exact(c)) / math.max(exact(c), 1.0)
+      // m = 256 buckets -> ~1.04/sqrt(256) = 6.5% standard error; 4 sigma
+      assert(rel < 0.26, s"$c: est ${est(c)} vs exact ${exact(c)} (rel $rel)")
+    }
+  }
 }

@@ -120,6 +120,29 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.head == ((0L, 1L, 1L)), s"near-duplicate first: ${out.toSeq}")
   }
 
+  test("more-like-this term pruning keeps the rarest terms; stopword-only matches vanish") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the the the unique zebra"),
+      (1L, "the the the common words here and the rest"),
+      (2L, "unique zebra appears here too"),
+      (3L, "the of and a an"))
+      .toDF("doc_id", "text")
+    // maxQueryTerms = 2 keeps the query's two rarest terms: unique, zebra
+    // ("the" is the corpus's most frequent term) -> only doc 2 matches at
+    // all; the stopword-share docs are not even candidates
+    val pruned = RetrievalOps.moreLikeThis(df, "text", "doc_id",
+      queryMod = 100, k = 5, maxQueryTerms = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pruned.toSeq == Seq((0L, 2L)), s"got ${pruned.toSeq}")
+    // without pruning the stopword overlap drags other docs in
+    val full = RetrievalOps.moreLikeThis(df, "text", "doc_id",
+      queryMod = 100, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(full.map(_._2).toSet.contains(1L),
+      s"unpruned MLT should match stopword-share docs: ${full.toSeq}")
+  }
+
   test("hybrid search fuses both sides and is deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val a = RetrievalOps.hybridSearch(docs, emb, "text", "doc_id", "vec_id", "embedding",
