@@ -662,6 +662,15 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SketchSql.cmsHeavyHitters("documents",
         depth = 3, hexChars = 2, minEst = 10))),
 
+    ("q119_frequent_ngrams",
+      // Misra-Gries two-pass frequent bigrams: bounded-memory per-partition
+      // candidate summaries (never a vocabulary-sized shuffle), exact counts
+      // over the broadcast candidate set only; the cnt*(k+1) > n filter makes
+      // the output partitioning-independent, so the oracle is plain exact SQL
+      (s: SparkSession, dir: String) =>
+        SketchOps.frequentNgrams(Tables.documents(s, dir), "text", w = 2, k = 800),
+      Some(graft.sql.SketchSql.frequentNgrams("documents", w = 2, k = 800))),
+
     ("q85_log2_quantiles",
       // constant-size (<=64 row) power-of-2 quantile sketch probed at
       // p50/p90/p99: integer bit-length buckets, factor-2 value bounds
@@ -816,6 +825,19 @@ GROUP BY segment ORDER BY segment""")),
           labelExpr = col("lang") === "en", dim = 64, epochs = 3),
       Some(graft.sql.TextAnalysisSql.perceptronTrain("documents",
         labelSql = "lang = 'en'", dim = 64, epochs = 3))),
+
+    ("q120_threshold_sweep",
+      // classifier operating-point report: q74's hashed scores + q99's
+      // label, aggregated per explicit cutoff — pred_pos/tp/precision/
+      // recall in integer ppm; constant-bounded shuffle (|thresholds| rows
+      // per partition after map-side combine), no distinct-score window
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.scoreThresholdSweep(Tables.documents(s, dir), "text", "doc_id",
+          labelExpr = col("lang") === "en", dim = 1024,
+          thresholds = Seq(-2000L, 0L, 1000L, 2500L, 5000L)),
+      Some(graft.sql.TextAnalysisSql.scoreThresholdSweep("documents",
+        labelSql = "lang = 'en'", dim = 1024,
+        thresholds = Seq(-2000L, 0L, 1000L, 2500L, 5000L)))),
 
     ("q74_hashed_linear_score",
       // classifier inference as relational algebra: md5 feature hashing,
@@ -1038,6 +1060,20 @@ GROUP BY segment ORDER BY segment""")),
         GraphOps.pageRankSymmetric(pairs, "a", "b", iters = 5).limit(100)
       },
       Some(graft.sql.GraphSql.pageRankCustomerSupplier(iters = 5, limit = 100))),
+
+    ("q121_kcore",
+      // k-core of the same interaction graph: 4 synchronous peel rounds
+      // (degree agg + two semi-joins each), fixed-round semantics so the
+      // unrolled-CTE oracle is equal by construction; k=8 reaches fixpoint
+      // within the budget at every test scale factor
+      (s: SparkSession, dir: String) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        GraphOps.kCore(pairs, "a", "b", k = 8, rounds = 4)
+      },
+      Some(graft.sql.GraphSql.kCoreCustomerSupplier(k = 8, rounds = 4))),
 
     ("q105_bm25_indexed",
       // the SAME retrieval from the PERSISTED index relations (full

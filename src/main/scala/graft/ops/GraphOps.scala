@@ -74,6 +74,58 @@ object GraphOps {
       .orderBy(col("rank_micro").desc, col("node").asc)
   }
 
+  /** K-CORE of the undirected graph induced by a pair relation — the
+    * maximal subgraph where every node keeps degree ≥ `k` (Seidman 1983),
+    * by `rounds` synchronous peel rounds: drop every node whose current
+    * degree is below k, drop the edges it carried, repeat. Where
+    * [[triangleCounts]] measures LOCAL closure, the k-core is the GLOBAL
+    * density filter — the standard way to split a near-dup pair graph's
+    * genuine dup communities (dense, survive peeling) from incidental
+    * hub/star contacts (peel away in one or two rounds), and an
+    * interaction-graph trust core next to [[pageRankSymmetric]].
+    *
+    * Semantics are FIXED-ROUND, not run-to-convergence: exactly `rounds`
+    * peels, then report the surviving nodes with their degree in the
+    * surviving edge set — so the DuckDB mirror (rounds unrolled as CTEs,
+    * the k-means/perceptron oracle pattern) is equal by construction
+    * whether or not the peel has converged. At fixpoint every reported
+    * degree is ≥ k (spec-pinned on a fixture whose cascade NEEDS multiple
+    * rounds); under-provisioned rounds simply report the partially peeled
+    * graph identically on both engines. Synchronous peeling (all of a
+    * round's sub-k nodes drop together) is what makes the rounds
+    * deterministic — sequential peeling's intermediate states depend on
+    * node order, the classic parallelization trap of the textbook
+    * min-degree algorithm.
+    *
+    * 100 TB shape: each round is one degree aggregate + two semi-joins
+    * against the shrinking edge relation — no driver-side data, no
+    * global sort until the final bounded output; `localCheckpoint` per
+    * round keeps lineage flat (the [[pageRankSymmetric]] iteration
+    * shape). Integer degrees only — nothing to diverge by a ulp. */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    require(rounds >= 1, s"bad rounds: $rounds")
+    var e = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("src").as("n"))
+      e = e
+        .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("node").asc)
+  }
+
   /** TRIANGLE COUNT per node over the undirected graph of a pair
     * relation — the local clustering signal (dense triangle
     * neighborhoods = genuine communities; triangle-free stars = hub

@@ -162,6 +162,78 @@ object SketchOps {
       .orderBy(col("est").desc, col("term").asc)
   }
 
+  /** Frequent n-grams by the MISRA-GRIES two-pass route (Misra & Gries
+    * 1982; the merge bound is Agarwal et al. PODS 2012) — the frequency
+    * companion [[cmsHeavyHitters]] deliberately is NOT: the CMS path
+    * still pays one VOCABULARY-sized exact-count shuffle to find its
+    * candidates, which at 100 TB of n-grams is the cost being avoided.
+    * Here no shuffle ever exceeds candidates × partitions rows:
+    *
+    * Pass 1 (map-only, bounded memory): each partition runs the classic
+    * k-counter Misra-Gries stream summary over its n-gram occurrences —
+    * increment a held term, admit below k, otherwise decrement ALL k
+    * counters and discard the arrival (each such step retires k+1
+    * occurrences, so decrements ≤ n_p/(k+1)) — and emits only its ≤ k
+    * surviving candidate terms plus one sentinel row carrying the
+    * partition's occurrence count. Any term with global count
+    * c > n/(k+1) has c_p > n_p/(k+1) in SOME partition (else summing
+    * the per-partition bounds contradicts the global one), and a term
+    * over a partition's bound provably survives that partition's
+    * summary — so the union of partition candidates contains EVERY
+    * globally frequent term, whatever the partitioning.
+    *
+    * Pass 2 (exact, candidate-bounded): the n-gram stream inner-joins
+    * the broadcast candidate set BEFORE its only shuffle (the BM25
+    * semi-join-prune move — non-candidate occurrences never shuffle),
+    * exact counts come off that bounded aggregate, and the final filter
+    * `cnt·(k+1) > n` keeps exactly the terms over the frequency bound.
+    * Because the guarantee makes candidates a SUPERSET of the answer at
+    * any partitioning, the filtered output is deterministic even though
+    * the intermediate candidate set is not — which is what lets a plain
+    * exact-SQL oracle check a sketch-routed computation.
+    *
+    * Output: (term, cnt, share_ppm) — exact BIGINT count and integer
+    * parts-per-million share, ordered by count desc. The boilerplate /
+    * template-detection signal at n-gram granularity (the doc-internal
+    * sibling is [[TextAnalysisOps.ngramNovelty]]; segment dedup STRIPS
+    * what this op REPORTS). */
+  def frequentNgrams(docs: DataFrame, textCol: String, w: Int, k: Int): DataFrame = {
+    require(w >= 1, s"ngram width must be >= 1: $w")
+    require(k >= 1, s"summary size must be >= 1: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def ngrams = docs
+      .filter(col(textCol).isNotNull)
+      .select(Generators.ngramExplode(col(textCol), w).as("term"))
+    val summary = ngrams.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      while (it.hasNext) {
+        val t = it.next(); np += 1
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < k => m.update(t, 1L)
+          case None =>
+            m.mapValuesInPlace((_, v) => v - 1)
+            m.filterInPlace((_, v) => v > 0)
+        }
+      }
+      Iterator.single((null: String, np)) ++ m.keysIterator.map(t => (t, 0L))
+    }.toDF("term", "np").localCheckpoint() // ≤ (k+1)·partitions rows; one pass-1 scan
+    val total = summary.filter(col("term").isNull)
+      .agg(sum(col("np")).cast("long").as("n"))
+    val candidates = summary.filter(col("term").isNotNull).select("term").distinct()
+    ngrams
+      .join(broadcast(candidates), Seq("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("term"), col("cnt"),
+        expr("cnt * 1000000 div n").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
+
   /** Power-of-2 QUANTILE sketch over a non-negative integer metric — the
     * rank/quantile companion to [[countMinSketch]] (frequency) and
     * [[hllRegisters]] (cardinality): (bucket, cnt) where bucket is the

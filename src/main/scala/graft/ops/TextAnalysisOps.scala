@@ -230,8 +230,18 @@ object TextAnalysisOps {
   def hashedLinearScore(
       docs: DataFrame, textCol: String, idCol: String,
       dim: Int, topN: Int): DataFrame = {
-    require(dim >= 2, s"feature dim must be >= 2: $dim")
     require(topN >= 1, s"topN must be >= 1: $topN")
+    hashedDocScores(docs, textCol, idCol, dim)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
+  /** The (doc_id, score, n_tokens) relation behind [[hashedLinearScore]]
+    * and [[scoreThresholdSweep]]: one corpus scan, map-only hashing, one
+    * doc-key partial-agg shuffle. */
+  private[graft] def hashedDocScores(
+      docs: DataFrame, textCol: String, idCol: String, dim: Int): DataFrame = {
+    require(dim >= 2, s"feature dim must be >= 2: $dim")
     val idx = pmod(
       conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long"), lit(dim))
     val weight = (idx * 2654435761L) % 1001L - 500L
@@ -242,8 +252,56 @@ object TextAnalysisOps {
       .select(col("doc_id"), weight.as("w"))
       .groupBy("doc_id")
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(topN)
+  }
+
+  /** Classifier THRESHOLD SWEEP — the operating-point report that turns
+    * a quality score into a keep/drop rule (FineWeb-Edu keeps docs with
+    * classifier score ≥ 3; someone had to pick the 3): for each caller-
+    * supplied cutoff, how many docs clear it (`pred_pos`), how many of
+    * those carry the positive label (`tp`), and the implied precision /
+    * recall — in integer parts-per-million (`tp·10^6 div pred_pos`), so
+    * no ratio double can diverge cross-engine at a boundary.
+    *
+    * Thresholds are an EXPLICIT list, not the distinct-score axis — a
+    * full PR curve would put a cumulative window over every distinct
+    * score (corpus-cardinality-sized); the sweep instead explodes each
+    * scored doc to its |thresholds| cells and lets map-side combine
+    * collapse every partition to |thresholds| rows before the one
+    * constant-sized shuffle (the [[SketchOps.countMinSketch]] shape).
+    * Scores and labels come from the SAME relations q74/q99 serve:
+    * [[hashedDocScores]] + a boolean label column over the docs table.
+    *
+    * 100 TB shape: one corpus scan for scores (doc-key partial agg), a
+    * metadata-sized label projection co-keyed on doc id, then the
+    * constant-bounded threshold aggregate. No window, no sort beyond
+    * the |thresholds|-row output. */
+  def scoreThresholdSweep(
+      docs: DataFrame, textCol: String, idCol: String, labelExpr: Column,
+      dim: Int, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.length == thresholds.length,
+      s"duplicate thresholds: $thresholds")
+    val labels = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), labelExpr.as("label"))
+    hashedDocScores(docs, textCol, idCol, dim)
+      .join(labels, "doc_id")
+      .select(col("score"), col("label"),
+        explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L)).as("pred_pos"),
+        sum(when(col("score") >= col("threshold") && col("label"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("actual_pos"))
+      .select(col("threshold"), col("n_docs"), col("pred_pos"), col("tp"),
+        col("actual_pos"),
+        when(col("pred_pos") === 0, 0L)
+          .otherwise(expr("tp * 1000000 div pred_pos")).as("precision_ppm"),
+        when(col("actual_pos") === 0, 0L)
+          .otherwise(expr("tp * 1000000 div actual_pos")).as("recall_ppm"))
+      .orderBy("threshold")
   }
 
   /** In-engine quality-classifier TRAINING — the training half of

@@ -34,6 +34,29 @@ WHERE iter = $iters
 ORDER BY rank_micro DESC, node ASC LIMIT $limit"""
   }
 
+  /** Mirror of [[graft.ops.GraphOps.kCore]] over the customer–supplier
+    * graph (q104's pair CTE): peel rounds UNROLLED as e0..e{rounds}
+    * CTEs — fixed-round semantics make engine and mirror equal by
+    * construction, converged or not. */
+  def kCoreCustomerSupplier(k: Int, rounds: Int): String = {
+    require(rounds >= 1)
+    val sb = new StringBuilder
+    sb.append(s"""WITH p AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e0 AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p)""")
+    (1 to rounds).foreach { i =>
+      sb.append(s""",
+k${i - 1} AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $k),
+e$i AS (SELECT src, dst FROM e${i - 1}
+  WHERE src IN (SELECT src FROM k${i - 1}) AND dst IN (SELECT src FROM k${i - 1}))""")
+    }
+    sb.append(s"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e$rounds GROUP BY src ORDER BY degree DESC, node ASC""")
+    sb.toString
+  }
+
   /** Mirror of [[graft.ops.GraphOps.triangleCounts]] over the capped
     * MinHash near-dup pair graph (the same pair set q39's clustering
     * consumes): same canonical (lo, hi) edges, ordered-wedge

@@ -24,6 +24,22 @@ est AS (SELECT term, true_cnt, MIN(cnt) AS est
 SELECT term, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
 FROM est WHERE est >= $minEst ORDER BY est DESC, term ASC"""
 
+  /** Mirror of [[graft.ops.SketchOps.frequentNgrams]]: the Misra-Gries
+    * candidate guarantee makes the engine's sketch-routed output equal
+    * the PLAIN exact computation — terms whose count clears n/(k+1) —
+    * so the oracle is direct SQL with no sketch simulation at all. */
+  def frequentNgrams(table: String, w: Int, k: Int): String = {
+    val gram = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT $toks AS tk FROM $table WHERE text IS NOT NULL),
+g AS (SELECT unnest(list_transform(range(1, len(tk) - ${w - 2}), i -> $gram)) AS term FROM t),
+c AS (SELECT term, COUNT(*) AS cnt FROM g GROUP BY term),
+tot AS (SELECT SUM(cnt) AS n FROM c)
+SELECT term, CAST(cnt AS BIGINT) AS cnt,
+  CAST((cnt * 1000000) // n AS BIGINT) AS share_ppm
+FROM c, tot WHERE cnt * ${k + 1} > n
+ORDER BY cnt DESC, term ASC"""
+  }
+
   /** Mirror of [[graft.ops.SketchOps.hllRegisters]]: same md5 bucket/value
     * split, same binary-string-length rank — DuckDB's bin() is unpadded
     * exactly like Spark's, so `61 - length(bin(v))` is the identical

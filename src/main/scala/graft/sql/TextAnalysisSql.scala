@@ -173,6 +173,30 @@ SELECT doc_id, CAST(SUM((idx * 2654435761) % 1001 - 500) AS BIGINT) AS score,
   CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM f GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $topN"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.scoreThresholdSweep]]: the
+    * q74 score CTE (same md5 hash, same integer weights) joined to the
+    * boolean label, aggregated per explicit threshold; precision/recall
+    * as integer ppm with the zero-denominator guard. */
+  def scoreThresholdSweep(
+      table: String, labelSql: String, dim: Int, thresholds: Seq[Long]): String =
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+f AS (SELECT doc_id, (('0x' || substr(md5(term), 1, 7))::BIGINT % $dim) AS idx FROM t),
+s AS (SELECT doc_id, CAST(SUM((idx * 2654435761) % 1001 - 500) AS BIGINT) AS score
+  FROM f GROUP BY doc_id),
+l AS (SELECT doc_id, ($labelSql) AS label FROM $table WHERE text IS NOT NULL),
+j AS (SELECT s.score, l.label FROM s JOIN l USING (doc_id)),
+th AS (SELECT unnest([${thresholds.mkString(", ")}]) AS threshold),
+a AS (SELECT threshold,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COALESCE(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS pred_pos,
+    CAST(COALESCE(SUM(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+    CAST(COALESCE(SUM(CASE WHEN label THEN 1 ELSE 0 END), 0) AS BIGINT) AS actual_pos
+  FROM th, j GROUP BY threshold)
+SELECT CAST(threshold AS BIGINT) AS threshold, n_docs, pred_pos, tp, actual_pos,
+  CAST(CASE WHEN pred_pos = 0 THEN 0 ELSE (tp * 1000000) // pred_pos END AS BIGINT) AS precision_ppm,
+  CAST(CASE WHEN actual_pos = 0 THEN 0 ELSE (tp * 1000000) // actual_pos END AS BIGINT) AS recall_ppm
+FROM a ORDER BY threshold"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.perceptronTrain]] with the
     * epochs UNROLLED as CTEs (the kmeans-oracle pattern): per epoch t,
     * `s{t}` scores every doc with `w{t}`, `m{t}` is the misclassified

@@ -83,4 +83,44 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("k-core: a pendant path cascades away over multiple rounds, the triangle survives") {
+    import spark.implicits._
+    // triangle {10,11,12} with a path 1-2-3 hanging off node 10: the
+    // 2-core is the triangle, but reaching it NEEDS three synchronous
+    // peels (1 drops, then 2, then 3) — one round is provably not enough
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L), (10L, 3L), (3L, 2L), (2L, 1L))
+      .toDF("a", "b")
+    val full = GraphOps.kCore(pairs, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(10L -> 2L, 11L -> 2L, 12L -> 2L), s"got $full")
+    // fixed-round semantics: after ONE round only node 1 has been peeled,
+    // node 2's reported degree honestly reflects the partially peeled graph
+    val one = GraphOps.kCore(pairs, "a", "b", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one.keySet == Set(2L, 3L, 10L, 11L, 12L), s"got $one")
+    assert(one(2L) == 1L && one(10L) == 3L)
+    // over-provisioned rounds are a no-op past the fixpoint
+    val more = GraphOps.kCore(pairs, "a", "b", k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == full)
+    // k above the max degree dissolves the graph entirely
+    assert(GraphOps.kCore(pairs, "a", "b", k = 4, rounds = 3).count() == 0L)
+  }
+
+  test("k-core is repartition-invariant and degree-bounded on a denser fixture") {
+    import spark.implicits._
+    // K5 on {1..5} plus a 4-cycle {20,21,22,23} bridged to it: the 4-core
+    // keeps exactly K5 (cycle nodes have degree 2, the bridge dies with them)
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val cyc = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L), (20L, 1L))
+    val df = (k5 ++ cyc).toDF("a", "b")
+    val got = GraphOps.kCore(df, "a", "b", k = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(_ -> 4L).toMap, s"got $got")
+    val re = GraphOps.kCore(df.repartition(7), "a", "b", k = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
 }

@@ -136,4 +136,53 @@ class SketchOpsSpec extends AnyFunSuite {
     // 256 buckets -> ~1.04/sqrt(256) = 6.5% standard error; allow 4 sigma
     assert(math.abs(est - n) / n < 0.26, s"estimate $est too far from $n")
   }
+
+  /** Exact frequent-term answer the Misra-Gries route must reproduce:
+    * terms whose w-gram count clears n/(k+1), via a plain full groupBy. */
+  private def exactFrequent(
+      df: org.apache.spark.sql.DataFrame, w: Int, k: Int): Set[(String, Long)] = {
+    val counts = df.filter(col("text").isNotNull)
+      .select(graft.functions.Generators.ngramExplode(col("text"), w).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = counts.map(_._2).sum
+    counts.filter { case (_, c) => c * (k + 1) > n }.toSet
+  }
+
+  test("Misra-Gries frequent ngrams equals the exact answer with k far below the vocabulary") {
+    import spark.implicits._
+    // 60 distinct noise terms + two dominant ones; k=4 forces constant
+    // eviction pressure in every partition, so the candidate guarantee —
+    // not summary capacity — is what must carry the heavy terms through
+    // n = 130, bound n/(k+1) = 26: alpha (40) and beta (30) clear it,
+    // every noise term (1 each) does not
+    val rows = (1 to 60).map(i => (i.toLong, s"noise$i")) ++
+      (1 to 40).map(i => (100L + i, "alpha")) ++
+      (1 to 30).map(i => (200L + i, "beta"))
+    val df = rows.toDF("id", "text")
+    val got = SketchOps.frequentNgrams(df, "text", w = 1, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === exactFrequent(df, 1, 4))
+    assert(got.map(_._1) === Set("alpha", "beta"))
+  }
+
+  test("Misra-Gries output is partitioning-independent and carries exact ppm shares") {
+    val base = docs
+    val p1 = SketchOps.frequentNgrams(base.repartition(1), "text", w = 2, k = 50)
+      .collect().toSeq
+    val p7 = SketchOps.frequentNgrams(base.repartition(7), "text", w = 2, k = 50)
+      .collect().toSeq
+    assert(p1 === p7, "candidate superset guarantee must make the output deterministic")
+    p1.foreach { r =>
+      assert(r.getLong(2) >= 1000000L / 51,
+        s"${r.getString(0)}: share ${r.getLong(2)} ppm below the n/(k+1) bound")
+    }
+  }
+
+  test("Misra-Gries exact pass joins a broadcast candidate set (no vocabulary shuffle)") {
+    val plan = SketchOps.frequentNgrams(docs, "text", w = 2, k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast candidate join in:\n$plan")
+  }
 }

@@ -429,4 +429,52 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       assert(rep <= d && nov == ((d - rep) * 1000000L) / d)
     }
   }
+
+  test("threshold sweep matches a driver-side recomputation from the scored relation") {
+    import org.apache.spark.sql.functions._
+    val thresholds = Seq(-2000L, 0L, 1000L, 2500L, 5000L)
+    val scored = TextAnalysisOps.hashedDocScores(docs, "text", "doc_id", dim = 1024)
+      .join(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), (col("lang") === "en").as("label")), "doc_id")
+      .collect().map(r => (r.getAs[Long]("score"), r.getAs[Boolean]("label")))
+    val got = TextAnalysisOps.scoreThresholdSweep(docs, "text", "doc_id",
+      labelExpr = col("lang") === "en", dim = 1024, thresholds = thresholds)
+      .collect()
+    assert(got.length == thresholds.length)
+    val actualPos = scored.count(_._2).toLong
+    got.foreach { r =>
+      val t = r.getAs[Long]("threshold")
+      val predPos = scored.count(_._1 >= t).toLong
+      val tp = scored.count(s => s._1 >= t && s._2).toLong
+      assert(r.getAs[Long]("n_docs") == scored.length.toLong)
+      assert(r.getAs[Long]("pred_pos") == predPos, s"pred_pos at $t")
+      assert(r.getAs[Long]("tp") == tp, s"tp at $t")
+      assert(r.getAs[Long]("actual_pos") == actualPos)
+      assert(r.getAs[Long]("precision_ppm") ==
+        (if (predPos == 0) 0L else tp * 1000000L / predPos))
+      assert(r.getAs[Long]("recall_ppm") ==
+        (if (actualPos == 0) 0L else tp * 1000000L / actualPos))
+    }
+    // operating-point monotonicity: raising the cutoff never admits more
+    val byT = got.sortBy(_.getAs[Long]("threshold"))
+    byT.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("pred_pos") >= hi.getAs[Long]("pred_pos"))
+      assert(lo.getAs[Long]("recall_ppm") >= hi.getAs[Long]("recall_ppm"))
+    }
+  }
+
+  test("threshold sweep is repartition-invariant and rejects duplicate cutoffs") {
+    import org.apache.spark.sql.functions._
+    val a = TextAnalysisOps.scoreThresholdSweep(docs, "text", "doc_id",
+      labelExpr = col("lang") === "en", dim = 256, thresholds = Seq(0L, 500L))
+      .collect().toSeq
+    val b = TextAnalysisOps.scoreThresholdSweep(docs.repartition(11), "text", "doc_id",
+      labelExpr = col("lang") === "en", dim = 256, thresholds = Seq(0L, 500L))
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.scoreThresholdSweep(docs, "text", "doc_id",
+        labelExpr = col("lang") === "en", dim = 256, thresholds = Seq(1L, 1L))
+    }
+  }
 }
