@@ -839,6 +839,16 @@ GROUP BY segment ORDER BY segment""")),
         labelSql = "lang = 'en'", dim = 1024,
         thresholds = Seq(-2000L, 0L, 1000L, 2500L, 5000L)))),
 
+    ("q122_winnowing_fingerprints",
+      // Schleimer et al. winnowing: window minima over the positional
+      // 28-bit shingle-hash sequence — guaranteed shared fingerprint for
+      // any >= win+k-1-token substring match, ~2/(win+1) storage density;
+      // map-only per-row array expressions, one presentation-sort Exchange
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.winnowingFingerprints(Tables.documents(s, dir), "text", "doc_id",
+          k = 3, win = 4),
+      Some(graft.sql.TextAnalysisSql.winnowingFingerprints("documents", k = 3, win = 4))),
+
     ("q74_hashed_linear_score",
       // classifier inference as relational algebra: md5 feature hashing,
       // integer weights, exact BIGINT doc scores, top-N ranking

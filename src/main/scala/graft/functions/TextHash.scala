@@ -50,9 +50,17 @@ object TextHash {
   /** Distinct w-gram shingles over a token array (w consecutive tokens
     * joined by a single space). Requires size(toks) >= w at the call site. */
   def shingles(toks: Column, w: Int): Column =
-    array_distinct(transform(
+    array_distinct(orderedShingles(toks, w))
+
+  /** POSITIONAL w-gram shingles — [[shingles]] without the distinct: one
+    * entry per shingle POSITION, in document order. Winnowing and any
+    * other window-over-the-shingle-sequence consumer needs the sequence;
+    * the set-semantics dedup family does not. Requires size(toks) >= w
+    * at the call site. */
+  def orderedShingles(toks: Column, w: Int): Column =
+    transform(
       sequence(lit(1), size(toks) - (w - 1)),
-      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
+      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))
 
   /** MinHash universal-hash family member j over a pre-hashed shingle:
     * h_j(x) = (a_j·x + b_j) mod (2^31-1), with closed-form coefficients

@@ -173,6 +173,26 @@ SELECT doc_id, CAST(SUM((idx * 2654435761) % 1001 - 500) AS BIGINT) AS score,
   CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM f GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $topN"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.winnowingFingerprints]]:
+    * same positional k-gram shingles, same 28-bit md5 hashes, same
+    * window minima (DuckDB list slices are 1-based inclusive), checksum
+    * over the sorted distinct selection. */
+  def winnowingFingerprints(table: String, k: Int, win: Int): String = {
+    val gram = (0 until k).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+g AS (SELECT doc_id, list_transform(range(1, len(tk) - ${k - 2}), i -> $gram) AS sh
+  FROM t WHERE len(tk) >= ${k + win - 1}),
+h AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM g),
+f AS (SELECT doc_id, hs,
+  list_distinct(list_transform(range(1, len(hs) - ${win - 2}),
+    j -> list_min(hs[j:j + ${win - 1}]))) AS fp FROM h)
+SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+  CAST(len(hs) - ${win - 1} AS BIGINT) AS n_windows,
+  CAST(len(fp) AS BIGINT) AS n_fp,
+  md5(array_to_string(list_transform(list_sort(fp), x -> x::VARCHAR), ',')) AS fp_md5
+FROM f ORDER BY doc_id"""
+  }
+
   /** Mirror of [[graft.ops.TextAnalysisOps.scoreThresholdSweep]]: the
     * q74 score CTE (same md5 hash, same integer weights) joined to the
     * boolean label, aggregated per explicit threshold; precision/recall

@@ -430,6 +430,65 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: any substring match of win+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // k=3, win=4: the guarantee threshold is a 6-token shared run. Two
+    // docs embed the same 8-token run inside disjoint noise; a third
+    // shares nothing. Fingerprint SETS (not just counts) via the same
+    // kernel with the checksum swapped for the raw array.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"n1a n1b n1c $shared n1d n1e"),
+      (2L, s"m1a m2b $shared m3c m4d m5e m6f"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"))
+      .toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"), graft.functions.TextHash.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), transform(
+        graft.functions.TextHash.orderedShingles(col("tk"), 3),
+        s => graft.functions.TextHash.hash28(s)).as("hs"))
+      .select(col("doc_id"), transform(
+        sequence(lit(1), size(col("hs")) - 3),
+        j => array_min(slice(col("hs"), j, lit(4)))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing an 8-token run must share a window minimum")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint-vocabulary docs share nothing")
+    // the op's reported counts agree with the raw kernel
+    val out = TextAnalysisOps.winnowingFingerprints(df, "text", "doc_id", k = 3, win = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    out.foreach { case (id, (nSh, nWin, nFp)) =>
+      assert(nWin == nSh - 3 && nFp == fps(id).size, s"doc $id")
+    }
+  }
+
+  test("winnowing: short docs absent, density bounded, map-only plan, repartition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 tokens < k + win - 1 = 6: no full window, doc absent
+    val tiny = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(TextAnalysisOps.winnowingFingerprints(tiny, "text", "doc_id", 3, 4).count() == 0L)
+    val out = TextAnalysisOps.winnowingFingerprints(docs, "text", "doc_id", 3, 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWin, nFp) = (r.getLong(2), r.getLong(3))
+      // each position's hash is the minimum of at most `win` windows
+      assert(nFp <= nWin && nFp.toDouble >= nWin.toDouble / 4, r.toString)
+    }
+    val re = TextAnalysisOps.winnowingFingerprints(docs.repartition(9), "text", "doc_id", 3, 4)
+      .collect()
+    assert(rows.toSeq == re.toSeq)
+    // map-only kernel: the only Exchange is the final presentation sort's
+    // range partitioning — no hash-partitioned shuffle (agg/join) anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
+    assert(plan.contains("Exchange rangepartitioning"))
+  }
+
   test("threshold sweep matches a driver-side recomputation from the scored relation") {
     import org.apache.spark.sql.functions._
     val thresholds = Seq(-2000L, 0L, 1000L, 2500L, 5000L)
