@@ -1085,6 +1085,17 @@ GROUP BY segment ORDER BY segment""")),
       },
       Some(graft.sql.GraphSql.kCoreCustomerSupplier(k = 8, rounds = 4))),
 
+    ("q123_jaccard_join_exact",
+      // exact-complete Jaccard >= 1/2 self-join by rarest-first prefix
+      // filtering (AllPairs/PPJoin) over distinct trigram-shingle-hash
+      // sets: the zero-recall-loss counterpart of the MinHash paths;
+      // integer cross-multiplied threshold, capped buckets, lazy pairs
+      (s: SparkSession, dir: String) =>
+        DedupOps.jaccardJoinExact(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, tNum = 1L, tDen = 2L, maxBucket = 1000),
+      Some(graft.sql.DedupSql.jaccardJoinExact("documents",
+        w = 3, tNum = 1L, tDen = 2L, maxBucket = 1000))),
+
     ("q105_bm25_indexed",
       // the SAME retrieval from the PERSISTED index relations (full
       // postings + doc lengths) instead of corpus text — the build-once/

@@ -357,6 +357,90 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("__ha"), col("__hb"))
   }
 
+  /** EXACT-COMPLETE Jaccard self-join by PREFIX FILTERING (the AllPairs /
+    * PPJoin candidate principle — Bayardo et al. WWW 2007; the
+    * distributed formulation is Vernica et al. SIGMOD 2010): every pair
+    * of docs whose distinct w-shingle-hash sets have Jaccard ≥ tNum/tDen,
+    * with NO probabilistic recall loss — the guarantee the whole MinHash
+    * family trades away for speed. The filter: order the universe by
+    * ascending frequency (rarest first, ties by hash), give each doc a
+    * PREFIX of its first |x| − ⌈t·|x|⌉ + 1 ordered elements, and only
+    * pairs sharing a prefix element can reach Jaccard t — if x and y
+    * shared no prefix element, their intersection would fit inside the
+    * suffixes, |x∩y| ≤ ⌈t·|x|⌉ − 1 < t·|x| ≤ t·|x∪y|. Every surviving
+    * candidate is verified EXACTLY, and the threshold test is the integer
+    * cross-multiplication tDen·|∩| ≥ tNum·|∪| — the threshold is a
+    * RATIONAL, so no double sits near the keep boundary.
+    *
+    * Rarest-first ordering is what makes the filter bite: a stop-shingle
+    * in every doc lands at the END of every ordered set and almost never
+    * inside a prefix, so candidate buckets form around RARE shingles.
+    * The `maxBucket` cap bounds the degenerate corpus (mass-duplicated
+    * docs bucket together on their rare shingles) exactly like the LSH
+    * paths — completeness is modulo the cap, and dropped buckets are
+    * all-duplicate clusters that [[exactDedup]] should have removed
+    * first.
+    *
+    * 100 TB shape: one corpus scan to distinct (doc, hash) occurrences;
+    * the frequency relation is universe-sized and joins on the hash key
+    * (never broadcast, never collected); per-doc ordering is a local
+    * `sort_array` inside the doc-key aggregate, NOT a global window; the
+    * prefix explode shuffles ≈ (1−t)·Σ|x| rows; per-bucket pair
+    * expansion is the lazy capped [[graft.functions.Generators.PairsExplode]];
+    * verify joins attach the two ordered hash arrays by doc key. Output:
+    * (doc_a, doc_b, n_common, n_union, jaccard_ppm) — exact integers,
+    * jaccard in ppm, total-ordered. */
+  def jaccardJoinExact(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, tNum: Long = 1L, tDen: Long = 2L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(tDen > 0 && tNum > 0 && tNum <= tDen,
+      s"threshold must be a fraction in (0,1]: $tNum/$tDen")
+    require(maxBucket >= 2, s"bad maxBucket: $maxBucket")
+    // distinct (doc, 28-bit shingle hash) occurrences: ShingleExplode
+    // already emits per-doc distinct shingles, but two shingles can
+    // collide at 28 bits, so the hash column needs its own distinct —
+    // set semantics must hold on the HASHED universe both engines see
+    val occ = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        Generators.shingleExplode(col(textCol), w).as("s"))
+      .select(col("id"), hash28(col("s")).as("h"))
+      .distinct()
+    val freq = occ.groupBy("h").agg(count(lit(1)).as("f"))
+    // per-doc ordered hash array (freq asc, hash asc) + set size; the
+    // struct sort is local to the aggregate — no global rank window
+    val sorted = occ.join(freq, "h")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("__fh"))
+      .select(col("id"),
+        transform(col("__fh"), x => x.getField("h")).as("__hs"),
+        size(col("__fh")).cast("long").as("n"))
+      .localCheckpoint() // feeds the prefix explode + both verify joins
+    val prefLen = (col("n") -
+      expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1)).cast("int")
+    val cand = sorted
+      .select(col("id"), explode(slice(col("__hs"), lit(1), prefLen)).as("h"))
+      .groupBy("h")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(Generators.pairsExplode(col("ids")).as(Seq("doc_a", "doc_b")))
+      .distinct()
+    cand
+      .join(sorted.select(col("id").as("doc_a"), col("__hs").as("__ha"),
+        col("n").as("__na")), "doc_a")
+      .join(sorted.select(col("id").as("doc_b"), col("__hs").as("__hb"),
+        col("n").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("n_common"),
+        col("__na"), col("__nb"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("__na") + col("__nb") - col("n_common")).as("n_union"))
+      .filter(col("n_common") * tDen >= col("n_union") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
+        expr("n_common * 1000000 div n_union").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** CONTAINMENT near-dup pairs (Broder's containment coefficient): pairs
     * where the SMALLER document's distinct shingle set is largely inside
     * the larger's — |A∩B| / min(|A|, |B|) — the excerpt/quotation/

@@ -34,6 +34,37 @@ COUNT(DISTINCT array_to_string(tk[1:$prefixLen], ' ')) AS n_distinct_prefix FROM
 SELECT MIN(id) AS keeper_id, COUNT(*) AS n_copies FROM t GROUP BY k
 HAVING COUNT(*) >= 2 ORDER BY keeper_id"""
 
+  /** Mirror of [[graft.ops.DedupOps.jaccardJoinExact]]: same rarest-first
+    * (freq, hash) order via `array_agg(... ORDER BY f, h)`, same prefix
+    * length n − ⌈t·n⌉ + 1 in integer arithmetic, same capped buckets,
+    * same integer cross-multiplied threshold — the algorithm itself is
+    * mirrored (not brute force), and the completeness theorem makes both
+    * equal the exact answer modulo the shared cap. */
+  def jaccardJoinExact(
+      table: String, w: Int, tNum: Long, tDen: Long, maxBucket: Int): String = {
+    val gram = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t0 AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $gram))) AS s
+  FROM t0 WHERE len(tk) >= $w),
+occ AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h FROM sh),
+freq AS (SELECT h, COUNT(*) AS f FROM occ GROUP BY h),
+srt AS (SELECT doc_id, array_agg(h ORDER BY f, h) AS hs, COUNT(*) AS n
+  FROM occ JOIN freq USING (h) GROUP BY doc_id),
+pr AS (SELECT doc_id, unnest(hs[1 : CAST(n - (($tNum * n + $tDen - 1) // $tDen) + 1 AS INT)]) AS h
+  FROM srt),
+grp AS (SELECT h FROM pr GROUP BY h HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pr a JOIN pr b USING (h) JOIN grp USING (h) WHERE a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+    len(list_intersect(sa.hs, sb.hs)) AS n_common, sa.n + sb.n AS nsum
+  FROM cand JOIN srt sa ON sa.doc_id = cand.doc_a JOIN srt sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+  CAST(nsum - n_common AS BIGINT) AS n_union,
+  CAST((n_common * 1000000) // (nsum - n_common) AS BIGINT) AS jaccard_ppm
+FROM v WHERE n_common * $tDen >= (nsum - n_common) * $tNum
+ORDER BY jaccard_ppm DESC, doc_a ASC, doc_b ASC"""
+  }
+
   /** MinHash family (mirrors TextHash.minhashFromHashes): base hash = first
     * 7 md5 hex chars (28-bit), family member j = (a_j·h + b_j) mod 2^31-1
     * with closed-form a_j, b_j. All intermediates < 2^60: no BIGINT

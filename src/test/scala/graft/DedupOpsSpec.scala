@@ -451,4 +451,71 @@ class DedupOpsSpec extends AnyFunSuite {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Brute-force exact Jaccard pairs over DISTINCT token sets (w=1
+    * shingles = tokens) — the ground truth the prefix filter must equal. */
+  private def bruteJaccard(
+      rows: Seq[(Long, String)], tNum: Long, tDen: Long): Set[(Long, Long, Long, Long)] = {
+    val sets = rows.map { case (id, t) => id -> t.trim.split(" +").filter(_.nonEmpty).toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong; uni = (sa | sb).size.toLong
+      if inter * tDen >= uni * tNum
+    } yield (a, b, inter, uni)).toSet
+  }
+
+  test("exact jaccard join equals brute force, including pairs exactly on the threshold") {
+    import spark.implicits._
+    val rows: Seq[(Long, String)] = Seq(
+      (1L, "aa bb cc"),          // vs 2: inter {bb,cc}=2, union 4 -> J = 1/2 exactly
+      (2L, "bb cc dd"),
+      (3L, "aa bb cc dd ee"),    // vs 1: 3/5; vs 2: 3/5; vs 4: 5/6
+      (4L, "aa bb cc dd ee ff"),
+      (5L, "zz yy xx ww"),       // disjoint from everything
+      (6L, "pp qq"), (7L, "pp rr"))  // J = 1/3 < 1/2: must be excluded
+    val df = rows.toDF("doc_id", "text")
+    val got = DedupOps.jaccardJoinExact(df, "text", "doc_id",
+      w = 1, tNum = 1L, tDen = 2L, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = bruteJaccard(rows, 1L, 2L)
+    assert(got === want, s"got $got\nwant $want")
+    assert(got.contains((1L, 2L, 2L, 4L)), "the exactly-at-threshold pair must be kept")
+    assert(!got.exists(p => p._1 == 6L || p._2 == 7L))
+    // tighter threshold drops the boundary pair, keeps the high ones
+    val tight = DedupOps.jaccardJoinExact(df, "text", "doc_id",
+      w = 1, tNum = 3L, tDen = 5L, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === bruteJaccard(rows, 3L, 5L).map(p => (p._1, p._2)))
+  }
+
+  test("exact jaccard join: completeness under heavy shared-vocabulary pressure") {
+    import spark.implicits._
+    // every doc shares a large common block (frequent tokens -> ordered
+    // LAST, so prefixes are forced onto the rare per-doc tokens): the
+    // filter must still find every qualifying pair via the rare-token
+    // buckets, and brute force is the judge
+    val common = (1 to 12).map(i => s"c$i").mkString(" ")
+    val rows: Seq[(Long, String)] = (1L to 10L).map { g =>
+      (g, s"$common r${g / 2}a r${g / 2}b")  // consecutive ids share rare pair
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = DedupOps.jaccardJoinExact(df, "text", "doc_id",
+      w = 1, tNum = 4L, tDen = 5L, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === bruteJaccard(rows, 4L, 5L))
+    assert(got.nonEmpty)
+  }
+
+  test("exact jaccard join is repartition-invariant on the real corpus") {
+    val a = DedupOps.jaccardJoinExact(docs, "text", "doc_id",
+      w = 3, tNum = 1L, tDen = 2L).collect().toSeq
+    val b = DedupOps.jaccardJoinExact(docs.repartition(7), "text", "doc_id",
+      w = 3, tNum = 1L, tDen = 2L).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty, "the synthetic corpus carries near-dup pairs")
+    // jaccard_ppm is exactly the integer form of n_common/n_union
+    a.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3))
+    }
+  }
 }
