@@ -418,12 +418,22 @@ object DedupOps {
       .localCheckpoint() // feeds the prefix explode + both verify joins
     val prefLen = (col("n") -
       expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1)).cast("int")
+    // PPJoin LENGTH FILTER (Xiao et al. 2008): J(A,B) >= t implies
+    // min(|A|,|B|)/max(|A|,|B|) >= t (since |A∩B| <= min and |A∪B| >= max),
+    // so pairs failing tDen·min >= tNum·max cannot reach the threshold.
+    // Sizes ride the prefix explode as struct payloads, so the filter
+    // prunes BEFORE the pair distinct and both verify joins — pure
+    // candidate-volume reduction, bit-identical output.
     val cand = sorted
-      .select(col("id"), explode(slice(col("__hs"), lit(1), prefLen)).as("h"))
+      .select(struct(col("id"), col("n")).as("m"),
+        explode(slice(col("__hs"), lit(1), prefLen)).as("h"))
       .groupBy("h")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(Generators.pairsExplode(col("ids")).as(Seq("doc_a", "doc_b")))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
+      .filter(least(col("a.n"), col("b.n")) * tDen >=
+        greatest(col("a.n"), col("b.n")) * tNum)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     cand
       .join(sorted.select(col("id").as("doc_a"), col("__hs").as("__ha"),

@@ -196,7 +196,16 @@ object SketchOps {
     * parts-per-million share, ordered by count desc. The boilerplate /
     * template-detection signal at n-gram granularity (the doc-internal
     * sibling is [[TextAnalysisOps.ngramNovelty]]; segment dedup STRIPS
-    * what this op REPORTS). */
+    * what this op REPORTS).
+    *
+    * STATIC-SNAPSHOT CONTRACT: the two passes scan `docs` independently
+    * (`ngrams` is a plan, deliberately — checkpointing the full n-gram
+    * occurrence stream would materialize a corpus-sized relation, the
+    * exact cost this sketch exists to avoid). The candidate-superset
+    * guarantee therefore assumes both scans see the SAME rows: true for
+    * parquet/immutable-file sources (every catalog source here), NOT for
+    * a mutating view or non-deterministic source — snapshot such inputs
+    * first (e.g. `localCheckpoint`) before calling. */
   def frequentNgrams(docs: DataFrame, textCol: String, w: Int, k: Int): DataFrame = {
     require(w >= 1, s"ngram width must be >= 1: $w")
     require(k >= 1, s"summary size must be >= 1: $k")

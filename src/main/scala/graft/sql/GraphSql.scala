@@ -44,7 +44,8 @@ ORDER BY rank_micro DESC, node ASC LIMIT $limit"""
     sb.append(s"""WITH p AS (
   SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-e0 AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p)""")
+e0 AS (SELECT src, dst FROM (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p)
+  WHERE src <> dst)""")
     (1 to rounds).foreach { i =>
       sb.append(s""",
 k${i - 1} AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $k),

@@ -476,9 +476,19 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (nWin, nFp) = (r.getLong(2), r.getLong(3))
-      // each position's hash is the minimum of at most `win` windows
-      assert(nFp <= nWin && nFp.toDouble >= nWin.toDouble / 4, r.toString)
+      // each position's hash is the minimum of at most `win` windows — a
+      // HARD per-doc upper bound
+      assert(nFp <= nWin, r.toString)
     }
+    // the 2/(win+1) density is an EXPECTATION under hash uniformity, not a
+    // per-doc guarantee (a repetitive doc can legitimately select far
+    // fewer distinct minima) — so the lower bound is asserted on the
+    // corpus AGGREGATE only, where the expectation concentrates
+    val (totFp, totWin) = rows.foldLeft((0L, 0L)) { case ((f, w), r) =>
+      (f + r.getLong(3), w + r.getLong(2))
+    }
+    assert(totFp.toDouble >= totWin.toDouble / 4,
+      s"aggregate winnowing density collapsed: $totFp fingerprints over $totWin windows")
     val re = TextAnalysisOps.winnowingFingerprints(docs.repartition(9), "text", "doc_id", 3, 4)
       .collect()
     assert(rows.toSeq == re.toSeq)
