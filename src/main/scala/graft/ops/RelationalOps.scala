@@ -320,25 +320,52 @@ object RelationalOps {
     * filter and the tier assignment cannot drift.
     *
     * Scale shape (see [[percentileClip]]'s scaladoc): the cumulative
-    * window runs over the DISTINCT-value histogram (bounded by metric
-    * cardinality, not corpus size); ranks are integer ceiling division
-    * only — a double `p*n/100` would silently lose exactness past
-    * 2^53. */
+    * count runs over the DISTINCT-value histogram (bounded by metric
+    * cardinality, not corpus size) — and since r8, NEVER as a
+    * single-partition global window. The
+    * [[graft.ops.SampleOps.budgetSample]] two-level prefix sum, adapted
+    * to the value axis: distinct values bucket by VALUE RANGE
+    * (`(v − vmin) div width`, monotone in v, so global (bucket, value)
+    * order IS value order; each bucket covers at most `width`
+    * consecutive integers however the distinct values skew); bucket
+    * totals reduce to ≤ nBuckets+1 rows whose exclusive offsets come
+    * from a tiny triangle join (no unpartitioned window ANYWHERE — the
+    * `WindowExec: No Partition Defined` single-task hazard is gone,
+    * plan-asserted in `PlanSpec`); every bucket then runs its own
+    * bounded cumulative window in parallel. Ranks are integer ceiling
+    * division only — a double `p*n/100` would silently lose exactness
+    * past 2^53. */
   def nearestRankBounds(
-      df: DataFrame, metricCol: String, percents: Seq[Int]): DataFrame = {
+      df: DataFrame, metricCol: String, percents: Seq[Int],
+      nBuckets: Int = 256): DataFrame = {
     require(percents.nonEmpty, "need at least one percent")
     percents.foreach(p => require(0 <= p && p <= 100, s"bad percent $p"))
+    require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
     val hist = df
       .filter(col(metricCol).isNotNull)
       .groupBy(col(metricCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__v"))
+    // one-row global stats (value range + total count), broadcast back;
+    // __n was previously an unbounded global window — now it rides here
+    val stats = hist.agg(
+      min(col("__v").cast("long")).as("__vmin"),
+      max(col("__v").cast("long")).as("__vmax"),
+      sum(col("__c")).as("__n"))
+    val bucketed = hist.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        expr(s"(cast(__v AS bigint) - __vmin) div ((__vmax - __vmin) div $nBuckets + 1)"))
+    // exclusive per-bucket offsets via a triangle join over the ≤
+    // nBuckets+1 bucket totals — O(nBuckets²) ≤ ~66k rows, metadata-sized
+    val btot = bucketed.groupBy("__bkt").agg(sum(col("__c")).as("__btot"))
+    val offsets = btot.as("x")
+      .join(btot.as("y"), col("y.__bkt") < col("x.__bkt"), "left")
+      .groupBy(col("x.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("y.__btot")), lit(0L)).as("__off"))
+    val wb = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(w))
-      .withColumn("__n", sum(col("__c")).over(
-        Window.orderBy(col("__v")).rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cum = bucketed
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("__cum", col("__off") + sum(col("__c")).over(wb))
     val aggs = percents.zipWithIndex.map { case (p, i) =>
       min(when(col("__cum") >= expr(s"(__n * $p + 99) DIV 100"), col("__v")))
         .as(s"bound_$i")
