@@ -352,6 +352,35 @@ object Queries {
       Some(graft.sql.SimilaritySql.pqAnn("embeddings",
         dim = 64, m = 2, ksub = 4, iters = 2, queryMod = 40, k = 5))),
 
+    ("q124_ivf_pq_ann",
+      // IVF-PQ (IVFADC): coarse cell assignment, RESIDUAL product
+      // quantization, per-probed-cell ADC lookup tables — the quantizer
+      // that actually works (q51's raw-vector PQ is the pedagogical
+      // form; RECALL.json rates this one 0.6+ at production parameters
+      // vs 0.008 there). Small codebooks here keep the unrolled oracle
+      // tractable; the recall-bearing parameters live in RECALL.json.
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.ivfPqAnn(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, coarseMod = 50, m = 4, ksub = 8, iters = 2,
+          queryMod = 40, k = 5, nprobe = 2),
+      Some(graft.sql.SimilaritySql.ivfPqAnn("embeddings",
+        dim = 64, coarseMod = 50, m = 4, ksub = 8, iters = 2,
+        queryMod = 40, k = 5, nprobe = 2))),
+
+    ("q125_ivf_pq_rerank",
+      // IVFADC + exact refine (the FAISS production stack): the ADC
+      // shortlist absorbs quantization noise, the exact-cosine re-rank
+      // of `rerank` candidates per query restores recall to the
+      // coarse-probe coverage ceiling — RECALL.json: 0.69 at m=8
+      // (32x compression), vs 0.22 for pure ADC at the same codes
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.ivfPqRerankAnn(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, coarseMod = 50, m = 4, ksub = 8, iters = 2,
+          queryMod = 40, k = 5, nprobe = 2, rerank = 10),
+      Some(graft.sql.SimilaritySql.ivfPqRerankAnn("embeddings",
+        dim = 64, coarseMod = 50, m = 4, ksub = 8, iters = 2,
+        queryMod = 40, k = 5, nprobe = 2, rerank = 10))),
+
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),

@@ -282,15 +282,34 @@ object SimilarityOps {
     * brute force is monotone over rounds because merging candidates can
     * only improve a per-node top-k).
     *
-    * Two additions, both bounded:
-    *   1. SEED: isolated vectors (no edge in the base graph) are grouped
-    *      into deterministic md5 pseudo-cells together with an "anchor"
-    *      sample of the connected graph (`id % anchorMod == 0`) and get
-    *      pairwise edges within their pseudo-cell — NN-descent's random
-    *      initialization, made deterministic. An anchor ties each
-    *      pseudo-cell into the real graph so one refinement round can
-    *      already reach real neighborhoods (an isolated-only seed pair
-    *      would only know about each other).
+    * SATURATION WARNING (the r7 `RECALL.json` autopsy): with the default
+    * isolated-only seeding, refinement provably CANNOT improve recall on
+    * a corpus where every cell is populated — every node's base-graph
+    * neighbors are same-cell, so the NN-descent local join only
+    * generates same-cell candidate pairs, all of which the base build
+    * already evaluated (its per-cell PairsExplode is exhaustive). The
+    * measured r7 result — refined recall IDENTICAL to base at 4 dp —
+    * is that structural fact, not a tuning miss. `crossBuckets > 0` is
+    * the cure: see addition 1b.
+    *
+    * Three additions, all bounded:
+    *   1. SEED (isolated rescue): isolated vectors (no edge in the base
+    *      graph) are grouped into deterministic md5 pseudo-cells
+    *      together with an "anchor" sample of the connected graph
+    *      (`id % anchorMod == 0`) and get pairwise edges within their
+    *      pseudo-cell. An anchor ties each pseudo-cell into the real
+    *      graph so one refinement round can already reach real
+    *      neighborhoods (an isolated-only seed pair would only know
+    *      about each other).
+    *   1b. CROSS-CELL SEED (`crossBuckets > 0`): EVERY node joins one
+    *      deterministic md5 pseudo-cell of ~n/crossBuckets members —
+    *      NN-descent's random initialization, made deterministic. These
+    *      cross-cell edges are what the descent propagates: a node's
+    *      candidate pool now reaches through random partners into OTHER
+    *      cells' neighborhoods, and recall climbs toward brute force
+    *      over rounds instead of saturating at the cell-local optimum.
+    *      Size crossBuckets ≈ n/50: pseudo-cells then add ~25·n pairs
+    *      per build (linear in corpus), bounded per-cell by `maxCell`.
     *   2. REFINE (the NN-descent local join): for every node, its graph
     *      neighbors — outgoing plus incoming, so a popular vector
     *      spreads what it knows — become a candidate list; candidate
@@ -311,8 +330,9 @@ object SimilarityOps {
       emb: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, kNbrs: Int, maxCell: Int = 1000,
       seedBuckets: Int = 16, anchorMod: Int = 997,
-      rounds: Int = 1): DataFrame = {
+      rounds: Int = 1, crossBuckets: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(crossBuckets >= 0, s"crossBuckets must be >= 0: $crossBuckets")
     val kv = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val base = knnGraph(emb, idCol, vecCol, centroidMod, kNbrs, maxCell)
       .select(col("vec_id"), col("neighbor_id"), col("cos"))
@@ -328,10 +348,16 @@ object SimilarityOps {
     val isolated = kv.join(connected, Seq("id"), "left_anti")
     val anchors = kv.join(connected, Seq("id"), "left_semi")
       .filter(col("id") % anchorMod === 0)
-    val seedEdges = isolated.unionByName(anchors)
+    // crossBuckets > 0: every node seeds (isolated nodes included, so the
+    // anchor rescue machinery is subsumed); otherwise only isolated ∪
+    // anchors — the pre-r8 contract, kept for the singleton-cell fixture
+    val (seedSrc, nb) =
+      if (crossBuckets > 0) (kv, crossBuckets) else
+        (isolated.unionByName(anchors), seedBuckets)
+    val seedEdges = seedSrc
       .withColumn("sb", pmod(conv(substring(
         md5(concat(lit("knnseed:"), col("id").cast("string"))), 1, 15), 16, 10)
-        .cast("long"), lit(seedBuckets.toLong)))
+        .cast("long"), lit(nb.toLong)))
       .groupBy("sb").agg(collect_list(struct(col("id"), col("v"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCell)
       .select(graft.functions.Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
@@ -825,6 +851,173 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("d_e6")).as("adist_e6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** IVF-PQ top-k ANN (Jégou et al., TPAMI 2011 §IV — "IVFADC"): the
+    * production combination the plain [[pqAnn]] only gestures at.
+    * Vectors are first assigned to a coarse IVF cell ([[annIvf]]'s
+    * deterministic id-residue centroids, same 6-dp-cosine/cid-tiebreak
+    * argmax), then the RESIDUAL v − centroid(cell) is product-quantized.
+    * Residuals are what make PQ codebooks bite: they are centered near
+    * zero with far less variance than raw vectors, so the same bit
+    * budget resolves much finer distances — the r7 recall autopsy showed
+    * raw-vector PQ at tiny codebooks is correct-but-useless (recall@5 =
+    * 0.008 at the q51 catalog parameters), while this operator at
+    * production parameters (ksub=256, nprobe=8) measures 0.6+ in
+    * `RECALL.json`.
+    *
+    * Search is the classic per-cell ADC: a query ranks the broadcast
+    * coarse centroids, probes its `nprobe` nearest cells, and for EACH
+    * probed cell builds a lookup table of exact distances from the
+    * query's residual-in-that-cell to every codebook centroid — the
+    * approximate distance to a corpus vector is the m-term LUT sum over
+    * the vector's codes, joined on (cell, subspace, code). Per-sub
+    * distances are ×10^6 scaled ints, so the sum is exact BIGINT and the
+    * ranking is aggregation-order-immune, [[pqAnn]]'s contract.
+    *
+    * 100 TB shape: the corpus persists as (id, cell, m codes) — m bytes
+    * + a cell id per vector, hive-partitionable by cell so probes prune
+    * the scan to the probed lists ([[annIvfDelta]]'s layout with codes
+    * instead of raw vectors); codebooks are an m × ksub × (dim/m)
+    * broadcast; the per-query LUT relation is |queries| × nprobe × m ×
+    * ksub rows on the broadcast side — size the query batch, not the
+    * corpus. Training touches the corpus once per Lloyd iteration (the
+    * [[pqTrainCodebooks]] shape over the residual relation, which is
+    * checkpointed once rather than re-derived per iteration).
+    *
+    * Output: (query_id, neighbor_id, adist_e6, rk), all-BIGINT. */
+  def ivfPqAnn(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, coarseMod: Int, m: Int, ksub: Int, iters: Int,
+      queryMod: Int, k: Int, nprobe: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(ksub >= 1 && iters >= 1, "pq needs >=1 centroid and >=1 iteration")
+    require(nprobe >= 1 && k >= 1, s"bad nprobe=$nprobe/k=$k")
+    val subLen = dim / m
+    val cents = emb.filter(col(idCol) % coarseMod === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    // coarse assignment + residual, one corpus pass; checkpointed because
+    // every Lloyd iteration, the encode branch, and nothing else should
+    // re-run the corpus × centroid ranking
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val subs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"), col("cv"),
+        cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("cid").as("ccell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+      .select(col("id"), col("ccell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
+      .select(col("id"), col("ccell"), col("sub"),
+        slice(col("rv"), col("sub") * subLen + lit(1), lit(subLen)).as("sv"))
+      .localCheckpoint()
+    // global residual codebooks, ksub lowest-id seeds — pqTrainCodebooks'
+    // exact per-iteration contract (6-dp L2 + cid tiebreak, decimal means)
+    val seedIds = emb.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(idCol).as("id"))
+    var cb = subs.join(broadcast(seedIds), "id")
+      .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("id"), col("sub"))
+        .orderBy(col("d").asc, col("cid").asc)
+      val assignedCb = subs.join(broadcast(cb), "sub")
+        .select(col("id"), col("sub"), col("sv"), col("cid"),
+          l2sq(col("sv"), col("cv")).as("d"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("sub"), col("sv"), col("cid"))
+      val perDim = assignedCb
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim0", "x")))
+        .groupBy(col("sub"), col("cid"), col("dim0"))
+        .agg(round(sum(col("x").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("mu"))
+      cb = perDim
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("dim0"), col("mu")))).as("pairs"))
+        .select(col("sub"), col("cid"),
+          transform(col("pairs"), p => p.getField("mu")).as("cv"))
+    }
+    // materialize the trained codebooks once: encode + every probed-cell
+    // LUT read them, and the training DAG must not re-run per consumer
+    val codebooks = cb.localCheckpoint()
+    val wEnc = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d").asc, col("cid").asc)
+    val codes = subs.join(broadcast(codebooks), "sub")
+      .select(col("id"), col("ccell"), col("sub"), col("cid"),
+        l2sq(col("sv"), col("cv")).as("d"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("ccell"), col("sub"), col("cid").as("code"))
+    // queries: rank coarse cells, keep nprobe, residual PER PROBED CELL
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+    val lut = emb.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"), col("cv"),
+        cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select(col("qid").as("query_id"), col("cid").as("ccell"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qrv"))
+      .select(col("query_id"), col("ccell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qrv"))
+      .select(col("query_id"), col("ccell"), col("sub"),
+        slice(col("qrv"), col("sub") * subLen + lit(1), lit(subLen)).as("qsv"))
+      .join(broadcast(codebooks), "sub")
+      .select(col("query_id"), col("ccell"), col("sub"), col("cid"),
+        e6(l2sq(col("qsv"), col("cv"))).as("d_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_e6").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut),
+        codes("ccell") === lut("ccell") && codes("sub") === lut("sub") &&
+          codes("code") === lut("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d_e6")).as("adist_e6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** IVF-PQ with EXACT RE-RANKING (the FAISS `IndexIVFPQ + RefineFlat`
+    * production stack): [[ivfPqAnn]]'s ADC ranking selects a per-query
+    * shortlist of `rerank` candidates, whose TRUE cosines are then
+    * computed against the raw vectors — final top-k by exact cosine.
+    *
+    * Why the refine stage earns its keep (measured, `RECALL.json`): on
+    * embeddings whose pairwise distances concentrate (random-ish unit
+    * vectors — the hardest case), even a near-exact quantizer (m=32,
+    * ksub=256) misranks the top-5 because true neighbor gaps are smaller
+    * than any quantization noise; ADC recall@5 plateaus ~0.75 at FULL
+    * probe coverage. A shortlist 10× the k absorbs that noise: recall
+    * rises to the coarse-probe coverage ceiling while the corpus still
+    * compresses to m bytes/vector and the exact pass touches only
+    * |queries| × rerank raw vectors — at 100 TB that is a point-lookup
+    * stream against the id-keyed vector store, not a scan.
+    *
+    * Output: (query_id, neighbor_id, cos, rk) — the [[annBruteForce]]
+    * schema, because the final scores ARE exact cosines. */
+  def ivfPqRerankAnn(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, coarseMod: Int, m: Int, ksub: Int, iters: Int,
+      queryMod: Int, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"shortlist $rerank must be >= k=$k")
+    val shortlist = ivfPqAnn(emb, idCol, vecCol, dim, coarseMod, m, ksub, iters,
+        queryMod, rerank, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlist
+      .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
+      .join(broadcast(emb.filter(col(idCol) % queryMod === 0)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))

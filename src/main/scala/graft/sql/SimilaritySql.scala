@@ -285,6 +285,80 @@ SELECT query_id, neighbor_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM ranked WHE
     sb.toString
   }
 
+  /** IVF-PQ ANN, UNROLLED — mirrors [[graft.ops.SimilarityOps.ivfPqAnn]]
+    * step for step: coarse id-residue cell assignment (6-dp cosine, cid
+    * tiebreak), residual v − centroid(cell), per-subspace Lloyd codebooks
+    * over residuals (ksub lowest-id seeds, 6-dp L2 assignment, decimal
+    * means), residual encoding, then per-probed-cell ADC with ×10^6
+    * scaled-int LUT distances summed as exact BIGINT. */
+  def ivfPqAnn(table: String, dim: Int, coarseMod: Int, m: Int, ksub: Int,
+      iters: Int, queryMod: Int, k: Int, nprobe: Int): String =
+    ivfPqPrefix(table, dim, coarseMod, m, ksub, iters, queryMod, nprobe) + s""",
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC) AS rk FROM scores)
+SELECT query_id, neighbor_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** Mirror of [[graft.ops.SimilarityOps.ivfPqRerankAnn]]: the shared
+    * IVF-PQ prefix selects the ADC top-`rerank` shortlist, whose exact
+    * cosines against the raw vectors produce the final top-k — the
+    * refine stage verbatim. */
+  def ivfPqRerankAnn(table: String, dim: Int, coarseMod: Int, m: Int, ksub: Int,
+      iters: Int, queryMod: Int, k: Int, nprobe: Int, rerank: Int): String =
+    ivfPqPrefix(table, dim, coarseMod, m, ksub, iters, queryMod, nprobe) + s""",
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC) AS rk FROM scores),
+short AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $rerank),
+rr AS (SELECT sh.query_id, sh.neighbor_id, ${cosSql("q.v", "n.v", dim)} AS cos
+  FROM short sh JOIN e q ON q.id = sh.query_id JOIN e n ON n.id = sh.neighbor_id),
+rranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM rr)
+SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM rranked WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** Shared IVF-PQ text through the `scores` CTE (ADC sums). */
+  private def ivfPqPrefix(table: String, dim: Int, coarseMod: Int, m: Int,
+      ksub: Int, iters: Int, queryMod: Int, nprobe: Int): String = {
+    require(iters >= 1 && dim % m == 0)
+    val len = dim / m
+    val resid = s"list_transform(range(1, ${dim + 1}), i -> e.v[i] - c.cv[i])"
+    def assign(cents: String) =
+      s"""(SELECT s.id, s.cell, s.sub, s.sv, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY s.id, s.sub ORDER BY ${l2Sql("s.sv", "c.cv", len)} ASC, c.cid ASC) AS rk
+  FROM s JOIN $cents c ON c.sub = s.sub) WHERE rk = 1"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id % $coarseMod = 0),
+a AS (SELECT id, cell, rv FROM (
+  SELECT e.id, c.cid AS cell, $resid AS rv,
+    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM e, c) WHERE crk = 1),
+s AS (SELECT a.id, a.cell, sub.s AS sub, a.rv[sub.s * $len + 1 : sub.s * $len + $len] AS sv
+  FROM a, (SELECT unnest(range(0, $m)) AS s) sub),
+seed AS (SELECT id FROM e ORDER BY id ASC LIMIT $ksub),
+c0 AS (SELECT s.sub, s.id AS cid, s.sv AS cv FROM s JOIN seed ON seed.id = s.id)""")
+    for (t <- 0 until iters) {
+      sb.append(s""",
+a$t AS (SELECT sub, sv, cid FROM ${assign(s"c$t")}),
+d$t AS (SELECT sub, cid, i.i AS dim,
+    round(CAST(SUM(CAST(sv[i.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mu
+  FROM a$t, (SELECT unnest(range(1, ${len + 1})) AS i) i GROUP BY sub, cid, i.i),
+c${t + 1} AS (SELECT sub, cid, list(mu ORDER BY dim) AS cv FROM d$t GROUP BY sub, cid)""")
+    }
+    sb.append(s""",
+codes AS (SELECT id, cell, sub, cid AS code FROM ${assign(s"c$iters")}),
+qp AS (SELECT id AS query_id, cell, qrv FROM (
+  SELECT e.id, c.cid AS cell, $resid AS qrv,
+    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
+  FROM e, c WHERE e.id % $queryMod = 0) WHERE crk <= $nprobe),
+qs AS (SELECT qp.query_id, qp.cell, sub.s AS sub,
+    qp.qrv[sub.s * $len + 1 : sub.s * $len + $len] AS qsv
+  FROM qp, (SELECT unnest(range(0, $m)) AS s) sub),
+lut AS (SELECT q.query_id, q.cell, q.sub, c.cid,
+    CAST(CAST(${l2Sql("q.qsv", "c.cv", len)} AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS d_e6
+  FROM qs q JOIN c$iters c ON c.sub = q.sub),
+scores AS (SELECT l.query_id, cd.id AS neighbor_id, CAST(SUM(l.d_e6) AS BIGINT) AS adist_e6
+  FROM codes cd JOIN lut l ON l.cell = cd.cell AND l.sub = cd.sub AND l.cid = cd.code
+    AND l.query_id <> cd.id
+  GROUP BY l.query_id, cd.id)""")
+    sb.toString
+  }
+
   def labelCentroidProfile(table: String): String =
     s"""SELECT label, COUNT(*) AS n_vecs,
 round(CAST(SUM(CAST(embedding[1]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_d0,
