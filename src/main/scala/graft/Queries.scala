@@ -1237,6 +1237,22 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.RetrievalSql.hybridSearch("documents", "embeddings",
         queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64, maxQueryTerms = 30))),
 
+    ("q126_hybrid_indexed",
+      // the INDEX-BACKED hybrid: same pruned BM25 lexical side as q115,
+      // semantic side from SQ8 compressed codes instead of a raw-vector
+      // corpus scan — the 100 TB shape (the codes relation is the
+      // persistable index; brute force stays the exactness reference).
+      // RECALL.json carries the fusion delta vs the brute-force hybrid.
+      (s: SparkSession, dir: String) =>
+        RetrievalOps.hybridSearchWith(
+          Tables.documents(s, dir),
+          SimilarityOps.annScalarQuant(Tables.embeddings(s, dir),
+            "vec_id", "embedding", queryMod = 100, k = 20),
+          "text", "doc_id",
+          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30),
+      Some(graft.sql.RetrievalSql.hybridSearchSq8("documents", "embeddings",
+        queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64, maxQueryTerms = 30))),
+
     ("q116_triangle_counts",
       // local clustering audit of the near-dup pair graph (q39's pair
       // set): exact per-node triangle counts via the ordered-wedge

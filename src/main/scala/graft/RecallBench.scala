@@ -40,8 +40,9 @@ object RecallBench {
 
   /** Measure every approximate method at its gate query's parameters. */
   def compute(spark: SparkSession, dir: String): Seq[MethodRecall] = {
-    // one read feeds 3 ground truths + 7 methods
+    // one read feeds the ground truths + every method
     val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val docs = Tables.documents(spark, dir).localCheckpoint()
     val id = "vec_id"; val v = "embedding"
     // ground truths, one per (queryMod, k) the catalog uses
     val bf20k5 = topk(SimilarityOps.annBruteForce(emb, id, v, queryMod = 20, k = 5),
@@ -51,8 +52,8 @@ object RecallBench {
     val bfAllk3 = topk(SimilarityOps.annBruteForce(emb, id, v, queryMod = 1, k = 3),
       "query_id", "neighbor_id")
     def m(name: String, truth: Map[Long, Set[Long]], df: DataFrame,
-        qCol: String = "query_id"): MethodRecall =
-      MethodRecall(name, recallAtK(truth, topk(df, qCol, "neighbor_id")), truth.size)
+        qCol: String = "query_id", nCol: String = "neighbor_id"): MethodRecall =
+      MethodRecall(name, recallAtK(truth, topk(df, qCol, nCol)), truth.size)
     Seq(
       m("ann_lsh[q25:planes=4,mod=20,k=5]", bf20k5,
         SimilarityOps.annLsh(emb, id, v, queryMod = 20, k = 5, nPlanes = 4, dim = 64)),
@@ -111,7 +112,21 @@ object RecallBench {
       // seeds break that ceiling and the descent climbs over rounds
       m("knn_graph_refined[xseed:cmod=50,k=3,rounds=2,xbuckets=40]", bfAllk3,
         SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
-          rounds = 2, crossBuckets = 40), qCol = "vec_id"))
+          rounds = 2, crossBuckets = 40), qCol = "vec_id"),
+      // fusion delta: the q126 indexed hybrid (SQ8 semantic side) scored
+      // against the brute-force hybrid's fused top-10 as truth — how much
+      // of the exact-reference fusion the index-backed stack reproduces
+      m("hybrid_rrf_sq8_vs_brute[q126:mod=100,kEach=20,k=10]",
+        topk(graft.ops.RetrievalOps.hybridSearch(
+          docs, emb, "text", "doc_id", "vec_id", "embedding",
+          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30),
+          "query_id", "doc_id"),
+        graft.ops.RetrievalOps.hybridSearchWith(
+          docs,
+          SimilarityOps.annScalarQuant(emb, id, v, queryMod = 100, k = 20),
+          "text", "doc_id",
+          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30),
+        nCol = "doc_id"))
   }
 
   /** The committed artifact's exact text (4-dp recall — stable across

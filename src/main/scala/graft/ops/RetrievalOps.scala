@@ -197,15 +197,38 @@ object RetrievalOps {
     * retrieval stack (each side covers the other's blind spot: exact
     * terminology vs paraphrase). Assumes the document and embedding
     * tables share an id space (doc_id == vec_id), as aligned corpus
-    * exports do. Both sides retrieve `kEach`, the fusion keeps `k`. */
+    * exports do. Both sides retrieve `kEach`, the fusion keeps `k`.
+    *
+    * Brute-force cosine is the EXACTNESS REFERENCE; at 100 TB the
+    * semantic side must come from an index — pass any ranked ANN
+    * relation to [[hybridSearchWith]] instead (the q126 catalog entry
+    * fuses [[SimilarityOps.annScalarQuant]]'s compressed-code ranking;
+    * [[SimilarityOps.annIvfDelta]]'s persisted-artifact path and
+    * [[SimilarityOps.ivfPqRerankAnn]] plug in the same way). */
   def hybridSearch(docs: DataFrame, emb: DataFrame,
       textCol: String, idCol: String, embIdCol: String, vecCol: String,
+      queryMod: Int, kEach: Int, kRrf: Int, k: Int,
+      maxQueryTerms: Int = 0): DataFrame =
+    hybridSearchWith(docs,
+      SimilarityOps.annBruteForce(emb, embIdCol, vecCol, queryMod, kEach),
+      textCol, idCol, queryMod, kEach, kRrf, k, maxQueryTerms)
+
+  /** [[hybridSearch]] with a CALLER-SUPPLIED semantic ranking — the
+    * pluggable form the 100 TB story needs: the lexical side stays the
+    * semi-join-pruned document-as-query BM25, the semantic side is ANY
+    * (query_id, neighbor_id, rk) relation — typically an ANN read off
+    * persisted index artifacts (IVF lists, SQ8/PQ codes) rather than a
+    * corpus scan. Rows ranked past `kEach` are dropped before fusion so
+    * both sides weigh equally in the RRF sum. */
+  def hybridSearchWith(docs: DataFrame, semantic: DataFrame,
+      textCol: String, idCol: String,
       queryMod: Int, kEach: Int, kRrf: Int, k: Int,
       maxQueryTerms: Int = 0): DataFrame = {
     val lex = moreLikeThis(docs, textCol, idCol, queryMod, kEach, maxQueryTerms)
       .select(col("query_id"), col("doc_id"), col("rk"))
-    val sem = SimilarityOps.annBruteForce(emb, embIdCol, vecCol, queryMod, kEach)
+    val sem = semantic
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+      .filter(col("rk") <= kEach)
     rrfFuse(lex, sem, kRrf, k)
   }
 

@@ -20,6 +20,47 @@ object RetrievalSql {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
     val cos = s"round(${dot("cq.qv", "e.v")} / (sqrt(${dot("cq.qv", "cq.qv")}) * sqrt(${dot("e.v", "e.v")})), 6)"
+    val semCtes = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embTable),
+cq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
+cc AS (SELECT cq.query_id, e.vec_id AS doc_id, $cos AS cos
+  FROM cq JOIN e ON e.vec_id <> cq.query_id),
+sem AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, doc_id ASC) AS rk FROM cc),
+semk AS (SELECT query_id, doc_id, rk FROM sem WHERE rk <= $kEach)"""
+    hybridWithSemCtes(table, semCtes, queryMod, kEach, kRrf, k, maxQueryTerms, k1, b)
+  }
+
+  /** Mirror of [[graft.ops.RetrievalOps.hybridSearchWith]] over the SQ8
+    * semantic side ([[SimilaritySql.annScalarQuant]]'s CTEs verbatim,
+    * renamed to avoid collision with the lexical block): the q126
+    * indexed-hybrid catalog entry — compressed-code ANN fused with the
+    * same pruned BM25 by the same exact-integer RRF. */
+  def hybridSearchSq8(table: String, embTable: String,
+      queryMod: Int, kEach: Int, kRrf: Int, k: Int, dim: Int,
+      maxQueryTerms: Int = 0,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val semCtes = s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embTable WHERE embedding IS NOT NULL),
+sqs AS (SELECT i.i AS d, max(abs(v[i.i])) AS s FROM e2, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY 1),
+ssv AS (SELECT list(s ORDER BY d) AS sv FROM sqs),
+scod AS (SELECT vec_id, list_transform(range(1, ${dim + 1}), i ->
+    CASE WHEN sv[i] = 0 THEN 0
+         ELSE greatest(-127, least(127, CAST(floor(v[i] * 127.0 / sv[i]) AS BIGINT))) END) AS qq
+  FROM e2, ssv),
+scand AS (SELECT qs.vec_id AS query_id, scod.vec_id AS doc_id,
+    CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> qs.qq[i] * scod.qq[i])) AS BIGINT) AS dot_q
+  FROM scod qs JOIN scod ON scod.vec_id <> qs.vec_id WHERE qs.vec_id % $queryMod = 0),
+sem AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+  ORDER BY dot_q DESC, doc_id ASC) AS rk FROM scand),
+semk AS (SELECT query_id, doc_id, rk FROM sem WHERE rk <= $kEach)"""
+    hybridWithSemCtes(table, semCtes, queryMod, kEach, kRrf, k, maxQueryTerms, k1, b)
+  }
+
+  /** Shared hybrid text: pruned document-as-query BM25 lexical side +
+    * exact-integer RRF fusion around a caller-supplied semantic CTE
+    * block that must define `semk(query_id, doc_id, rk)`. */
+  private def hybridWithSemCtes(table: String, semCtes: String,
+      queryMod: Int, kEach: Int, kRrf: Int, k: Int,
+      maxQueryTerms: Int, k1: Double, b: Double): String = {
     // Lucene-MLT term pruning: keep each query's maxQueryTerms RAREST
     // terms by corpus TOTAL frequency (tfreq asc, term asc) — the same
     // vocabulary-keyed rarity pass the engine runs; tf then covers only
@@ -53,13 +94,7 @@ sc AS (SELECT query_id, doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micr
 lex AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
   ORDER BY score_micro DESC, doc_id ASC) AS rk FROM sc),
 lexk AS (SELECT query_id, doc_id, rk FROM lex WHERE rk <= $kEach),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embTable),
-cq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
-cc AS (SELECT cq.query_id, e.vec_id AS doc_id, $cos AS cos
-  FROM cq JOIN e ON e.vec_id <> cq.query_id),
-sem AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
-  ORDER BY cos DESC, doc_id ASC) AS rk FROM cc),
-semk AS (SELECT query_id, doc_id, rk FROM sem WHERE rk <= $kEach),
+$semCtes,
 f AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
     COALESCE(l.doc_id, s.doc_id) AS doc_id,
     COALESCE(1000000 // ($kRrf + l.rk), 0) + COALESCE(1000000 // ($kRrf + s.rk), 0) AS rrf_e6
