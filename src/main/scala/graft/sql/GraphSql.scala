@@ -18,7 +18,8 @@ object GraphSql {
     s"""WITH RECURSIVE p AS (
   SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+e AS (SELECT src, dst FROM (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p)
+  WHERE src <> dst),
 deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
 pr(iter, node, r) AS (
   SELECT 0, src, CAST($scale AS BIGINT) FROM deg
