@@ -1044,6 +1044,19 @@ GROUP BY segment ORDER BY segment""")),
           .orderBy("doc_id"),
       Some(graft.sql.MultimodalSql.videoDecodeStats("documents"))),
 
+    ("q127_video_mjpeg_decode",
+      // REAL COMPRESSED video decode: Motion-JPEG AVI (per-frame JPEG at
+      // quality 1.0, variable-size 00dc chunks, MJPG codec headers),
+      // decoded back through the container parser + ImageIO's JPEG
+      // codec. Uniform-gray frames survive JPEG bit-exactly (spec-pinned
+      // for all 256 levels), so the oracle stays closed-form — video is
+      // now OFF the compressed-codec stub list entirely.
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.videoDecodeStats(
+          MultimodalOps.videoCorpusMjpeg(s, Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(graft.sql.MultimodalSql.videoDecodeStatsMjpeg("documents"))),
+
     ("q100_inverted_index",
       // distributed index build, dictionary view: per-term df / tf totals
       // plus an integer postings-set fingerprint (min/max/sum of doc ids)

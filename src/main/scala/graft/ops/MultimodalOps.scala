@@ -256,6 +256,106 @@ object MultimodalOps {
     buf.array()
   }
 
+  /** JPEG-encode a raster at quality 1.0 — the per-frame codec of the
+    * MJPEG path. Quality 1.0 disables every lossy stage that matters for
+    * the synthetic corpus: a UNIFORM-GRAY frame (r=g=b, all pixels
+    * equal) survives the round trip bit-exactly for all 256 levels
+    * (DC-only blocks, zero AC, unit quantization — verified exhaustively
+    * in the spec), which is what lets q127's oracle stay closed-form on
+    * a genuinely compressed format. */
+  private[graft] def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    ImageIO.setUseCache(false)
+    val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      wr.dispose()
+      ios.flush()
+    }
+    bos.toByteArray
+  }
+
+  /** 'MJPG' as the little-endian BITMAPINFOHEADER biCompression value. */
+  private[graft] val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Build a MOTION-JPEG AVI: the same RIFF framing as [[encodeAvi]] but
+    * every frame is an actual JPEG (quality 1.0) in a variable-size
+    * `00dc` chunk, strh/strf declare the MJPG codec, and odd-sized
+    * chunks get the RIFF word-alignment pad byte. This is the one
+    * COMPRESSED video format the JDK can genuinely decode (each frame is
+    * a JPEG, and ImageIO ships a JPEG codec) — it removes video from the
+    * compressed-codec stub list entirely. */
+  private[graft] def encodeAviMjpeg(
+      width: Int, height: Int, fps: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && fps >= 1, s"bad video shape ${width}x$height@$fps")
+    require(frames.nonEmpty, "video needs at least one frame")
+    frames.foreach(f => require(f.length == width * height, "frame/dims mismatch"))
+    val jpegs = frames.map { frame =>
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < frame.length) { img.setRGB(i % width, i / width, frame(i)); i += 1 }
+      encodeJpeg(img)
+    }
+    val nf = jpegs.length
+    val maxFrame = jpegs.map(_.length).max
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putFourcc(buf, "RIFF"); buf.putInt(riffSize); putFourcc(buf, "AVI ")
+    putFourcc(buf, "LIST"); buf.putInt(hdrlSize); putFourcc(buf, "hdrl")
+    putFourcc(buf, "avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps)
+    buf.putInt(maxFrame * fps)
+    buf.putInt(0); buf.putInt(0)
+    buf.putInt(nf)
+    buf.putInt(0)
+    buf.putInt(1)
+    buf.putInt(maxFrame)
+    buf.putInt(width); buf.putInt(height)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    putFourcc(buf, "LIST"); buf.putInt(strlSize); putFourcc(buf, "strl")
+    putFourcc(buf, "strh"); buf.putInt(56)
+    putFourcc(buf, "vids"); putFourcc(buf, "MJPG")
+    buf.putInt(0)
+    buf.putShort(0); buf.putShort(0)
+    buf.putInt(0)
+    buf.putInt(1)
+    buf.putInt(fps)
+    buf.putInt(0)
+    buf.putInt(nf)
+    buf.putInt(maxFrame)
+    buf.putInt(0)
+    buf.putInt(0)
+    buf.putShort(0); buf.putShort(0)
+    buf.putShort(width.toShort); buf.putShort(height.toShort)
+    putFourcc(buf, "strf"); buf.putInt(40)
+    buf.putInt(40)
+    buf.putInt(width); buf.putInt(height)
+    buf.putShort(1)
+    buf.putShort(24)
+    putFourcc(buf, "MJPG")             // biCompression = MJPG
+    buf.putInt(maxFrame)               // biSizeImage (informational for MJPG)
+    buf.putInt(0); buf.putInt(0)
+    buf.putInt(0); buf.putInt(0)
+    putFourcc(buf, "LIST"); buf.putInt(moviSize); putFourcc(buf, "movi")
+    jpegs.foreach { j =>
+      putFourcc(buf, "00dc"); buf.putInt(j.length)
+      buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte) // RIFF word alignment
+    }
+    buf.array()
+  }
+
   /** Parse an uncompressed AVI container: walk the RIFF chunk tree
     * (recursing into LISTs), pull dims from `strf`'s BITMAPINFOHEADER,
     * frame rate from `strh`'s dwRate/dwScale, and decode every `00db`
@@ -308,29 +408,57 @@ object MultimodalOps {
         }
       }
       walk(12, math.min(content.length, 8 + le32(4)))
-      if (!sawVids || width <= 0 || height <= 0 || bitCount != 24 ||
-        compression != 0 || scale <= 0 || rate <= 0 || rate % scale != 0 ||
+      if (!sawVids || width <= 0 || height <= 0 ||
+        scale <= 0 || rate <= 0 || rate % scale != 0 ||
         frameChunks.isEmpty) return None
-      val rowBytes = dibRowBytes(width)
-      if (frameSizes.exists(_ != rowBytes * height)) return None
-      val frames = frameChunks.toArray.map { data =>
-        val out = new Array[Int](width * height)
-        var row = 0
-        while (row < height) {
-          val srcRow = data + (height - 1 - row) * rowBytes // bottom-up
-          var x = 0
-          while (x < width) {
-            val b = content(srcRow + 3 * x) & 0xff
-            val g = content(srcRow + 3 * x + 1) & 0xff
-            val r = content(srcRow + 3 * x + 2) & 0xff
-            out(row * width + x) = (r << 16) | (g << 8) | b
-            x += 1
+      if (bitCount == 24 && compression == 0) {
+        // raw DIB frames (BI_RGB): bottom-up padded BGR rows
+        val rowBytes = dibRowBytes(width)
+        if (frameSizes.exists(_ != rowBytes * height)) return None
+        val frames = frameChunks.toArray.map { data =>
+          val out = new Array[Int](width * height)
+          var row = 0
+          while (row < height) {
+            val srcRow = data + (height - 1 - row) * rowBytes // bottom-up
+            var x = 0
+            while (x < width) {
+              val b = content(srcRow + 3 * x) & 0xff
+              val g = content(srcRow + 3 * x + 1) & 0xff
+              val r = content(srcRow + 3 * x + 2) & 0xff
+              out(row * width + x) = (r << 16) | (g << 8) | b
+              x += 1
+            }
+            row += 1
           }
-          row += 1
+          out
         }
-        out
-      }
-      Some(DecodedVideo(width, height, rate / scale, frames))
+        Some(DecodedVideo(width, height, rate / scale, frames))
+      } else if (compression == MjpgFourcc) {
+        // Motion JPEG: every chunk is a standalone JPEG — a REAL
+        // compressed-codec decode through ImageIO's JPEG reader
+        ImageIO.setUseCache(false)
+        val frames = new Array[Array[Int]](frameChunks.length)
+        var fi = 0
+        while (fi < frameChunks.length) {
+          val img = ImageIO.read(
+            new ByteArrayInputStream(content, frameChunks(fi), frameSizes(fi)))
+          if (img == null || img.getWidth != width || img.getHeight != height)
+            return None
+          val out = new Array[Int](width * height)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              out(y * width + x) = img.getRGB(x, y) & 0xffffff
+              x += 1
+            }
+            y += 1
+          }
+          frames(fi) = out
+          fi += 1
+        }
+        Some(DecodedVideo(width, height, rate / scale, frames))
+      } else None
     } catch {
       case _: IndexOutOfBoundsException => None
     }
@@ -358,10 +486,31 @@ object MultimodalOps {
     DecodedVideo(w, h, fps, frames)
   }
 
-  // ---- STUB: deterministic fake decode (compressed audio/video) ---------
-  // The JDK has no compressed-codec decoders (mp3/aac/h264); the fake is a
-  // stable function of the bytes so tests are deterministic and the
-  // downstream plumbing is exercised with realistic shapes.
+  /** Deterministic synthetic MJPEG video for `docId`: the same
+    * dims/frames/fps formulas as [[synthVideo]], but every frame is
+    * UNIFORM GRAY at level (id·11 + f·31) mod 256 — the one frame class
+    * a real JPEG codec at quality 1.0 reproduces bit-exactly (uniform
+    * blocks quantize to DC-only with unit tables; chroma is constant
+    * 128), so the oracle can recompute decoded sums in closed form even
+    * though the container genuinely compresses. */
+  private[graft] def synthVideoGray(docId: Long): DecodedVideo = {
+    val w = (4 + docId % 6).toInt
+    val h = (4 + docId % 4).toInt
+    val nf = (2 + docId % 5).toInt
+    val fps = (10 + docId % 3).toInt
+    val frames = Array.tabulate(nf) { f =>
+      val g = ((docId * 11 + f * 31) % 256).toInt
+      Array.fill(h * w)((g << 16) | (g << 8) | g)
+    }
+    DecodedVideo(w, h, fps, frames)
+  }
+
+  // ---- STUB: deterministic fake decode (compressed audio only) ----------
+  // The JDK has no compressed AUDIO codec (mp3/aac) and no inter-frame
+  // video codec (h264-class); intra-frame compressed video IS real via the
+  // MJPEG path above. For the rest, the fake is a stable function of the
+  // bytes so tests are deterministic and the downstream plumbing is
+  // exercised with realistic shapes.
   private[graft] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -663,6 +812,23 @@ object MultimodalOps {
         val v = synthVideo(id)
         MediaRow(id, "video", encodeAvi(v.width, v.height, v.fps, v.frames.toSeq),
           MediaMeta("avi", v.width, v.height, v.frames.length.toLong * 1000 / v.fps))
+      }
+    }
+  }
+
+  /** REAL MOTION-JPEG corpus keyed on the documents table: one actual
+    * MJPEG AVI per doc ([[synthVideoGray]] frames, each a genuine
+    * quality-1.0 JPEG), generated map-side. The COMPRESSED sibling of
+    * [[videoCorpus]]: [[videoDecodeStats]] consumes either — the decode
+    * path dispatches on the container's declared codec. */
+  def videoCorpusMjpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      System.setProperty("java.awt.headless", "true")
+      ids.map { id =>
+        val v = synthVideoGray(id)
+        MediaRow(id, "video", encodeAviMjpeg(v.width, v.height, v.fps, v.frames.toSeq),
+          MediaMeta("avi-mjpeg", v.width, v.height, v.frames.length.toLong * 1000 / v.fps))
       }
     }
   }

@@ -84,6 +84,27 @@ SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(w AS BIGINT) AS width,
   CAST(SUM((doc_id * 7 + f * 29 + x * 5 + y * 17) % 256) AS BIGINT) AS sum_b
 FROM ps GROUP BY doc_id, w, h, nf, fps ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.MultimodalOps.videoDecodeStats]] over
+    * [[graft.ops.MultimodalOps.videoCorpusMjpeg]]: the engine round-trips
+    * a REAL Motion-JPEG AVI (per-frame ImageIO JPEG encode at quality
+    * 1.0 → container parse → per-frame ImageIO JPEG decode). Frames are
+    * uniform gray, the one class a JPEG codec reproduces bit-exactly, so
+    * decoded channel sums equal this closed form: every channel sums to
+    * gray(id, f) · w · h per frame. A codec or container path that
+    * altered ANY pixel hash-diverges. */
+  def videoDecodeStatsMjpeg(table: String): String =
+    s"""WITH d AS (SELECT doc_id, 4 + doc_id % 6 AS w, 4 + doc_id % 4 AS h,
+  2 + doc_id % 5 AS nf, 10 + doc_id % 3 AS fps FROM $table),
+fs AS (SELECT doc_id, w, h, nf, fps, unnest(range(0, nf)) AS f FROM d),
+g AS (SELECT doc_id, w, h, nf, fps, (doc_id * 11 + f * 31) % 256 AS gray FROM fs)
+SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height, CAST(fps AS BIGINT) AS fps,
+  CAST(nf * w * h AS BIGINT) AS n_pixels,
+  CAST(SUM(gray * w * h) AS BIGINT) AS sum_r,
+  CAST(SUM(gray * w * h) AS BIGINT) AS sum_g,
+  CAST(SUM(gray * w * h) AS BIGINT) AS sum_b
+FROM g GROUP BY doc_id, w, h, nf, fps ORDER BY doc_id"""
+
   def modalitySummary(table: String): String =
     s"""WITH m AS (SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -327,4 +327,57 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
   }
+
+  test("JPEG quality 1.0 reproduces every uniform-gray level bit-exactly (all 256)") {
+    // the exactness contract the q127 closed-form oracle rests on:
+    // uniform blocks quantize to DC-only with unit tables, constant
+    // chroma is 128 — no level may drift by even one step
+    (0 until 256).foreach { v =>
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val back = MultimodalOps.decodeImage(MultimodalOps.encodeJpeg(img)).get
+      for (y <- 0 until 4; x <- 0 until 6)
+        assert((back.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+          s"gray level $v drifted at ($x,$y)")
+    }
+  }
+
+  test("real MJPEG AVI round trip: container + JPEG codec reproduce every gray frame") {
+    (0L to 40L).foreach { id =>
+      val v = MultimodalOps.synthVideoGray(id)
+      val avi = MultimodalOps.encodeAviMjpeg(v.width, v.height, v.fps, v.frames.toSeq)
+      val d = MultimodalOps.decodeAvi(avi).getOrElse(
+        fail(s"MJPEG container for doc $id did not decode"))
+      assert(d.width == v.width && d.height == v.height && d.fps == v.fps)
+      assert(d.frames.length == v.frames.length)
+      d.frames.zip(v.frames).zipWithIndex.foreach { case ((got, want), f) =>
+        assert(got.toSeq == want.toSeq, s"doc $id frame $f pixel drift")
+      }
+    }
+    // uncompressed decode path untouched: raw and MJPEG containers of the
+    // same frames disagree on bytes but agree on decoded content
+    val raw = MultimodalOps.synthVideoGray(7L)
+    val viaRaw = MultimodalOps.decodeAvi(
+      MultimodalOps.encodeAvi(raw.width, raw.height, raw.fps, raw.frames.toSeq)).get
+    assert(viaRaw.frames.map(_.toSeq).toSeq == raw.frames.map(_.toSeq).toSeq)
+  }
+
+  test("videoCorpusMjpeg decode stats match the closed-form gray formula") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).limit(30)
+    val got = MultimodalOps.videoDecodeStats(
+        MultimodalOps.videoCorpusMjpeg(spark, docs))
+      .orderBy(col("doc_id")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, nf, fps) = (4 + id % 6, 4 + id % 4, 2 + id % 5, 10 + id % 3)
+      val sum = (0L until nf).map(f => ((id * 11 + f * 31) % 256) * w * h).sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((nf, w, h, fps)))
+      assert(r.getLong(5) == nf * w * h)
+      assert(r.getLong(6) == sum && r.getLong(7) == sum && r.getLong(8) == sum,
+        s"doc $id channel sums drifted")
+    }
+  }
 }
