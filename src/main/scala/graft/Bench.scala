@@ -1,20 +1,29 @@
 package graft
 /** Driver-run benchmark: warmup pass + MEDIAN of 3 timed passes over the
-  * whole query catalog; prints the per-query JSON line plus a compact
-  * trailer, and writes `BENCH_SUMMARY.json` itself so the numbers never
-  * depend on how much stdout the driver's tail capture kept.
+  * whole query catalog, then TWO EXTRA passes over the slowest decile,
+  * whose stat becomes MIN-of-5 — prints the per-query JSON line plus a
+  * compact trailer, and writes `BENCH_SUMMARY.json` itself so the numbers
+  * never depend on how much stdout the driver's tail capture kept.
   *
-  * Median, not best-of: best-of-N systematically under-reports (it keeps
+  * Median for the bulk: best-of-N systematically under-reports (it keeps
   * whichever pass dodged every GC pause) and cannot distinguish a real
-  * 0.2 s regression from one noisy pass. The median of three is robust to
-  * a single outlier pass in either direction and makes round-over-round
-  * drifts diagnosable (median vs median). */
+  * 0.2 s regression from one noisy pass; the median of three is robust to
+  * a single outlier pass and makes round-over-round drifts diagnosable.
+  *
+  * MIN-of-5 for the slowest decile (the r7 verdict's ask): same-code
+  * medians of multi-job iterative queries were measured disagreeing by up
+  * to 1.8× under container load (q104 8.0 vs 14.5 s) — load noise on a
+  * CPU-bound query is strictly ADDITIVE, so the minimum over 5 samples is
+  * the consistent estimator of the query's intrinsic cost, and the
+  * per-query `spread` column (max/min over its samples) makes residual
+  * load contamination visible instead of masquerading as regression. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
     val nPasses = 3
+    val nExtra = 2
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     // Materialize through the `noop` sink, NOT `.count()`: count() lets
     // Catalyst prune every payload column (a simhash/fingerprint query would
@@ -22,22 +31,38 @@ object Bench {
     // production with zero write cost.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try run(fn) catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     // Untimed warmup pass: JIT + codegen + parquet footer caches. The timed
     // passes below measure steady-state query throughput, which is what a
     // long-running engine delivers.
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) => name -> timeOne(fn) }
     val passes = Seq.fill(nPasses)(timedPass())
     // per-query median across passes (middle of the sorted three)
-    val results = SparkEntry.queries.keys.map { name =>
+    val med = SparkEntry.queries.keys.map { name =>
       name -> passes.map(_(name)).sorted.apply(nPasses / 2)
     }.toMap
+    // slowest decile by median -> 2 extra samples each, stat = min of 5
+    val nSlow = math.max(1, (med.size + 9) / 10)
+    val slowNames = med.toSeq.sortBy { case (n, s) => (-s, n) }.take(nSlow).map(_._1)
+    val extra = Seq.fill(nExtra)(
+      slowNames.map(n => n -> timeOne(SparkEntry.queries(n))).toMap)
+    def samples(n: String): Seq[Double] =
+      passes.map(_(n)) ++ (if (slowNames.contains(n)) extra.map(_(n)) else Nil)
+    val results = med.map { case (n, m) =>
+      n -> (if (slowNames.contains(n)) samples(n).min else m)
+    }
+    val spread = slowNames.map { n =>
+      val s = samples(n)
+      n -> (if (s.min > 0) s.max / s.min else 1.0)
+    }
     def jnum(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jnum(results.toSeq)
@@ -53,9 +78,10 @@ object Bench {
     // stdout truncation can no longer lose data ("parsed": null in the
     // driver's capture stops mattering).
     val summary =
-      s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses",""" +
+      s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses;min_of_${nPasses + nExtra}_slowest_decile",""" +
         s""""total":$total,"n_queries":${results.size},""" +
         s""""slowest":${jnum(slowest)},""" +
+        s""""spread_slowest_decile":${jnum(spread.sortBy(_._1))},""" +
         s""""queries":${jnum(results.toSeq.sortBy(_._1))}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(summaryPath), summary + "\n")
     spark.stop()
