@@ -381,6 +381,18 @@ object Queries {
         dim = 64, coarseMod = 50, m = 4, ksub = 8, iters = 2,
         queryMod = 40, k = 5, nprobe = 2, rerank = 10))),
 
+    ("q128_knn_graph_refined",
+      // cross-cell-seeded NN-descent refinement of the cell-local kNN
+      // graph (one round, every node in a deterministic md5 pseudo-cell):
+      // the form whose recall measurably beats the base graph
+      // (RECALL.json: 0.33 vs 0.14 at rounds=2) — now oracle-checked at
+      // rounds=1 via the unrolled candidate-round mirror
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.knnGraphRefined(Tables.embeddings(s, dir), "vec_id", "embedding",
+          centroidMod = 50, kNbrs = 3, rounds = 1, crossBuckets = 100),
+      Some(graft.sql.SimilaritySql.knnGraphRefined("embeddings",
+        centroidMod = 50, kNbrs = 3, dim = 64, crossBuckets = 100))),
+
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),

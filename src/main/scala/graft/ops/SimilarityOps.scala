@@ -893,28 +893,35 @@ object SimilarityOps {
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, coarseMod: Int, m: Int, ksub: Int, iters: Int,
       queryMod: Int, k: Int, nprobe: Int): DataFrame = {
+    val (cents, codebooks, codes) =
+      ivfPqIndex(emb, idCol, vecCol, dim, coarseMod, m, ksub, iters)
+    ivfPqFromIndex(emb.filter(col(idCol) % queryMod === 0),
+      cents, codebooks, codes, idCol, vecCol, dim, m, k, nprobe)
+  }
+
+  /** Build the THREE persisted artifacts of an IVF-PQ index —
+    * (coarse centroids, residual codebooks, code table) — the durable
+    * form of [[ivfPqAnn]]'s state, completing the index-artifact family
+    * ([[ivfCentroids]]+[[ivfAssignments]] store raw vectors; this stores
+    * m small ints per vector instead — the billion-vector compression
+    * point). Persist codes hive-partitioned by `ccell` so probes prune;
+    * centroids and codebooks are broadcast-sized. Write → reload →
+    * [[ivfPqFromIndex]] is bit-identical to the inline search
+    * (spec-pinned): every stored column is exact (BIGINT ids/codes,
+    * double centroid components), so parquet round-trips lose nothing. */
+  def ivfPqIndex(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, coarseMod: Int, m: Int, ksub: Int, iters: Int):
+      (DataFrame, DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     require(ksub >= 1 && iters >= 1, "pq needs >=1 centroid and >=1 iteration")
-    require(nprobe >= 1 && k >= 1, s"bad nprobe=$nprobe/k=$k")
     val subLen = dim / m
     val cents = emb.filter(col(idCol) % coarseMod === 0)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     // coarse assignment + residual, one corpus pass; checkpointed because
     // every Lloyd iteration, the encode branch, and nothing else should
     // re-run the corpus × centroid ranking
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-    val subs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .crossJoin(broadcast(cents))
-      .select(col("id"), col("v"), col("cid"), col("cv"),
-        cosine(col("v"), col("cv")).as("ccos"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("id"), col("cid").as("ccell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
-      .select(col("id"), col("ccell"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
-      .select(col("id"), col("ccell"), col("sub"),
-        slice(col("rv"), col("sub") * subLen + lit(1), lit(subLen)).as("sv"))
+    val subs = ivfPqResidualSubs(emb, idCol, vecCol, cents, m, subLen)
       .localCheckpoint()
     // global residual codebooks, ksub lowest-id seeds — pqTrainCodebooks'
     // exact per-iteration contract (6-dp L2 + cid tiebreak, decimal means)
@@ -953,9 +960,46 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("id"), col("ccell"), col("sub"), col("cid").as("code"))
+    (cents, codebooks, codes)
+  }
+
+  /** (id, ccell, sub, sv): nearest-coarse-cell assignment + residual,
+    * split into m contiguous subvectors — the shared input of codebook
+    * training and encoding. */
+  private def ivfPqResidualSubs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, m: Int, subLen: Int): DataFrame = {
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"), col("cv"),
+        cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("cid").as("ccell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+      .select(col("id"), col("ccell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
+      .select(col("id"), col("ccell"), col("sub"),
+        slice(col("rv"), col("sub") * subLen + lit(1), lit(subLen)).as("sv"))
+  }
+
+  /** ADC search from the PERSISTED IVF-PQ artifacts — [[annIvfDelta]]'s
+    * compressed sibling: arriving query vectors rank the broadcast
+    * coarse centroids, probe their `nprobe` nearest cells, and score the
+    * probed cells' CODES via per-cell lookup tables; the raw corpus is
+    * never touched. `queries` is any (idCol, vecCol) relation — a delta
+    * shard, or a filtered slice of the corpus itself (self-pairs are
+    * excluded by id). */
+  def ivfPqFromIndex(
+      queries: DataFrame, cents: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(nprobe >= 1 && k >= 1, s"bad nprobe=$nprobe/k=$k")
+    val subLen = dim / m
     // queries: rank coarse cells, keep nprobe, residual PER PROBED CELL
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
-    val lut = emb.filter(col(idCol) % queryMod === 0)
+    val lut = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("cid"), col("cv"),
@@ -968,7 +1012,7 @@ object SimilarityOps {
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qrv"))
       .select(col("query_id"), col("ccell"), col("sub"),
         slice(col("qrv"), col("sub") * subLen + lit(1), lit(subLen)).as("qsv"))
-      .join(broadcast(codebooks), "sub")
+      .join(broadcast(codebooks.select(col("sub"), col("cid"), col("cv"))), "sub")
       .select(col("query_id"), col("ccell"), col("sub"), col("cid"),
         e6(l2sq(col("qsv"), col("cv"))).as("d_e6"))
     val w = Window.partitionBy(col("query_id"))

@@ -108,7 +108,14 @@ ORDER BY vec_id"""
     * (cos desc, id asc) rank. */
   def knnGraph(table: String, centroidMod: Int, kNbrs: Int,
       dim: Int, maxCell: Int = 1000): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+    s"""WITH ${knnGraphCtes(table, centroidMod, dim, maxCell)}
+SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
+FROM ranked WHERE rk <= $kNbrs ORDER BY vec_id, rk"""
+
+  /** Shared CTE text through `ranked` (the base cell-local graph). */
+  private def knnGraphCtes(table: String, centroidMod: Int, dim: Int,
+      maxCell: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $centroidMod = 0),
 ac AS (SELECT e.vec_id AS id, e.v, c.cid,
   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk
@@ -118,9 +125,46 @@ cells AS (SELECT cid FROM a GROUP BY cid HAVING COUNT(*) >= 2 AND COUNT(*) <= $m
 cand AS (SELECT x.id AS vec_id, y.id AS neighbor_id, ${cosSql("x.v", "y.v", dim)} AS cos
   FROM a x JOIN a y ON x.cid = y.cid AND x.id <> y.id
   JOIN cells cl ON x.cid = cl.cid),
-ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)"""
+
+  /** Mirror of [[graft.ops.SimilarityOps.knnGraphRefined]] at rounds=1
+    * with `crossBuckets > 0` (the r8 cross-cell-seeded NN-descent form):
+    * base cell-local graph, deterministic md5 pseudo-cell seed pairs
+    * over EVERY node (same 15-hex-digit md5 bucket arithmetic as the
+    * engine), one local-join candidate round (neighbors-of-the-same-
+    * center pairs over the undirected adjacency, center degree capped at
+    * maxCell), merged by per-pair max cosine, per-node top-k re-rank.
+    * Cosine is bit-symmetric (the [[knnGraph]] precedent), so the
+    * symmetric SQL joins equal the engine's compute-once-and-mirror. */
+  def knnGraphRefined(table: String, centroidMod: Int, kNbrs: Int,
+      dim: Int, crossBuckets: Int, maxCell: Int = 1000): String =
+    s"""WITH ${knnGraphCtes(table, centroidMod, dim, maxCell)},
+be AS (SELECT vec_id, neighbor_id, cos FROM ranked WHERE rk <= $kNbrs),
+sb AS (SELECT id, v,
+  ('0x' || substr(md5('knnseed:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT % $crossBuckets AS b
+  FROM (SELECT vec_id AS id, v FROM e) kv),
+okb AS (SELECT b FROM sb GROUP BY b HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxCell),
+se AS (SELECT x.id AS va, y.id AS vb, ${cosSql("x.v", "y.v", dim)} AS cos
+  FROM sb x JOIN sb y ON x.b = y.b AND x.id < y.id JOIN okb ON x.b = okb.b),
+g0 AS (SELECT vec_id, neighbor_id, cos FROM be
+  UNION ALL SELECT va, vb, cos FROM se
+  UNION ALL SELECT vb, va, cos FROM se),
+und AS (SELECT DISTINCT vec_id, neighbor_id FROM (
+  SELECT vec_id, neighbor_id FROM g0 UNION ALL SELECT neighbor_id, vec_id FROM g0)),
+cc AS (SELECT vec_id FROM und GROUP BY vec_id HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxCell),
+cp AS (SELECT DISTINCT n1.neighbor_id AS va, n2.neighbor_id AS vb
+  FROM und n1 JOIN und n2 ON n1.vec_id = n2.vec_id AND n1.neighbor_id < n2.neighbor_id
+  JOIN cc ON n1.vec_id = cc.vec_id),
+cpc AS (SELECT cp.va, cp.vb, ${cosSql("x.v", "y.v", dim)} AS cos
+  FROM cp JOIN e x ON x.vec_id = cp.va JOIN e y ON y.vec_id = cp.vb),
+merged AS (SELECT vec_id, neighbor_id, MAX(cos) AS cos FROM (
+  SELECT vec_id, neighbor_id, cos FROM g0
+  UNION ALL SELECT va, vb, cos FROM cpc
+  UNION ALL SELECT vb, va, cos FROM cpc)
+  GROUP BY vec_id, neighbor_id),
+rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM merged)
 SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
-FROM ranked WHERE rk <= $kNbrs ORDER BY vec_id, rk"""
+FROM rr WHERE rk <= $kNbrs ORDER BY vec_id, rk"""
 
   def annIvf(table: String, centroidMod: Int, queryMod: Int, k: Int, dim: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),

@@ -294,6 +294,34 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq index artifacts survive a write/reload boundary bit-identically") {
+    import org.apache.spark.sql.functions.col
+    // the persisted-index production story, PQ edition: centroids +
+    // codebooks + codes round-trip parquet (all columns exact — BIGINT
+    // ids/codes, double centroid components), and search from the
+    // RELOADED artifacts equals the inline search row for row
+    val (cents, codebooks, codes) = SimilarityOps.ivfPqIndex(
+      emb, "vec_id", "embedding", dim = 64, coarseMod = 50, m = 4, ksub = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    cents.write.parquet(dir + "/cents")
+    codebooks.write.parquet(dir + "/codebooks")
+    codes.write.partitionBy("ccell").parquet(dir + "/codes")
+    val rCents = spark.read.parquet(dir + "/cents")
+    val rBooks = spark.read.parquet(dir + "/codebooks")
+    val rCodes = spark.read.parquet(dir + "/codes")
+      .select(col("id"), col("ccell"), col("sub"), col("code"))
+    val fromIndex = SimilarityOps.ivfPqFromIndex(
+      emb.filter(col("vec_id") % 40 === 0), rCents, rBooks, rCodes,
+      "vec_id", "embedding", dim = 64, m = 4, k = 5, nprobe = 2)
+      .collect().toSeq.map(_.toSeq)
+    val inline = SimilarityOps.ivfPqAnn(
+      emb, "vec_id", "embedding", dim = 64, coarseMod = 50, m = 4, ksub = 8,
+      iters = 2, queryMod = 40, k = 5, nprobe = 2)
+      .collect().toSeq.map(_.toSeq)
+    assert(fromIndex.nonEmpty && fromIndex == inline,
+      "reloaded-artifact search diverged from the inline search")
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 100, 10)
       .queryExecution.executedPlan.toString
