@@ -1201,6 +1201,18 @@ GROUP BY segment ORDER BY segment""")),
           minCount = 5, topN = 40),
       Some(graft.sql.TextAnalysisSql.pmiCollocations("documents", minCount = 5, topN = 40))),
 
+    ("q130_dsir_weights",
+      // DSIR importance weights (Xie et al. 2023): hashed-unigram bag
+      // likelihood ratio of the English slice vs the raw corpus, add-1
+      // smoothed, per-bucket log ratio rounded once to micro-int so the
+      // per-doc weight is an exact BIGINT sum — the classifier-free
+      // domain-steering score; top-100 docs by weight
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.dsirWeights(Tables.documents(s, dir), "text", "doc_id",
+          targetExpr = col("lang") === "en", dim = 1024, topN = 100),
+      Some(graft.sql.TextAnalysisSql.dsirWeights("documents",
+        targetSql = "lang = 'en'", dim = 1024, topN = 100))),
+
     ("q110_containment_pairs",
       // excerpt/superset detection: Broder containment |A∩B|/min(|A|,|B|)
       // over the shared LSH candidate pipeline, jaccard reported alongside

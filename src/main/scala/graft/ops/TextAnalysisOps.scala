@@ -368,13 +368,17 @@ object TextAnalysisOps {
   }
 
   /** Gopher-style composite quality filter (Rae et al. 2021 §A1.1
-    * adapted to the available signals): evaluate five document rules and
+    * adapted to the available signals): evaluate seven document rules and
     * histogram the joint rule BITMASK over the corpus — mask 0 is the
     * surviving clean set, every other mask says exactly which rules
     * co-fired. Bits: 1 = token count outside [minTokens, maxTokens];
     * 2 = mean token length outside [3, 10]; 4 = fewer than `minStops`
     * stopword occurrences; 8 = top bigram > 20% of bigram occurrences;
-    * 16 = duplicated bigrams > 40% of bigram occurrences.
+    * 16 = duplicated bigrams > 40% of bigram occurrences; (r8, the two
+    * remaining doc-level Gopher rules) 32 = fewer than 80% of tokens
+    * contain an alphabetic character (`5·n_alpha < 4·n_tokens`); 64 =
+    * symbol-to-token ratio over 10% (`#`/`…` hash-or-ellipsis tokens,
+    * `10·n_sym > n_tokens`).
     *
     * Every threshold compares INTEGERS by cross-multiplication (e.g.
     * `5·top > n` instead of `top/n > 0.2`) — no ratio doubles anywhere,
@@ -406,7 +410,9 @@ object TextAnalysisOps {
         size(toksC).cast("long").as("n_tokens"),
         aggregate(toksC, lit(0L), (a, t) => a + length(t)).as("tok_chars"),
         size(filter(toksC, t =>
-          array_contains(array(stopwords.map(lit): _*), t))).cast("long").as("n_stop"))
+          array_contains(array(stopwords.map(lit): _*), t))).cast("long").as("n_stop"),
+        size(filter(toksC, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        size(filter(toksC, t => t.rlike("[#…]"))).cast("long").as("n_sym"))
     val bigramSide = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
@@ -424,7 +430,9 @@ object TextAnalysisOps {
           || col("tok_chars") > col("n_tokens") * 10L, 2L).otherwise(0L) +
         when(col("n_stop") < minStops, 4L).otherwise(0L) +
         when(col("top_bg") * 5L > col("n_bg"), 8L).otherwise(0L) +
-        when(col("dup_bg") * 5L > col("n_bg") * 2L, 16L).otherwise(0L)
+        when(col("dup_bg") * 5L > col("n_bg") * 2L, 16L).otherwise(0L) +
+        when(col("n_alpha") * 5L < col("n_tokens") * 4L, 32L).otherwise(0L) +
+        when(col("n_sym") * 10L > col("n_tokens"), 64L).otherwise(0L)
     tokenSide
       .join(bigramSide, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_bg", "top_bg", "dup_bg"))
@@ -842,5 +850,58 @@ object TextAnalysisOps {
       .select(col("doc_id"), col("n_distinct"), col("n_repeated"),
         expr("((n_distinct - n_repeated) * 1000000) div n_distinct").as("novelty_e6"))
       .orderBy("doc_id")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus doc
+    * by how much more likely its hashed-unigram bag is under a TARGET
+    * distribution than under the raw corpus distribution — the
+    * domain-steering move ("make the mix look like Wikipedia") that
+    * needs no trained classifier. Features are the q74/q99/q120 hashed
+    * buckets (md5(term) mod dim); both bucket models use add-1
+    * smoothing; a bucket's log ratio ln((t+1)/(T+dim)) − ln((c+1)/(C+dim))
+    * is rounded ONCE to exact micro-int (the BM25 contribution
+    * convention), so each doc's weight is an exact BIGINT sum of its
+    * token buckets' ratios — aggregation-order immune.
+    *
+    * Returns the topN docs by (weight_micro desc, doc_id asc):
+    * (doc_id, n_tokens, weight_micro, rk).
+    *
+    * 100 TB shape: bucket counts map-side combine to ≤ dim rows per
+    * side; the ratio relation is a dim-sized broadcast; the per-doc sum
+    * is the one doc-key shuffle. The target set here is a COLUMN
+    * PREDICATE over the same table (held-out slice, label, language) —
+    * a separate exemplar corpus plugs in by union with the flag set. */
+  def dsirWeights(
+      docs: DataFrame, textCol: String, idCol: String, targetExpr: Column,
+      dim: Int, topN: Int): DataFrame = {
+    require(dim >= 2 && topN >= 1, s"bad dim=$dim/topN=$topN")
+    val bucket = pmod(
+      conv(substring(md5(col("t")), 1, 7), 16, 10).cast("long"), lit(dim))
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), targetExpr.as("is_target"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("t"))
+      .select(col("doc_id"), col("is_target"), bucket.as("b"))
+      .localCheckpoint() // feeds the two bucket models AND the doc sum
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tcnt"),
+      count(lit(1)).as("ccnt"))
+    val totals = counts.agg(
+      sum(col("tcnt")).as("ttot"), sum(col("ccnt")).as("ctot"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("tcnt") + 1).cast("double") / (col("ttot") + dim)) -
+          log((col("ccnt") + 1).cast("double") / (col("ctot") + dim))) * 1e6, 0)
+          .cast("long").as("ratio_micro"))
+    val w = Window.orderBy(col("weight_micro").desc, col("doc_id").asc)
+    toks
+      .join(broadcast(ratios), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col("doc_id").asc)
+      .limit(topN)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("rk")
   }
 }

@@ -44,13 +44,15 @@ s2b AS (SELECT doc_id, n_tokens FROM s2
   WHERE text IS NOT NULL AND doc_id % $benchMod <> 0),
 tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
   CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tok_chars,
-  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS n_stop FROM t),
+  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS n_stop,
+  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+  CAST(len(list_filter(tk, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS n_sym FROM t),
 b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> $bigram)) AS bg
   FROM t WHERE len(tk) >= 2),
 g AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
 a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, CAST(MAX(c) AS BIGINT) AS top_bg,
   CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_bg FROM g GROUP BY doc_id),
-j AS (SELECT tok.doc_id, tok.n_tokens, tok.tok_chars, tok.n_stop,
+j AS (SELECT tok.doc_id, tok.n_tokens, tok.tok_chars, tok.n_stop, tok.n_alpha, tok.n_sym,
   COALESCE(a.n_bg, 0) AS n_bg, COALESCE(a.top_bg, 0) AS top_bg, COALESCE(a.dup_bg, 0) AS dup_bg
   FROM tok LEFT JOIN a USING (doc_id)),
 m AS (SELECT doc_id, n_tokens,
@@ -58,7 +60,9 @@ m AS (SELECT doc_id, n_tokens,
   + CASE WHEN tok_chars < n_tokens * 3 OR tok_chars > n_tokens * 10 THEN 2 ELSE 0 END
   + CASE WHEN n_stop < $minStops THEN 4 ELSE 0 END
   + CASE WHEN top_bg * 5 > n_bg THEN 8 ELSE 0 END
-  + CASE WHEN dup_bg * 5 > n_bg * 2 THEN 16 ELSE 0 END AS rule_mask FROM j),
+  + CASE WHEN dup_bg * 5 > n_bg * 2 THEN 16 ELSE 0 END
+  + CASE WHEN n_alpha * 5 < n_tokens * 4 THEN 32 ELSE 0 END
+  + CASE WHEN n_sym * 10 > n_tokens THEN 64 ELSE 0 END AS rule_mask FROM j),
 s1 AS (SELECT doc_id, n_tokens FROM m WHERE rule_mask = 0),
 keyed AS (SELECT t.doc_id, s1.n_tokens, array_to_string(t.tk[1:$prefixLen], ' ') AS k
   FROM t JOIN s1 USING (doc_id)),

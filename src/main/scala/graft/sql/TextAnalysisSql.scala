@@ -141,13 +141,15 @@ FROM a ORDER BY doc_id"""
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
   CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tok_chars,
-  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS n_stop FROM t),
+  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS n_stop,
+  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+  CAST(len(list_filter(tk, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS n_sym FROM t),
 b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
   FROM t WHERE len(tk) >= 2),
 g AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
 a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, CAST(MAX(c) AS BIGINT) AS top_bg,
   CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_bg FROM g GROUP BY doc_id),
-j AS (SELECT tok.doc_id, tok.n_tokens, tok.tok_chars, tok.n_stop,
+j AS (SELECT tok.doc_id, tok.n_tokens, tok.tok_chars, tok.n_stop, tok.n_alpha, tok.n_sym,
   COALESCE(a.n_bg, 0) AS n_bg, COALESCE(a.top_bg, 0) AS top_bg, COALESCE(a.dup_bg, 0) AS dup_bg
   FROM tok LEFT JOIN a USING (doc_id)),
 m AS (SELECT doc_id,
@@ -155,7 +157,9 @@ m AS (SELECT doc_id,
   + CASE WHEN tok_chars < n_tokens * 3 OR tok_chars > n_tokens * 10 THEN 2 ELSE 0 END
   + CASE WHEN n_stop < $minStops THEN 4 ELSE 0 END
   + CASE WHEN top_bg * 5 > n_bg THEN 8 ELSE 0 END
-  + CASE WHEN dup_bg * 5 > n_bg * 2 THEN 16 ELSE 0 END AS rule_mask FROM j)
+  + CASE WHEN dup_bg * 5 > n_bg * 2 THEN 16 ELSE 0 END
+  + CASE WHEN n_alpha * 5 < n_tokens * 4 THEN 32 ELSE 0 END
+  + CASE WHEN n_sym * 10 > n_tokens THEN 64 ELSE 0 END AS rule_mask FROM j)
 SELECT CAST(rule_mask AS BIGINT) AS rule_mask, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM m GROUP BY rule_mask ORDER BY rule_mask"""
   }
@@ -358,4 +362,25 @@ s AS (SELECT doc_id, CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum,
 SELECT doc_id, n_bigrams, nll_micro_sum,
   CAST(nll_micro_sum // n_bigrams AS BIGINT) AS avg_nll_micro
 FROM s ORDER BY avg_nll_micro DESC, doc_id ASC LIMIT $topN"""
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.dsirWeights]]: same md5 mod-dim
+    * buckets, same add-1-smoothed bucket models, per-bucket log ratio
+    * rounded once to micro-int, exact BIGINT per-doc sums. */
+  def dsirWeights(table: String, targetSql: String, dim: Int, topN: Int): String =
+    s"""WITH t AS (SELECT doc_id, ($targetSql) AS is_target, unnest($toks) AS term
+  FROM $table WHERE text IS NOT NULL),
+f AS (SELECT doc_id, is_target, (('0x' || substr(md5(term), 1, 7))::BIGINT % $dim) AS b FROM t),
+cnt AS (SELECT b, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tcnt, COUNT(*) AS ccnt
+  FROM f GROUP BY b),
+tot AS (SELECT SUM(tcnt) AS ttot, SUM(ccnt) AS ctot FROM cnt),
+r AS (SELECT b, CAST(round((ln((tcnt + 1)::DOUBLE / (ttot + $dim)) -
+    ln((ccnt + 1)::DOUBLE / (ctot + $dim))) * 1e6) AS BIGINT) AS ratio_micro
+  FROM cnt CROSS JOIN tot),
+s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(ratio_micro) AS BIGINT) AS weight_micro
+  FROM f JOIN r USING (b) GROUP BY doc_id
+  ORDER BY weight_micro DESC, doc_id ASC LIMIT $topN)
+SELECT doc_id, n_tokens, weight_micro,
+  CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS BIGINT) AS rk
+FROM s ORDER BY rk"""
 }

@@ -150,13 +150,24 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       // short: 1 token < 3 (bit 1), mean 2 < 3 (bit 2), no stopword (bit 4),
       // no bigrams at all -> bits 8/16 must stay clear
       (3L, "hi"),
-      (4L, null.asInstanceOf[String]))
+      (4L, null.asInstanceOf[String]),
+      // numeric tokens: 3/6 alphabetic < 80% (bit 32); token/len/stop
+      // rules pass (6 tokens in [3,6], mean len 3 in [3,10], has "the");
+      // bigrams "123 the" x3 + "the 123" x2 -> top 3*5 > 5 (bit 8), all 5
+      // occurrences duplicated -> 5*5 > 5*2 (bit 16)
+      (5L, "123 the 123 the 123 the"),
+      // symbol tokens: 2 '#' of 6 tokens -> 10*2 > 6 (bit 64); alpha 4/6
+      // < 80% (bit 32); mean len 16/6 < 3 (bit 2); top bigram "# the" x2
+      // of 5 -> 2*5 > 5 (bit 8); dup 2 of 5 -> 2*5 = 5*2 NOT strictly
+      // over -> bit 16 stays clear (exactly-at-threshold)
+      (6L, "# the cats # the mats"))
       .toDF("doc_id", "text")
     val out = TextAnalysisOps
       .gopherRuleProfile(df, "text", "doc_id", stopwords = Seq("the"),
         minTokens = 3, maxTokens = 6, minStops = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(0L -> 1L, 7L -> 1L, 30L -> 1L))
+    assert(out == Map(0L -> 1L, 7L -> 1L, 30L -> 1L,
+      8L + 16L + 32L -> 1L, 2L + 8L + 32L + 64L -> 1L), s"got $out")
   }
 
   test("fingerprints are order-sensitive") {
@@ -497,6 +508,33 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
     assert(plan.contains("Exchange rangepartitioning"))
+  }
+
+  test("dsir: target-slanted docs outweigh off-target docs, repartition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target (is_t=1) docs speak 'alpha beta', others 'gamma delta' — a
+    // doc of pure target vocabulary must outrank a doc of pure off-target
+    // vocabulary; mixed sits between
+    val rows = (0L until 40L).map { i =>
+      val t = i % 2 == 0
+      val text = if (t) "alpha beta alpha beta alpha" else "gamma delta gamma delta gamma"
+      (i, text, t)
+    } ++ Seq((100L, "alpha beta alpha beta", false), (101L, "alpha gamma", false))
+    val df = rows.toDF("doc_id", "text", "is_t")
+    val w = TextAnalysisOps.dsirWeights(df, "text", "doc_id",
+      targetExpr = col("is_t"), dim = 64, topN = 42)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val alphaDoc = w(0L); val gammaDoc = w(1L); val mixed = w(101L)
+    assert(alphaDoc > gammaDoc, s"target vocab must outweigh: $alphaDoc vs $gammaDoc")
+    assert(mixed > gammaDoc && mixed < alphaDoc, s"mixed doc must sit between: $mixed")
+    // doc 100 speaks pure target vocabulary while labeled off-target: its
+    // per-token weight matches doc 0's buckets (scores depend on CONTENT)
+    assert(w(100L) > gammaDoc)
+    val re = TextAnalysisOps.dsirWeights(df.repartition(7), "text", "doc_id",
+      targetExpr = col("is_t"), dim = 64, topN = 42)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == w)
   }
 
   test("threshold sweep matches a driver-side recomputation from the scored relation") {
