@@ -393,6 +393,16 @@ object Queries {
       Some(graft.sql.SimilaritySql.knnGraphRefined("embeddings",
         centroidMod = 50, kNbrs = 3, dim = 64, crossBuckets = 100))),
 
+    ("q131_ann_truncated",
+      // Matryoshka-style dimension truncation: exact cosine top-k over
+      // only the first 16 of 64 components — 4x less scan compute/bytes;
+      // RECALL.json records what the truncation costs on this corpus
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.annBruteForceTruncated(Tables.embeddings(s, dir),
+          "vec_id", "embedding", queryMod = 40, k = 5, useDims = 16),
+      Some(graft.sql.SimilaritySql.annBruteForceTruncated("embeddings",
+        queryMod = 40, k = 5, useDims = 16))),
+
     ("q26_label_centroids",
       (s: SparkSession, dir: String) =>
         SimilarityOps.labelCentroidProfile(Tables.embeddings(s, dir), "vec_id", "embedding", "label"),

@@ -72,6 +72,12 @@ object RecallBench {
           ksub = 8, iters = 2, queryMod = 40, k = 5, nprobe = 2)),
       m("sq_ann[q106:int8,mod=20,k=5]", bf20k5,
         SimilarityOps.annScalarQuant(emb, id, v, queryMod = 20, k = 5)),
+      // dimension truncation (MRL knob): exact search over the 16-dim
+      // prefix — what a 4x scan-cost cut costs in recall on embeddings
+      // NOT trained for truncation (the floor case)
+      m("ann_truncated[q131:dims=16/64,mod=40,k=5]", bf40k5,
+        SimilarityOps.annBruteForceTruncated(emb, id, v, queryMod = 40, k = 5,
+          useDims = 16)),
       m("knn_graph[q83:cmod=50,k=3]", bfAllk3,
         SimilarityOps.knnGraph(emb, id, v, centroidMod = 50, kNbrs = 3), qCol = "vec_id"),
       m("knn_graph_refined[cmod=50,k=3,rounds=2]", bfAllk3,

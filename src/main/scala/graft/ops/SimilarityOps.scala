@@ -73,6 +73,26 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** DIMENSION-TRUNCATED top-k ANN (the Matryoshka / MRL production
+    * knob, Kusupati et al. 2022): score by cosine over only the FIRST
+    * `useDims` components of each vector — the compute/recall trade
+    * every MRL-trained embedding ships (half the dims ≈ half the scan
+    * FLOPs and bytes; prefix dims carry most of the signal by training).
+    * Exactly [[annBruteForce]] with a sliced vector view, so the scan
+    * cost drops by dims/useDims while the plan shape (broadcast query
+    * side, one corpus stream, bounded per-query top-k) is unchanged.
+    * `RECALL.json` measures what the truncation actually costs on this
+    * corpus — embeddings NOT trained with MRL are the worst case, so
+    * the measured number is a floor, not an advertisement. */
+  def annBruteForceTruncated(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryMod: Int, k: Int, useDims: Int): DataFrame = {
+    require(useDims >= 1, s"bad useDims: $useDims")
+    val sliced = emb.select(col(idCol),
+      slice(col(vecCol), 1, useDims).as("__tv"))
+    annBruteForce(sliced, idCol, "__tv", queryMod, k)
+  }
+
   /** LSH-bucketed approximate top-k: queries only meet candidates in the
     * same hyperplane-sign bucket. `nPlanes` small (corpus shrinks ~2^p per
     * query); increase planes + add multi-probe for bigger corpora. */
@@ -982,6 +1002,32 @@ object SimilarityOps {
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
       .select(col("id"), col("ccell"), col("sub"),
         slice(col("rv"), col("sub") * subLen + lit(1), lit(subLen)).as("sv"))
+  }
+
+  /** Encode ARRIVING vectors against a FROZEN IVF-PQ index (the
+    * centroids + codebooks of [[ivfPqIndex]], typically reloaded from
+    * parquet): coarse-assign, take the residual, quantize each subspace
+    * to its nearest codebook centroid — the ingest-time counterpart of
+    * [[ivfPqIndex]]'s corpus encode, byte-identical for the same
+    * vectors (spec-pinned), so appended shard codes are
+    * indistinguishable from seed codes. Residual codes are only valid
+    * under the codebooks they were quantized with — never mix codebook
+    * generations in one code table. */
+  def ivfPqCodesFor(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subLen = dim / m
+    val subs = ivfPqResidualSubs(vecs, idCol, vecCol,
+      cents.select(col("cid"), col("cv")), m, subLen)
+    val wEnc = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d").asc, col("cid").asc)
+    subs.join(broadcast(codebooks.select(col("sub"), col("cid"), col("cv"))), "sub")
+      .select(col("id"), col("ccell"), col("sub"), col("cid"),
+        l2sq(col("sv"), col("cv")).as("d"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("ccell"), col("sub"), col("cid").as("code"))
   }
 
   /** ADC search from the PERSISTED IVF-PQ artifacts — [[annIvfDelta]]'s

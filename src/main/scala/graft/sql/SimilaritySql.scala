@@ -24,6 +24,16 @@ cand AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.v", dim
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
 SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.annBruteForceTruncated]]:
+    * [[annBruteForce]] over the first `useDims` components. */
+  def annBruteForceTruncated(table: String, queryMod: Int, k: Int, useDims: Int): String =
+    s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:$useDims] AS v FROM $table),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
+cand AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.v", useDims)} AS cos
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM cand)
+SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
   def annLsh(table: String, queryMod: Int, k: Int, nPlanes: Int, dim: Int): String = {
     val planes = SimilarityOps.hyperplanes(nPlanes, dim)
     val planeValues = planes.zipWithIndex

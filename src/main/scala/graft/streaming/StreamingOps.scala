@@ -243,6 +243,47 @@ object StreamingOps {
       onBatch(matches, batchId)
     }
 
+  /** PRODUCTION ingest loop for the persisted IVF-PQ index —
+    * [[ivfIngest]]'s COMPRESSED sibling: each micro-batch of vectors is
+    * matched against the on-disk code table via
+    * [[graft.ops.SimilarityOps.ivfPqFromIndex]] (per-cell ADC over the
+    * broadcast centroids + codebooks; raw corpus vectors are never
+    * read), then ENCODED against the same frozen codebooks
+    * ([[graft.ops.SimilarityOps.ivfPqCodesFor]]) and appended, so every
+    * later micro-batch searches everything indexed before it while the
+    * index stays m small ints + a cell id per vector — the layout that
+    * makes a billion-vector growing index storable.
+    *
+    * Layout contract (same as [[ivfIngest]]): `codesDir` hive-partitions
+    * by micro-batch (`batch=<id>`, seed at e.g. `batch=-1`), each batch
+    * OVERWRITES its own partition so retries rewrite instead of
+    * double-appending; centroids AND codebooks are frozen at seed time
+    * (residual codes are only valid under the codebooks they were
+    * quantized with — re-train + re-encode offline to re-center, the
+    * same IVF practice as the raw-vector loop). */
+  def ivfPqIngest(
+      vecs: DataFrame, centroidsDir: String, codebooksDir: String, codesDir: String,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int, nprobe: Int,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      // the micro-batch feeds the ADC match query and the code append
+      val b = batch.localCheckpoint()
+      val cents = spark.read.parquet(centroidsDir)
+      val books = spark.read.parquet(codebooksDir)
+      val matches = graft.ops.SimilarityOps.ivfPqFromIndex(
+        b, cents, books,
+        spark.read.parquet(codesDir)
+          .select(col("id"), col("ccell"), col("sub"), col("code")),
+        idCol, vecCol, dim, m, k, nprobe)
+        .localCheckpoint()
+      graft.ops.SimilarityOps.ivfPqCodesFor(b, idCol, vecCol, cents, books, dim, m)
+        .write.mode("overwrite").partitionBy("ccell")
+        .parquet(s"$codesDir/batch=$batchId")
+      onBatch(matches, batchId)
+    }
+
   /** PRODUCTION ingest loop for the persisted BM25 index —
     * [[nearDupIngest]]'s retrieval sibling: a `foreachBatch` writer that
     * APPENDS each micro-batch's postings

@@ -271,6 +271,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ivf-pq: codes join the LUT by broadcast, never a cartesian; corpus streams once") {
+    val plan = SimilarityOps.ivfPqAnn(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", dim = 64, coarseMod = 50, m = 4, ksub = 8,
+        iters = 1, queryMod = 40, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "ADC search must never plan a cartesian against the codes")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"the per-query LUT must broadcast:\n${plan.take(500)}")
+  }
+
+  test("dsir: the bucket-ratio relation broadcasts; the token stream never sort-merges") {
+    val plan = graft.ops.TextAnalysisOps.dsirWeights(Tables.documents(spark, sf),
+        "text", "doc_id",
+        targetExpr = org.apache.spark.sql.functions.col("lang") === "en",
+        dim = 1024, topN = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim-sized ratio relation must broadcast:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token occurrences must not shuffle for the ratio join:\n${plan.take(600)}")
+  }
+
   test("nearest-rank bounds: every window is partitioned (no single-task cumulative sum)") {
     // the r7 verdict's latent hazard: the cumulative count over the
     // distinct-value histogram must never plan an UNPARTITIONED window

@@ -330,6 +330,57 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ivf-pq ingest encodes each batch against the frozen codebooks and finds prior batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqingest").toString
+    // tiny 4-d corpus, ids 0 and 2 the id-residue coarse centroids
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (cents, books, codes) = graft.ops.SimilarityOps.ivfPqIndex(
+      corpus, "vec_id", "embedding", dim = 4, coarseMod = 2, m = 2, ksub = 2, iters = 1)
+    cents.write.parquet(s"$dir/centroids")
+    books.write.parquet(s"$dir/codebooks")
+    codes.write.partitionBy("ccell").parquet(s"$dir/codes/batch=-1")
+    // the ingest-time encoder is byte-identical to the index build's own
+    val reEnc = graft.ops.SimilarityOps.ivfPqCodesFor(
+      corpus, "vec_id", "embedding",
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/codebooks"),
+      dim = 4, m = 2)
+    assert(reEnc.collect().toSet == codes.collect().toSet,
+      "ivfPqCodesFor must reproduce the index build's codes exactly")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long, Long)])]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqIngest(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$dir/centroids", s"$dir/codebooks", s"$dir/codes",
+      "vec_id", "embedding", dim = 4, m = 2, k = 3, nprobe = 2,
+      onBatch = (matches, id) => results.synchronized {
+        results += ((id, matches.select("query_id", "neighbor_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted))
+      }).start()
+    try {
+      in.addData((10L, Seq(0.95f, 0.05f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch 1 repeats batch 0's vector exactly: it must find vec 10
+      // through the APPENDED code partitions (ADC distance 0 to the same
+      // codes), which only exist because batch 0 was encoded and written
+      in.addData((20L, Seq(0.95f, 0.05f, 0f, 0f)))
+      q.processAllAvailable()
+      val byId = results.sortBy(_._1).toSeq
+      assert(byId.map(_._1) == Seq(0L, 1L))
+      assert(byId(0)._2.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L, 3L)) &&
+        byId(0)._2.nonEmpty, s"batch 0 sees the seeded corpus: ${byId(0)}")
+      val m20 = byId(1)._2.filter(_._1 == 20L)
+      assert(m20.map(_._2).contains(10L),
+        s"batch 1 must see batch 0's vector via the appended codes: ${byId(1)}")
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions when the watermark passes the gap") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
