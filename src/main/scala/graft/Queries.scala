@@ -1223,6 +1223,15 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.dsirWeights("documents",
         targetSql = "lang = 'en'", dim = 1024, topN = 100))),
 
+    ("q132_vocabulary_growth",
+      // Heaps'-law curve: cumulative tokens vs distinct types at doubling
+      // doc-id prefixes — two bounded aggregates (<= 64 bucket rows) +
+      // triangle-join prefix sums; the tokenizer-sizing/OOV-prediction
+      // diagnostic at any corpus scale
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.vocabularyGrowth(Tables.documents(s, dir), "text", "doc_id"),
+      Some(graft.sql.TextAnalysisSql.vocabularyGrowth("documents"))),
+
     ("q110_containment_pairs",
       // excerpt/superset detection: Broder containment |A∩B|/min(|A|,|B|)
       // over the shared LSH candidate pipeline, jaccard reported alongside

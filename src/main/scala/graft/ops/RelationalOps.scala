@@ -341,6 +341,11 @@ object RelationalOps {
     require(percents.nonEmpty, "need at least one percent")
     percents.foreach(p => require(0 <= p && p <= 100, s"bad percent $p"))
     require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
+    // metric-cardinality-sized; feeds two branches (the one-row stats agg
+    // and the bucketed cumulative path) as a LAZY plan on purpose — AQE's
+    // ReusedExchange dedups the shared histogram aggregate at execution,
+    // and a localCheckpoint here measured SLOWER (materialization cost
+    // without a saved scan)
     val hist = df
       .filter(col(metricCol).isNotNull)
       .groupBy(col(metricCol).as("__v"))

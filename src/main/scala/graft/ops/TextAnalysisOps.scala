@@ -852,6 +852,53 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** VOCABULARY GROWTH profile (Heaps' law, V(n) ≈ K·n^β): cumulative
+    * token and distinct-type counts at doubling corpus prefixes — the
+    * "how fast does my vocabulary grow as the corpus scales" curve that
+    * sizes tokenizers and predicts OOV rates at 100 TB from the
+    * measured exponent at 100 GB. Prefixes are by ascending doc id;
+    * measurement point b covers docs with id bit-length ≤ b (the
+    * [[SketchOps.log2Histogram]] integer convention — a float log2
+    * would ulp-flip boundary ids), so the whole curve costs TWO bounded
+    * aggregates however large the corpus:
+    *  - per-bucket token counts (map-side combined, ≤ 64 rows);
+    *  - per-bucket NEW-type counts keyed on each type's FIRST document
+    *    ([[ngramNovelty]]'s first-seen mark — a type counts once, at
+    *    the prefix that introduces it);
+    * both prefix-summed by the metadata-sized triangle join (no
+    * unpartitioned window, [[RelationalOps.nearestRankBounds]]'s move).
+    * Output: (bucket, n_docs_cum, n_tokens_cum, n_types_cum), exact
+    * BIGINT, one row per non-empty doc-id bit-length bucket. */
+  def vocabularyGrowth(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def b(c: Column): Column =
+      when(c === 0, lit(0L)).otherwise(length(bin(c)).cast("long"))
+    val base = docs.filter(col(textCol).isNotNull)
+    val toks = base
+      .select(b(col(idCol)).as("bkt"), col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("t"))
+      .localCheckpoint() // feeds the token counts AND the first-seen agg
+    val perB = toks.groupBy("bkt").agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_toks"))
+    val newTypes = toks
+      .groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(b(col("first_doc")).as("bkt"))
+      .agg(count(lit(1)).as("n_new"))
+    val cells = perB.join(newTypes, Seq("bkt"), "full_outer")
+      .select(col("bkt"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    cells.as("x")
+      .join(cells.as("y"), col("y.bkt") <= col("x.bkt"))
+      .groupBy(col("x.bkt").as("bucket"))
+      .agg(sum(col("y.n_docs")).as("n_docs_cum"),
+        sum(col("y.n_toks")).as("n_tokens_cum"),
+        sum(col("y.n_new")).as("n_types_cum"))
+      .orderBy("bucket")
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus doc
     * by how much more likely its hashed-unigram bag is under a TARGET

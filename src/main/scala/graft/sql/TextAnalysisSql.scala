@@ -363,6 +363,31 @@ SELECT doc_id, n_bigrams, nll_micro_sum,
   CAST(nll_micro_sum // n_bigrams AS BIGINT) AS avg_nll_micro
 FROM s ORDER BY avg_nll_micro DESC, doc_id ASC LIMIT $topN"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.vocabularyGrowth]]: same
+    * bit-length doc-id buckets, same first-document type attribution,
+    * cumulative sums over the ≤ 64 bucket rows. */
+  def vocabularyGrowth(table: String): String =
+    s"""WITH t AS (SELECT doc_id,
+    CASE WHEN doc_id = 0 THEN 0 ELSE length(bin(doc_id)) END AS bkt,
+    unnest($toks) AS term
+  FROM $table WHERE text IS NOT NULL),
+pb AS (SELECT bkt, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_toks
+  FROM t GROUP BY bkt),
+ft AS (SELECT term, MIN(doc_id) AS first_doc FROM t GROUP BY term),
+nt AS (SELECT CASE WHEN first_doc = 0 THEN 0 ELSE length(bin(first_doc)) END AS bkt,
+    COUNT(*) AS n_new
+  FROM ft GROUP BY 1),
+cells AS (SELECT COALESCE(pb.bkt, nt.bkt) AS bkt,
+    COALESCE(n_docs, 0) AS n_docs, COALESCE(n_toks, 0) AS n_toks,
+    COALESCE(n_new, 0) AS n_new
+  FROM pb FULL OUTER JOIN nt ON pb.bkt = nt.bkt)
+SELECT x.bkt AS bucket,
+  CAST(SUM(y.n_docs) AS BIGINT) AS n_docs_cum,
+  CAST(SUM(y.n_toks) AS BIGINT) AS n_tokens_cum,
+  CAST(SUM(y.n_new) AS BIGINT) AS n_types_cum
+FROM cells x JOIN cells y ON y.bkt <= x.bkt
+GROUP BY x.bkt ORDER BY bucket"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.dsirWeights]]: same md5 mod-dim
     * buckets, same add-1-smoothed bucket models, per-bucket log ratio
     * rounded once to micro-int, exact BIGINT per-doc sums. */

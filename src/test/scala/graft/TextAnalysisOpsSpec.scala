@@ -510,6 +510,29 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(plan.contains("Exchange rangepartitioning"))
   }
 
+  test("vocabulary growth: cumulative curve is monotone and lands on the corpus totals") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sf)
+    val rows = TextAnalysisOps.vocabularyGrowth(docs, "text", "doc_id").collect()
+    assert(rows.nonEmpty)
+    // monotone non-decreasing in every cumulative column
+    val seq = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    seq.zip(seq.tail).foreach { case (a, b) =>
+      assert(a._1 <= b._1 && a._2 <= b._2 && a._3 <= b._3, s"$a -> $b")
+    }
+    // the last point IS the whole corpus: doc count, token count, and
+    // distinct vocabulary recomputed independently
+    val base = docs.filter(col("text").isNotNull)
+    val terms = base.select(
+      graft.functions.Generators.ngramExplode(col("text"), 1).as("t"))
+    val (nDocs, nToks, nTypes) =
+      (base.count(), terms.count(), terms.distinct().count())
+    assert(seq.last == ((nDocs, nToks, nTypes)), s"got ${seq.last}")
+    // Heaps: vocabulary grows strictly slower than tokens once the
+    // vocabulary saturates relative to corpus size
+    assert(seq.last._3 <= seq.last._2)
+  }
+
   test("dsir: target-slanted docs outweigh off-target docs, repartition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
