@@ -521,12 +521,15 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       assert(a._1 <= b._1 && a._2 <= b._2 && a._3 <= b._3, s"$a -> $b")
     }
     // the last point IS the whole corpus: doc count, token count, and
-    // distinct vocabulary recomputed independently
+    // distinct vocabulary recomputed independently (docs counted by
+    // token PRESENCE, matching the op — a non-null zero-token doc emits
+    // no rows on either engine)
     val base = docs.filter(col("text").isNotNull)
-    val terms = base.select(
+    val terms = base.select(col("doc_id"),
       graft.functions.Generators.ngramExplode(col("text"), 1).as("t"))
     val (nDocs, nToks, nTypes) =
-      (base.count(), terms.count(), terms.distinct().count())
+      (terms.select("doc_id").distinct().count(), terms.count(),
+        terms.select("t").distinct().count())
     assert(seq.last == ((nDocs, nToks, nTypes)), s"got ${seq.last}")
     // Heaps: vocabulary grows strictly slower than tokens once the
     // vocabulary saturates relative to corpus size
