@@ -354,10 +354,10 @@ object Queries {
 
     ("q124_ivf_pq_ann",
       // IVF-PQ (IVFADC): coarse cell assignment, RESIDUAL product
-      // quantization, per-probed-cell ADC lookup tables — the quantizer
-      // that actually works (q51's raw-vector PQ is the pedagogical
-      // form; RECALL.json rates this one 0.6+ at production parameters
-      // vs 0.008 there). Small codebooks here keep the unrolled oracle
+      // quantization, per-probed-cell ADC lookup tables — residuals lift
+      // recall from q51's 0.008 to 0.22 at production parameters
+      // (RECALL.json), and q125's exact-refine stage takes the same
+      // codes to 0.688. Small codebooks here keep the unrolled oracle
       // tractable; the recall-bearing parameters live in RECALL.json.
       (s: SparkSession, dir: String) =>
         SimilarityOps.ivfPqAnn(Tables.embeddings(s, dir), "vec_id", "embedding",

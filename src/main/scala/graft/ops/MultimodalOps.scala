@@ -361,8 +361,9 @@ object MultimodalOps {
     * frame rate from `strh`'s dwRate/dwScale, and decode every `00db`
     * DIB frame (bottom-up padded BGR) back to top-down packed RGB ints.
     * Returns None for anything that is not a well-formed 24-bit BI_RGB
-    * AVI — non-video payloads fall back to the stub path, same contract
-    * as [[decodeImage]]/[[decodeWav]]. */
+    * or Motion-JPEG AVI (including MJPG containers whose frame chunks
+    * are not decodable JPEGs) — non-video payloads fall back to the
+    * stub path, same contract as [[decodeImage]]/[[decodeWav]]. */
   private[graft] def decodeAvi(content: Array[Byte]): Option[DecodedVideo] =
     try {
       if (content.length < 12) return None
@@ -460,7 +461,12 @@ object MultimodalOps {
         Some(DecodedVideo(width, height, rate / scale, frames))
       } else None
     } catch {
+      // malformed containers (bad offsets) AND malformed frame payloads
+      // (ImageIO's IIOException on a truncated/corrupt JPEG chunk is an
+      // IOException) both honor the return-None contract — callers see
+      // one failure path, never a raw codec exception
       case _: IndexOutOfBoundsException => None
+      case _: java.io.IOException => None
     }
 
   /** Deterministic synthetic video for `docId`: 2..6 frames of 4..9 × 4..7

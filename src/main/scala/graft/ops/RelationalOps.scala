@@ -356,16 +356,18 @@ object RelationalOps {
       min(col("__v").cast("long")).as("__vmin"),
       max(col("__v").cast("long")).as("__vmax"),
       sum(col("__c")).as("__n"))
+    // overflow-safe monotone bucketing: `v div width` (no vmin shift —
+    // `v - vmin` and `vmax - vmin` can overflow Long for extreme ranges,
+    // e.g. a negative sentinel next to large positives); the width
+    // `vmax div nB - vmin div nB + 1` is computed from two in-range
+    // divisions, is always >= 1, and bounds the bucket count by
+    // nBuckets + 2. Truncating division by a positive width is monotone
+    // in v, so global (bucket, value) order is still value order.
     val bucketed = hist.crossJoin(broadcast(stats))
       .withColumn("__bkt",
-        expr(s"(cast(__v AS bigint) - __vmin) div ((__vmax - __vmin) div $nBuckets + 1)"))
-    // exclusive per-bucket offsets via a triangle join over the ≤
-    // nBuckets+1 bucket totals — O(nBuckets²) ≤ ~66k rows, metadata-sized
-    val btot = bucketed.groupBy("__bkt").agg(sum(col("__c")).as("__btot"))
-    val offsets = btot.as("x")
-      .join(btot.as("y"), col("y.__bkt") < col("x.__bkt"), "left")
-      .groupBy(col("x.__bkt").as("__bkt"))
-      .agg(coalesce(sum(col("y.__btot")), lit(0L)).as("__off"))
+        expr(s"cast(__v AS bigint) div ((__vmax div $nBuckets) - (__vmin div $nBuckets) + 1)"))
+    val offsets = exclusivePrefixOffsets(
+      bucketed.groupBy("__bkt").agg(sum(col("__c")).as("__tot")), "__bkt")
     val wb = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bucketed
@@ -377,6 +379,20 @@ object RelationalOps {
     }
     cum.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** EXCLUSIVE prefix offsets over a metadata-sized totals relation
+    * (`keyCol`, `__tot`): for each key, the sum of `__tot` over all
+    * STRICTLY SMALLER keys — via a triangle join (O(n²) pairs over ≤ a
+    * few hundred rows), so no unpartitioned window ever plans. The
+    * shared kernel of the two-level prefix sums in [[nearestRankBounds]]
+    * and [[graft.ops.SampleOps.budgetSample]]: one definition, so an
+    * edge-case fix cannot drift between them. Returns (keyCol, __off). */
+  private[ops] def exclusivePrefixOffsets(
+      totals: DataFrame, keyCol: String): DataFrame =
+    totals.as("x")
+      .join(totals.as("y"), col(s"y.$keyCol") < col(s"x.$keyCol"), "left")
+      .groupBy(col(s"x.$keyCol").as(keyCol))
+      .agg(coalesce(sum(col("y.__tot")), lit(0L)).as("__off"))
 
   /** MAD OUTLIERS: rows whose integer metric sits more than `num/den`
     * median-absolute-deviations from the median — the robust outlier

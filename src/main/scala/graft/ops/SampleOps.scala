@@ -185,17 +185,10 @@ object SampleOps {
     val withB = df.withColumn("__bkt",
       substring(md5(col(keyCol).cast("string")), 1, bucketHex))
     // exclusive running total of the buckets BEFORE each bucket: at most
-    // 16^bucketHex rows, computed by a metadata-sized triangle join (r8 —
-    // was the one intentionally-tiny unpartitioned window; the triangle
-    // join removes the last `No Partition Defined` WindowExec from the
-    // engine, same move as nearestRankBounds' offsets)
-    val btot = withB
-      .groupBy("__bkt")
-      .agg(sum(col(tokenCol)).as("__btot"))
-    val offsets = btot.as("x")
-      .join(btot.as("y"), col("y.__bkt") < col("x.__bkt"), "left")
-      .groupBy(col("x.__bkt").as("__bkt"))
-      .agg(coalesce(sum(col("y.__btot")), lit(0L)).as("__off"))
+    // 16^bucketHex rows, through the shared triangle-join kernel (r8 —
+    // was the one intentionally-tiny unpartitioned window)
+    val offsets = RelationalOps.exclusivePrefixOffsets(
+      withB.groupBy("__bkt").agg(sum(col(tokenCol)).as("__tot")), "__bkt")
     val w = Window.partitionBy(col("__bkt"))
       .orderBy(hashKey(col(keyCol)).asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

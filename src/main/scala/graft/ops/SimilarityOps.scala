@@ -886,8 +886,11 @@ object SimilarityOps {
     * budget resolves much finer distances — the r7 recall autopsy showed
     * raw-vector PQ at tiny codebooks is correct-but-useless (recall@5 =
     * 0.008 at the q51 catalog parameters), while this operator at
-    * production parameters (ksub=256, nprobe=8) measures 0.6+ in
-    * `RECALL.json`.
+    * production parameters (ksub=256, nprobe=8) measures 0.22 in
+    * `RECALL.json` — better, but on distance-concentrated corpora pure
+    * ADC still plateaus far below the probe-coverage ceiling, which is
+    * why production deployments pair it with [[ivfPqRerankAnn]]'s exact
+    * refine stage (0.688 at the same codes).
     *
     * Search is the classic per-cell ADC: a query ranks the broadcast
     * coarse centroids, probes its `nprobe` nearest cells, and for EACH
@@ -1081,10 +1084,11 @@ object SimilarityOps {
     *
     * Why the refine stage earns its keep (measured, `RECALL.json`): on
     * embeddings whose pairwise distances concentrate (random-ish unit
-    * vectors — the hardest case), even a near-exact quantizer (m=32,
-    * ksub=256) misranks the top-5 because true neighbor gaps are smaller
-    * than any quantization noise; ADC recall@5 plateaus ~0.75 at FULL
-    * probe coverage. A shortlist 10× the k absorbs that noise: recall
+    * vectors — the hardest case) true neighbor gaps are smaller than
+    * quantization noise, so at FULL probe coverage ADC recall@5
+    * plateaus ~0.25 at the production m=8 codes and only ~0.75 even at
+    * a near-exact m=32/ksub=256 quantizer. A shortlist 10× the k
+    * absorbs that noise at the PRODUCTION code size: recall
     * rises to the coarse-probe coverage ceiling while the corpus still
     * compresses to m bytes/vector and the exact pass touches only
     * |queries| × rerank raw vectors — at 100 TB that is a point-lookup

@@ -941,14 +941,29 @@ object TextAnalysisOps {
         round((log((col("tcnt") + 1).cast("double") / (col("ttot") + dim)) -
           log((col("ccnt") + 1).cast("double") / (col("ctot") + dim))) * 1e6, 0)
           .cast("long").as("ratio_micro"))
-    val w = Window.orderBy(col("weight_micro").desc, col("doc_id").asc)
-    toks
+    // the rank over the ≤ topN surviving rows comes from a triangle join
+    // (count of lexicographically better rows + 1), not a window — the
+    // engine-wide no-unpartitioned-window invariant holds even here,
+    // where a post-limit window would have been bounded but would still
+    // plan a single-partition WindowExec
+    // deliberately LAZY: orderBy+limit is a deterministic TakeOrdered, so
+    // the two triangle-join branches recompute identical rows from the
+    // already-checkpointed token relation — and the full scoring plan
+    // stays visible for the PlanSpec broadcast/no-sort-merge asserts
+    val top = toks
       .join(broadcast(ratios), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("weight_micro"))
       .orderBy(col("weight_micro").desc, col("doc_id").asc)
       .limit(topN)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    top.as("x")
+      .join(top.as("y"),
+        col("y.weight_micro") > col("x.weight_micro") ||
+          (col("y.weight_micro") === col("x.weight_micro") &&
+            col("y.doc_id") < col("x.doc_id")), "left")
+      .groupBy(col("x.doc_id").as("doc_id"), col("x.n_tokens").as("n_tokens"),
+        col("x.weight_micro").as("weight_micro"))
+      .agg((count(col("y.doc_id")) + 1).as("rk"))
       .orderBy("rk")
   }
 }

@@ -361,6 +361,19 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val viaRaw = MultimodalOps.decodeAvi(
       MultimodalOps.encodeAvi(raw.width, raw.height, raw.fps, raw.frames.toSeq)).get
     assert(viaRaw.frames.map(_.toSeq).toSeq == raw.frames.map(_.toSeq).toSeq)
+    // a well-formed MJPG container with a CORRUPT frame chunk honors the
+    // return-None contract (ImageIO's IIOException must not escape)
+    val v7 = MultimodalOps.synthVideoGray(7L)
+    val avi7 = MultimodalOps.encodeAviMjpeg(v7.width, v7.height, v7.fps, v7.frames.toSeq)
+    val corrupted = avi7.clone()
+    // zero out bytes shortly after the first 00dc payload begins: the
+    // JPEG SOI/headers get destroyed while the RIFF framing stays valid
+    val dcAt = corrupted.indices.find(i =>
+      corrupted(i) == '0'.toByte && corrupted(i + 1) == '0'.toByte &&
+        corrupted(i + 2) == 'd'.toByte && corrupted(i + 3) == 'c'.toByte).get
+    (dcAt + 8 until math.min(dcAt + 24, corrupted.length)).foreach(corrupted(_) = 0)
+    assert(MultimodalOps.decodeAvi(corrupted).isEmpty,
+      "corrupt MJPEG frame payload must decode to None, not throw")
   }
 
   test("videoCorpusMjpeg decode stats match the closed-form gray formula") {
