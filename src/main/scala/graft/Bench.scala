@@ -1,9 +1,11 @@
 package graft
 /** Driver-run benchmark: warmup pass + MEDIAN of 3 timed passes over the
-  * whole query catalog, then TWO EXTRA passes over the slowest decile,
-  * whose stat becomes MIN-of-5 — prints the per-query JSON line plus a
-  * compact trailer, and writes `BENCH_SUMMARY.json` itself so the numbers
-  * never depend on how much stdout the driver's tail capture kept.
+  * whole query catalog, then TWO EXTRA passes over the slowest decile AND
+  * over every query whose median regressed >1.3× vs the previously
+  * committed `BENCH_SUMMARY.json`, whose stat becomes MIN-of-5 — prints
+  * the per-query JSON line plus a compact trailer, and writes
+  * `BENCH_SUMMARY.json` itself so the numbers never depend on how much
+  * stdout the driver's tail capture kept.
   *
   * Median for the bulk: best-of-N systematically under-reports (it keeps
   * whichever pass dodged every GC pause) and cannot distinguish a real
@@ -16,7 +18,22 @@ package graft
   * CPU-bound query is strictly ADDITIVE, so the minimum over 5 samples is
   * the consistent estimator of the query's intrinsic cost, and the
   * per-query `spread` column (max/min over its samples) makes residual
-  * load contamination visible instead of masquerading as regression. */
+  * load contamination visible instead of masquerading as regression.
+  *
+  * MIN-of-5 for >1.3×-regressed queries (the r8 verdict's ask): a drift
+  * outside the slowest decile (q98 1.93×, q02 1.64× in r8) previously had
+  * no spread datum, so noise could not be told from regression. Now ANY
+  * query whose median exceeds 1.3× its committed previous-round value gets
+  * the same 2 extra samples; `regressed_vs_prev` records the ratio and
+  * `spread` covers it, so a drift whose spread ≥ its ratio is demonstrably
+  * load noise and the rest are real.
+  *
+  * Failure tracking (r8 ADVICE): a sample that throws is recorded as a
+  * FAILED sample, never folded into the min/median as if time-to-failure
+  * were intrinsic cost — a query that starts failing fast must surface as
+  * `failed_queries`, not as a flattering speedup. Failed samples are
+  * excluded from the stat; a query with zero successful samples reports
+  * -1.0. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,6 +41,28 @@ object Bench {
     val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
     val nPasses = 3
     val nExtra = 2
+    val regressFlag = 1.3
+    // the previous round's committed numbers (read BEFORE this run
+    // overwrites the file); absent/unparseable -> no regression tracking
+    val prev: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PREV_SUMMARY", summaryPath))
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        // the full per-query map is the LAST "queries" object in the file
+        val i = txt.lastIndexOf("\"queries\":{")
+        if (i < 0) Map.empty
+        else {
+          val body = txt.substring(i + 11, txt.indexOf('}', i + 11))
+          val kv = java.util.regex.Pattern.compile("\"([^\"]+)\":([-0-9.eE]+)")
+          val m = kv.matcher(body)
+          val b = Map.newBuilder[String, Double]
+          while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
+          b.result()
+        }
+      }
+    }
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     // Materialize through the `noop` sink, NOT `.count()`: count() lets
     // Catalyst prune every payload column (a simhash/fingerprint query would
@@ -31,10 +70,12 @@ object Bench {
     // production with zero write cost.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, succeeded) — failures keep their wall time for the spread
+    // column but are excluded from the reported stat
+    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Untimed warmup pass: JIT + codegen + parquet footer caches. The timed
     // passes below measure steady-state query throughput, which is what a
@@ -42,31 +83,47 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
-    def timedPass(): Map[String, Double] =
+    def timedPass(): Map[String, (Double, Boolean)] =
       SparkEntry.queries.map { case (name, fn) => name -> timeOne(fn) }
-    val passes = Seq.fill(nPasses)(timedPass())
-    // per-query median across passes (middle of the sorted three)
-    val med = SparkEntry.queries.keys.map { name =>
-      name -> passes.map(_(name)).sorted.apply(nPasses / 2)
-    }.toMap
-    // slowest decile by median -> 2 extra samples each, stat = min of 5
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Map[String, (Double, Boolean)]]
+    (1 to nPasses).foreach(_ => passes += timedPass())
+    def okTimes(name: String): Seq[Double] =
+      passes.toSeq.map(_(name)).collect { case (t, true) => t }
+    def statOf(s: Seq[Double], min: Boolean): Double =
+      if (s.isEmpty) -1.0
+      else if (min) s.min
+      else s.sorted.apply(s.size / 2)
+    // per-query median across successful passes
+    val med = SparkEntry.queries.keys.map(n => n -> statOf(okTimes(n), min = false)).toMap
+    // extra-sample set: slowest decile by median ∪ >1.3×-regressed vs prev
     val nSlow = math.max(1, (med.size + 9) / 10)
     val slowNames = med.toSeq.sortBy { case (n, s) => (-s, n) }.take(nSlow).map(_._1)
-    val extra = Seq.fill(nExtra)(
-      slowNames.map(n => n -> timeOne(SparkEntry.queries(n))).toMap)
-    def samples(n: String): Seq[Double] =
-      passes.map(_(n)) ++ (if (slowNames.contains(n)) extra.map(_(n)) else Nil)
-    val results = med.map { case (n, m) =>
-      n -> (if (slowNames.contains(n)) samples(n).min else m)
+    val regressed = med.collect {
+      case (n, m) if m > 0 && prev.get(n).exists(p => p > 0 && m > regressFlag * p) =>
+        n -> m / prev(n)
     }
-    val spread = slowNames.map { n =>
-      val s = samples(n)
-      n -> (if (s.min > 0) s.max / s.min else 1.0)
+    val extraNames = (slowNames ++ regressed.keys).distinct.sorted
+    (1 to nExtra).foreach { _ =>
+      passes += extraNames.map(n => n -> timeOne(SparkEntry.queries(n))).toMap
+    }
+    def samples(n: String): Seq[(Double, Boolean)] =
+      passes.toSeq.flatMap(_.get(n))
+    val results = med.map { case (n, m) =>
+      n -> (if (extraNames.contains(n))
+              statOf(samples(n).collect { case (t, true) => t }, min = true)
+            else m)
+    }
+    val failedQueries = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => samples(n).exists(!_._2))
+    val spread = extraNames.map { n =>
+      val s = samples(n).map(_._1)
+      n -> (if (s.nonEmpty && s.min > 0) s.max / s.min else 1.0)
     }
     def jnum(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jarr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = jnum(results.toSeq)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // The driver captures a bounded TAIL of stdout; with 90+ queries the line
     // above can lose its front (including the total) to truncation. Emit a
@@ -78,10 +135,12 @@ object Bench {
     // stdout truncation can no longer lose data ("parsed": null in the
     // driver's capture stops mattering).
     val summary =
-      s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses;min_of_${nPasses + nExtra}_slowest_decile",""" +
+      s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses;min_of_${nPasses + nExtra}_slowest_decile_and_regressed",""" +
         s""""total":$total,"n_queries":${results.size},""" +
+        s""""failed_queries":${jarr(failedQueries)},""" +
+        s""""regressed_vs_prev":${jnum(regressed.toSeq.sortBy(_._1))},""" +
         s""""slowest":${jnum(slowest)},""" +
-        s""""spread_slowest_decile":${jnum(spread.sortBy(_._1))},""" +
+        s""""spread":${jnum(spread.sortBy(_._1))},""" +
         s""""queries":${jnum(results.toSeq.sortBy(_._1))}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(summaryPath), summary + "\n")
     spark.stop()

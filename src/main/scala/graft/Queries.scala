@@ -1284,17 +1284,21 @@ GROUP BY segment ORDER BY segment""")),
     ("q115_hybrid_search",
       // vector+keyword retrieval: document-as-query BM25 (more-like-this,
       // self excluded) fused with brute-force cosine by exact-integer
-      // reciprocal-rank fusion — each side covers the other's blind spot
+      // reciprocal-rank fusion — each side covers the other's blind spot.
+      // The lexical ranking is the session-scoped shared artifact
+      // (moreLikeThisShared) q126 also consumes — built once per session
       (s: SparkSession, dir: String) =>
         RetrievalOps.hybridSearch(
           Tables.documents(s, dir), Tables.embeddings(s, dir),
           "text", "doc_id", "vec_id", "embedding",
-          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30),
+          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30,
+          sharedLexKey = Some(dir)),
       Some(graft.sql.RetrievalSql.hybridSearch("documents", "embeddings",
         queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64, maxQueryTerms = 30))),
 
     ("q126_hybrid_indexed",
-      // the INDEX-BACKED hybrid: same pruned BM25 lexical side as q115,
+      // the INDEX-BACKED hybrid: same pruned BM25 lexical side as q115
+      // (shared via the session-scoped moreLikeThisShared artifact),
       // semantic side from SQ8 compressed codes instead of a raw-vector
       // corpus scan — the 100 TB shape (the codes relation is the
       // persistable index; brute force stays the exactness reference).
@@ -1305,7 +1309,8 @@ GROUP BY segment ORDER BY segment""")),
           SimilarityOps.annScalarQuant(Tables.embeddings(s, dir),
             "vec_id", "embedding", queryMod = 100, k = 20),
           "text", "doc_id",
-          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30),
+          queryMod = 100, kEach = 20, kRrf = 60, k = 10, maxQueryTerms = 30,
+          sharedLexKey = Some(dir)),
       Some(graft.sql.RetrievalSql.hybridSearchSq8("documents", "embeddings",
         queryMod = 100, kEach = 20, kRrf = 60, k = 10, dim = 64, maxQueryTerms = 30))),
 

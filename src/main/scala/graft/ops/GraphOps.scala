@@ -50,7 +50,11 @@ object GraphOps {
     * dangling-node complication of directed PageRank disappears by
     * construction). Self-loops are dropped with the r8 edge
     * canonicalization (a self-loop is degenerate under symmetric
-    * PageRank: it feeds a node its own rank back).
+    * PageRank: it feeds a node its own rank back). NOTE — that drop is a
+    * BEHAVIORAL CHANGE vs pre-r8 for callers whose pair relation contains
+    * self-loops: a loop no longer inflates its node's degree or recycles
+    * rank mass (spec-pinned: a self-loop graph ranks identically to its
+    * loop-free form).
     *
     * All arithmetic is INTEGER: ranks live in `scale` units (micro-ranks
     * at the default), per-edge contributions are truncating division

@@ -262,7 +262,15 @@ object MultimodalOps {
     * equal) survives the round trip bit-exactly for all 256 levels
     * (DC-only blocks, zero AC, unit quantization — verified exhaustively
     * in the spec), which is what lets q127's oracle stay closed-form on
-    * a genuinely compressed format. */
+    * a genuinely compressed format.
+    *
+    * JRE COUPLING (r8 ADVICE): the bit-exact round trip is a property of
+    * the BUNDLED `com.sun.imageio` JPEG codec's quality-1.0 behavior
+    * (unit quant tables, no chroma subsampling on gray-equal channels),
+    * not a JPEG-spec guarantee. A JDK whose codec changes those choices
+    * fails the exhaustive 256-level spec LOUDLY — if a JDK bump ever
+    * breaks `MultimodalOpsSpec`'s uniform-gray test, this coupling is
+    * the diagnosis, and q127's oracle fixture must be re-derived. */
   private[graft] def encodeJpeg(img: BufferedImage): Array[Byte] = {
     ImageIO.setUseCache(false)
     val wr = ImageIO.getImageWritersByFormatName("jpeg").next()

@@ -325,9 +325,12 @@ object RelationalOps {
     * single-partition global window. The
     * [[graft.ops.SampleOps.budgetSample]] two-level prefix sum, adapted
     * to the value axis: distinct values bucket by VALUE RANGE
-    * (`(v − vmin) div width`, monotone in v, so global (bucket, value)
-    * order IS value order; each bucket covers at most `width`
-    * consecutive integers however the distinct values skew); bucket
+    * (`v div width`, monotone in v, so global (bucket, value) order IS
+    * value order; each bucket covers at most `2·width − 1` consecutive
+    * integers however the distinct values skew — `div` truncates toward
+    * zero, so when the value range straddles zero, bucket 0 alone spans
+    * both `(−width, 0)` and `[0, width)`; every other bucket covers at
+    * most `width`); bucket
     * totals reduce to ≤ nBuckets+1 rows whose exclusive offsets come
     * from a tiny triangle join (no unpartitioned window ANYWHERE — the
     * `WindowExec: No Partition Defined` single-task hazard is gone,
@@ -338,18 +341,31 @@ object RelationalOps {
   def nearestRankBounds(
       df: DataFrame, metricCol: String, percents: Seq[Int],
       nBuckets: Int = 256): DataFrame = {
-    require(percents.nonEmpty, "need at least one percent")
-    percents.foreach(p => require(0 <= p && p <= 100, s"bad percent $p"))
-    require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
     // metric-cardinality-sized; feeds two branches (the one-row stats agg
     // and the bucketed cumulative path) as a LAZY plan on purpose — AQE's
     // ReusedExchange dedups the shared histogram aggregate at execution,
     // and a localCheckpoint here measured SLOWER (materialization cost
     // without a saved scan)
-    val hist = df
-      .filter(col(metricCol).isNotNull)
-      .groupBy(col(metricCol).as("__v"))
-      .agg(count(lit(1)).as("__c"))
+    nearestRankBoundsFromHist(
+      df.filter(col(metricCol).isNotNull)
+        .groupBy(col(metricCol).as("__v"))
+        .agg(count(lit(1)).as("__c")),
+      percents, nBuckets)
+  }
+
+  /** [[nearestRankBounds]] from a PRE-BUILT distinct-value histogram
+    * (`__v` integer value, `__c` row count) — the shared core that lets a
+    * caller DERIVE one histogram from another instead of re-scanning the
+    * corpus: [[madOutliers]] aggregates its deviation histogram straight
+    * off the median's value histogram (dev = |v − med| is a value-axis
+    * transform, so the counts just re-group), which is how its second
+    * order statistic costs a cardinality-sized aggregate, not a second
+    * corpus pass. */
+  private[ops] def nearestRankBoundsFromHist(
+      hist: DataFrame, percents: Seq[Int], nBuckets: Int = 256): DataFrame = {
+    require(percents.nonEmpty, "need at least one percent")
+    percents.foreach(p => require(0 <= p && p <= 100, s"bad percent $p"))
+    require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
     // one-row global stats (value range + total count), broadcast back;
     // __n was previously an unbounded global window — now it rides here
     val stats = hist.agg(
@@ -408,22 +424,47 @@ object RelationalOps {
     * and flags every row off the median — the documented Hampel edge;
     * use the percentile clip for such distributions.
     *
-    * Scale shape: two bounded distinct-value histogram passes (metric,
-    * then deviation), each broadcast back as one row; the corpus path is
-    * one map-only filter. */
+    * Scale shape: ONE distinct-value histogram pass over the corpus
+    * (metric-cardinality-sized). The deviation histogram is DERIVED from
+    * it — dev = |v − med| only moves values along the axis, so the dev
+    * counts are a re-group of the value counts; r8 ran a second
+    * corpus-wide histogram pass here. Both order statistics broadcast
+    * back as one row each; the corpus path is one map-only filter.
+    * Measured (sf0.1 catalog entry, r9): 2.8 s → 2.0 s; the residual is
+    * ~30 metadata-sized AQE stages of scheduler latency (two full
+    * rank-machinery evaluations), invisible at real scale where the two
+    * corpus passes this rewrite removed were the cost. */
   def madOutliers(
       df: DataFrame, idCol: String, metricCol: String,
       num: Long, den: Long, limit: Int): DataFrame = {
     require(num >= 0 && den > 0 && limit >= 1, s"bad num=$num/den=$den/limit=$limit")
-    val med = nearestRankBounds(df, metricCol, Seq(50))
+    // CHECKPOINTED, unlike the single-consumer nearestRankBounds lazy
+    // convention: the histogram feeds the median machinery, the derived
+    // deviation histogram, and (via their broadcasts) the final filter —
+    // materializing the cardinality-sized relation pins the one corpus
+    // scan and keeps every downstream subtree metadata-sized
+    val hist = df
+      .filter(col(metricCol).isNotNull)
+      .groupBy(col(metricCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    // the two scalar bounds are ONE-ROW relations each consumed by two
+    // broadcasts — checkpointing them makes each rank computation run
+    // exactly once instead of re-planning per broadcast (measured: the
+    // duplicate subtree evaluations, not the data, were q113's cost)
+    val med = nearestRankBoundsFromHist(hist, Seq(50))
       .select(col("bound_0").cast("long").as("median"))
-    val withDev = df
+      .localCheckpoint()
+    val devHist = hist
+      .crossJoin(broadcast(med))
+      .groupBy(abs(col("__v") - col("median")).as("__v"))
+      .agg(sum(col("__c")).as("__c"))
+    val madRel = nearestRankBoundsFromHist(devHist, Seq(50))
+      .select(col("bound_0").cast("long").as("mad"))
+    df
       .filter(col(metricCol).isNotNull)
       .crossJoin(broadcast(med))
       .withColumn("dev", abs(col(metricCol).cast("long") - col("median")))
-    val madRel = nearestRankBounds(withDev, "dev", Seq(50))
-      .select(col("bound_0").cast("long").as("mad"))
-    withDev
       .crossJoin(broadcast(madRel))
       .filter(col("dev") * den > col("mad") * num)
       .select(col(idCol).as("id"), col(metricCol).cast("long").as("metric"),

@@ -22,6 +22,45 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalOps {
 
+  /** Session-scoped memo of materialized [[moreLikeThis]] rankings —
+    * see [[moreLikeThisShared]]. Values are localCheckpoint'ed top-k
+    * relations (|queries| × k rows, tiny); keys carry the session so a
+    * restarted session can never serve another session's plan. */
+  private val mltMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Memo-hit counter, exposed for the spec only. */
+  private[graft] val mltMemoHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[moreLikeThis]] as a SHARED, SESSION-SCOPED MATERIALIZED ARTIFACT:
+    * the first caller per (session, sourceKey, params) computes the
+    * ranking and checkpoints it; every later caller gets the same tiny
+    * relation back — the materialized-view move for rankings consumed by
+    * several downstream queries (q115's brute-force hybrid and q126's
+    * index-backed hybrid share an IDENTICAL lexical side; before r9 each
+    * rebuilt it from the corpus, ~5 s apiece at sf0.1).
+    *
+    * The memoized value is the RESULT relation (per-query top-k — small
+    * by construction), never the corpus-sized intermediates, so the memo
+    * costs |queries| × k rows of executor storage per distinct key.
+    * `sourceKey` must identify the docs relation's content (the catalog
+    * passes the sf directory); parameters are folded into the key, so
+    * differing knobs never collide. Stopped sessions' entries are
+    * dropped on the next lookup. */
+  def moreLikeThisShared(docs: DataFrame, textCol: String, idCol: String,
+      queryMod: Int, k: Int, maxQueryTerms: Int, sourceKey: String): DataFrame = {
+    val spark = docs.sparkSession
+    mltMemo.forEach { (key, _) =>
+      if (key._1.sparkContext.isStopped) mltMemo.remove(key)
+    }
+    val key = (spark,
+      s"$sourceKey|$textCol|$idCol|$queryMod|$k|$maxQueryTerms")
+    val prev = mltMemo.get(key)
+    if (prev != null) { mltMemoHits.incrementAndGet(); prev }
+    else mltMemo.computeIfAbsent(key, _ =>
+      moreLikeThis(docs, textCol, idCol, queryMod, k, maxQueryTerms)
+        .localCheckpoint())
+  }
+
   /** INVERTED-INDEX STATS: the term dictionary + postings summary of a
     * distributed index build. One explode pass, a partial-agg shuffle on
     * (doc, term) for tf, then a term-level aggregate producing, per term:
@@ -208,10 +247,10 @@ object RetrievalOps {
   def hybridSearch(docs: DataFrame, emb: DataFrame,
       textCol: String, idCol: String, embIdCol: String, vecCol: String,
       queryMod: Int, kEach: Int, kRrf: Int, k: Int,
-      maxQueryTerms: Int = 0): DataFrame =
+      maxQueryTerms: Int = 0, sharedLexKey: Option[String] = None): DataFrame =
     hybridSearchWith(docs,
       SimilarityOps.annBruteForce(emb, embIdCol, vecCol, queryMod, kEach),
-      textCol, idCol, queryMod, kEach, kRrf, k, maxQueryTerms)
+      textCol, idCol, queryMod, kEach, kRrf, k, maxQueryTerms, sharedLexKey)
 
   /** [[hybridSearch]] with a CALLER-SUPPLIED semantic ranking — the
     * pluggable form the 100 TB story needs: the lexical side stays the
@@ -223,9 +262,16 @@ object RetrievalOps {
   def hybridSearchWith(docs: DataFrame, semantic: DataFrame,
       textCol: String, idCol: String,
       queryMod: Int, kEach: Int, kRrf: Int, k: Int,
-      maxQueryTerms: Int = 0): DataFrame = {
-    val lex = moreLikeThis(docs, textCol, idCol, queryMod, kEach, maxQueryTerms)
-      .select(col("query_id"), col("doc_id"), col("rk"))
+      maxQueryTerms: Int = 0, sharedLexKey: Option[String] = None): DataFrame = {
+    // sharedLexKey routes the lexical side through the session-scoped
+    // materialized artifact (see moreLikeThisShared) — hybrids over the
+    // same corpus share ONE BM25 ranking instead of each rebuilding it
+    val mlt = sharedLexKey match {
+      case Some(srcKey) => moreLikeThisShared(
+        docs, textCol, idCol, queryMod, kEach, maxQueryTerms, srcKey)
+      case None => moreLikeThis(docs, textCol, idCol, queryMod, kEach, maxQueryTerms)
+    }
+    val lex = mlt.select(col("query_id"), col("doc_id"), col("rk"))
     val sem = semantic
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
       .filter(col("rk") <= kEach)

@@ -198,22 +198,27 @@ object SketchOps {
     * sibling is [[TextAnalysisOps.ngramNovelty]]; segment dedup STRIPS
     * what this op REPORTS).
     *
-    * STATIC-SNAPSHOT CONTRACT: the two passes scan `docs` independently
-    * (`ngrams` is a plan, deliberately — checkpointing the full n-gram
-    * occurrence stream would materialize a corpus-sized relation, the
-    * exact cost this sketch exists to avoid). The candidate-superset
-    * guarantee therefore assumes both scans see the SAME rows: true for
-    * parquet/immutable-file sources (every catalog source here), NOT for
-    * a mutating view or non-deterministic source — snapshot such inputs
-    * first (e.g. `localCheckpoint`) before calling. */
+    * Both passes derive from ONE materialized text projection
+    * (`localCheckpoint` of the filtered text column), so the
+    * candidate-superset guarantee is STRUCTURAL — the two scans cannot
+    * see different rows whatever the source (a mutating view or a
+    * non-deterministic relation is snapshotted by construction; r8
+    * closed this by documentation only). The snapshot costs one
+    * text-column materialization to executor block storage — 1× the
+    * text, NOT the w× n-gram occurrence stream (which this sketch
+    * exists to avoid materializing); at sf0.1 the change is
+    * within-noise (q119 ~1.0 s before and after). */
   def frequentNgrams(docs: DataFrame, textCol: String, w: Int, k: Int): DataFrame = {
     require(w >= 1, s"ngram width must be >= 1: $w")
     require(k >= 1, s"summary size must be >= 1: $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    def ngrams = docs
+    val snap = docs
       .filter(col(textCol).isNotNull)
-      .select(Generators.ngramExplode(col(textCol), w).as("term"))
+      .select(col(textCol).as("__text"))
+      .localCheckpoint()
+    def ngrams = snap
+      .select(Generators.ngramExplode(col("__text"), w).as("term"))
     val summary = ngrams.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       var np = 0L

@@ -274,8 +274,15 @@ object StreamingOps {
       val books = spark.read.parquet(codebooksDir)
       val matches = graft.ops.SimilarityOps.ivfPqFromIndex(
         b, cents, books,
+        // partition discovery infers the hive columns (ccell, batch) as
+        // INT; the inline index carries BIGINT ccell — cast explicitly so
+        // the ADC join never rides on implicit casts (and survives
+        // partition values past Int range)
         spark.read.parquet(codesDir)
-          .select(col("id"), col("ccell"), col("sub"), col("code")),
+          .select(col("id").cast("long").as("id"),
+            col("ccell").cast("long").as("ccell"),
+            col("sub").cast("int").as("sub"),
+            col("code").cast("long").as("code")),
         idCol, vecCol, dim, m, k, nprobe)
         .localCheckpoint()
       graft.ops.SimilarityOps.ivfPqCodesFor(b, idCol, vecCol, cents, books, dim, m)

@@ -124,6 +124,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("pageRankSymmetric on a self-loop graph equals the loop-free graph (r8 drop semantics, pinned)") {
+    import spark.implicits._
+    // r8 routed pageRankSymmetric through symmetricEdges, which DROPS
+    // self-loops — a behavioral change vs pre-r8 (where a loop fed a node
+    // its own rank back and inflated its degree). This pins the new
+    // contract: a self-loop contributes nothing to rank or degree.
+    val withLoop = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 2L), (4L, 4L))
+      .toDF("a", "b")
+    val noLoop = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    val got = rows(GraphOps.pageRankSymmetric(withLoop, "a", "b", iters = 3))
+    assert(got == rows(GraphOps.pageRankSymmetric(noLoop, "a", "b", iters = 3)))
+    // node 1 (degree 3) must outrank the degree-2 cycle nodes, and node 4
+    // appears with degree 1 — its loop dropped, its bridge edge kept
+    val deg = got.map(r => r(0).asInstanceOf[Long] -> r(2).asInstanceOf[Long]).toMap
+    assert(deg == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $deg")
+  }
+
   test("persisted edge artifact: write -> reload feeds all three algorithms bit-identically") {
     import spark.implicits._
     // the q97/q105 pattern for the graph family: derive the canonical

@@ -156,4 +156,34 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "vec_id", "embedding", queryMod = 100, kEach = 10, kRrf = 60, k = 5).collect().toSeq
     assert(a == b)
   }
+
+  test("shared lexical ranking: memo serves the identical relation, content equals a fresh build") {
+    val key = "retrievalspec-shared-" + System.nanoTime() // unique per run
+    val fresh = RetrievalOps.moreLikeThis(docs, "text", "doc_id",
+      queryMod = 100, k = 10, maxQueryTerms = 30).collect().toSeq
+    val hits0 = RetrievalOps.mltMemoHits.get()
+    val first = RetrievalOps.moreLikeThisShared(docs, "text", "doc_id",
+      queryMod = 100, k = 10, maxQueryTerms = 30, sourceKey = key)
+    val second = RetrievalOps.moreLikeThisShared(docs, "text", "doc_id",
+      queryMod = 100, k = 10, maxQueryTerms = 30, sourceKey = key)
+    // the second call is a memo HIT returning the same materialized
+    // relation — no recomputation of the lexical side
+    assert(second eq first)
+    assert(RetrievalOps.mltMemoHits.get() == hits0 + 1)
+    assert(first.collect().toSeq == fresh)
+    // a different parameterization never collides
+    val other = RetrievalOps.moreLikeThisShared(docs, "text", "doc_id",
+      queryMod = 100, k = 5, maxQueryTerms = 30, sourceKey = key)
+    assert(!(other eq first))
+    // and the shared-key hybrid equals the unshared hybrid bit for bit
+    val emb = Tables.embeddings(spark, sf)
+    val unshared = RetrievalOps.hybridSearch(docs, emb, "text", "doc_id",
+      "vec_id", "embedding", queryMod = 100, kEach = 10, kRrf = 60, k = 5)
+      .collect().toSeq
+    val shared = RetrievalOps.hybridSearch(docs, emb, "text", "doc_id",
+      "vec_id", "embedding", queryMod = 100, kEach = 10, kRrf = 60, k = 5,
+      sharedLexKey = Some(key))
+      .collect().toSeq
+    assert(shared == unshared)
+  }
 }
