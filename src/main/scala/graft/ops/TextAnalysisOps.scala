@@ -832,14 +832,18 @@ object TextAnalysisOps {
     require(n >= 1, "n-gram order must be >= 1")
     val gh = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
     // distinct (doc, gram-hash) pairs feed the first-seen aggregate AND
-    // the join back — localCheckpoint so the explode scan runs once
+    // the join back — LAZY on purpose (r9, the r8-verdict measurement):
+    // a localCheckpoint here materializes a ~corpus-sized token relation
+    // to executor storage; re-deriving from the scan + generator costs
+    // one extra map-only pass and zero storage, and the two measured
+    // identical at sf0.1 (ckpt 1.36–1.54 s vs lazy 1.35–1.51 s) — at
+    // 100 TB the storage write is the strictly worse side of that tie
     val grams = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         graft.functions.Generators.ngramExplode(col(textCol), n).as("g"))
       .select(col("doc_id"), gh.as("gh"))
       .distinct()
-      .localCheckpoint()
     val first = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
     grams
       .join(first, "gh")
@@ -874,10 +878,15 @@ object TextAnalysisOps {
     def b(c: Column): Column =
       when(c === 0, lit(0L)).otherwise(length(bin(c)).cast("long"))
     val base = docs.filter(col(textCol).isNotNull)
+    // LAZY (r9, measured): the exploded token relation feeds the token
+    // counts AND the first-seen aggregate, but checkpointing it writes a
+    // ~corpus-sized relation to executor storage for zero measured win
+    // at sf0.1 (ckpt 1.12–1.48 s vs lazy 1.04–1.56 s) — the second
+    // derivation is a map-only scan+generator pass, the cheaper side at
+    // 100 TB
     val toks = base
       .select(b(col(idCol)).as("bkt"), col(idCol).as("doc_id"),
         graft.functions.Generators.ngramExplode(col(textCol), 1).as("t"))
-      .localCheckpoint() // feeds the token counts AND the first-seen agg
     val perB = toks.groupBy("bkt").agg(
       countDistinct(col("doc_id")).as("n_docs"),
       count(lit(1)).as("n_toks"))
@@ -925,12 +934,15 @@ object TextAnalysisOps {
     require(dim >= 2 && topN >= 1, s"bad dim=$dim/topN=$topN")
     val bucket = pmod(
       conv(substring(md5(col("t")), 1, 7), 16, 10).cast("long"), lit(dim))
+    // LAZY (r9, measured): the bucketed token relation feeds the bucket
+    // models AND the per-doc sum; a checkpoint materializes ~one row per
+    // corpus token for zero measured win at sf0.1 (ckpt 1.47–1.72 s vs
+    // lazy 1.50–1.74 s) — re-deriving is a map-only pass, zero storage
     val toks = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), targetExpr.as("is_target"),
         graft.functions.Generators.ngramExplode(col(textCol), 1).as("t"))
       .select(col("doc_id"), col("is_target"), bucket.as("b"))
-      .localCheckpoint() // feeds the two bucket models AND the doc sum
     val counts = toks.groupBy("b").agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tcnt"),
       count(lit(1)).as("ccnt"))
@@ -948,7 +960,7 @@ object TextAnalysisOps {
     // plan a single-partition WindowExec
     // deliberately LAZY: orderBy+limit is a deterministic TakeOrdered, so
     // the two triangle-join branches recompute identical rows from the
-    // already-checkpointed token relation — and the full scoring plan
+    // deterministic token relation — and the full scoring plan
     // stays visible for the PlanSpec broadcast/no-sort-merge asserts
     val top = toks
       .join(broadcast(ratios), "b")
