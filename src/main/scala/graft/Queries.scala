@@ -393,6 +393,21 @@ object Queries {
       Some(graft.sql.SimilaritySql.knnGraphRefined("embeddings",
         centroidMod = 50, kNbrs = 3, dim = 64, crossBuckets = 100))),
 
+    ("q129_ivf_pq_kmeans",
+      // IVF-PQ over TRAINED coarse cells (closes the r8 verdict's
+      // corpus-proportional-centroids finding AND the q129 catalog gap):
+      // Lloyd k-means supplies kCoarse centroids, so the coarse broadcast
+      // is O(k·dim) however large the corpus — everything past the coarse
+      // stage is the q124 machinery verbatim; the oracle unrolls the same
+      // kmeans CTEs (q44's prefix) in front of the same IVF-PQ CTEs
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.ivfPqKmeansAnn(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, kCoarse = 8, kmIters = 2, m = 4, ksub = 8, iters = 2,
+          queryMod = 40, k = 5, nprobe = 2),
+      Some(graft.sql.SimilaritySql.ivfPqKmeansAnn("embeddings",
+        dim = 64, kCoarse = 8, kmIters = 2, m = 4, ksub = 8, iters = 2,
+        queryMod = 40, k = 5, nprobe = 2))),
+
     ("q131_ann_truncated",
       // Matryoshka-style dimension truncation: exact cosine top-k over
       // only the first 16 of 64 components — 4x less scan compute/bytes;

@@ -70,6 +70,11 @@ object RecallBench {
       m("ivf_pq[q124:cmod=50,m=4,ksub=8,iters=2,nprobe=2,mod=40,k=5]", bf40k5,
         SimilarityOps.ivfPqAnn(emb, id, v, dim = 64, coarseMod = 50, m = 4,
           ksub = 8, iters = 2, queryMod = 40, k = 5, nprobe = 2)),
+      // r9: trained fixed-k coarse cells at the q129 gate parameters —
+      // the corpus-size-independent coarse quantizer (O(k·dim) broadcast)
+      m("ivf_pq_kmeans[q129:kc=8,kmIters=2,m=4,ksub=8,iters=2,nprobe=2,mod=40,k=5]", bf40k5,
+        SimilarityOps.ivfPqKmeansAnn(emb, id, v, dim = 64, kCoarse = 8, kmIters = 2,
+          m = 4, ksub = 8, iters = 2, queryMod = 40, k = 5, nprobe = 2)),
       m("sq_ann[q106:int8,mod=20,k=5]", bf20k5,
         SimilarityOps.annScalarQuant(emb, id, v, queryMod = 20, k = 5)),
       // dimension truncation (MRL knob): exact search over the 16-dim
@@ -103,6 +108,12 @@ object RecallBench {
       m("ivf_pq[scaled:cmod=50,m=8,ksub=256,iters=4,nprobe=8,mod=40,k=5]", bf40k5,
         SimilarityOps.ivfPqAnn(emb, id, v, dim = 64, coarseMod = 50, m = 8,
           ksub = 256, iters = 4, queryMod = 40, k = 5, nprobe = 8)),
+      // r9: the same production operating point over TRAINED coarse
+      // cells (kCoarse = the id-residue convention's cell count at this
+      // corpus size, so the two rows isolate the quantizer change)
+      m("ivf_pq_kmeans[scaled:kc=40,kmIters=2,m=8,ksub=256,iters=4,nprobe=8,mod=40,k=5]", bf40k5,
+        SimilarityOps.ivfPqKmeansAnn(emb, id, v, dim = 64, kCoarse = 40, kmIters = 2,
+          m = 8, ksub = 256, iters = 4, queryMod = 40, k = 5, nprobe = 8)),
       // + exact refine of the ADC shortlist: on distance-concentrated
       // corpora pure ADC plateaus (~0.25 even at full probe coverage,
       // measured) because neighbor gaps are smaller than quantization
@@ -119,6 +130,21 @@ object RecallBench {
       m("knn_graph_refined[xseed:cmod=50,k=3,rounds=2,xbuckets=40]", bfAllk3,
         SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
           rounds = 2, crossBuckets = 40), qCol = "vec_id"),
+      // r9 knob sweep (rounds ∈ {2,3,4} × xbuckets ∈ {20,40,80}):
+      // recall is governed by CANDIDATE COVERAGE (crossBuckets — fewer,
+      // larger pseudo-cells = more seed pairs = n²/xbuckets descent
+      // cost), NOT by rounds, which saturate at 2 on this corpus
+      // (0.3347 → 0.3372 → 0.3378 at xb=40: past round 2 the descent has
+      // exhausted its candidate graph's neighborhoods — the
+      // distance-concentration ceiling again, now in graph form). The
+      // two committed rows carry both findings: halving xbuckets buys
+      // 0.33 → 0.47; doubling rounds buys 0.003.
+      m("knn_graph_refined[xseed:cmod=50,k=3,rounds=2,xbuckets=20]", bfAllk3,
+        SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
+          rounds = 2, crossBuckets = 20), qCol = "vec_id"),
+      m("knn_graph_refined[xseed:cmod=50,k=3,rounds=4,xbuckets=40]", bfAllk3,
+        SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
+          rounds = 4, crossBuckets = 40), qCol = "vec_id"),
       // fusion delta: the q126 indexed hybrid (SQ8 semantic side) scored
       // against the brute-force hybrid's fused top-10 as truth — how much
       // of the exact-reference fusion the index-backed stack reproduces

@@ -922,6 +922,34 @@ object SimilarityOps {
       cents, codebooks, codes, idCol, vecCol, dim, m, k, nprobe)
   }
 
+  /** IVF-PQ over TRAINED coarse cells (the r8 verdict's ask): Lloyd
+    * k-means supplies the `kCoarse` coarse centroids, so the coarse
+    * broadcast is O(kCoarse·dim) doubles HOWEVER LARGE the corpus —
+    * [[ivfPqAnn]]'s id-residue convention keeps the oracle cheap but its
+    * centroid relation (and its assignment join's broadcast side) grows
+    * ~n/coarseMod with the corpus, which is the wrong shape at 10⁹
+    * vectors. This is the production FAISS composition
+    * (`IndexIVFPQ` over a trained coarse quantizer); everything past the
+    * coarse stage is [[ivfPqIndexWith]]/[[ivfPqFromIndex]] verbatim.
+    * Both engines train the identical quantizer (6-dp decimal-exact
+    * means, lowest-id seeds), so the unrolled-CTE oracle stays exact. */
+  def ivfPqKmeansAnn(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, kCoarse: Int, kmIters: Int, m: Int, ksub: Int, iters: Int,
+      queryMod: Int, k: Int, nprobe: Int): DataFrame = {
+    // trained once; feeds the residual assignment AND the query-side
+    // probe ranking — checkpoint keeps the Lloyd iterations from
+    // re-running per consumer (the codebook-materialization precedent),
+    // and the relation is kCoarse rows of dim doubles: metadata-sized
+    val cents = kmeansCentroids(emb, idCol, vecCol, kCoarse, kmIters)
+      .select(col("cid"), col("centroid").as("cv"))
+      .localCheckpoint()
+    val (c, codebooks, codes) =
+      ivfPqIndexWith(emb, idCol, vecCol, cents, dim, m, ksub, iters)
+    ivfPqFromIndex(emb.filter(col(idCol) % queryMod === 0),
+      c, codebooks, codes, idCol, vecCol, dim, m, k, nprobe)
+  }
+
   /** Build the THREE persisted artifacts of an IVF-PQ index —
     * (coarse centroids, residual codebooks, code table) — the durable
     * form of [[ivfPqAnn]]'s state, completing the index-artifact family
@@ -935,12 +963,33 @@ object SimilarityOps {
   def ivfPqIndex(
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, coarseMod: Int, m: Int, ksub: Int, iters: Int):
+      (DataFrame, DataFrame, DataFrame) =
+    // id-residue coarse cells: the oracle-tractable DEFAULT, but the
+    // centroid relation grows ~n/coarseMod with the corpus (at 10^9
+    // vectors and cmod=50 that is a 2×10^7-row broadcast and an
+    // n²/coarseMod assignment join) — at scale pass TRAINED fixed-k
+    // centroids to [[ivfPqIndexWith]] instead ([[ivfPqKmeansAnn]] wires
+    // [[kmeansCentroids]] in; its broadcast is O(k·dim) regardless of
+    // corpus size)
+    ivfPqIndexWith(emb, idCol, vecCol,
+      emb.filter(col(idCol) % coarseMod === 0)
+        .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv")),
+      dim, m, ksub, iters)
+
+  /** [[ivfPqIndex]] over a CALLER-SUPPLIED coarse-centroid relation
+    * (cid, cv) — the fixed-k quantizer entry point: with trained
+    * centroids ([[kmeansCentroids]]) the coarse stage broadcasts
+    * O(k·dim) doubles however large the corpus grows, where the
+    * id-residue default's centroid count is corpus-proportional
+    * (~n/coarseMod). Identical artifacts for identical `cents`
+    * (spec-pinned against the id-residue form). */
+  def ivfPqIndexWith(
+      emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      dim: Int, m: Int, ksub: Int, iters: Int):
       (DataFrame, DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     require(ksub >= 1 && iters >= 1, "pq needs >=1 centroid and >=1 iteration")
     val subLen = dim / m
-    val cents = emb.filter(col(idCol) % coarseMod === 0)
-      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     // coarse assignment + residual, one corpus pass; checkpointed because
     // every Lloyd iteration, the encode branch, and nothing else should
     // re-run the corpus × centroid ranking

@@ -247,22 +247,30 @@ SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk
   /** The shared unrolled-training prefix: `WITH e, c0[, a_t, d_t, c_{t+1}]*`
     * — trained centroids land in CTE `c{iters}`, per-dim means of the last
     * assignment in `d{iters-1}`. */
-  private def kmeansCtePrefix(table: String, k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtePrefix(table: String, k: Int, iters: Int, dim: Int): String =
+    "WITH " + kmeansCtesBody(table, k, iters, dim, p = "")
+
+  /** [[kmeansCtePrefix]]'s body without the leading `WITH`, every CTE
+    * name prefixed by `p` — composable into a larger WITH chain without
+    * name collisions (the IVF-PQ-over-kmeans mirror embeds it as `km*`
+    * next to the IVF-PQ prefix's own `e/c0/a_t/d_t` names). */
+  private def kmeansCtesBody(
+      table: String, k: Int, iters: Int, dim: Int, p: String): String = {
     require(iters >= 1)
     val sb = new StringBuilder
-    sb.append(s"WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),\n")
-    sb.append(s"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM $table ORDER BY vec_id ASC LIMIT $k)")
+    sb.append(s"${p}e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),\n")
+    sb.append(s"${p}c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM $table ORDER BY vec_id ASC LIMIT $k)")
     for (t <- 0 until iters) {
       sb.append(s""",
-a$t AS (SELECT v, cid FROM (
+${p}a$t AS (SELECT v, cid FROM (
   SELECT e.v, c.cid,
     ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS rk
-  FROM e, c$t c) WHERE rk = 1),
-d$t AS (SELECT cid, i.i AS dim,
+  FROM ${p}e e, ${p}c$t c) WHERE rk = 1),
+${p}d$t AS (SELECT cid, i.i AS dim,
     round(CAST(SUM(CAST(v[i.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS m,
     COUNT(*) AS n
-  FROM a$t, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY cid, i.i),
-c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM d$t GROUP BY cid)""")
+  FROM ${p}a$t, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY cid, i.i),
+${p}c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM ${p}d$t GROUP BY cid)""")
     }
     sb.toString
   }
@@ -365,8 +373,35 @@ rr AS (SELECT sh.query_id, sh.neighbor_id, ${cosSql("q.v", "n.v", dim)} AS cos
 rranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM rr)
 SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM rranked WHERE rk <= $k ORDER BY query_id, rk"""
 
-  /** Shared IVF-PQ text through the `scores` CTE (ADC sums). */
+  /** Mirror of [[graft.ops.SimilarityOps.ivfPqKmeansAnn]]: the unrolled
+    * kmeans training prefix (km-prefixed CTEs) supplies the trained
+    * coarse centroids, then the shared IVF-PQ text runs over them —
+    * coarse assignment, residual codebooks, encode, per-probed-cell ADC,
+    * all step for step with the id-residue form. */
+  def ivfPqKmeansAnn(table: String, dim: Int, kCoarse: Int, kmIters: Int,
+      m: Int, ksub: Int, iters: Int, queryMod: Int, k: Int, nprobe: Int): String =
+    ivfPqPrefixWith(table, dim,
+      preCtes = kmeansCtesBody(table, kCoarse, kmIters, dim, p = "km") + ",\n",
+      coarseCte = s"c AS (SELECT cid, cv FROM kmc$kmIters)",
+      m, ksub, iters, queryMod, nprobe) + s""",
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC) AS rk FROM scores)
+SELECT query_id, neighbor_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** Shared IVF-PQ text through the `scores` CTE (ADC sums) — id-residue
+    * coarse cells (the oracle-cheap default). */
   private def ivfPqPrefix(table: String, dim: Int, coarseMod: Int, m: Int,
+      ksub: Int, iters: Int, queryMod: Int, nprobe: Int): String =
+    ivfPqPrefixWith(table, dim, preCtes = "",
+      coarseCte = s"c AS (SELECT id AS cid, v AS cv FROM e WHERE id % $coarseMod = 0)",
+      m, ksub, iters, queryMod, nprobe)
+
+  /** [[ivfPqPrefix]] with a PLUGGABLE coarse-centroid stage: `coarseCte`
+    * must define `c (cid, cv)`; `preCtes` (each ending with ",\n") may
+    * define helper CTEs whose names cannot collide with
+    * e/c/a/s/seed/c0/a_t/d_t/codes/qp/qs/lut/scores. Mirrors
+    * [[graft.ops.SimilarityOps.ivfPqIndexWith]]'s parameterization. */
+  private def ivfPqPrefixWith(table: String, dim: Int, preCtes: String,
+      coarseCte: String, m: Int,
       ksub: Int, iters: Int, queryMod: Int, nprobe: Int): String = {
     require(iters >= 1 && dim % m == 0)
     val len = dim / m
@@ -376,8 +411,8 @@ SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM rranked WHERE r
     ROW_NUMBER() OVER (PARTITION BY s.id, s.sub ORDER BY ${l2Sql("s.sv", "c.cv", len)} ASC, c.cid ASC) AS rk
   FROM s JOIN $cents c ON c.sub = s.sub) WHERE rk = 1"""
     val sb = new StringBuilder
-    sb.append(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),
-c AS (SELECT id AS cid, v AS cv FROM e WHERE id % $coarseMod = 0),
+    sb.append(s"""WITH ${preCtes}e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $table),
+$coarseCte,
 a AS (SELECT id, cell, rv FROM (
   SELECT e.id, c.cid AS cell, $resid AS rv,
     ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "c.cv", dim)} DESC, c.cid ASC) AS crk

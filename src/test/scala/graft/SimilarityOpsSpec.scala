@@ -322,6 +322,37 @@ class SimilarityOpsSpec extends AnyFunSuite {
       "reloaded-artifact search diverged from the inline search")
   }
 
+  test("ivf-pq over trained kmeans cells keeps nprobe=1 neighbors inside the query's true cluster") {
+    import spark.implicits._
+    // same two-cluster fixture as the id-residue test, but the coarse
+    // stage is TRAINED (kCoarse=2): Lloyd from the two lowest-id seeds
+    // (0 = cluster A, 1 = cluster B) converges one centroid onto each
+    // cluster, so with nprobe=1 every reported neighbor shares the
+    // query's parity — the fixed-k quantizer finds the same structure
+    // the id-residue convention was hand-seeded with
+    def v(a: Float, b: Float) = Array(a, a, b, b)
+    val rows = (0L to 31L).map { i =>
+      if (i % 2 == 0) (i, v(1f + (i % 7) * 0.01f, 8f - (i % 5) * 0.01f))
+      else (i, v(5f + (i % 7) * 0.01f, 2f + (i % 5) * 0.01f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val ann = SimilarityOps.ivfPqKmeansAnn(df, "vec_id", "embedding",
+      dim = 4, kCoarse = 2, kmIters = 2, m = 2, ksub = 4, iters = 2,
+      queryMod = 16, k = 3, nprobe = 1).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      assert(r.getLong(1) % 2 == r.getLong(0) % 2,
+        s"trained-cell nprobe=1 leaked a cross-cluster neighbor: $r")
+    }
+    // per-query ranks are 1..n by ascending ADC distance
+    ann.groupBy(_.getLong(0)).values.foreach { qs =>
+      val byRk = qs.sortBy(_.getLong(3))
+      assert(byRk.map(_.getLong(3)).toSeq == (1L to byRk.length).toSeq)
+      val d = byRk.map(_.getLong(2))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = SimilarityOps.annBruteForce(emb, "vec_id", "embedding", 100, 10)
       .queryExecution.executedPlan.toString
