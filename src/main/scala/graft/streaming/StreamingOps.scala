@@ -204,6 +204,115 @@ object StreamingOps {
       onBatch(accepted, blocked, batchId)
     }
 
+  /** STREAMING CURATION FUNNEL — the live half of the q71/q96 batch
+    * funnels (the r8 verdict's ask): a `foreachBatch` loop that pushes
+    * every micro-batch through the SAME five stage semantics —
+    * quality (Gopher rule mask, map-only per doc) → exact prefix-key
+    * dedup → fuzzy near-dup screen → benchmark decontamination →
+    * budget — and GROWS the dedup artifacts with each batch's accepted
+    * docs, so later arrivals dedupe against everything accepted before
+    * them (the growing-corpus semantics stream-static joins cannot
+    * express; [[nearDupIngest]]'s contract, funnel-wide).
+    *
+    * Stage notes:
+    *  - exact dedup: q71's content-prefix key — anti join against the
+    *    persisted accepted-key set, then the in-batch min-id keeper;
+    *  - near-dup: [[graft.ops.DedupOps.minhashDeltaIndexed]] against the
+    *    persisted band-key/hash-set artifacts (corpus-vs-batch contract:
+    *    intra-batch near-dups are not screened against each other, same
+    *    as [[nearDupIngest]]);
+    *  - decontamination: distinct-shingle overlap vs the CALLER-BUILT
+    *    broadcast bench shingle union (`benchShingles`, one `s` column —
+    *    static config, like the batch funnel's bench split);
+    *  - budget: [[graft.ops.SampleOps.hashSample]] at `budgetNum/Den` —
+    *    the STATELESS hash-threshold form (deterministic per key, so a
+    *    retried batch re-derives identical verdicts; the batch funnel's
+    *    exact token budget needs corpus-wide prefix sums, which no
+    *    single micro-batch can see — rate-based is the streaming-native
+    *    budget).
+    *
+    * Layout contract ([[nearDupIngest]]'s): all three artifact dirs are
+    * hive-partitioned by micro-batch with seed epochs at `batch=-1`
+    * (empty frames for a fresh corpus); each batch OVERWRITES its own
+    * partition — idempotent retries. `onBatch(report, accepted, id)`
+    * gets the q71-shaped per-stage report (stage, stage_name, n_docs,
+    * n_tokens) plus the accepted frame. */
+  def curationIngest(
+      docs: DataFrame, keysDir: String, indexDir: String, hashSetsDir: String,
+      benchShingles: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String], minTokens: Long, maxTokens: Long, minStops: Long,
+      prefixLen: Int, w: Int, maxOverlapNum: Long, maxOverlapDen: Long,
+      budgetNum: Long, budgetDen: Long,
+      nBands: Int = 8, r: Int = 2, minJaccard: Double = 0.5,
+      onBatch: (DataFrame, DataFrame, Long) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val b = batch.localCheckpoint()
+      // stage 0+1: per-doc token counts and rule mask in one pass
+      val masked = graft.ops.TextAnalysisOps.gopherRuleMask(
+        b, textCol, idCol, stopwords, minTokens, maxTokens, minStops)
+        .localCheckpoint()
+      val s1 = b.join(
+        masked.filter(col("rule_mask") === 0L)
+          .select(col("doc_id").as("__qid"), col("n_tokens")),
+        col(idCol) === col("__qid")).drop("__qid")
+      // stage 2: accepted-key anti join + in-batch min-id keeper
+      val keyed = s1.withColumn("__key",
+        concat_ws(" ", slice(graft.functions.TextHash.tokens(col(textCol)), 1, prefixLen)))
+      val wKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__key")).orderBy(col(idCol).asc)
+      val s2 = keyed
+        .join(spark.read.parquet(keysDir).select("__key").distinct(),
+          Seq("__key"), "left_anti")
+        .withColumn("__rn", row_number().over(wKey))
+        .filter(col("__rn") === 1).drop("__rn")
+        .localCheckpoint()
+      // stage 3: near-dup screen against the persisted artifacts
+      val blocked = graft.ops.DedupOps.minhashDeltaIndexed(
+        s2, spark.read.parquet(indexDir), spark.read.parquet(hashSetsDir),
+        textCol, idCol, w, nBands, r, minJaccard)
+      val s3 = s2.join(blocked.select(col("doc_id").as("__bid")),
+        col(idCol) === col("__bid"), "left_anti")
+        .localCheckpoint()
+      // stage 4: decontamination — docs too short to shingle cannot overlap
+      val ov = s3
+        .select(col(idCol).as("__did"),
+          graft.functions.Generators.shingleExplode(col(textCol), w).as("s"))
+        .join(broadcast(benchShingles.select(col("s")).withColumn("__hit", lit(1))),
+          Seq("s"), "left")
+        .groupBy("__did")
+        .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_ov"))
+      val contaminated = ov
+        .filter(col("n_ov") * maxOverlapDen >= col("n_sh") * maxOverlapNum)
+        .select(col("__did"))
+      val s4 = s3.join(contaminated, col(idCol) === col("__did"), "left_anti")
+        .localCheckpoint()
+      // stage 5: stateless hash-threshold budget
+      val s5 = graft.ops.SampleOps.hashSample(s4, idCol, budgetNum, budgetDen)
+        .localCheckpoint()
+      // grow the artifacts with the ACCEPTED docs (the corpus being built)
+      s5.select("__key").distinct()
+        .write.mode("overwrite").parquet(s"$keysDir/batch=$batchId")
+      graft.ops.DedupOps.bandKeyIndex(s5, textCol, idCol, w, nBands, r)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      graft.ops.DedupOps.shingleHashSets(s5, textCol, idCol, w)
+        .write.mode("overwrite").parquet(s"$hashSetsDir/batch=$batchId")
+      def stage(df: DataFrame, i: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      val report = stage(masked, 0, "arrived")
+        .unionByName(stage(s1, 1, "quality"))
+        .unionByName(stage(s2, 2, "exact_dedup"))
+        .unionByName(stage(s3, 3, "near_dup"))
+        .unionByName(stage(s4, 4, "decontaminated"))
+        .unionByName(stage(s5, 5, "budget"))
+        .orderBy("stage")
+      onBatch(report, s5.drop("__key"), batchId)
+    }
+
   /** PRODUCTION ingest loop for the persisted IVF index —
     * [[nearDupIngest]]'s similarity sibling: a `foreachBatch` writer that
     * matches each micro-batch of vectors against the on-disk

@@ -250,6 +250,120 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation ingest mirrors the batch funnel per micro-batch and dedupes against accepted history") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_curingest").toString
+    // seed epochs (batch=-1): one corpus doc in the near-dup artifacts,
+    // EMPTY accepted-key set (a fresh corpus build)
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    Seq.empty[String].toDF("__key").write.parquet(s"$dir/keys/batch=-1")
+    graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=-1")
+    graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=-1")
+    val bench = Seq((100L, "benchmark evaluation suite question answers exactly here"))
+      .toDF("doc_id", "text")
+    val benchShingles = bench
+      .select(graft.functions.Generators.shingleExplode(col("text"), 3).as("s"))
+      .distinct().localCheckpoint()
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String, Long)], Seq[Long])]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.curationIngest(
+      in.toDF().toDF("doc_id", "text"),
+      s"$dir/keys", s"$dir/index", s"$dir/hashsets", benchShingles,
+      "text", "doc_id", stopwords = Seq("the", "about", "over"),
+      minTokens = 3, maxTokens = 100, minStops = 0,
+      prefixLen = 3, w = 3, maxOverlapNum = 1, maxOverlapDen = 2,
+      budgetNum = 1, budgetDen = 1,
+      onBatch = (report, accepted, id) => reports.synchronized {
+        reports += ((id,
+          report.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq,
+          accepted.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted))
+      }).start()
+    try {
+      // batch 0: one survivor (2); 4 fails quality (2 tokens), 8 shares
+      // 2's 3-token prefix key (in-batch keeper keeps the min id), 6 is a
+      // near-dup of seed-corpus doc 10, 12 is bench-contaminated
+      in.addData(
+        (2L, "completely novel sentence about catalyst physical planning"),
+        (4L, "too short"),
+        (6L, "the quick brown fox jumps over the lazy dog tonight"),
+        (8L, "completely novel sentence about different downstream topics"),
+        (12L, "benchmark evaluation suite question answers exactly here"))
+      q.processAllAvailable()
+      // batch 1: 20 repeats ACCEPTED doc 2's prefix key (caught only if
+      // the key artifact grew), 22 is a near-dup of accepted doc 2 with a
+      // different prefix (caught only if the near-dup index grew), 24 is
+      // novel
+      in.addData(
+        (20L, "completely novel sentence about spark execution engines"),
+        (22L, "a completely novel sentence about catalyst physical planning"),
+        (24L, "another entirely fresh document about shuffle partitions"))
+      q.processAllAvailable()
+      val byId = reports.sortBy(_._1).toSeq
+      assert(byId.map(_._1) == Seq(0L, 1L))
+      assert(byId(0)._3 == Seq(2L), s"batch-0 accepted: ${byId(0)}")
+      assert(byId(0)._2.map(r => (r._1, r._3)) ==
+        Seq((0L, 5L), (1L, 4L), (2L, 3L), (3L, 2L), (4L, 1L), (5L, 1L)),
+        s"batch-0 stage counts: ${byId(0)._2}")
+      assert(byId(1)._3 == Seq(24L), s"batch-1 accepted: ${byId(1)}")
+      assert(byId(1)._2.map(r => (r._1, r._3)) ==
+        Seq((0L, 3L), (1L, 3L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)),
+        s"batch-1 stage counts: ${byId(1)._2}")
+      // the accepted-key artifact carries every accepted epoch
+      val keys = spark.read.parquet(s"$dir/keys")
+        .select("__key").collect().map(_.getString(0)).toSet
+      assert(keys == Set("completely novel sentence", "another entirely fresh"))
+    } finally q.stop()
+  }
+
+  test("curation ingest budget stage agrees with the batch hashSample predicate") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_curbudget").toString
+    Seq.empty[String].toDF("__key").write.parquet(s"$dir/keys/batch=-1")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.ops.DedupOps.bandKeyIndex(empty, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=-1")
+    graft.ops.DedupOps.shingleHashSets(empty, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=-1")
+    // 8 distinct tokens per doc: enough bigrams that Gopher's fixed
+    // top-bigram-share rule (> 18% fails) passes on repeat-free text
+    val docs = (1L to 12L).map(i =>
+      (i, s"unique document number ${"abcdefghijkl"(i.toInt - 1)} content extended across partitions"))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.curationIngest(
+      in.toDF().toDF("doc_id", "text"),
+      s"$dir/keys", s"$dir/index", s"$dir/hashsets",
+      empty.select(col("text").as("s")).limit(0),
+      "text", "doc_id", stopwords = Seq("the"),
+      minTokens = 3, maxTokens = 100, minStops = 0,
+      prefixLen = 5, w = 3, maxOverlapNum = 1, maxOverlapDen = 1,
+      budgetNum = 1, budgetDen = 2,
+      onBatch = (_, acc, _) => accepted.synchronized {
+        accepted ++= acc.select("doc_id").collect().map(_.getLong(0))
+      }).start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      // no stage before the budget drops anything (unique prefixes, no
+      // bench, empty corpus), so accepted == the deterministic batch
+      // hashSample verdict over the same frame — a retried batch would
+      // re-derive exactly this set
+      val expect = graft.ops.SampleOps.hashSample(
+        docs.toDF("doc_id", "text"), "doc_id", 1, 2)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(accepted.sorted.toSeq == expect.toSeq && expect.nonEmpty && expect.size < 12,
+        s"accepted ${accepted.sorted} vs hashSample $expect")
+    } finally q.stop()
+  }
+
   test("bm25 ingest grows the index per batch; queries see the whole ingested corpus") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
