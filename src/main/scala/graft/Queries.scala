@@ -1247,6 +1247,33 @@ GROUP BY segment ORDER BY segment""")),
         TextAnalysisOps.vocabularyGrowth(Tables.documents(s, dir), "text", "doc_id"),
       Some(graft.sql.TextAnalysisSql.vocabularyGrowth("documents"))),
 
+    ("q133_label_propagation",
+      // community detection over the customer-supplier interaction graph:
+      // synchronous majority-label propagation, 3 rounds, ties broken by
+      // smallest label (the repo's total-order convention in place of the
+      // classic algorithm's RNG) — where connected components answer
+      // reachability, this answers clustering; one shuffle per round,
+      // struct-max argmax (no per-node window sort)
+      (s: SparkSession, dir: String) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        GraphOps.labelPropagation(pairs, "a", "b", rounds = 3)
+      },
+      Some(graft.sql.GraphSql.labelPropagationCustomerSupplier(rounds = 3))),
+
+    ("q134_pair_token_f1",
+      // near-dup pair QUALITY metric: ROUGE-1-F (distinct-token overlap
+      // F1) in exact integer ppm over the verified LSH candidate pairs —
+      // the order-insensitive complement of shingle Jaccard (high F1/low
+      // Jaccard = reordered near-copy; high Jaccard/low F1 = length skew)
+      (s: SparkSession, dir: String) =>
+        DedupOps.pairTokenF1(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, nBands = 8, r = 2, minJaccard = 0.25, limit = 50),
+      Some(graft.sql.DedupSql.pairTokenF1("documents",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.25, limit = 50))),
+
     ("q110_containment_pairs",
       // excerpt/superset detection: Broder containment |A∩B|/min(|A|,|B|)
       // over the shared LSH candidate pipeline, jaccard reported alongside

@@ -485,6 +485,56 @@ object DedupOps {
       .orderBy(col("containment").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(limit)
 
+  /** PAIR TOKEN-F1 (unigram-overlap F1 — ROUGE-1-F between documents,
+    * Lin 2004, computed symmetrically over DISTINCT tokens): for every
+    * verified MinHash near-dup candidate pair, the harmonic mean of
+    * token precision and recall — 2·|Ta∩Tb| / (|Ta|+|Tb|) — in exact
+    * integer ppm. The near-dup QUALITY metric: shingle-hash Jaccard
+    * (what the LSH pipeline thresholds on) is order-sensitive and
+    * w-gram-brittle, token-F1 is the order-insensitive complement —
+    * a pair with high F1 but low Jaccard is a SHUFFLED near-copy
+    * (reordered boilerplate), high Jaccard with middling F1 is a
+    * length-skewed containment case; reading both tells a curation
+    * pipeline WHICH dedup family should own the pair.
+    *
+    * 100 TB shape: pairs come from the capped LSH candidate pipeline
+    * (never n²); the overlap count joins the pair relation to the
+    * per-doc distinct-token relation on (doc, token) equi-keys — cost
+    * is Σ over pairs of |Ta|, bounded by pair count × doc length, and
+    * the counts relation aggregates map-side to one row per doc.
+    * Integer ppm via `div` — no ratio double near the order boundary.
+    * Returns (doc_a, doc_b, jaccard, n_a, n_b, n_overlap, f1_ppm),
+    * highest F1 first, capped at `limit`. */
+  def pairTokenF1(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minJaccard: Double = 0.25, limit: Int = 50,
+      maxBucket: Int = 1000): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    // capped-LSH verified pairs feed the overlap join AND carry jaccard
+    // through the aggregate keys (deterministic per pair)
+    val pairs = minhashVerifiedPairs(base, textCol, idCol, w, nBands, r,
+        minJaccard, maxBucket)
+      .localCheckpoint()
+    val toks = base
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
+    val cnt = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(toks.select(col("id").as("doc_a"), col("t")), Seq("doc_a"))
+      .join(toks.select(col("id").as("doc_b"), col("t")), Seq("doc_b", "t"),
+        "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(cnt.select(col("id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(cnt.select(col("id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("n_a"), col("n_b"), col("n_overlap"),
+        expr("n_overlap * 2000000 div (n_a + n_b)").as("f1_ppm"))
+      .orderBy(col("f1_ppm").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+  }
+
   /** INCREMENTAL near-dup screening: NEW-shard docs that are MinHash
     * near-duplicates of the EXISTING corpus — the fuzzy counterpart of
     * [[exactDedupDelta]] for the same ingest pattern (the corpus is never

@@ -166,6 +166,54 @@ object GraphOps {
       .orderBy(col("degree").desc, col("node").asc)
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007, synchronous
+    * form) over the undirected graph of a pair relation: every node
+    * starts as its own label; each round, a node adopts the MOST
+    * FREQUENT label among its neighbors (tie → smallest label), all
+    * nodes updating simultaneously. Where [[graft.ops.DedupOps.connectedComponents]]
+    * answers "which nodes are reachable from each other", this answers
+    * "which nodes cluster together" — a component with two dense
+    * communities joined by one bridge keeps two labels.
+    *
+    * Deterministic by construction: exact BIGINT neighbor-label counts
+    * and the (count desc, label asc) argmax leave no RNG and no
+    * float — the classic algorithm's random tie-breaking replaced by
+    * the repo's total-order convention, so `rounds` rounds produce
+    * bit-identical labels on any partitioning (and the unrolled-CTE
+    * oracle is equal by construction). Fixed `rounds` keeps the oracle
+    * expressible; synchronous updates can oscillate on bipartite-ish
+    * structure, which fixed rounds also bound.
+    *
+    * 100 TB shape: one shuffle per round — neighbor labels aggregate
+    * by (node, label) with map-side combine, then the per-node argmax
+    * is a struct-max aggregate (NOT a window: no per-node sort, fully
+    * map-side combinable); the static edge relation is checkpointed
+    * once. Returns (node, label) ordered by node. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame =
+    labelPropagationFromEdges(symmetricEdges(pairs, aCol, bCol), rounds)
+
+  /** [[labelPropagation]] from an already-canonical [[symmetricEdges]]
+    * relation — the persisted-artifact entry point. */
+  def labelPropagationFromEdges(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bad rounds: $rounds")
+    val edges = edgesIn.localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      labels = edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("n"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("n"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("best"))
+        .select(col("n").as("node"), (-col("best.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.orderBy(col("node"))
+  }
+
   /** TRIANGLE COUNT per node over the undirected graph of a pair
     * relation — the local clustering signal (dense triangle
     * neighborhoods = genuine communities; triangle-free stars = hub

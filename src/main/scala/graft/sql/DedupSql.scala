@@ -113,6 +113,28 @@ ${minhashPairCtes("toks", w, nBands, r, maxBucket)}
 SELECT doc_a, doc_b, containment, jaccard FROM v WHERE containment >= $minContainment
 ORDER BY containment DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
+  /** Mirror of [[graft.ops.DedupOps.pairTokenF1]]: the shared LSH
+    * candidate pipeline + exact hash-set verify select the pairs, then
+    * the distinct-token overlap join computes ROUGE-1-F in integer ppm
+    * (2·|Ta∩Tb|·10⁶ div (|Ta|+|Tb|)). */
+  def pairTokenF1(
+      table: String, w: Int, nBands: Int, r: Int,
+      minJaccard: Double, limit: Int, maxBucket: Int = 1000): String =
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+${minhashPairCtes("toks", w, nBands, r, maxBucket)},
+pr AS (SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard),
+dt AS (SELECT id, unnest(list_distinct(tk)) AS t FROM toks),
+cnt AS (SELECT id, COUNT(*) AS n FROM dt GROUP BY id),
+ovl AS (SELECT p.doc_a, p.doc_b, p.jaccard, COUNT(*) AS n_overlap
+  FROM pr p JOIN dt a ON a.id = p.doc_a
+  JOIN dt b ON b.id = p.doc_b AND b.t = a.t
+  GROUP BY 1, 2, 3)
+SELECT o.doc_a, o.doc_b, o.jaccard,
+  ca.n AS n_a, cb.n AS n_b, o.n_overlap,
+  (o.n_overlap * 2000000) // (ca.n + cb.n) AS f1_ppm
+FROM ovl o JOIN cnt ca ON ca.id = o.doc_a JOIN cnt cb ON cb.id = o.doc_b
+ORDER BY f1_ppm DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
+
   /** Mirror of [[graft.ops.DedupOps.minhashDedupDelta]] with the shard
     * split expressed as `doc_id % shardMod` (= 0 → new shard, ≠ 0 →
     * existing corpus): same signature pipeline as [[minhashPairs]], the

@@ -59,6 +59,33 @@ FROM e$rounds GROUP BY src ORDER BY degree DESC, node ASC""")
     sb.toString
   }
 
+  /** Mirror of [[graft.ops.GraphOps.labelPropagation]] over the
+    * customer-supplier interaction graph: the same symmetric-edge CTE as
+    * the PageRank/k-core mirrors, identity labels in `l0`, then one
+    * unrolled (count, argmax) round per iteration — count desc, label
+    * asc is the Scala struct-max's exact order. */
+  def labelPropagationCustomerSupplier(rounds: Int): String = {
+    require(rounds >= 1)
+    val sb = new StringBuilder
+    sb.append(s"""WITH p AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p)
+  WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)""")
+    (1 to rounds).foreach { i =>
+      sb.append(s""",
+c$i AS (SELECT e.dst AS n, l.label, COUNT(*) AS c
+  FROM e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+l$i AS (SELECT n AS node, label FROM (
+  SELECT n, label, ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, label ASC) AS rk
+  FROM c$i) WHERE rk = 1)""")
+    }
+    sb.append(s"""
+SELECT node, label FROM l$rounds ORDER BY node""")
+    sb.toString
+  }
+
   /** Mirror of [[graft.ops.GraphOps.triangleCounts]] over the capped
     * MinHash near-dup pair graph (the same pair set q39's clustering
     * consumes): same canonical (lo, hi) edges, ordered-wedge

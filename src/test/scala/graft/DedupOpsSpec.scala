@@ -433,6 +433,35 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out.head._4 < 1.0, s"jaccard must stay below 1: ${out.head}")
   }
 
+  test("pair token-F1: exact copy scores 10^6 ppm; partial overlap matches the hand computation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),            // exact copy
+      (3L, "alpha beta gamma delta epsilon eta theta"),       // 5 of 6/7 tokens
+      (4L, "entirely unrelated content about spark planning")) // no pair
+      .toDF("doc_id", "text")
+    val out = DedupOps.pairTokenF1(df, "text", "doc_id", minJaccard = 0.0, limit = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // the exact copy: |T|=6 both sides, overlap 6 -> F1 = 1.0 = 10^6 ppm
+    assert(out.contains((1L, 2L, 6L, 6L, 6L, 1000000L)), s"got ${out.toSeq}")
+    // any surfaced (1,3)/(2,3) pair: overlap {alpha..epsilon}=5 of 6 and 7
+    // tokens -> F1 = 10/13 -> 769230 ppm (integer div)
+    out.filter(p => p._2 == 3L).foreach { p =>
+      assert((p._3, p._4, p._5, p._6) == ((6L, 7L, 5L, 769230L)), s"got $p")
+    }
+    // doc 4 shares no shingle bucket with anything: never surfaced
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L), s"got ${out.toSeq}")
+    // repartition-invariant (integer ppm ordering, no float near the sort)
+    val re = DedupOps.pairTokenF1(df.repartition(5), "text", "doc_id",
+      minJaccard = 0.0, limit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("containment >= jaccard on every surfaced pair; deterministic on the corpus") {
     val docs = graft.io.Tables.documents(spark, sf)
     val a = DedupOps.containmentPairs(docs, "text", "doc_id",

@@ -143,6 +143,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(deg == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $deg")
   }
 
+  test("label propagation separates two bridged triangles into two communities") {
+    import spark.implicits._
+    // K3 {1,2,3} bridged to K3 {10,11,12}: reachability is ONE component,
+    // but majority-label propagation keeps one label per triangle — the
+    // signal connected components cannot give. 3 synchronous rounds with
+    // the (count desc, label asc) argmax, hand-traced.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(pairs, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+    // deterministic under repartitioning (struct-max argmax, no RNG)
+    val re = GraphOps.labelPropagation(pairs.repartition(5), "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
+
   test("persisted edge artifact: write -> reload feeds all three algorithms bit-identically") {
     import spark.implicits._
     // the q97/q105 pattern for the graph family: derive the canonical

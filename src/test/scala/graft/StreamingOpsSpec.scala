@@ -333,7 +333,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     graft.ops.DedupOps.shingleHashSets(empty, "text", "doc_id")
       .write.parquet(s"$dir/hashsets/batch=-1")
     // 8 distinct tokens per doc: enough bigrams that Gopher's fixed
-    // top-bigram-share rule (> 18% fails) passes on repeat-free text
+    // top-bigram-share rule (> 20% fails) passes on repeat-free text
     val docs = (1L to 12L).map(i =>
       (i, s"unique document number ${"abcdefghijkl"(i.toInt - 1)} content extended across partitions"))
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
