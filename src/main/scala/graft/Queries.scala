@@ -1057,6 +1057,30 @@ GROUP BY segment ORDER BY segment""")),
           .orderBy("doc_id"),
       Some(graft.sql.MultimodalSql.imageDecodeStats("documents"))),
 
+    ("q135_image_ahash",
+      // perceptual average-hash off the DECODED raster: 8x8 block-mean
+      // grid, integer grayscale, threshold at the mean of cell means, 64
+      // bits as two unsigned-32-bit halves (a signed BIGINT would put
+      // cell 63 in the sign bit). The oracle recomputes the hash from the
+      // generator formula — one flipped pixel anywhere flips bits.
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.imageAHash(
+          MultimodalOps.imageCorpus(s, Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(graft.sql.MultimodalSql.imageAHash("documents"))),
+
+    ("q136_image_ahash_pairs",
+      // image near-dup pairs by aHash hamming <= 7: the engine buckets on
+      // 8-bit chunks (pigeonhole: <= 7 differing bits guarantees >= 1
+      // equal chunk), the oracle affords the quadratic form — pigeonhole
+      // completeness makes the two pair sets equal
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.imageAHashPairs(
+          MultimodalOps.imageCorpus(s, Tables.documents(s, dir)),
+          maxDist = 7, limit = 50),
+      Some(graft.sql.MultimodalSql.imageAHashPairs("documents",
+        maxDist = 7, limit = 50))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

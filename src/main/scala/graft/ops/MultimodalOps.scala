@@ -705,6 +705,113 @@ object MultimodalOps {
     }
   }
 
+  /** PERCEPTUAL AVERAGE-HASH (aHash) over the DECODED raster — the
+    * image-near-dup fingerprint (the classic 8×8 block-mean hash, the
+    * baseline of the pHash family): integer grayscale `(r+g+b) div 3`
+    * per pixel, an 8×8 grid of block means (`x·8 div w` cell mapping —
+    * every pixel lands in exactly one cell for any dims ≥ 8), each cell
+    * thresholded against the mean of the 64 cell means (≥ → 1). ALL
+    * divisions integer — two engines cannot disagree by a rounding ulp.
+    * The 64 bits ship as TWO unsigned-32-bit BIGINT halves
+    * (`ahash_hi` = cells 32–63, `ahash_lo` = cells 0–31): a single
+    * 64-bit column would put cell 63 in the sign bit, where `1 << 63`
+    * overflows DuckDB's signed BIGINT — the split keeps every value
+    * exact and positive in both engines.
+    *
+    * Like [[imageDecodeStats]], the hash is computed from the raster
+    * `ImageIO.read` produced — a decoder that mangled channel order,
+    * dims, or any pixel flips bits and hash-diverges from the oracle's
+    * closed-form recomputation. 100 TB shape: map-only over the payload
+    * scan; 2 longs per image out. */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img = decodeImage(r.content).getOrElse(
+          throw new IllegalStateException(s"undecodable image payload for media ${r.mediaId}"))
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            val c = cy * 8 + x * 8 / w
+            sums(c) += gray
+            cnts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(64)(i => sums(i) / cnts(i))
+        val thr = means.sum / 64
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          if (means(i) >= thr) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (r.mediaId, w.toLong, h.toLong, hi, lo)
+      }
+    }.toDF("doc_id", "width", "height", "ahash_hi", "ahash_lo")
+  }
+
+  /** IMAGE NEAR-DUP pairs by aHash Hamming distance ≤ `maxDist`, LSH'd
+    * with the SimHash family's pigeonhole move: split the 64-bit hash
+    * into 8 byte chunks — two hashes within Hamming 7 MUST agree on at
+    * least one whole chunk (8 chunks, ≤ 7 differing bits), so bucketing
+    * on (chunk index, chunk value) finds every such pair without n².
+    * `maxDist` is capped at 7 to keep that recall guarantee exact.
+    * Verification is exact: `bit_count(hi⊕hi') + bit_count(lo⊕lo')`,
+    * integer end to end. Returns (doc_a, doc_b, hamming), closest
+    * first, capped at `limit`.
+    *
+    * 100 TB shape: one decode pass ([[imageAHash]], checkpointed — 2
+    * longs per image feed 8 chunk projections), chunk buckets shuffle
+    * 8 small ints per image, candidates come from bucket collisions
+    * only. */
+  def imageAHashPairs(
+      media: Dataset[MediaRow], maxDist: Int, limit: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"pigeonhole recall guarantee needs maxDist <= 7 with 8 chunks: $maxDist")
+    require(limit >= 1, s"bad limit: $limit")
+    val hashes = imageAHash(media)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      .localCheckpoint() // one decode pass feeds all 8 chunk projections + verify
+    val chunkArray = (0 until 8).map { j =>
+      val src = if (j < 4) "ahash_lo" else "ahash_hi"
+      val sh = 8 * (j % 4)
+      s"struct(CAST($j AS BIGINT) AS ci, shiftright($src, $sh) & 255 AS cv)"
+    }.mkString("array(", ", ", ")")
+    val chunks = hashes
+      .select(col("doc_id"), explode(expr(chunkArray)).as("ch"))
+      .select(col("doc_id"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val pairs = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("ahash_hi").as("__ha_hi"), col("ahash_lo").as("__ha_lo")), Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("ahash_hi").as("__hb_hi"), col("ahash_lo").as("__hb_lo")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(__ha_hi ^ __hb_hi) + bit_count(__ha_lo ^ __hb_lo)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+  }
+
   /** Per-image DECODED stats: dims and per-channel pixel sums read off the
     * raster that `ImageIO.read` produced — not the meta struct, not the
     * generator. Chained after [[imageCorpus]] this is a narrow map (no

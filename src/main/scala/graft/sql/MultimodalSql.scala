@@ -44,6 +44,56 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(SUM((doc_id * 7 + x * 5 + y * 17) % 256) AS BIGINT) AS sum_b
 FROM ps GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.MultimodalOps.imageAHash]]: closed-form
+    * recomputation of the 8×8 block-mean perceptual hash from the
+    * generator formula — integer gray `(r+g+b)//3`, `x*8//w` cell
+    * mapping, per-cell `SUM(gray)//COUNT(*)` means, threshold =
+    * `SUM(means)//64`, bits packed into two unsigned-32-bit halves
+    * (cell 63 in one signed BIGINT would overflow `1 << 63`). The
+    * engine computes the same bits off the DECODED raster. */
+  def imageAHash(table: String): String =
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM $table),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+ps AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id,
+  (((doc_id * 3 + x * 7 + y * 13) % 256) + ((doc_id * 5 + x * 11 + y * 3) % 256)
+    + ((doc_id * 7 + x * 5 + y * 17) % 256)) // 3 AS gray,
+  (y * 8 // h) * 8 + (x * 8 // w) AS c FROM ps),
+cm AS (SELECT doc_id, c, SUM(gray) // COUNT(*) AS m FROM px GROUP BY 1, 2),
+thr AS (SELECT doc_id, SUM(m) // 64 AS t FROM cm GROUP BY 1),
+bits AS (SELECT cm.doc_id,
+  CAST(SUM(CASE WHEN m >= t AND c >= 32 THEN (1::BIGINT << (c - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+  CAST(SUM(CASE WHEN m >= t AND c < 32 THEN (1::BIGINT << c) ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM cm JOIN thr ON thr.doc_id = cm.doc_id GROUP BY 1)
+SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  b.ahash_hi, b.ahash_lo
+FROM d JOIN bits b ON b.doc_id = d.doc_id ORDER BY d.doc_id"""
+
+  /** Mirror of [[graft.ops.MultimodalOps.imageAHashPairs]]: the aHash
+    * CTEs above, then exact Hamming over all same-or-colliding pairs —
+    * the oracle can afford the quadratic form the engine's chunk-LSH
+    * avoids, and pigeonhole completeness (≤ 7 differing bits ⇒ ≥ 1
+    * equal byte chunk) makes the two pair sets equal. */
+  def imageAHashPairs(table: String, maxDist: Int, limit: Int): String =
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM $table),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+ps AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id,
+  (((doc_id * 3 + x * 7 + y * 13) % 256) + ((doc_id * 5 + x * 11 + y * 3) % 256)
+    + ((doc_id * 7 + x * 5 + y * 17) % 256)) // 3 AS gray,
+  (y * 8 // h) * 8 + (x * 8 // w) AS c FROM ps),
+cm AS (SELECT doc_id, c, SUM(gray) // COUNT(*) AS m FROM px GROUP BY 1, 2),
+thr AS (SELECT doc_id, SUM(m) // 64 AS t FROM cm GROUP BY 1),
+bits AS (SELECT cm.doc_id,
+  CAST(SUM(CASE WHEN m >= t AND c >= 32 THEN (1::BIGINT << (c - 32)) ELSE 0 END) AS BIGINT) AS hi,
+  CAST(SUM(CASE WHEN m >= t AND c < 32 THEN (1::BIGINT << c) ELSE 0 END) AS BIGINT) AS lo
+  FROM cm JOIN thr ON thr.doc_id = cm.doc_id GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $maxDist
+ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
+
   /** Mirror of [[graft.ops.MultimodalOps.audioDecodeStats]] over
     * [[graft.ops.MultimodalOps.audioCorpus]]: the engine round-trips a
     * REAL WAV (AudioSystem encode → AudioSystem decode) and reads sample

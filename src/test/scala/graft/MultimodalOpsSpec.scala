@@ -76,6 +76,53 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("imageAHash matches the locally recomputed block-mean hash; pairs verify exact hamming") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = MultimodalOps.imageAHash(MultimodalOps.imageCorpus(spark, docs))
+      .orderBy("doc_id").collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = ((id * 3 + x * 7 + y * 13) % 256 +
+          (id * 5 + x * 11 + y * 3) % 256 +
+          (id * 7 + x * 5 + y * 17) % 256) / 3
+        val c = (y * 8 / h) * 8 + x * 8 / w
+        sums(c) += gray; cnts(c) += 1
+      }
+      val means = Array.tabulate(64)(i => sums(i) / cnts(i))
+      val thr = means.sum / 64
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64 if means(i) >= thr)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(3) == hi && r.getLong(4) == lo,
+        s"hash mismatch for doc $id: got (${r.getLong(3)},${r.getLong(4)}) want ($hi,$lo)")
+    }
+    // pairs: two hand-made near-identical rasters land within hamming 7;
+    // an unrelated inverted raster does not pair with them
+    def img(f: (Int, Int) => Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) { val v = f(x, y) & 0xff; b.setRGB(x, y, (v << 16) | (v << 8) | v) }
+      MultimodalOps.encodePng(b)
+    }
+    val grad = (x: Int, _: Int) => x * 16           // left dark, right bright
+    val gradTweak = (x: Int, y: Int) => if (x == 0 && y == 0) 255 else x * 16
+    val inverted = (x: Int, _: Int) => 255 - x * 16
+    val media = Seq(
+      MultimodalOps.MediaRow(1L, "image", img(grad), MultimodalOps.MediaMeta("png", 16, 16, 0L)),
+      MultimodalOps.MediaRow(2L, "image", img(gradTweak), MultimodalOps.MediaMeta("png", 16, 16, 0L)),
+      MultimodalOps.MediaRow(3L, "image", img(inverted), MultimodalOps.MediaMeta("png", 16, 16, 0L)))
+      .toDS()
+    val pairs = MultimodalOps.imageAHashPairs(media, maxDist = 7, limit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 1L, s"one tweaked pixel flips at most one block bit: ${pairs.head}")
+  }
+
   test("extractFeatures uses decoded pixels for real images") {
     import spark.implicits._
     val media = MultimodalOps.imageCorpus(spark, Tables.documents(spark, sf).limit(20))
