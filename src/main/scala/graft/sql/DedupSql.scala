@@ -37,9 +37,16 @@ HAVING COUNT(*) >= 2 ORDER BY keeper_id"""
   /** Mirror of [[graft.ops.DedupOps.jaccardJoinExact]]: same rarest-first
     * (freq, hash) order via `array_agg(... ORDER BY f, h)`, same prefix
     * length n − ⌈t·n⌉ + 1 in integer arithmetic, same capped buckets,
-    * same integer cross-multiplied threshold — the algorithm itself is
-    * mirrored (not brute force), and the completeness theorem makes both
-    * equal the exact answer modulo the shared cap. */
+    * same PPJoin positional filter over the same capped meeting set
+    * (per-pair MIN prefix positions, overlap bound
+    * 1 + min(na−1−ia, nb−1−ib) cross-multiplied against
+    * ⌈tNum·(na+nb)/(tNum+tDen)⌉), same integer cross-multiplied final
+    * threshold — the algorithm itself is mirrored (not brute force), and
+    * the completeness theorem makes both equal the exact answer modulo
+    * the shared cap. Mirroring the positional filter (rather than
+    * relying on its safety theorem) keeps equality by construction even
+    * in the capped corner where a pair's first meeting sat in a dropped
+    * bucket. */
   def jaccardJoinExact(
       table: String, w: Int, tNum: Long, tDen: Long, maxBucket: Int): String = {
     val gram = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
@@ -50,11 +57,15 @@ occ AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h FROM s
 freq AS (SELECT h, COUNT(*) AS f FROM occ GROUP BY h),
 srt AS (SELECT doc_id, array_agg(h ORDER BY f, h) AS hs, COUNT(*) AS n
   FROM occ JOIN freq USING (h) GROUP BY doc_id),
-pr AS (SELECT doc_id, unnest(hs[1 : CAST(n - (($tNum * n + $tDen - 1) // $tDen) + 1 AS INT)]) AS h
-  FROM srt),
+pr AS (SELECT doc_id, n, u['h'] AS h, u['p'] AS p FROM (
+  SELECT doc_id, n, unnest(list_transform(range(0, n - (($tNum * n + $tDen - 1) // $tDen) + 1),
+    i -> {'h': hs[CAST(i + 1 AS INT)], 'p': i})) AS u FROM srt)),
 grp AS (SELECT h FROM pr GROUP BY h HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pr a JOIN pr b USING (h) JOIN grp USING (h) WHERE a.doc_id < b.doc_id),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pr a JOIN pr b USING (h) JOIN grp USING (h) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+  HAVING (1 + LEAST(a.n - 1 - MIN(a.p), b.n - 1 - MIN(b.p))) * ${tNum + tDen}
+    >= $tNum * (a.n + b.n)),
 v AS (SELECT doc_a, doc_b,
     len(list_intersect(sa.hs, sb.hs)) AS n_common, sa.n + sb.n AS nsum
   FROM cand JOIN srt sa ON sa.doc_id = cand.doc_a JOIN srt sb ON sb.doc_id = cand.doc_b)
