@@ -1081,6 +1081,26 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.MultimodalSql.imageAHashPairs("documents",
         maxDist = 7, limit = 50))),
 
+    ("q137_zipf_slope",
+      // Zipf rank-frequency slope over the top-64 tokens: micro-int ln
+      // (the q103/q130 convention), exact-BIGINT regression sums, one
+      // IEEE double division — ranks from a bounded collect+posexplode,
+      // not a window; Heaps (q132) and Zipf together are the two
+      // canonical corpus-law diagnostics
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.zipfSlope(Tables.documents(s, dir), "text", topR = 64),
+      Some(graft.sql.TextAnalysisSql.zipfSlope("documents", topR = 64))),
+
+    ("q138_distinct_ngrams",
+      // distinct-n diversity per language (Li et al. 2016): share of
+      // n-gram occurrences that are distinct, n = 1..3, integer ppm —
+      // the cross-document template-spam signal per corpus shard
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.distinctNgramDiversity(Tables.documents(s, dir),
+          "text", "lang", maxN = 3),
+      Some(graft.sql.TextAnalysisSql.distinctNgramDiversity("documents",
+        "lang", maxN = 3))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -978,4 +978,95 @@ object TextAnalysisOps {
       .agg((count(col("y.doc_id")) + 1).as("rk"))
       .orderBy("rk")
   }
+
+  /** ZIPF RANK-FREQUENCY SLOPE: least-squares slope of ln(count) against
+    * ln(rank) over the `topR` most frequent tokens — the classic
+    * power-law diagnostic for corpus health (natural text sits near −1;
+    * a flat slope flags template/boilerplate floods, a cliff flags a
+    * truncated or deduplicated-to-death vocabulary). Complements
+    * [[vocabularyGrowth]] (Heaps' law — type growth) with the other
+    * canonical corpus law (Zipf — frequency decay).
+    *
+    * Determinism: ranks come from the bounded top-R relation (count
+    * desc, token asc — ties broken by the total-order convention) via a
+    * collect-to-array + posexplode over ≤ topR rows, NOT a window (the
+    * engine-wide no-unpartitioned-window invariant); ln is the
+    * round-to-micro-int convention (the q103/q130 precedent), the
+    * regression sums are exact BIGINTs (bounded: x ≤ ln(topR)·10⁶,
+    * y ≤ ln(corpus tokens)·10⁶ — products stay < 2⁶³ through
+    * corpus sizes of 10¹⁹ tokens), and the single slope division is
+    * IEEE-exact double arithmetic in the same operation order on both
+    * engines.
+    *
+    * 100 TB shape: one corpus scan → token-count shuffle (map-side
+    * combined) → bounded TakeOrdered top-R → all remaining arithmetic on
+    * ≤ topR rows. Returns ONE row: (n_terms, slope_ppm, intercept_micro,
+    * top_term, top_count). */
+  def zipfSlope(docs: DataFrame, textCol: String, topR: Int = 64): DataFrame = {
+    require(topR >= 2, s"zipf regression needs topR >= 2: $topR")
+    val counts = docs
+      .filter(col(textCol).isNotNull)
+      .select(graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("term").asc).limit(topR)
+    // rank 1..R without a window: ONE bounded array, sorted by the same
+    // (count desc, term asc) order via the (-c, term) struct encoding
+    val ranked = top
+      .agg(array_sort(collect_list(struct((-col("c")).as("nc"), col("term")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("rk0", "e")))
+      .select((col("rk0") + 1).cast("long").as("rank"),
+        (-col("e.nc")).as("c"), col("e.term").as("term"))
+    ranked
+      .select(col("rank"), col("c"), col("term"),
+        round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1e6, 0).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        min(struct(col("rank"), col("term"), col("c"))).as("t1"))
+      .select(col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("__s"),
+        col("sx"), col("sy"), col("t1"))
+      .select(col("n_terms"),
+        round(col("__s") * 1e6, 0).cast("long").as("slope_ppm"),
+        round((col("sy").cast("double") - col("__s") * col("sx").cast("double")) /
+          col("n_terms"), 0).cast("long").as("intercept_micro"),
+        col("t1.term").as("top_term"), col("t1.c").as("top_count"))
+  }
+
+  /** DISTINCT-N DIVERSITY per group (Li et al. 2016's distinct-n, the
+    * standard text-diversity metric curation pipelines track per
+    * language/source shard): for each n in 1..`maxN`, the share of
+    * n-gram OCCURRENCES that are distinct n-grams, in integer ppm. A
+    * collapsing distinct-2/3 under a stable distinct-1 is the signature
+    * of template spam / self-repetition that per-document
+    * [[repetitionProfile]] misses when the repetition spans documents.
+    *
+    * 100 TB shape: one corpus scan per n (the scans are independent and
+    * schedule in parallel under one action); each is a map-only n-gram
+    * generate into a (group, gram)-keyed partial-aggregated count —
+    * distinct counting shuffles (group, gram) pairs, never raw
+    * occurrences. Integer ppm via `div`. Groups whose docs are all
+    * shorter than n have no n-gram rows and are absent for that n —
+    * mirrored semantics on both engines. */
+  def distinctNgramDiversity(
+      docs: DataFrame, textCol: String, groupCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"bad maxN: $maxN")
+    (1 to maxN).map { n =>
+      docs
+        .filter(col(textCol).isNotNull)
+        .select(col(groupCol),
+          graft.functions.Generators.ngramExplode(col(textCol), n).as("g"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(col(groupCol), lit(n).cast("long").as("n"),
+          col("n_grams"), col("n_distinct"),
+          expr("n_distinct * 1000000 div n_grams").as("distinct_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col(groupCol), col("n"))
+  }
 }

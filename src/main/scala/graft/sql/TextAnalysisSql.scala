@@ -408,4 +408,44 @@ s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 SELECT doc_id, n_tokens, weight_micro,
   CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS BIGINT) AS rk
 FROM s ORDER BY rk"""
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.zipfSlope]]: same bounded
+    * top-R (count desc, term asc), same round-to-micro-int ln, same
+    * exact-BIGINT regression sums, same single double division in the
+    * same operation order. */
+  def zipfSlope(table: String, topR: Int): String =
+    s"""WITH c AS (SELECT t AS term, COUNT(*) AS c
+  FROM (SELECT unnest($toks) AS t FROM $table WHERE text IS NOT NULL) GROUP BY 1),
+top AS (SELECT term, c FROM c ORDER BY c DESC, term ASC LIMIT $topR),
+r AS (SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rank FROM top),
+xy AS (SELECT term, c, rank,
+  CAST(round(ln(rank::DOUBLE) * 1e6) AS BIGINT) AS x,
+  CAST(round(ln(c::DOUBLE) * 1e6) AS BIGINT) AS y FROM r),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy),
+s AS (SELECT a.*,
+  (n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE AS sl
+  FROM a)
+SELECT n_terms, CAST(round(sl * 1e6) AS BIGINT) AS slope_ppm,
+  CAST(round((sy::DOUBLE - sl * sx::DOUBLE) / n_terms) AS BIGINT) AS intercept_micro,
+  (SELECT term FROM r WHERE rank = 1) AS top_term,
+  (SELECT CAST(c AS BIGINT) FROM r WHERE rank = 1) AS top_count
+FROM s"""
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.distinctNgramDiversity]]:
+    * per-group distinct-n in integer ppm, one UNION ALL block per n. */
+  def distinctNgramDiversity(table: String, groupCol: String, maxN: Int): String = {
+    val blocks = (1 to maxN).map { n =>
+      val gram = (0 until n).map(o => s"tk[i + $o]").mkString(" || ' ' || ")
+      s"""SELECT $groupCol, CAST($n AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+  CAST((COUNT(DISTINCT g) * 1000000) // COUNT(*) AS BIGINT) AS distinct_ppm
+FROM (SELECT $groupCol, unnest(list_transform(range(1, len(tk) - ${n - 2}), i -> $gram)) AS g
+  FROM (SELECT $groupCol, $toks AS tk FROM $table WHERE text IS NOT NULL)
+  WHERE len(tk) >= $n)
+GROUP BY $groupCol"""
+    }
+    blocks.mkString("", "\nUNION ALL\n", s"\nORDER BY $groupCol, n")
+  }
 }

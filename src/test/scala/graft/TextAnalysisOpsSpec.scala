@@ -610,4 +610,45 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
         labelExpr = col("lang") === "en", dim = 256, thresholds = Seq(1L, 1L))
     }
   }
+
+  test("zipf slope: an exact power law regresses to its exponent") {
+    import spark.implicits._
+    // counts 64, 32, 16, 8 at ranks 1..4 — an exact 2^-rank law, so
+    // ln(count) = ln(128) - rank·ln2 ... against ln(RANK) it is not exact,
+    // but the slope must be strongly negative and the top term must be
+    // the count-64 token; a uniform corpus must regress to ~0
+    val rows = (1 to 64).map(_ => "aa") ++ (1 to 32).map(_ => "bb") ++
+      (1 to 16).map(_ => "cc") ++ (1 to 8).map(_ => "dd")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = TextAnalysisOps.zipfSlope(df, "text", topR = 64).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(r.getAs[String]("top_term") == "aa" && r.getAs[Long]("top_count") == 64L)
+    assert(r.getAs[Long]("slope_ppm") < -1000000L) // decays faster than 1/rank
+    val flat = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val rf = TextAnalysisOps.zipfSlope(flat, "text", topR = 8).collect()(0)
+    assert(rf.getAs[Long]("slope_ppm") == 0L) // equal counts: exactly flat
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.zipfSlope(df, "text", topR = 1)
+    }
+  }
+
+  test("distinct-n: repetition collapses distinct-2 while distinct-1 holds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "a b a b a b a b"), // 2 distinct unigrams, 2 distinct bigrams/7
+      (2L, "de", "a b c d e f g h") // all distinct at every n
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysisOps.distinctNgramDiversity(df, "text", "lang", maxN = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(("en", 1L)) == (8L, 2L, 250000L))
+    assert(r(("en", 2L)) == (7L, 2L, 285714L))
+    assert(r(("de", 1L)) == (8L, 8L, 1000000L))
+    assert(r(("de", 2L)) == (7L, 7L, 1000000L))
+    // a group whose docs are all shorter than n is absent for that n
+    val short = Seq((1L, "en", "solo")).toDF("doc_id", "lang", "text")
+    val rs = TextAnalysisOps.distinctNgramDiversity(short, "text", "lang", maxN = 2)
+      .collect()
+    assert(rs.map(_.getLong(1)).toSeq == Seq(1L))
+  }
 }
