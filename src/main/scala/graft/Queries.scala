@@ -49,6 +49,13 @@ object Queries {
     stopwords = cfg.stopwords ++ Seq("هستند"), lemmas = unicodeLemmas)
 
   /** name -> (spark impl, Some(oracle sql)). */
+  /** q139's fixed merge table: a deliberately CASCADING list (later
+    * merges consume earlier merged symbols — at, ch → atch) so the
+    * oracle's fold chain is exercised beyond single-char pairs. */
+  val fertilityMerges: Seq[(String, String)] = Seq(
+    ("s", "t"), ("a", "r"), ("ar", "t"), ("a", "t"),
+    ("c", "h"), ("at", "ch"), ("r", "o"), ("ro", "w"))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     ("q01_industry_counts",
@@ -1100,6 +1107,31 @@ GROUP BY segment ORDER BY segment""")),
           "text", "lang", maxN = 3),
       Some(graft.sql.TextAnalysisSql.distinctNgramDiversity("documents",
         "lang", maxN = 3))),
+
+    ("q139_bpe_fertility",
+      // tokenizer fertility per language under a fixed cascading merge
+      // table (the bpeEncode inference step, aggregated): BPE tokens per
+      // whitespace word + chars per token in integer ppm — the
+      // cross-language tokenizer-equity metric tracked before fixing a
+      // token budget; the oracle expresses the greedy applyMerge pass as
+      // a list_reduce fold chain, verified against applyMerge in spec
+      (s: SparkSession, dir: String) =>
+        BpeOps.bpeFertility(Tables.documents(s, dir), "text", "lang",
+          merges = Queries.fertilityMerges),
+      Some(graft.sql.BpeSql.bpeFertility("documents", "lang",
+        merges = Queries.fertilityMerges))),
+
+    ("q140_cluster_silhouette",
+      // simplified silhouette over the q44 k-means cells: per-cluster
+      // mean/min margin between winning and runner-up centroid cosine —
+      // near-zero margins flag boundary cells where SemDeDup/q80 labels
+      // are untrustworthy; winner and runner-up from one bounded sorted
+      // array per point (no per-point window), decimal-exact means
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.clusterSilhouette(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5, iters = 2),
+      Some(graft.sql.SimilaritySql.clusterSilhouette("embeddings",
+        k = 5, iters = 2, dim = 64))),
 
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),

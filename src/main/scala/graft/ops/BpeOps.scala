@@ -135,4 +135,53 @@ object BpeOps {
       .select(col(idCol).as("doc_id"), enc(col(textCol)).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** TOKENIZER FERTILITY profile: apply a fixed learned merge table
+    * ([[applyMerge]] per word, in merge-list order — the same inference
+    * step as [[bpeEncode]]) and report per-group corpus sizing stats —
+    * `tokens_per_word_ppm` (fertility: how many BPE tokens a whitespace
+    * word costs — THE cross-language tokenizer-equity metric) and
+    * `chars_per_token_ppm` (compression). A language whose fertility
+    * runs high pays more context window per sentence; curation pipelines
+    * track this per shard before fixing a token budget.
+    *
+    * Determinism: pure integer counts; per-word merging depends only on
+    * the word and the merge list. Symbols are UTF-16 code units on the
+    * JVM and characters in DuckDB — identical on the BMP text this
+    * corpus carries (documented boundary: astral-plane text would need a
+    * codepoint iterator here and nothing else changed).
+    *
+    * 100 TB shape: map-only over the corpus (the merge table rides the
+    * closure, vocabulary-sized) into a group-keyed partial-aggregated
+    * sum — one scan, one metadata-sized shuffle. Empty-worded docs count
+    * toward `n_docs` with zero words; a group with zero words reports
+    * null ratios (CASE-guarded identically in the mirror). */
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ms = merges.toIndexedSeq
+    val stats = udf((text: String) => {
+      val words = text.trim.split(" +").filter(_.nonEmpty)
+      var nw = 0L; var nc = 0L; var nt = 0L
+      words.foreach { w =>
+        nw += 1; nc += w.length
+        var syms: Seq[String] = w.map(_.toString)
+        ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        nt += syms.length
+      }
+      (nw, nc, nt)
+    })
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol), stats(col(textCol)).as("s"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s._1")).as("n_words"),
+        sum(col("s._2")).as("n_chars"), sum(col("s._3")).as("n_bpe_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          expr("n_bpe_tokens * 1000000 div n_words")).as("tokens_per_word_ppm"),
+        when(col("n_bpe_tokens") > 0,
+          expr("n_chars * 1000000 div n_bpe_tokens")).as("chars_per_token_ppm"))
+      .orderBy(col(groupCol))
+  }
 }

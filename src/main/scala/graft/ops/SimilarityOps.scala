@@ -697,6 +697,52 @@ object SimilarityOps {
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VectorMath.l2Squared(a, b)
 
+  /** CLUSTER SEPARATION profile (simplified silhouette, centroid form —
+    * Hruschka et al. 2004's simplified silhouette with the repo's cosine
+    * contract): train [[kmeansCentroids]], assign every vector to its
+    * argmax-cosine centroid, and report per cluster the mean and minimum
+    * MARGIN between the winning and runner-up centroid similarity. A
+    * cluster whose margin hugs zero sits on a boundary (SemDeDup-style
+    * cell dedup and the q80 topic labels are untrustworthy there); wide
+    * margins certify the cell structure the IVF family prunes by. The
+    * full silhouette's pairwise-distance form is O(n²); the centroid
+    * form is the standard scalable surrogate and needs only the k-sized
+    * broadcast the assignment pass already ships.
+    *
+    * Determinism: cosines are the engine-wide 6-dp contract; per-point
+    * winner/runner-up come from ONE bounded (≤ k) sorted struct array
+    * ((−cos, cid) — cos desc, cid asc, the training tiebreak), NOT a
+    * per-point window; margins aggregate decimal-exactly (the lloydStep
+    * sum pattern) so partial-agg order cannot shift a mean. Points are
+    * dropped only if fewer than two trained centroids survive (both
+    * engines drop them identically).
+    *
+    * 100 TB shape: one corpus scan × broadcast(k centroids) on top of
+    * the training passes; one point-key aggregate (bounded arrays),
+    * one cluster-key aggregate (≤ k rows). */
+  def clusterSilhouette(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"separation needs >= 2 centroids: $k")
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
+      .select(col("cid"), col("centroid").as("cv"))
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct((-col("ccos")).as("nc"), col("cid")))).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("a")(0).getField("cid").as("cid"),
+        round(col("a")(1).getField("nc") - col("a")(0).getField("nc"), 6)
+          .as("margin"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("margin").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("mean_margin"),
+        min(col("margin")).as("min_margin"))
+      .orderBy("cid")
+  }
+
   /** Cluster TOPIC labeling — the composition that makes k-means cells
     * HUMAN-AUDITABLE (class-based tf-idf, as in BERTopic, Grootendorst
     * 2022): train centroids on the embedding corpus ([[kmeansCentroids]]),

@@ -275,6 +275,22 @@ ${p}c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM 
     sb.toString
   }
 
+  /** Mirror of [[graft.ops.SimilarityOps.clusterSilhouette]]: the shared
+    * unrolled-training prefix, a full cosine score of every (point,
+    * trained centroid) pair, winner/runner-up per point by the training
+    * tiebreak, and the decimal-exact per-cluster margin aggregate. */
+  def clusterSilhouette(table: String, k: Int, iters: Int, dim: Int): String =
+    kmeansCtePrefix(table, k, iters, dim) + s""",
+sc AS (SELECT e.id, c.cid, ${cosSql("e.v", "c.cv", dim)} AS ccos FROM e, c$iters c),
+r AS (SELECT id, cid, ccos,
+  ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rk FROM sc),
+m AS (SELECT a.id, a.cid, round(a.ccos - b.ccos, 6) AS margin
+  FROM (SELECT * FROM r WHERE rk = 1) a JOIN (SELECT * FROM r WHERE rk = 2) b USING (id))
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+  round(CAST(SUM(CAST(margin AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+  MIN(margin) AS min_margin
+FROM m GROUP BY cid ORDER BY cid"""
+
   /** Mirror of [[graft.ops.SimilarityOps.clusterTopics]]: the shared
     * unrolled-training prefix, a final assignment against the trained
     * centroids `c{iters}` (same argmax/tiebreak as training), the doc join,

@@ -59,4 +59,37 @@ class BpeOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("bpeFertility: hand-computed cascades, greedy non-overlap, zero-word docs") {
+    import spark.implicits._
+    // merges (a,a) then (aa,a): "aaa" -> [aa,a] -> [aaa]? NO — second pass
+    // merges (aa,a) -> [aaa]: 1 token. "aaaa" -> pass1 [aa,aa] (greedy
+    // non-overlap), pass2 no (aa,a) adjacency with r="a" -> 2 tokens.
+    // "aaaaa" -> pass1 [aa,aa,a], pass2 merges tail (aa,a)? left of "a"
+    // is "aa" -> [aa,aaa] -> 2 tokens.
+    val docs = Seq(
+      (1L, "x", "aaa aaaa aaaaa"), // 1+2+2 = 5 tokens, 12 chars, 3 words
+      (2L, "x", "   "), // zero words, still a doc
+      (3L, "y", "ab")) // no merge applies: 2 tokens
+      .toDF("doc_id", "lang", "text")
+    val r = BpeOps.bpeFertility(docs, "text", "lang",
+        Seq(("a", "a"), ("aa", "a")))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val rx = r("x")
+    assert(rx.getAs[Long]("n_docs") == 2L && rx.getAs[Long]("n_words") == 3L)
+    assert(rx.getAs[Long]("n_chars") == 12L && rx.getAs[Long]("n_bpe_tokens") == 5L)
+    assert(rx.getAs[Long]("tokens_per_word_ppm") == 1666666L)
+    assert(rx.getAs[Long]("chars_per_token_ppm") == 2400000L)
+    val ry = r("y")
+    assert(ry.getAs[Long]("n_bpe_tokens") == 2L &&
+      ry.getAs[Long]("tokens_per_word_ppm") == 2000000L)
+    // a group with only zero-word docs reports null ratios, not a crash
+    val z = BpeOps.bpeFertility(
+        Seq((9L, "z", " ")).toDF("doc_id", "lang", "text"),
+        "text", "lang", Seq(("a", "a")))
+      .collect()(0)
+    assert(z.getAs[Long]("n_docs") == 1L && z.getAs[Long]("n_words") == 0L)
+    assert(z.isNullAt(z.fieldIndex("tokens_per_word_ppm")))
+    assert(z.isNullAt(z.fieldIndex("chars_per_token_ppm")))
+  }
 }

@@ -552,4 +552,33 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(real.nonEmpty && real == reparted)
   }
+
+  test("cluster silhouette: separated clusters report wide positive margins") {
+    import spark.implicits._
+    // two orthogonal-ish clusters; the two lowest-id seeds land one per
+    // cluster, so training converges immediately and every point's
+    // winning-vs-runner-up cosine margin is wide
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(0.95f, 0.05f)), (6L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.clusterSilhouette(emb, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+    assert(r.length == 2)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_points") == 3L)
+      assert(x.getAs[Double]("mean_margin") > 0.2,
+        s"separated clusters must have wide margins: $x")
+      assert(x.getAs[Double]("min_margin") > 0.0)
+      assert(x.getAs[Double]("min_margin") <= x.getAs[Double]("mean_margin"))
+    }
+    // repartition-invariant (decimal-exact margin aggregation)
+    val r13 = SimilarityOps.clusterSilhouette(emb.repartition(13), "vec_id",
+      "embedding", k = 2, iters = 2).collect()
+    assert(r.map(_.toString).toSeq == r13.map(_.toString).toSeq)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.clusterSilhouette(emb, "vec_id", "embedding", k = 1, iters = 1)
+    }
+  }
 }
