@@ -142,6 +142,18 @@ object Queries {
         RelationalOps.equiDepthHistogram(Tables.documents(s, dir), "n_chars", 4),
       Some(graft.sql.RelationalSql.equiDepthHistogram("documents", "n_chars", 4))),
 
+    ("q141_source_percentiles",
+      // per-source nearest-rank percentile calibration of doc length:
+      // the table that makes one quality threshold comparable across
+      // shards (FineWeb-style per-dump calibration) — same rank
+      // convention as the global clip (q58), per-GROUP cumulative
+      // window so the single-task hazard does not apply
+      (s: SparkSession, dir: String) =>
+        RelationalOps.groupedPercentiles(Tables.documents(s, dir),
+          "source", "n_chars", percents = Seq(10, 25, 50, 75, 90)),
+      Some(graft.sql.RelationalSql.groupedPercentiles("documents",
+        "source", "n_chars", percents = Seq(10, 25, 50, 75, 90)))),
+
     ("q90_canonicalize",
       // NFC + control/whitespace canonicalization: per-source doc count,
       // changed count, and md5-prefix checksum of the canonical bytes
@@ -1132,6 +1144,28 @@ GROUP BY segment ORDER BY segment""")),
           "vec_id", "embedding", k = 5, iters = 2),
       Some(graft.sql.SimilaritySql.clusterSilhouette("embeddings",
         k = 5, iters = 2, dim = 64))),
+
+    ("q142_longest_token_run",
+      // worst degenerate-repetition documents: longest equal-token run
+      // per doc via a single map-only aggregate-HOF fold (zero shuffle
+      // before the bounded TakeOrdered) — the hard-artifact signal ratio
+      // rules dilute away in long docs; oracle = gaps-and-islands
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.longestTokenRun(Tables.documents(s, dir),
+          "text", "doc_id", limit = 50),
+      Some(graft.sql.TextAnalysisSql.longestTokenRun("documents", limit = 50))),
+
+    ("q143_minhash_calibration",
+      // MinHash estimator health: signature-agreement estimate (matching
+      // components / k, the Broder estimator the banding recall math
+      // assumes) vs the exact verified Jaccard, worst-calibrated pairs
+      // first — the early warning that k is too small or the shingle
+      // universe has degenerated, before trusting LSH recall
+      (s: SparkSession, dir: String) =>
+        DedupOps.minhashCalibration(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, nBands = 8, r = 2, minJaccard = 0.25, limit = 50),
+      Some(graft.sql.DedupSql.minhashCalibration("documents",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.25, limit = 50))),
 
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),

@@ -252,20 +252,30 @@ object DedupOps {
   private[graft] def bandKeys(
       docs: DataFrame, textCol: String, idCol: String,
       w: Int, nBands: Int, r: Int): DataFrame = {
-    val k = nBands * r
+    val sig = minhashSignatures(docs, textCol, idCol, w, nBands * r)
+    sig.select(
+      col("id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandHash(col("m"), b, r).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** The (id, k-member signature array) relation [[bandKeys]] derives its
+    * band keys from — one k-wide row per doc off a single shingle scan
+    * (partial aggregation collapses a doc's shingles map-side). Shared by
+    * [[minhashCalibration]], which compares component agreement against
+    * the exact verify. */
+  private[graft] def minhashSignatures(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int, k: Int): DataFrame = {
     val aggCols = (0 until k).map(j => min(minhashMember(j, col("h"))).as(s"m$j"))
-    val sig = docs
+    docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), Generators.shingleExplode(col(textCol), w).as("s"))
       .select(col("id"), hash28(col("s")).as("h"))
       .groupBy("id")
       .agg(aggCols.head, aggCols.tail: _*)
       .select(col("id"), array((0 until k).map(j => col(s"m$j")): _*).as("m"))
-    sig.select(
-      col("id"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), bandHash(col("m"), b, r).as("bh"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** The persisted corpus band-key INDEX of the incremental near-dup
@@ -301,6 +311,48 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         hashSetJaccard(col("__ha"), col("__hb")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+
+  /** MINHASH ESTIMATOR CALIBRATION: for every verified LSH pair, the
+    * signature-agreement ESTIMATE of Jaccard (matching components / k —
+    * the unbiased estimator the banding math is built on, Broder 1997)
+    * next to the EXACT hash-set Jaccard the verify stage computed, worst
+    * calibrated pairs first. The index-health diagnostic for the whole
+    * MinHash family: the band false-negative rate every threshold choice
+    * assumes (1 − (1 − t^r)^b) is a function of the ESTIMATOR being
+    * on-calibration, so a drifting |est − exact| on live pairs is the
+    * early warning that k is too small (variance √(J(1−J)/k)) or the
+    * shingle distribution has degenerated (tiny universe, capped
+    * buckets) — re-tune bands before trusting recall.
+    *
+    * 100 TB shape: pairs come from the capped LSH pipeline (never n²);
+    * signatures are one k-wide row per doc off the same one-scan
+    * aggregate the band keys use; the component comparison is a
+    * zip_with/aggregate HOF inside codegen. Integer ppm everywhere; the
+    * exact side enters as its 6-dp contract rounded to ppm. */
+  def minhashCalibration(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, nBands: Int = 8, r: Int = 2,
+      minJaccard: Double = 0.0, limit: Int = 50,
+      maxBucket: Int = 1000): DataFrame = {
+    val k = nBands * r
+    val pairs = minhashVerifiedPairs(docs, textCol, idCol, w, nBands, r,
+      minJaccard, maxBucket)
+    val sig = minhashSignatures(docs, textCol, idCol, w, k)
+    val matches = aggregate(
+      zip_with(col("ma"), col("mb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    pairs
+      .join(sig.select(col("id").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(sig.select(col("id").as("doc_b"), col("m").as("mb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("exact_ppm"),
+        matches.as("est_matches"))
+      .select(col("doc_a"), col("doc_b"), col("exact_ppm"), col("est_matches"),
+        expr(s"est_matches * 1000000 div $k").as("est_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .orderBy(col("abs_err_ppm").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+  }
 
   /** The shared LSH candidate pipeline behind [[minhashVerifiedPairs]]
     * and [[containmentPairs]]: one-scan signature + carried hash sets,

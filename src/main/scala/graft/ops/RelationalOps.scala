@@ -505,6 +505,50 @@ object RelationalOps {
       .orderBy("bucket")
   }
 
+  /** PER-GROUP nearest-rank percentile CALIBRATION table: for every
+    * group (source shard, language, crawl dump) the metric values at the
+    * requested percentile cuts — the table that makes one quality
+    * threshold comparable ACROSS shards (FineWeb-style per-dump
+    * calibration: "p90 length" means a different absolute value in every
+    * dump, and filtering all dumps at one absolute number over- or
+    * under-prunes). Same nearest-rank rank-⌈p·n/100⌉ convention as
+    * [[nearestRankBounds]], so a per-group cut and the global clip rule
+    * cannot drift.
+    *
+    * Shape: one corpus scan → (group, value) histogram (map-side
+    * combined; bounded by group × metric cardinality, not corpus size) →
+    * per-GROUP cumulative window — partitioned by group, so the r8
+    * single-task hazard does not apply; the documented assumption is
+    * METRIC-CARDINALITY-BOUNDED metrics (lengths, scores — thousands of
+    * distinct values per group, the same assumption the global
+    * histogram path makes about its value axis). Cut ranks join the
+    * group-total relation (one row per group) and the answer is a
+    * min-over-qualifying-values aggregate — no per-row work after the
+    * histogram. */
+  def groupedPercentiles(
+      df: DataFrame, groupCol: String, metricCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100]: $percents")
+    require(percents == percents.sorted && percents.distinct == percents,
+      s"percents must be strictly increasing: $percents")
+    val hist = df.filter(col(metricCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(metricCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = hist.select(col("g"), col("v"), sum(col("c")).over(w).as("cum"))
+    val cuts = hist.groupBy("g").agg(sum(col("c")).as("n"))
+      .select(col("g"), col("n"), explode(array(percents.map(lit(_)): _*)).as("pct"))
+      .withColumn("rk", expr("(pct * n + 99) div 100"))
+    cuts.join(cum, Seq("g"))
+      .filter(col("cum") >= col("rk"))
+      .groupBy(col("g"), col("pct").cast("long").as("pct"), col("n"))
+      .agg(min(col("v")).as("cut_value"))
+      .select(col("g").as(groupCol), col("pct"), col("cut_value"),
+        col("n").as("n_group"))
+      .orderBy(col(groupCol), col("pct"))
+  }
+
   /** Distributed moment statistics (count/mean/variance/stddev) per group,
     * DETERMINISTIC under any partitioning: the naive `stddev` aggregate
     * folds doubles in partition order (nondeterministic at 1000 executors);

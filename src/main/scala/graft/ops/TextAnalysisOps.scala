@@ -1037,6 +1037,48 @@ object TextAnalysisOps {
         col("t1.term").as("top_term"), col("t1.c").as("top_count"))
   }
 
+  /** LONGEST REPEATED-TOKEN RUN per document — the degenerate-repetition
+    * signal ("the the the the …") that model-generated and
+    * template-corrupted text exhibits and that RATIO rules (q54's
+    * dup-bigram share, the Gopher mask) dilute away in long documents: a
+    * 50-token run inside a 5,000-token doc moves dup_bigram_ratio by 1%
+    * but is a hard artifact. Reports the worst `limit` documents with
+    * their longest run and its token.
+    *
+    * MAP-ONLY: the run scan is a single `aggregate` HOF fold over the
+    * token array (struct accumulator: previous token, current run, best
+    * run, best token, token count — strictly-greater update keeps the
+    * FIRST maximal run), executed inside codegen with zero shuffle
+    * before the bounded TakeOrdered. The oracle expresses the identical
+    * semantics as a gaps-and-islands window (pos − per-token row number)
+    * with the (run desc, start asc) argmax — first maximal run on both
+    * engines. Pure integers and token equality — nothing to diverge. */
+  def longestTokenRun(
+      docs: DataFrame, textCol: String, idCol: String,
+      limit: Int = 50): DataFrame = {
+    require(limit >= 1, s"bad limit: $limit")
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("btok"), lit(0L).as("n"))
+    val folded = aggregate(
+      graft.functions.TextHash.tokens(col(textCol)), init,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        val isNew = run > acc.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(isNew, run).otherwise(acc.getField("best")).as("best"),
+          when(isNew, x).otherwise(acc.getField("btok")).as("btok"),
+          (acc.getField("n") + 1).as("n"))
+      })
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), folded.as("f"))
+      .filter(col("f.n") > 0)
+      .select(col("doc_id"), col("f.n").as("n_tokens"),
+        col("f.best").as("max_run"), col("f.btok").as("top_token"))
+      .orderBy(col("max_run").desc, col("doc_id").asc)
+      .limit(limit)
+  }
+
   /** DISTINCT-N DIVERSITY per group (Li et al. 2016's distinct-n, the
     * standard text-diversity metric curation pipelines track per
     * language/source shard): for each n in 1..`maxN`, the share of

@@ -124,6 +124,28 @@ ${minhashPairCtes("toks", w, nBands, r, maxBucket)}
 SELECT doc_a, doc_b, containment, jaccard FROM v WHERE containment >= $minContainment
 ORDER BY containment DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
+  /** Mirror of [[graft.ops.DedupOps.minhashCalibration]]: the shared LSH
+    * pipeline's `sig` CTE provides the k-member signatures; component
+    * agreement counts against the exact verify, integer ppm, worst
+    * calibrated pairs first. */
+  def minhashCalibration(
+      table: String, w: Int, nBands: Int, r: Int,
+      minJaccard: Double, limit: Int, maxBucket: Int = 1000): String = {
+    val k = nBands * r
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+${minhashPairCtes("toks", w, nBands, r, maxBucket)},
+pr AS (SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard),
+cal AS (SELECT p.doc_a, p.doc_b,
+  CAST(round(p.jaccard * 1e6) AS BIGINT) AS exact_ppm,
+  CAST(len(list_filter(range(1, ${k + 1}), i -> a.m[i] = b.m[i])) AS BIGINT) AS est_matches
+  FROM pr p JOIN sig a ON a.id = p.doc_a JOIN sig b ON b.id = p.doc_b)
+SELECT doc_a, doc_b, exact_ppm, est_matches,
+  CAST((est_matches * 1000000) // $k AS BIGINT) AS est_ppm,
+  CAST(abs((est_matches * 1000000) // $k - exact_ppm) AS BIGINT) AS abs_err_ppm
+FROM cal
+ORDER BY abs_err_ppm DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
+  }
+
   /** Mirror of [[graft.ops.DedupOps.pairTokenF1]]: the shared LSH
     * candidate pipeline + exact hash-set verify select the pairs, then
     * the distinct-token overlap join computes ROUGE-1-F in integer ppm

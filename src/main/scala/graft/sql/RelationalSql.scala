@@ -257,6 +257,26 @@ SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM t GROUP BY bucket ORDER BY bucket"""
   }
 
+  /** Mirror of [[graft.ops.RelationalOps.groupedPercentiles]]: per-group
+    * (group, value) histogram, per-group cumulative window, the same
+    * ⌈p·n/100⌉ integer ceiling rank, min-qualifying-value answer. */
+  def groupedPercentiles(
+      table: String, groupCol: String, metricCol: String,
+      percents: Seq[Int]): String = {
+    val pctList = percents.mkString(", ")
+    s"""WITH h AS (SELECT $groupCol AS g, $metricCol AS v, COUNT(*) AS c
+  FROM $table WHERE $metricCol IS NOT NULL GROUP BY 1, 2),
+cm AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM h),
+t AS (SELECT g, SUM(c) AS n FROM h GROUP BY g),
+cuts AS (SELECT g, n, pct, (pct * n + 99) // 100 AS rk
+  FROM t, (SELECT unnest([$pctList]) AS pct))
+SELECT cuts.g AS $groupCol, CAST(cuts.pct AS BIGINT) AS pct,
+  CAST(MIN(cm.v) AS BIGINT) AS cut_value, CAST(cuts.n AS BIGINT) AS n_group
+FROM cuts JOIN cm ON cm.g = cuts.g AND cm.cum >= cuts.rk
+GROUP BY cuts.g, cuts.pct, cuts.n
+ORDER BY $groupCol, pct"""
+  }
+
   /** Mirror of [[graft.ops.ProfileOps.columnRegisters]] →
     * [[graft.ops.ProfileOps.mergeColumnRegisters]] →
     * [[graft.ops.ProfileOps.columnDistinctEstimates]]: the oracle builds

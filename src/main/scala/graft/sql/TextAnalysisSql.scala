@@ -432,6 +432,27 @@ SELECT n_terms, CAST(round(sl * 1e6) AS BIGINT) AS slope_ppm,
   (SELECT CAST(c AS BIGINT) FROM r WHERE rank = 1) AS top_count
 FROM s"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.longestTokenRun]]: the HOF
+    * fold's first-maximal-run semantics as gaps-and-islands (pos − the
+    * per-(doc, token) row number is constant exactly along a run) with
+    * the (run desc, start asc) argmax. */
+  def longestTokenRun(table: String, limit: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+p AS (SELECT doc_id, u['p'] AS pos, u['tok'] AS tok FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+    i -> {'p': i, 'tok': tk[CAST(i AS INT)]})) AS u FROM t)),
+r AS (SELECT doc_id, pos, tok,
+  pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS isl FROM p),
+runs AS (SELECT doc_id, tok, MIN(pos) AS strt, COUNT(*) AS run
+  FROM r GROUP BY doc_id, tok, isl),
+n AS (SELECT doc_id, len(tk) AS n_tokens FROM t WHERE len(tk) > 0),
+best AS (SELECT doc_id, tok, run,
+  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY run DESC, strt ASC) AS rk FROM runs)
+SELECT b.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+  CAST(b.run AS BIGINT) AS max_run, b.tok AS top_token
+FROM best b JOIN n USING (doc_id) WHERE rk = 1
+ORDER BY max_run DESC, doc_id ASC LIMIT $limit"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.distinctNgramDiversity]]:
     * per-group distinct-n in integer ppm, one UNION ALL block per n. */
   def distinctNgramDiversity(table: String, groupCol: String, maxN: Int): String = {

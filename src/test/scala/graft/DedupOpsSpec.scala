@@ -547,4 +547,33 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3))
     }
   }
+
+  test("minhash calibration: exact copies agree on every component") {
+    import spark.implicits._
+    val copy = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, copy), (2L, copy), // exact copy: est = exact = 1e6, err 0
+      (3L, "alpha beta gamma delta epsilon zeta other words here"),
+      (4L, "totally different text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.minhashCalibration(df, "text", "doc_id",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.0, limit = 50)
+      .collect()
+    val byPair = r.map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    val exact = byPair((1L, 2L))
+    assert(exact.getAs[Long]("exact_ppm") == 1000000L)
+    assert(exact.getAs[Long]("est_matches") == 16L) // every component equal
+    assert(exact.getAs[Long]("est_ppm") == 1000000L)
+    assert(exact.getAs[Long]("abs_err_ppm") == 0L)
+    // every pair: estimate in [0, 1e6], err consistent with the columns
+    r.foreach { x =>
+      val est = x.getAs[Long]("est_ppm")
+      assert(est >= 0L && est <= 1000000L)
+      assert(x.getAs[Long]("abs_err_ppm") ==
+        math.abs(est - x.getAs[Long]("exact_ppm")))
+    }
+    // worst-calibrated-first ordering
+    val errs = r.map(_.getAs[Long]("abs_err_ppm")).toSeq
+    assert(errs == errs.sorted.reverse)
+  }
 }

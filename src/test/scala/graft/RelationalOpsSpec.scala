@@ -184,4 +184,26 @@ class RelationalOpsSpec extends AnyFunSuite {
       .collect().filter(r => r.getLong(2) <= 7L && 7L <= r.getLong(3))
     assert(bucketOf7.length == 1)
   }
+
+  test("grouped percentiles: hand-computed nearest-rank cuts per group") {
+    import spark.implicits._
+    // group a: 1..10 -> p50 = rank 5 = 5, p90 = rank 9 = 9, p100 = 10
+    // group b: ten copies of 7 -> every cut = 7
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 10).map(_ => ("b", 7L))).toDF("src", "m")
+    val r = RelationalOps.groupedPercentiles(df, "src", "m", Seq(50, 90, 100))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("a", 50L) -> 5L, ("a", 90L) -> 9L, ("a", 100L) -> 10L,
+      ("b", 50L) -> 7L, ("b", 90L) -> 7L, ("b", 100L) -> 7L))
+    // single-group calibration agrees with the global nearestRankBounds
+    // machinery (same rank convention, so they cannot drift)
+    val one = df.filter($"src" === "a")
+    val g = RelationalOps.groupedPercentiles(one, "src", "m", Seq(10, 90))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    val b = RelationalOps.nearestRankBounds(one, "m", Seq(10, 90)).collect()(0)
+    assert(g(10L) == b.getLong(0) && g(90L) == b.getLong(1))
+    intercept[IllegalArgumentException] {
+      RelationalOps.groupedPercentiles(df, "src", "m", Seq(90, 50))
+    }
+  }
 }

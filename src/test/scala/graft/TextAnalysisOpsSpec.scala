@@ -632,6 +632,29 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("longest token run: first maximal run wins ties, whitespace docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b b"), // run 3 of 'a'
+      (2L, "b b a a"), // tie at 2: FIRST maximal run -> 'b'
+      (3L, "x"), // single token: run 1
+      (4L, "   "), // no tokens: absent
+      (5L, "c d c d c d")) // no adjacent repeat: run 1, first token 'c'
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.longestTokenRun(df, "text", "doc_id", limit = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == (5L, 3L, "a"))
+    assert(r(2L) == (4L, 2L, "b"))
+    assert(r(3L) == (1L, 1L, "x"))
+    assert(r(5L) == (6L, 1L, "c"))
+    assert(!r.contains(4L))
+    // ordering: worst repeater first
+    val first = TextAnalysisOps.longestTokenRun(df, "text", "doc_id", limit = 1)
+      .collect()(0)
+    assert(first.getLong(0) == 1L && first.getLong(2) == 3L)
+  }
+
   test("distinct-n: repetition collapses distinct-2 while distinct-1 holds") {
     import spark.implicits._
     val df = Seq(
