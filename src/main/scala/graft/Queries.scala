@@ -1167,6 +1167,28 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.minhashCalibration("documents",
         w = 3, nBands = 8, r = 2, minJaccard = 0.25, limit = 50))),
 
+    ("q144_winnowing_pairs",
+      // MOSS-style clone pairs: docs sharing >= 3 distinct winnowing
+      // fingerprints (q122's sets), scored by smaller-set containment —
+      // guaranteed recall on any >= win+k-1-token verbatim overlap,
+      // capped fingerprint buckets, never n²
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.winnowingPairs(Tables.documents(s, dir), "text", "doc_id",
+          k = 3, win = 4, minShared = 3, limit = 50),
+      Some(graft.sql.TextAnalysisSql.winnowingPairs("documents",
+        k = 3, win = 4, minShared = 3, limit = 50))),
+
+    ("q145_phrase_search",
+      // exact phrase search over positional postings: IN-list scan prune
+      // to the phrase's terms before any shuffle, one (doc, pos+offset)
+      // equi-join per subsequent term — the retrieval primitive
+      // bag-of-words BM25 cannot express
+      (s: SparkSession, dir: String) =>
+        RetrievalOps.phraseSearch(Tables.documents(s, dir), "text", "doc_id",
+          phrase = Seq("big", "order", "scan"), limit = 50),
+      Some(graft.sql.RetrievalSql.phraseSearch("documents",
+        phrase = Seq("big", "order", "scan"), limit = 50))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -367,4 +367,47 @@ object RetrievalOps {
         col("score_micro"), col("n_terms_hit"))
       .orderBy("query_id", "rk")
   }
+
+  /** EXACT PHRASE SEARCH over a POSITIONAL index — the retrieval
+    * primitive BM25's bag-of-words structurally cannot express ("big
+    * order scan" as a phrase, not three terms): positional postings
+    * (doc, term, pos) filtered to the phrase's terms AT THE SCAN (an
+    * IN-list of a handful of literals — predicate-pushdown territory),
+    * then one equi-join per subsequent phrase term on
+    * (doc, pos + offset) — the standard positional-intersection plan.
+    * Reports per-document phrase occurrence counts, most hits first.
+    *
+    * 100 TB shape: the explode emits positions map-only; the IN-list
+    * prunes to phrase-term postings BEFORE any shuffle (the bm25TopK
+    * semi-join trick with literal terms), so the n−1 position joins
+    * shuffle only those postings on the (doc, pos) key family. No
+    * windows, integer positions, bounded TakeOrdered. A persisted
+    * positional-postings artifact drops the scan entirely — the q105
+    * pattern; this entry builds it inline so the oracle stays
+    * single-statement. */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String], limit: Int): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms: $phrase")
+    require(limit >= 1, s"bad limit: $limit")
+    val post = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextHash.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.map(_.asInstanceOf[Any]): _*))
+    val first = post.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(
+          post.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - (i + 1)).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+      .limit(limit)
+  }
 }

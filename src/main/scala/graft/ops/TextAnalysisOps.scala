@@ -608,7 +608,10 @@ object TextAnalysisOps {
     * fingerprint and are absent, the [[DedupOps.shingleHashSets]] gate
     * convention. Output: (doc_id, n_shingles, n_windows, n_fp, fp_md5)
     * with the checksum over the sorted fingerprint set. */
-  def winnowingFingerprints(
+  /** (doc_id, __hs, __fp) — positional shingle-hash sequence and the
+    * DISTINCT winnowing fingerprint set per doc, the shared map-only
+    * front half of [[winnowingFingerprints]] and [[winnowingPairs]]. */
+  private def winnowingSets(
       docs: DataFrame, textCol: String, idCol: String,
       k: Int, win: Int): DataFrame = {
     require(k >= 1, s"shingle width must be >= 1: $k")
@@ -626,6 +629,12 @@ object TextAnalysisOps {
         array_distinct(transform(
           sequence(lit(1), size(col("__hs")) - (win - 1)),
           j => array_min(slice(col("__hs"), j, lit(win))))).as("__fp"))
+  }
+
+  def winnowingFingerprints(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int, win: Int): DataFrame = {
+    winnowingSets(docs, textCol, idCol, k, win)
       .select(
         col("doc_id"),
         size(col("__hs")).cast("long").as("n_shingles"),
@@ -634,6 +643,49 @@ object TextAnalysisOps {
         md5(array_join(transform(array_sort(col("__fp")), x => x.cast("string")), ","))
           .as("fp_md5"))
       .orderBy("doc_id")
+  }
+
+  /** WINNOWING FINGERPRINT PAIRS — MOSS-style clone detection (Schleimer
+    * et al. SIGMOD 2003, the pairing half): documents sharing ≥
+    * `minShared` DISTINCT winnowing fingerprints, scored by the share of
+    * the SMALLER document's fingerprint set that is common (the
+    * containment orientation — an excerpt buried in a long doc still
+    * scores high). The winnowing guarantee carries over: any common
+    * substring of ≥ win+k−1 tokens forces ≥ 1 shared fingerprint, so the
+    * pair relation has GUARANTEED recall on long verbatim overlaps at
+    * ~2/(win+1) of the positional-index cost — the structural complement
+    * of MinHash (whole-document similarity, probabilistic) and of the
+    * segment dedupers (fixed grids).
+    *
+    * 100 TB shape: the fingerprint relation is the same map-only front
+    * half q122 ships; candidate pairs come from fingerprint-key buckets
+    * with the familiar `maxBucket` degenerate cap and the lazy
+    * [[graft.functions.Generators.PairsExplode]] — cost scales with
+    * bucket collisions, never n²; the shared count is ONE (pair-key)
+    * aggregate (each fingerprint is distinct per doc, so a pair's
+    * meetings count its shared fingerprints exactly). Integer ppm. */
+  def winnowingPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int, win: Int, minShared: Int, limit: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"bad minShared: $minShared")
+    require(limit >= 1, s"bad limit: $limit")
+    winnowingSets(docs, textCol, idCol, k, win)
+      .select(col("doc_id"), size(col("__fp")).cast("long").as("n_fp"),
+        explode(col("__fp")).as("fp"))
+      .groupBy("fp")
+      .agg(collect_list(struct(col("doc_id").as("id"), col("n_fp"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(graft.functions.Generators.pairsExplode(col("ms")).as(Seq("a", "b")))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.n_fp").as("na"), col("b.n_fp").as("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("na").as("n_fp_a"), col("nb").as("n_fp_b"),
+        expr("n_shared * 1000000 div least(na, nb)").as("overlap_ppm"))
+      .orderBy(col("overlap_ppm").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
   }
 
   /** Adjacent token-bigram explode: (prev, cur) structs, empty below two

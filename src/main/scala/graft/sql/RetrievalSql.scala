@@ -151,4 +151,26 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score_micro, n_terms_hit
 FROM r WHERE rk <= $k ORDER BY query_id, rk"""
   }
+
+  /** Mirror of [[graft.ops.RetrievalOps.phraseSearch]]: positional
+    * postings pruned to the phrase terms, one position-offset self-join
+    * per subsequent term (only relative offsets matter, so the 1-based
+    * SQL positions and 0-based engine positions agree). */
+  def phraseSearch(table: String, phrase: Seq[String], limit: Int): String = {
+    val inList = phrase.distinct.map(sq).mkString(", ")
+    val joins = phrase.tail.zipWithIndex.map { case (t, i) =>
+      s"JOIN p p${i + 1} ON p${i + 1}.doc_id = p0.doc_id AND " +
+        s"p${i + 1}.pos = p0.pos + ${i + 1} AND p${i + 1}.term = ${sq(t)}"
+    }.mkString("\n  ")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+p AS (SELECT doc_id, u['p'] AS pos, u['tok'] AS term FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+    i -> {'p': i, 'tok': tk[CAST(i AS INT)]})) AS u FROM t)
+  WHERE u['tok'] IN ($inList)),
+m AS (SELECT p0.doc_id FROM p p0
+  $joins
+  WHERE p0.term = ${sq(phrase.head)})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m
+GROUP BY doc_id ORDER BY n_matches DESC, doc_id ASC LIMIT $limit"""
+  }
 }

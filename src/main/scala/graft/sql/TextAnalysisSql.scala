@@ -197,6 +197,32 @@ SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
 FROM f ORDER BY doc_id"""
   }
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.winnowingPairs]]: the q122
+    * fingerprint CTEs, then the same capped-bucket pair algorithm
+    * (distinct fingerprints per doc make COUNT(*) per pair the shared
+    * count) with the smaller-set containment score in integer ppm. */
+  def winnowingPairs(table: String, k: Int, win: Int,
+      minShared: Int, limit: Int, maxBucket: Int = 1000): String = {
+    val gram = (0 until k).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+g AS (SELECT doc_id, list_transform(range(1, len(tk) - ${k - 2}), i -> $gram) AS sh
+  FROM t WHERE len(tk) >= ${k + win - 1}),
+h AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM g),
+f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - ${win - 2}),
+    j -> list_min(hs[j:j + ${win - 1}]))) AS fp FROM h),
+occ AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS fp FROM f),
+grp AS (SELECT fp FROM occ GROUP BY fp HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS na, b.n_fp AS nb,
+    COUNT(*) AS n_shared
+  FROM occ a JOIN occ b USING (fp) JOIN grp USING (fp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= $minShared)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+  CAST(na AS BIGINT) AS n_fp_a, CAST(nb AS BIGINT) AS n_fp_b,
+  CAST((n_shared * 1000000) // LEAST(na, nb) AS BIGINT) AS overlap_ppm
+FROM pr ORDER BY overlap_ppm DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
+  }
+
   /** Mirror of [[graft.ops.TextAnalysisOps.scoreThresholdSweep]]: the
     * q74 score CTE (same md5 hash, same integer weights) joined to the
     * boolean label, aggregated per explicit threshold; precision/recall

@@ -186,4 +186,28 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(shared == unshared)
   }
+
+  test("phrase search: adjacency required, counts exact, repeated terms handled") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "big order scan then big order scan again"), // 2 matches
+      (2L, "one big order scan here"), // 1 match
+      (3L, "big scan order"), // terms present, wrong order: 0
+      (4L, "big order nothing scan"), // not adjacent: 0
+      (5L, "order scan big")) // wrap-around is not adjacency: 0
+      .toDF("doc_id", "text")
+    val r = graft.ops.RetrievalOps.phraseSearch(df, "text", "doc_id",
+        Seq("big", "order", "scan"), limit = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 1L))
+    // a phrase with a repeated term needs BOTH positions
+    val rep = graft.ops.RetrievalOps.phraseSearch(
+        Seq((1L, "go go stop"), (2L, "go stop go")).toDF("doc_id", "text"),
+        "text", "doc_id", Seq("go", "go"), limit = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rep == Map(1L -> 1L))
+    intercept[IllegalArgumentException] {
+      graft.ops.RetrievalOps.phraseSearch(df, "text", "doc_id", Seq("big"), 10)
+    }
+  }
 }

@@ -632,6 +632,31 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing pairs: verbatim overlap guarantees a pair, excerpt scores full containment") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, span + " extra tail words here continue on and on"),
+      (2L, "prefix words lead in here " + span), // shares the 10-token span
+      (3L, span), // doc 3 IS the span: its fp set ⊆ both supersets
+      (4L, "completely unrelated vocabulary with no common substring"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.winnowingPairs(df, "text", "doc_id",
+        k = 3, win = 4, minShared = 1, limit = 50)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    // winnowing guarantee: a shared >= win+k-1 = 6-token substring forces
+    // >= 1 shared fingerprint -> all three span-carrying pairs exist
+    assert(r.contains((1L, 2L)) && r.contains((1L, 3L)) && r.contains((2L, 3L)))
+    assert(!r.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // containment orientation: the pure-excerpt doc is fully covered
+    assert(r((1L, 3L)).getAs[Long]("overlap_ppm") == 1000000L)
+    assert(r((2L, 3L)).getAs[Long]("overlap_ppm") == 1000000L)
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("n_shared") <=
+        math.min(x.getAs[Long]("n_fp_a"), x.getAs[Long]("n_fp_b")))
+    }
+  }
+
   test("longest token run: first maximal run wins ties, whitespace docs drop") {
     import spark.implicits._
     val df = Seq(
