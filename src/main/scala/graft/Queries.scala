@@ -1189,6 +1189,33 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.RetrievalSql.phraseSearch("documents",
         phrase = Seq("big", "order", "scan"), limit = 50))),
 
+    ("q146_cluster_size_histogram",
+      // near-dup cluster SIZE distribution: q39's components bucketed by
+      // the log2 sketch — the dedup-savings estimate (bucket b holds
+      // clusters of 2^(b-1)..2^b-1 copies; mass above bucket 1 is
+      // deletable) and the template-flood alarm (a fat tail bucket =
+      // one boilerplate exploding into thousands of near-copies)
+      (s: SparkSession, dir: String) => {
+        val comps = DedupOps.connectedComponents(
+          DedupOps.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+            w = 3, nBands = 8, r = 2, minJaccard = 0.3, limit = 10000),
+          "doc_a", "doc_b")
+        SketchOps.log2Histogram(
+          comps.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz")), "sz")
+      },
+      Some(graft.sql.DedupSql.clusterSizeHistogram("documents",
+        w = 3, nBands = 8, r = 2, minJaccard = 0.3, limit = 10000))),
+
+    ("q147_embedding_profile",
+      // embedding pre-flight health per label: null/zero-vector counts,
+      // dimension min/max, squared-norm band — the degenerate classes a
+      // cosine pipeline silently misranks, checked before trusting any
+      // ANN/SemDeDup result
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.embeddingProfile(Tables.embeddings(s, dir),
+          "embedding", "label"),
+      Some(graft.sql.SimilaritySql.embeddingProfile("embeddings", "label"))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

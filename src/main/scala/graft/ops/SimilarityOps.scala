@@ -697,6 +697,39 @@ object SimilarityOps {
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VectorMath.l2Squared(a, b)
 
+  /** EMBEDDING HEALTH profile per label/source: vector counts, NULL and
+    * ALL-ZERO vector counts (the two degenerate classes every cosine
+    * pipeline silently misranks — zero vectors have no direction at
+    * all), dimension min/max (a ragged shard is an upstream encoder
+    * bug), and squared-L2-norm min/max/mean. Collapsed norms flag an
+    * encoder emitting near-constant outputs; for unit-normalized
+    * corpora the norm band should hug 1.0 — the pre-flight check before
+    * trusting any ANN/SemDeDup result downstream.
+    *
+    * Determinism: norm² is a sequential left-to-right Σx² (the
+    * l2Sql/list_sum agreement contract) rounded to the engine-wide
+    * 6 dp; the mean aggregates decimal-exactly (lloydStep pattern).
+    * 100 TB shape: ONE map-only scan into a label-keyed partial
+    * aggregate — no shuffle of vectors, only of per-label stat rows. */
+  def embeddingProfile(
+      emb: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val n2 = round(aggregate(transform(col(vecCol), x => x.cast("double")),
+      lit(0.0d), (a, x) => a + x * x), 6)
+    emb
+      .select(col(groupCol), col(vecCol).isNull.as("is_nul"),
+        when(col(vecCol).isNotNull, n2).as("n2"),
+        when(col(vecCol).isNotNull, size(col(vecCol)).cast("long")).as("dim"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_nul"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("n2") === 0d, 1L).otherwise(0L)).as("n_zero"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        min(col("n2")).as("norm2_min"), max(col("n2")).as("norm2_max"),
+        round(sum(col("n2").cast("decimal(18,9)")).cast("double") /
+          count(col("n2")), 6).as("norm2_mean"))
+      .orderBy(col(groupCol))
+  }
+
   /** CLUSTER SEPARATION profile (simplified silhouette, centroid form —
     * Hruschka et al. 2004's simplified silhouette with the repo's cosine
     * contract): train [[kmeansCentroids]], assign every vector to its

@@ -219,6 +219,19 @@ reach(node, lab) AS (
   SELECT s.src, r2.lab FROM sym s JOIN reach r2 ON s.dst = r2.node)
 SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node ORDER BY node"""
 
+  /** Mirror of q146: [[connectedComponents]]' recursive CTE as a
+    * subquery, cluster sizes, then the [[SketchSql]] bit-length bucket
+    * (DuckDB's bin() is unpadded exactly like Spark's). */
+  def clusterSizeHistogram(
+      table: String, w: Int, nBands: Int, r: Int,
+      minJaccard: Double, limit: Int): String =
+    s"""SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT cluster_id, COUNT(*) AS sz
+  FROM (${connectedComponents(table, w, nBands, r, minJaccard, limit)})
+  GROUP BY cluster_id)
+GROUP BY bucket ORDER BY bucket"""
+
   def simhashFingerprints(table: String, sampleMod: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, list_distinct($toks) AS tk FROM $table
   WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),

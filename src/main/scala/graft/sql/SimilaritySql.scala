@@ -275,6 +275,24 @@ ${p}c${t + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv, MAX(n) AS n_vecs FROM 
     sb.toString
   }
 
+  /** Mirror of [[graft.ops.SimilarityOps.embeddingProfile]]: same
+    * sequential Σx² (list_sum/l2Sql contract) at 6 dp, same decimal-exact
+    * mean, same null/zero/dim accounting. */
+  def embeddingProfile(table: String, groupCol: String): String =
+    s"""WITH e AS (SELECT $groupCol,
+  embedding IS NULL AS is_nul,
+  CASE WHEN embedding IS NOT NULL
+    THEN round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) END AS n2,
+  CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim
+  FROM $table)
+SELECT $groupCol, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN is_nul THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  CAST(MIN(dim) AS BIGINT) AS dim_min, CAST(MAX(dim) AS BIGINT) AS dim_max,
+  MIN(n2) AS norm2_min, MAX(n2) AS norm2_max,
+  round(CAST(SUM(CAST(n2 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(n2), 6) AS norm2_mean
+FROM e GROUP BY $groupCol ORDER BY $groupCol"""
+
   /** Mirror of [[graft.ops.SimilarityOps.clusterSilhouette]]: the shared
     * unrolled-training prefix, a full cosine score of every (point,
     * trained centroid) pair, winner/runner-up per point by the training

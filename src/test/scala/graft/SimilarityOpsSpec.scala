@@ -553,6 +553,26 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(real.nonEmpty && real == reparted)
   }
 
+  test("embedding profile: nulls, zero vectors, ragged dims, norm band") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f), 0), // norm2 = 25
+      (2L, Array(0.0f, 0.0f), 0), // zero vector
+      (3L, null.asInstanceOf[Array[Float]], 0), // null
+      (4L, Array(1.0f), 1)) // ragged dim
+      .toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.embeddingProfile(emb, "embedding", "label")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    val l0 = r(0)
+    assert(l0.getAs[Long]("n_vecs") == 3L && l0.getAs[Long]("n_null") == 1L &&
+      l0.getAs[Long]("n_zero") == 1L)
+    assert(l0.getAs[Long]("dim_min") == 2L && l0.getAs[Long]("dim_max") == 2L)
+    assert(l0.getAs[Double]("norm2_min") == 0.0 && l0.getAs[Double]("norm2_max") == 25.0)
+    assert(l0.getAs[Double]("norm2_mean") == 12.5) // (0 + 25) / 2 over non-null
+    val l1 = r(1)
+    assert(l1.getAs[Long]("dim_min") == 1L && l1.getAs[Double]("norm2_mean") == 1.0)
+  }
+
   test("cluster silhouette: separated clusters report wide positive margins") {
     import spark.implicits._
     // two orthogonal-ish clusters; the two lowest-id seeds land one per
