@@ -56,6 +56,12 @@ object Queries {
     ("s", "t"), ("a", "r"), ("ar", "t"), ("a", "t"),
     ("c", "h"), ("at", "ch"), ("r", "o"), ("ro", "w"))
 
+  /** q148's target mixture: four real sources plus one deliberately
+    * absent name (`src_news`) so the missing-source deficit path stays
+    * exercised at every scale factor. */
+  val mixPlanWeights: Seq[(String, Long)] = Seq(
+    ("src0", 40L), ("src1", 25L), ("src2", 20L), ("src3", 10L), ("src_news", 5L))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     ("q01_industry_counts",
@@ -1215,6 +1221,53 @@ GROUP BY segment ORDER BY segment""")),
         SimilarityOps.embeddingProfile(Tables.embeddings(s, dir),
           "embedding", "label"),
       Some(graft.sql.SimilaritySql.embeddingProfile("embeddings", "label"))),
+
+    ("q148_mix_plan",
+      // mixture PLANNING (the step before weightedMix/temperatureMix):
+      // reconcile DoReMi-style target weights + a token budget against
+      // actual per-source availability — quota, capped keep rate (ppm,
+      // DECIMAL(38,0)/HUGEINT product), expected yield, and the DEFICIT
+      // the owner must re-weight or re-crawl; a weight naming a missing
+      // source reports loudly instead of vanishing
+      (s: SparkSession, dir: String) =>
+        SampleOps.mixPlan(Tables.documents(s, dir), "text", "source",
+          weights = Queries.mixPlanWeights, budgetTokens = 100000L),
+      Some(graft.sql.SampleSql.mixPlan("documents", "source",
+        weights = Queries.mixPlanWeights, budgetTokens = 100000L))),
+
+    ("q149_hll_overlap",
+      // pairwise source VOCABULARY overlap from the per-source HLL
+      // register files alone: cell-wise-max pair union + inclusion-
+      // exclusion intersection + Jaccard — the "is src_b a re-crawl of
+      // src_a?" mixing input, with zero vocabulary materialization
+      (s: SparkSession, dir: String) =>
+        SketchOps.hllOverlap(Tables.documents(s, dir), "text", "source",
+          bucketHex = 2),
+      Some(graft.sql.SketchSql.hllOverlap("documents", "source", bucketHex = 2))),
+
+    ("q150_quality_ensemble",
+      // FineWeb-style ensemble filter: three incomparable integer quality
+      // signals (token count, distinct ratio ppm, mean token length
+      // centi) each ECDF-rank-normalized via the shared two-level
+      // prefix-sum histogram machinery, blended by truncating rank mean,
+      // top docs by (blend desc, id asc)
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.qualityEnsemble(Tables.documents(s, dir), "text", "doc_id",
+          limit = 100),
+      Some(graft.sql.TextAnalysisSql.qualityEnsemble("documents", "doc_id",
+        limit = 100))),
+
+    ("q151_truncation_waste",
+      // context-length decision report: per (window W, source) the kept /
+      // truncated / padded token split and utilization ppm under the
+      // one-doc-per-sequence policy — read across the W ladder to see
+      // where padding waste crosses truncation loss (q60's packing is
+      // the alternative this quantifies against)
+      (s: SparkSession, dir: String) =>
+        SampleOps.truncationWaste(Tables.documents(s, dir), "text", "source",
+          windows = Seq(16, 32, 64, 128)),
+      Some(graft.sql.SampleSql.truncationWaste("documents", "source",
+        windows = Seq(16, 32, 64, 128)))),
 
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),

@@ -365,6 +365,21 @@ object RelationalOps {
       hist: DataFrame, percents: Seq[Int], nBuckets: Int = 256): DataFrame = {
     require(percents.nonEmpty, "need at least one percent")
     percents.foreach(p => require(0 <= p && p <= 100, s"bad percent $p"))
+    val cum = cumulativeHist(hist, nBuckets)
+    val aggs = percents.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= expr(s"(__n * $p + 99) DIV 100"), col("__v")))
+        .as(s"bound_$i")
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The CUMULATIVE form of a distinct-value histogram (`__v`, `__c`) —
+    * the shared two-level prefix-sum core of [[nearestRankBoundsFromHist]]
+    * and [[rankBlend]]: returns the histogram with `__cum` (count of rows
+    * with value ≤ `__v`) and `__n` (total count) attached, never planning
+    * an unpartitioned window. */
+  private[ops] def cumulativeHist(
+      hist: DataFrame, nBuckets: Int = 256): DataFrame = {
     require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
     // one-row global stats (value range + total count), broadcast back;
     // __n was previously an unbounded global window — now it rides here
@@ -386,14 +401,54 @@ object RelationalOps {
       bucketed.groupBy("__bkt").agg(sum(col("__c")).as("__tot")), "__bkt")
     val wb = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed
+    bucketed
       .join(broadcast(offsets), "__bkt")
       .withColumn("__cum", col("__off") + sum(col("__c")).over(wb))
-    val aggs = percents.zipWithIndex.map { case (p, i) =>
-      min(when(col("__cum") >= expr(s"(__n * $p + 99) DIV 100"), col("__v")))
-        .as(s"bound_$i")
+  }
+
+  /** RANK-BLEND ensemble score: percentile-rank-normalize several
+    * integer metrics and average the ranks — the standard way to COMBINE
+    * quality signals that live on incomparable scales (a length count, a
+    * ppm ratio, a centi-length) into one ordering (FineWeb-style
+    * classifier ensembles blend exactly this way). Per metric the rank
+    * is `rank_ppm = ⌊count(values ≤ v)·10⁶ / n⌋` (ties share the rank of
+    * their last member — the ECDF), the blend is the truncating mean of
+    * the k rank columns, and the output is the top `limit` rows by
+    * (blend desc, id asc) with every metric and rank column attached.
+    * All integer: the ×10⁶ products run in DECIMAL(38,0) (the mixPlan
+    * overflow rationale — BIGINT dies at 10¹³ rows × 10⁶).
+    *
+    * Scale shape: one distinct-value histogram aggregate PER METRIC
+    * (metric-cardinality-sized, never corpus-sized), each made
+    * cumulative by the shared [[cumulativeHist]] two-level prefix sum
+    * (no unpartitioned window), then broadcast back as a value → rank
+    * map joined map-side — the corpus relation is scanned once and never
+    * shuffled. The broadcast assumes bounded metric cardinality (true
+    * for the count/ratio metrics this is for: a token count has ~10⁵
+    * distinct values at any corpus size); a genuinely high-cardinality
+    * metric should be bucketed first. Rows null in ANY metric drop. */
+  def rankBlend(
+      df: DataFrame, idCol: String, metricCols: Seq[String], limit: Int): DataFrame = {
+    require(metricCols.nonEmpty, "need at least one metric")
+    require(limit >= 1, s"bad limit: $limit")
+    val base = metricCols.foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+    val ranked = metricCols.foldLeft(base) { (d, c) =>
+      val rankMap = cumulativeHist(
+        base.groupBy(col(c).cast("long").as("__v")).agg(count(lit(1)).as("__c")))
+        .select(col("__v").as(s"__v_$c"),
+          expr("CAST(CAST(__cum AS DECIMAL(38,0)) * 1000000 div __n AS BIGINT)")
+            .as(s"rank_${c}_ppm"))
+      d.join(broadcast(rankMap), col(c).cast("long") === col(s"__v_$c"))
+        .drop(s"__v_$c")
     }
-    cum.agg(aggs.head, aggs.tail: _*)
+    // sum of k ppm ranks is <= k*10^6 — plain BIGINT arithmetic is safe here
+    val blend = expr(
+      s"(${metricCols.map(c => s"rank_${c}_ppm").mkString(" + ")}) div ${metricCols.size}")
+    ranked
+      .select(col(idCol) +: metricCols.map(col) ++:
+        metricCols.map(c => col(s"rank_${c}_ppm")) :+ blend.as("blend_ppm"): _*)
+      .orderBy(col("blend_ppm").desc, col(idCol).asc)
+      .limit(limit)
   }
 
   /** EXCLUSIVE prefix offsets over a metadata-sized totals relation

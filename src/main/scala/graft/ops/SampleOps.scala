@@ -314,4 +314,102 @@ object SampleOps {
         sum(col(keyCol)).as("key_sum"))
       .orderBy("source")
   }
+
+  /** MIXTURE PLAN: the PLANNING step in front of [[weightedMix]] /
+    * [[temperatureMix]] — given target mixture weights (integer parts;
+    * DoReMi/SlimPajama-style domain proportions) and a total token
+    * budget, reconcile the plan against what each source actually HAS:
+    * per source the available tokens, the quota
+    * `budget·wᵢ div Σw`, the keep rate (ppm, capped at 10⁶ — a source
+    * cannot be oversampled by a filter), the expected token yield, and
+    * the DEFICIT where the quota exceeds availability (the number the
+    * pipeline owner must re-weight or re-crawl to close). A weight row
+    * naming a source the corpus lacks reports zero availability and a
+    * full deficit rather than vanishing — mis-spelled source names
+    * should be loud.
+    *
+    * Determinism: weights and budget are literals; availability is an
+    * exact token-count aggregate; the keep rate is integer throughout —
+    * the quota×10⁶ product runs in DECIMAL(38,0) (the anomalyDaily
+    * precedent; BIGINT would overflow at 10¹³ available × 10⁶) with
+    * truncating `div`, HUGEINT on the DuckDB side.
+    *
+    * 100 TB shape: one map-only corpus scan into a source-keyed partial
+    * count; everything after is weight-list-sized. */
+  def mixPlan(
+      docs: DataFrame, textCol: String, groupCol: String,
+      weights: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct == weights.map(_._1),
+      s"duplicate source in weights: $weights")
+    require(budgetTokens > 0, s"bad budget: $budgetTokens")
+    val wSum = weights.map(_._2).sum
+    val wRel = docs.sparkSession.range(1).select(
+      explode(array(weights.map { case (g, w) =>
+        struct(lit(g).as("g"), lit(w).as("w"))
+      }: _*)).as("e"))
+      .select(col("e.g").as("g"), col("e.w").as("w"))
+    val avail = docs
+      .filter(col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sum(size(graft.functions.TextHash.tokens(col(textCol))).cast("long"))
+        .as("avail"))
+    wRel.join(avail, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("w").as("weight"),
+        coalesce(col("avail"), lit(0L)).as("n_tokens_available"),
+        expr(s"$budgetTokens * w div $wSum").as("target_tokens"))
+      .select(col(groupCol), col("weight"), col("n_tokens_available"),
+        col("target_tokens"),
+        when(col("n_tokens_available") === 0L, lit(0L))
+          .when(col("target_tokens") >= col("n_tokens_available"), lit(1000000L))
+          .otherwise(expr(
+            "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens_available AS BIGINT)"))
+          .as("keep_ppm"),
+        least(col("n_tokens_available"), col("target_tokens"))
+          .as("expected_tokens"),
+        greatest(lit(0L), col("target_tokens") - col("n_tokens_available"))
+          .as("deficit_tokens"))
+      .orderBy(col(groupCol))
+  }
+
+  /** TRUNCATION/PADDING WASTE report — the context-length decision input
+    * that sits next to [[packSequences]]: under the SIMPLE packing policy
+    * (one doc per sequence, truncate past W, pad short of W), how much of
+    * every candidate window W is real signal? Per (window, group):
+    * docs, raw tokens, kept tokens Σ min(t, W), truncated overflow
+    * Σ max(0, t−W), pad filler n_docs·W − kept, and utilization
+    * `kept·10⁶ div (n_docs·W)` (ppm, DECIMAL(38,0) product — the mixPlan
+    * overflow rationale). Reading the report across the W ladder shows
+    * exactly where padding waste crosses truncation loss — the number
+    * that decides whether concatenate-and-split packing is worth its
+    * attention-boundary cost.
+    *
+    * 100 TB shape: ONE map-only scan (token count per doc), an
+    * |windows|-way explode of two-integer rows, and a group-by on
+    * |windows|·|groups| keys — map-side combine collapses everything
+    * before the constant-sized shuffle. */
+  def truncationWaste(
+      docs: DataFrame, textCol: String, groupCol: String,
+      windows: Seq[Int]): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ > 0), s"bad windows: $windows")
+    require(windows.distinct == windows, s"duplicate windows: $windows")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        size(graft.functions.TextHash.tokens(col(textCol))).cast("long").as("__t"),
+        explode(array(windows.map(w => lit(w.toLong)): _*)).as("ctx_window"))
+      .groupBy(col("ctx_window"), col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(least(col("__t"), col("ctx_window"))).as("kept_tokens"),
+        sum(greatest(lit(0L), col("__t") - col("ctx_window"))).as("truncated_tokens"))
+      .select(col("ctx_window"), col(groupCol), col("n_docs"), col("n_tokens"),
+        col("kept_tokens"), col("truncated_tokens"),
+        (col("n_docs") * col("ctx_window") - col("kept_tokens")).as("pad_tokens"),
+        expr("CAST(CAST(kept_tokens AS DECIMAL(38,0)) * 1000000 div (n_docs * ctx_window) AS BIGINT)")
+          .as("utilization_ppm"))
+      .orderBy(col("ctx_window"), col(groupCol))
+  }
 }

@@ -316,4 +316,80 @@ object SketchOps {
           .as("bucket_hi"))
       .orderBy("percent")
   }
+
+  /** PAIRWISE SOURCE VOCABULARY OVERLAP from per-group HLL register
+    * files ([[hllRegistersBy]]) — "how much vocabulary do source A and
+    * source B share?" without ever materializing either vocabulary:
+    * the union sketch of a pair is the CELL-WISE MAX of the two register
+    * files (the same idempotent merge that rolls shards up), and
+    * inclusion–exclusion recovers the intersection,
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), with the Jaccard estimate
+    * inter/union on top — the classic mixing-decision input (is src_b
+    * mostly a re-crawl of src_a, or genuinely new text?).
+    *
+    * Estimates use the repo's cross-engine-exact harmonic form
+    * ([[graft.ops.ProfileOps.columnDistinctEstimates]] precedent): the
+    * order-free integer Σ 2^(61−register) in DECIMAL(38,0) (HUGEINT on
+    * the oracle side), one pinned-order division, linear-counting
+    * fallback, round 6 dp; intersection and Jaccard are then computed
+    * from the ROUNDED estimates in one pinned operation order, so both
+    * engines agree bit-for-bit. Intersection clamps at 0 — the
+    * inclusion–exclusion error is relative to the UNION size, so
+    * near-disjoint small sources can estimate slightly negative.
+    *
+    * 100 TB shape: ONE token-stream scan with map-side combine into at
+    * most groups × 16^`bucketHex` register rows (the only shuffle);
+    * the pair algebra (cross pairs, explode-membership equi-join,
+    * cell-wise max, harmonic sums) runs on that metadata-sized relation
+    * regardless of corpus size. G sources cost G·(G−1)/2 pair rows of
+    * OUTPUT, not extra corpus passes. */
+  def hllOverlap(
+      docs: DataFrame, textCol: String, groupCol: String, bucketHex: Int): DataFrame = {
+    require(bucketHex >= 1 && bucketHex <= 3, s"bucketHex must be in [1, 3]: $bucketHex")
+    val m = math.pow(16, bucketHex)
+    val mL = m.toLong
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2, 61)
+    val two61 = lit(2305843009213693952L).cast("decimal(38,0)") // 2^61
+    // estimate from the (nonzero, Σ 2^(61-reg)) harmonic stats — the
+    // exact q118 operation order, shared by the per-group and union sides
+    def est(nz: Column, sp: Column): Column = {
+      val raw = lit(num) /
+        (sp + (lit(mL) - nz).cast("decimal(38,0)") * two61).cast("double")
+      round(
+        when(raw <= lit(2.5 * m) && nz < mL,
+          lit(m) * log(lit(m) / (lit(mL) - nz).cast("double")))
+          .otherwise(raw), 6)
+    }
+    val harmSum = sum(expr(
+      "CAST(shiftleft(1L, CAST(61 - register AS INT)) AS DECIMAL(38,0))"))
+    val regs = hllRegistersBy(docs, textCol, groupCol, bucketHex)
+      .withColumnRenamed(groupCol, "__g")
+    val gStats = regs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nz"), harmSum.as("__sp"))
+    val pairs = gStats.select(col("__g").as("source_a"),
+        col("__nz").as("__nza"), col("__sp").as("__spa"))
+      .join(gStats.select(col("__g").as("source_b"),
+        col("__nz").as("__nzb"), col("__sp").as("__spb")),
+        col("source_a") < col("source_b"))
+    val unionStats = pairs.select(col("source_a"), col("source_b"),
+        explode(array(col("source_a"), col("source_b"))).as("__g"))
+      .join(regs, "__g")
+      .groupBy(col("source_a"), col("source_b"), col("bucket"))
+      .agg(max(col("register")).as("register"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("__nzu"), harmSum.as("__spu"))
+    pairs.join(unionStats, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"),
+        est(col("__nza"), col("__spa")).as("est_a"),
+        est(col("__nzb"), col("__spb")).as("est_b"),
+        est(col("__nzu"), col("__spu")).as("est_union"))
+      .select(col("source_a"), col("source_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")), 6)
+          .as("est_intersection"))
+      .withColumn("jaccard_est",
+        round(col("est_intersection") / col("est_union"), 6))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -1163,4 +1163,36 @@ object TextAnalysisOps {
           expr("n_distinct * 1000000 div n_grams").as("distinct_ppm"))
     }.reduce(_.unionByName(_)).orderBy(col(groupCol), col("n"))
   }
+
+  /** QUALITY ENSEMBLE: rank-blend three incomparable per-doc quality
+    * signals — token count, distinct-token ratio (ppm), and mean token
+    * length (centi-chars) — into one ECDF-normalized ordering via
+    * [[RelationalOps.rankBlend]], returning the top `limit` docs. This
+    * is the FineWeb-style move for combining quality scorers whose raw
+    * scales mean nothing to each other: each signal contributes its
+    * percentile rank, not its magnitude, so no single wide-range metric
+    * dominates the blend.
+    *
+    * All three metrics are integer, codegen'd, and computed in ONE
+    * map-only pass over the corpus; the rank maps are
+    * metric-cardinality-sized broadcasts (see [[RelationalOps.rankBlend]]
+    * for the 100 TB shape). Empty docs (0 tokens) drop — their ratio
+    * metrics are undefined. */
+  def qualityEnsemble(
+      docs: DataFrame, textCol: String, idCol: String, limit: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val metrics = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        expr("CAST(size(array_distinct(__t)) AS BIGINT) * 1000000 div size(__t)")
+          .as("distinct_ppm"),
+        expr(
+          "aggregate(__t, 0L, (acc, x) -> acc + length(x)) * 100 div size(__t)")
+          .as("mean_len_centi"))
+    RelationalOps.rankBlend(metrics, idCol,
+      Seq("n_tokens", "distinct_ppm", "mean_len_centi"), limit)
+  }
 }

@@ -143,4 +143,53 @@ k AS (SELECT t.$groupCol AS g, t.$keyCol, wt.n, wt.w_num FROM $table t
 SELECT g AS source, MAX(n) AS n_docs, MAX(w_num) AS w_num,
   CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM($keyCol) AS BIGINT) AS key_sum
 FROM k GROUP BY 1 ORDER BY 1"""
+
+  /** Mirror of [[graft.ops.SampleOps.mixPlan]]: same literal weight
+    * relation, same exact availability counts, same truncating quota and
+    * keep-rate arithmetic — the ×10⁶ product in HUGEINT where the
+    * engine uses DECIMAL(38,0). */
+  def mixPlan(
+      table: String, groupCol: String,
+      weights: Seq[(String, Long)], budgetTokens: Long): String = {
+    val wSum = weights.map(_._2).sum
+    val wVals = weights.map { case (g, w) => s"('${g.replace("'", "''")}', $w)" }
+      .mkString(", ")
+    s"""WITH w(g, w) AS (VALUES $wVals),
+a AS (SELECT $groupCol AS g,
+  SUM(len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))) AS avail
+  FROM $table WHERE text IS NOT NULL GROUP BY 1),
+p AS (SELECT w.g, w.w, COALESCE(a.avail, 0) AS avail,
+  ($budgetTokens * w.w) // $wSum AS target
+  FROM w LEFT JOIN a USING (g))
+SELECT g AS $groupCol, CAST(w AS BIGINT) AS weight,
+  CAST(avail AS BIGINT) AS n_tokens_available,
+  CAST(target AS BIGINT) AS target_tokens,
+  CAST(CASE WHEN avail = 0 THEN 0
+    WHEN target >= avail THEN 1000000
+    ELSE (CAST(target AS HUGEINT) * 1000000) // avail END AS BIGINT) AS keep_ppm,
+  CAST(LEAST(avail, target) AS BIGINT) AS expected_tokens,
+  CAST(GREATEST(0, target - avail) AS BIGINT) AS deficit_tokens
+FROM p ORDER BY $groupCol"""
+  }
+
+  /** Mirror of [[graft.ops.SampleOps.truncationWaste]]: same token
+    * counts, same per-(window, group) integer sums, same HUGEINT
+    * utilization product where the engine uses DECIMAL(38,0). */
+  def truncationWaste(
+      table: String, groupCol: String, windows: Seq[Int]): String =
+    s"""WITH t AS (SELECT $groupCol,
+    CAST(len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')) AS BIGINT) AS tok
+  FROM $table WHERE text IS NOT NULL),
+e AS (SELECT $groupCol, tok, unnest([${windows.map(w => s"${w}::BIGINT").mkString(", ")}]) AS ctx_window FROM t),
+g AS (SELECT ctx_window, $groupCol, COUNT(*) AS n_docs, SUM(tok) AS n_tokens,
+    SUM(LEAST(tok, ctx_window)) AS kept_tokens,
+    SUM(GREATEST(0, tok - ctx_window)) AS truncated_tokens
+  FROM e GROUP BY 1, 2)
+SELECT CAST(ctx_window AS BIGINT) AS ctx_window, $groupCol,
+  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(kept_tokens AS BIGINT) AS kept_tokens,
+  CAST(truncated_tokens AS BIGINT) AS truncated_tokens,
+  CAST(n_docs * ctx_window - kept_tokens AS BIGINT) AS pad_tokens,
+  CAST((CAST(kept_tokens AS HUGEINT) * 1000000) // (n_docs * ctx_window) AS BIGINT) AS utilization_ppm
+FROM g ORDER BY ctx_window, $groupCol"""
 }

@@ -61,6 +61,53 @@ r AS (SELECT $groupCol, bucket, CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v))
 SELECT $groupCol, bucket, CAST(MAX(rho) AS BIGINT) AS register
 FROM r GROUP BY $groupCol, bucket ORDER BY $groupCol, bucket"""
 
+  /** Mirror of [[graft.ops.SketchOps.hllOverlap]]: same per-group
+    * register files, same cell-wise-max pair union, same exact
+    * DECIMAL Σ 2^(61−register) harmonic sums (the q118 operation
+    * order), intersection/Jaccard from the ROUNDED estimates in the
+    * identical pinned order. */
+  def hllOverlap(table: String, groupCol: String, bucketHex: Int): String = {
+    val m = math.pow(16, bucketHex)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2, 61)
+    val est = (nz: String, sp: String) =>
+      s"""round(CASE WHEN CAST($num AS DOUBLE) / CAST($sp + CAST(${m.toLong} - $nz AS DECIMAL(38,0))
+      * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) <= ${2.5 * m} AND $nz < ${m.toLong}
+    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(${m.toLong} - $nz AS DOUBLE))
+    ELSE CAST($num AS DOUBLE) / CAST($sp + CAST(${m.toLong} - $nz AS DECIMAL(38,0))
+      * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) END, 6)"""
+    s"""WITH t AS (SELECT $groupCol AS g, unnest($toks) AS term FROM $table
+  WHERE text IS NOT NULL AND $groupCol IS NOT NULL),
+h AS (SELECT g, substr(md5(term), 1, $bucketHex) AS bucket,
+    ('0x' || substr(md5(term), ${bucketHex + 1}, 15))::BIGINT AS v FROM t),
+regs AS (SELECT g, bucket,
+    CAST(MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS BIGINT) AS register
+  FROM h GROUP BY g, bucket),
+gs AS (SELECT g, COUNT(*) AS nz,
+    SUM(CAST(1::BIGINT << CAST(61 - register AS INT) AS DECIMAL(38,0))) AS sp
+  FROM regs GROUP BY g),
+pairs AS (SELECT a.g AS source_a, b.g AS source_b,
+    a.nz AS nza, a.sp AS spa, b.nz AS nzb, b.sp AS spb
+  FROM gs a JOIN gs b ON a.g < b.g),
+uregs AS (SELECT p.source_a, p.source_b, r.bucket, MAX(r.register) AS register
+  FROM pairs p JOIN regs r ON r.g = p.source_a OR r.g = p.source_b
+  GROUP BY 1, 2, 3),
+us AS (SELECT source_a, source_b, COUNT(*) AS nzu,
+    SUM(CAST(1::BIGINT << CAST(61 - register AS INT) AS DECIMAL(38,0))) AS spu
+  FROM uregs GROUP BY 1, 2),
+e AS (SELECT source_a, source_b,
+    ${est("nza", "spa")} AS est_a,
+    ${est("nzb", "spb")} AS est_b,
+    ${est("nzu", "spu")} AS est_union
+  FROM pairs JOIN us USING (source_a, source_b)),
+i AS (SELECT source_a, source_b, est_a, est_b, est_union,
+    round(GREATEST(0.0, est_a + est_b - est_union), 6) AS est_intersection
+  FROM e)
+SELECT source_a, source_b, est_a, est_b, est_union, est_intersection,
+  round(est_intersection / est_union, 6) AS jaccard_est
+FROM i ORDER BY source_a, source_b"""
+  }
+
   /** Mirror of [[graft.ops.SketchOps.log2QuantileProbe]]: same integer
     * bit-length buckets (DuckDB's bin() is unpadded like Spark's), same
     * cross-multiplied rank test, same shift-derived bucket range. */

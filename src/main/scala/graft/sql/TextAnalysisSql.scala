@@ -495,4 +495,30 @@ GROUP BY $groupCol"""
     }
     blocks.mkString("", "\nUNION ALL\n", s"\nORDER BY $groupCol, n")
   }
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.qualityEnsemble]] →
+    * [[graft.ops.RelationalOps.rankBlend]]: same integer metrics, ECDF
+    * ranks as window cumulative counts over the distinct-value
+    * histograms (the oracle need not be scale-shaped), same ×10⁶
+    * HUGEINT rank product, same truncating blend mean and (blend desc,
+    * id asc) top cut. */
+  def qualityEnsemble(table: String, idCol: String, limit: Int): String = {
+    val metrics = Seq("n_tokens", "distinct_ppm", "mean_len_centi")
+    val rankCtes = metrics.map(c =>
+      s"""r_$c AS (SELECT __v AS v_$c, CAST((CAST(__cum AS HUGEINT) * 1000000) // __n AS BIGINT) AS rank_${c}_ppm
+  FROM (SELECT $c AS __v, SUM(COUNT(*)) OVER (ORDER BY $c) AS __cum,
+      SUM(COUNT(*)) OVER () AS __n FROM m GROUP BY $c))""").mkString(",\n")
+    s"""WITH t AS (SELECT $idCol, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND len($toks) > 0),
+m AS (SELECT $idCol, CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST((CAST(len(list_distinct(tk)) AS BIGINT) * 1000000) // len(tk) AS BIGINT) AS distinct_ppm,
+    CAST((list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))) * 100) // len(tk) AS BIGINT) AS mean_len_centi
+  FROM t),
+$rankCtes
+SELECT m.$idCol, m.n_tokens, m.distinct_ppm, m.mean_len_centi,
+  ${metrics.map(c => s"rank_${c}_ppm").mkString(", ")},
+  (${metrics.map(c => s"rank_${c}_ppm").mkString(" + ")}) // ${metrics.size} AS blend_ppm
+FROM m ${metrics.map(c => s"JOIN r_$c ON m.$c = v_$c").mkString(" ")}
+ORDER BY blend_ppm DESC, m.$idCol ASC LIMIT $limit"""
+  }
 }

@@ -48,7 +48,14 @@ class EmptyInputSpec extends AnyFunSuite {
     "q87_table_profile" -> 5L,
     // perceptron weights start as a dim-row zero relation; an empty
     // corpus trains nothing and returns all 64 zeros
-    "q99_perceptron_train" -> 64L)
+    "q99_perceptron_train" -> 64L,
+    // zipf slope is one ungrouped stats row (n_terms 0, null slope) on
+    // both engines
+    "q137_zipf_slope" -> 1L,
+    // the mix plan is driven by the 5-entry literal weight relation:
+    // an empty corpus reports zero availability + full deficit per
+    // weight — the op's loud-missing-source contract working as designed
+    "q148_mix_plan" -> 5L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

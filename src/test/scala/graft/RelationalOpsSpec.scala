@@ -206,4 +206,44 @@ class RelationalOpsSpec extends AnyFunSuite {
       RelationalOps.groupedPercentiles(df, "src", "m", Seq(90, 50))
     }
   }
+
+  test("rankBlend: hand-computed ECDF ranks, truncating blend, null rows drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L), Some(5L)), (2L, Some(20L), Some(5L)),
+      (3L, Some(20L), Some(5L)), (4L, Some(30L), Some(5L)),
+      (5L, Some(99L), None)) // null m2 -> dropped everywhere
+      .toDF("id", "m1", "m2")
+    val rows = RelationalOps.rankBlend(df, "id", Seq("m1", "m2"), limit = 10)
+      .collect()
+    // n = 4 after the null drop; m1 ECDF: 10 -> 1/4, 20 -> 3/4, 30 -> 4/4;
+    // m2 all ties -> 10^6; blend = (r1 + r2) div 2
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(byId(1L) == (250000L, 1000000L, 625000L))
+    assert(byId(2L) == (750000L, 1000000L, 875000L))
+    assert(byId(3L) == (750000L, 1000000L, 875000L))
+    assert(byId(4L) == (1000000L, 1000000L, 1000000L))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 2L, 3L, 1L),
+      "order must be blend desc, id asc")
+    // limit cuts after the deterministic sort
+    val top = RelationalOps.rankBlend(df, "id", Seq("m1", "m2"), limit = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(4L, 2L))
+    intercept[IllegalArgumentException] {
+      RelationalOps.rankBlend(df, "id", Seq.empty, 5)
+    }
+  }
+
+  test("rankBlend is partitioning-independent and plans no unpartitioned window") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, i % 17, i % 5)).toDF("id", "m1", "m2")
+    val a = RelationalOps.rankBlend(df.repartition(1), "id", Seq("m1", "m2"), 50).collect().toSeq
+    val b = RelationalOps.rankBlend(df.repartition(13), "id", Seq("m1", "m2"), 50).collect().toSeq
+    assert(a == b)
+    val plan = RelationalOps.rankBlend(df, "id", Seq("m1", "m2"), 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("No Partition Defined"),
+      s"unpartitioned window in:\n$plan")
+  }
 }

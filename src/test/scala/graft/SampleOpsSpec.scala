@@ -291,4 +291,58 @@ class SampleOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("count")).toMap
     assert(prof == byGroup)
   }
+
+  test("mix plan: quotas, capped keep rates, and loud missing-source deficits") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "one two three four"), ("a", "five six"), // a: 6 tokens
+      ("b", "just two")) // b: 2 tokens
+      .map { case (s, t) => (s, t) }.toDF("src", "text")
+    // budget 8, weights a:3, b:1, ghost:4 (sum 8) ->
+    //   a: target 3, avail 6 -> keep 500000 ppm, yield 3, deficit 0
+    //   b: target 1, avail 2 -> keep 500000 ppm, yield 1, deficit 0
+    //   ghost: target 4, avail 0 -> keep 0, yield 0, deficit 4
+    val r = SampleOps.mixPlan(docs, "text", "src",
+        Seq(("a", 3L), ("b", 1L), ("ghost", 4L)), budgetTokens = 8L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    assert(r("a") == (6L, 3L, 500000L, 3L, 0L))
+    assert(r("b") == (2L, 1L, 500000L, 1L, 0L))
+    assert(r("ghost") == (0L, 4L, 0L, 0L, 4L))
+    // quota exceeding availability caps the keep rate at 10^6
+    val r2 = SampleOps.mixPlan(docs, "text", "src",
+        Seq(("b", 1L)), budgetTokens = 100L)
+      .collect()(0)
+    assert(r2.getAs[Long]("keep_ppm") == 1000000L &&
+      r2.getAs[Long]("expected_tokens") == 2L &&
+      r2.getAs[Long]("deficit_tokens") == 98L)
+    intercept[IllegalArgumentException] {
+      SampleOps.mixPlan(docs, "text", "src", Seq(("a", 1L), ("a", 2L)), 10L)
+    }
+  }
+
+  test("truncation waste: hand-computed kept/truncated/pad split per window") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "t1 t2 t3"),             // 3 tokens
+      ("a", "t1 t2 t3 t4 t5"),       // 5 tokens
+      ("b", "solo"))                 // 1 token
+      .toDF("src", "text")
+    val r = SampleOps.truncationWaste(docs, "text", "src", windows = Seq(2, 4))
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+      .toMap
+    // W=2, a: kept = 2+2 = 4, trunc = 1+3 = 4, pad = 2*2-4 = 0, util = 10^6
+    assert(r((2L, "a")) == (2L, 8L, 4L, 4L, 0L, 1000000L))
+    // W=2, b: kept 1, trunc 0, pad 1, util 500000
+    assert(r((2L, "b")) == (1L, 1L, 1L, 0L, 1L, 500000L))
+    // W=4, a: kept = 3+4 = 7, trunc = 0+1 = 1, pad = 8-7 = 1, util = 875000
+    assert(r((4L, "a")) == (2L, 8L, 7L, 1L, 1L, 875000L))
+    // W=4, b: kept 1, pad 3, util 250000
+    assert(r((4L, "b")) == (1L, 1L, 1L, 0L, 3L, 250000L))
+    intercept[IllegalArgumentException] {
+      SampleOps.truncationWaste(docs, "text", "src", Seq(4, 4))
+    }
+  }
 }

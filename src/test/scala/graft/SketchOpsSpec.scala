@@ -185,4 +185,47 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast candidate join in:\n$plan")
   }
+
+  test("hllOverlap: identical vocabularies estimate jaccard 1, union = each side") {
+    import spark.implicits._
+    val text = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(("a", text), ("b", text)).toDF("src", "text")
+    val Array(r) = SketchOps.hllOverlap(df, "text", "src", bucketHex = 2).collect()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    val (ea, eb, eu, ei, j) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6))
+    assert(ea == eb && ea == eu, "same register file on every side")
+    assert(ei == ea, "inclusion-exclusion must return the common estimate")
+    assert(j == 1.0)
+  }
+
+  test("hllOverlap: a 10-of-30 shared vocabulary lands near the true overlap") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"s$i")
+    val df = Seq(
+      ("a", (shared ++ (0 until 10).map(i => s"a$i")).mkString(" ")),
+      ("b", (shared ++ (0 until 10).map(i => s"b$i")).mkString(" "))).toDF("src", "text")
+    val Array(r) = SketchOps.hllOverlap(df, "text", "src", bucketHex = 2).collect()
+    // 30 distinct in a 256-bucket sketch: linear-counting regime, tight
+    assert(math.abs(r.getDouble(4) - 30.0) < 5.0, s"union est ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 10.0) < 5.0, s"intersection est ${r.getDouble(5)}")
+    assert(r.getDouble(6) > 0.15 && r.getDouble(6) < 0.55, s"jaccard ${r.getDouble(6)}")
+  }
+
+  test("hllOverlap: disjoint vocabularies clamp the intersection at >= 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", (0 until 15).map(i => s"a$i").mkString(" ")),
+      ("b", (0 until 15).map(i => s"b$i").mkString(" ")),
+      ("c", (0 until 15).map(i => s"c$i").mkString(" "))).toDF("src", "text")
+    val rows = SketchOps.hllOverlap(df, "text", "src", bucketHex = 2).collect()
+    assert(rows.length == 3, "3 sources -> 3 unordered pairs")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered a < b")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(6) >= 0.0)
+      assert(r.getDouble(4) >= math.max(r.getDouble(2), r.getDouble(3)) - 1e-9,
+        "union estimate can never fall below a side")
+      assert(r.getDouble(5) < 6.0, s"disjoint 15+15 should estimate near 0: ${r.getDouble(5)}")
+    }
+  }
 }

@@ -699,4 +699,24 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       .collect()
     assert(rs.map(_.getLong(1)).toSeq == Seq(1L))
   }
+
+  test("quality ensemble: integer metric derivation and rank-blend ordering") {
+    import spark.implicits._
+    val one = Seq((7L, "aa bb aa")).toDF("doc_id", "text")
+    val Array(r) = TextAnalysisOps.qualityEnsemble(one, "text", "doc_id", limit = 5)
+      .collect()
+    // 3 tokens, 2 distinct -> 666666 ppm, 6 chars -> 200 centi; single doc
+    // ranks are all 10^6 and so is the blend
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (7L, 3L, 666666L, 200L))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      (1000000L, 1000000L, 1000000L, 1000000L))
+    // real corpus: exact limit rows, blend non-increasing, ids unique
+    val rows = TextAnalysisOps.qualityEnsemble(
+      Tables.documents(spark, sf), "text", "doc_id", limit = 20).collect()
+    assert(rows.length == 20)
+    val blends = rows.map(_.getLong(7)).toSeq
+    assert(blends == blends.sorted.reverse, "blend must be non-increasing")
+    assert(rows.map(_.getLong(0)).distinct.length == 20)
+  }
 }
