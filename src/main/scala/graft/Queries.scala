@@ -1269,6 +1269,51 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SampleSql.truncationWaste("documents", "source",
         windows = Seq(16, 32, 64, 128)))),
 
+    ("q152_ks_drift",
+      // pairwise two-sample KS distance between per-source doc-length
+      // distributions, exact integer ppm — the shard-drift score read
+      // BEFORE pooling sources under one quality threshold (q141 is the
+      // per-source calibration table; this scores each pair's gap)
+      (s: SparkSession, dir: String) =>
+        RelationalOps.ksPairwise(Tables.documents(s, dir), "source", "n_chars"),
+      Some(graft.sql.RelationalSql.ksPairwise("documents", "source", "n_chars"))),
+
+    ("q153_dup_attribution",
+      // per-source duplicate attribution with cross-source split: whether
+      // dedup can run per-shard (n_cross_dup ~ 0) or must run globally
+      // (syndicated duplication) — md5 cluster key, min-id keeper
+      (s: SparkSession, dir: String) =>
+        DedupOps.dupAttribution(Tables.documents(s, dir), "text", "doc_id", "source"),
+      Some(graft.sql.DedupSql.dupAttribution("documents", "source"))),
+
+    ("q154_skipgram_pairs",
+      // top skip-gram co-occurrence pairs within a 2-token window:
+      // map-only shifted-slice zip per offset (no positional self-join),
+      // unordered (least, greatest) normalization, exact counts
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.skipgramPairs(Tables.documents(s, dir), "text",
+          window = 2, k = 50),
+      Some(graft.sql.TextAnalysisSql.skipgramPairs("documents", window = 2, k = 50))),
+
+    ("q155_label_margin",
+      // annotation QA: per label, cosine margin between the own-label
+      // centroid and the best other-label centroid — negative margins
+      // flag likely mislabels / unseparable label pairs before the
+      // labels train anything (decimal-exact centroids, 6-dp cosine)
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.labelCentroidMargin(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label"),
+      Some(graft.sql.SimilaritySql.labelCentroidMargin("embeddings", dim = 64))),
+
+    ("q156_sq8_recon_error",
+      // SQ8 quantization-error profile per dimension: how much signal 4x
+      // compression destroys and where — exact e6 integers over the
+      // clamp(floor) encode, the "should I clip calibration?" table that
+      // complements RECALL.json's ranking-quality answer
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.sqReconError(Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some(graft.sql.SimilaritySql.sqReconError("embeddings", dim = 64))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -76,6 +76,42 @@ object DedupOps {
       .orderBy("keeper_id")
   }
 
+  /** Per-group DUPLICATE ATTRIBUTION: which groups (sources / dumps /
+    * shards) carry the duplicate mass, and how much of it is CROSS-group —
+    * the table that decides whether dedup can run per-source (cheap,
+    * parallel, no cross-shard shuffle) or must run globally. Clusters are
+    * exact full-text (md5 key); the keeper is the lexicographic
+    * (min id) copy — the [[exactDedup]] keeper contract — and a duplicate
+    * row is CROSS-group when its keeper lives in a different group.
+    *
+    * Output per group: (n_docs, n_dup, n_cross_dup, dup_ppm), ordered by
+    * group. `n_cross_dup ≈ 0` certifies per-source dedup is safe;
+    * `n_cross_dup ≈ n_dup` means the duplication is syndication across
+    * sources and only a global pass removes it.
+    *
+    * 100 TB shape: one shuffle keyed on the 32-char md5 (never the text),
+    * map-side combinable keeper aggregate, and the attribution join reuses
+    * the same key partitioning (no second shuffle of the corpus); the
+    * per-group result is ≤ #groups rows. */
+  def dupAttribution(
+      docs: DataFrame, textCol: String, idCol: String, groupCol: String): DataFrame = {
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).as("id"),
+        md5(col(textCol)).as("__k"))
+    val keepers = keyed.groupBy("__k")
+      .agg(min(struct(col("id"), col("g"))).as("kp"))
+      .select(col("__k"), col("kp.id").as("keep_id"), col("kp.g").as("keep_g"))
+    keyed.join(keepers, Seq("__k"))
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("id") =!= col("keep_id") && col("g") =!= col("keep_g"), 1L)
+          .otherwise(0L)).as("n_cross_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+      .orderBy(groupCol)
+  }
+
   /** INCREMENTAL exact dedup: dedup a NEW shard against an existing
     * corpus without touching the corpus — the production ingest pattern
     * (re-deduping 100 TB per arriving shard is not a plan). A new row

@@ -665,6 +665,50 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_active"))
       .orderBy("nation_name")
 
+  /** Pairwise two-sample KOLMOGOROV–SMIRNOV distance between the per-group
+    * distributions of an integer metric — the distribution-drift check a
+    * curation pipeline runs between corpus shards/dumps before pooling them
+    * under one quality threshold (the global sibling of the per-group
+    * calibration table, q141: that op READS each group's quantiles, this op
+    * SCORES how far each pair of groups is apart). For groups a < b,
+    * `ks_ppm = max over v of |ECDF_a(v) − ECDF_b(v)|` in integer
+    * parts-per-million — exact (truncating ×10⁶ rank division, no doubles),
+    * so the statistic is engine-agreed bit for bit.
+    *
+    * Output: (group_a, group_b, n_a, n_b, ks_ppm), one row per unordered
+    * group pair, ordered by (group_a, group_b).
+    *
+    * 100 TB shape: the corpus collapses to a per-(group, value) histogram
+    * first (metric-cardinality × #groups rows, never corpus-sized). The
+    * ECDF needs every group evaluated on the UNION value axis, so the
+    * distinct value axis cross-joins the (tiny, broadcast) group totals and
+    * left-joins the histogram; the cumulative window partitions BY GROUP
+    * (bounded by metric cardinality — no unpartitioned window). The pair
+    * stage self-joins on the value axis: |V| × G² rows where G = #groups
+    * (sources/dumps — tens, not millions); the max-gap aggregate is
+    * map-side combinable. */
+  def ksPairwise(df: DataFrame, groupCol: String, metricCol: String): DataFrame = {
+    val hist = df.filter(col(metricCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(metricCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val vals = hist.select("v").distinct()
+    val totals = hist.groupBy("g").agg(sum(col("c")).as("n"))
+    val ecdf = vals.crossJoin(broadcast(totals))
+      .join(hist, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("e_ppm", expr("(sum(c) OVER (PARTITION BY g ORDER BY v) * 1000000) div n"))
+      .select(col("g"), col("v"), col("n"), col("e_ppm"))
+    val a = ecdf.select(col("g").as("group_a"), col("v"),
+      col("n").as("n_a"), col("e_ppm").as("ea"))
+    val b = ecdf.select(col("g").as("group_b"), col("v"),
+      col("n").as("n_b"), col("e_ppm").as("eb"))
+    a.join(b, Seq("v"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(max(abs(col("ea") - col("eb"))).as("ks_ppm"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Top suppliers by revenue: supplier⋈lineitem with broadcast supplier dim
     * + nation name; global top-K → TakeOrderedAndProject. */
   def topSuppliers(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, k: Int): DataFrame =

@@ -1276,6 +1276,63 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
 
+  /** LABEL-CENTROID MARGIN — annotation QA over a labeled embedding
+    * corpus: per label, how separable the label is in embedding space.
+    * Every vector scores against ALL label centroids (decimal-exact 6-dp
+    * means, the [[kmeansCentroids]] update contract); its margin is
+    * `cos(v, own-label centroid) − max over other labels of cos(v, that
+    * centroid)` — negative means some OTHER label's centroid explains the
+    * vector better (a likely mislabel, or an unseparable label pair).
+    * The trained-cell sibling is [[clusterSilhouette]] (unsupervised
+    * cells); this op scores the HUMAN labels against the geometry.
+    *
+    * Output per label: (n_vecs, n_misassigned, mean_margin, min_margin,
+    * mis_ppm), ordered by label. `mis_ppm` high = that label's
+    * annotations disagree with embedding space — route to re-annotation
+    * before the label trains a classifier.
+    *
+    * Determinism: 6-dp cosine contract, strict `margin < 0` mis test,
+    * decimal-exact margin means, truncating ppm.
+    *
+    * 100 TB shape: centroids are one (label, dim)-keyed aggregate
+    * (#labels × dim rows — a broadcast however big the corpus); scoring
+    * is one corpus scan × broadcast centroids with a per-vector bounded
+    * aggregate (≤ #labels rows per vector, map-side combinable); the
+    * final frame is ≤ #labels rows. No windows, no self-joins. */
+  def labelCentroidMargin(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val base = emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl"),
+        col(vecCol).as("v"))
+    val cents = base
+      .select(col("lbl"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy(col("lbl"), (col("dim0") + 1).as("dim"))
+      // float -> double -> decimal: exact widening then an exact,
+      // associative sum (the lloydStep update contract)
+      .agg(round(sum(col("x").cast("double").cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("m"))
+      .groupBy("lbl")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("lbl").as("clbl"),
+        transform(col("pairs"), p => p.getField("m")).as("cv"))
+    base.crossJoin(broadcast(cents))
+      .select(col("id"), col("lbl"), col("clbl"),
+        cosine(col("v"), col("cv")).as("ccos"))
+      .groupBy("id", "lbl")
+      .agg(max(when(col("clbl") === col("lbl"), col("ccos"))).as("own"),
+        max(when(col("clbl") =!= col("lbl"), col("ccos"))).as("bo"))
+      .filter(col("own").isNotNull && col("bo").isNotNull)
+      .select(col("lbl"), round(col("own") - col("bo"), 6).as("margin"))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_misassigned"),
+        round(sum(col("margin").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("mean_margin"),
+        min(col("margin")).as("min_margin"))
+      .withColumn("mis_ppm", expr("n_misassigned * 1000000 div n_vecs"))
+      .orderBy("label")
+  }
+
   // --- SCALAR (int8-style symmetric) QUANTIZATION -------------------------
 
   /** Per-dimension quantization scales: the max absolute component value
@@ -1320,6 +1377,42 @@ object SimilarityOps {
     * top-k window ranks by the BIGINT dot (exact, aggregation-order
     * immune — scores cannot differ by a ulp between engines). Returns
     * all-BIGINT (query_id, neighbor_id, dot_q, rk). */
+  /** SQ8 RECONSTRUCTION-ERROR profile: per dimension, the exact
+    * quantization error the [[sqEncode]] int8 codes carry —
+    * `err_d = |x_d − code_d · s_d / 127|` at the 6-dp contract, reported
+    * as (n_vecs, max_err_e6, mean_err_e6) per dimension. RECALL.json
+    * answers "does the compressed index still rank right?"; this table
+    * answers the prior question — "how much signal did 4× compression
+    * destroy, and WHERE": a dimension whose max error towers over the
+    * rest has outlier components stretching its scale (the standard cue
+    * to clip calibration quantiles or switch that dim to PQ).
+    *
+    * Determinism: encode is the exact [[sqEncode]] arithmetic
+    * (clamp∘floor — no round-half hazards); per-component errors round to
+    * 6 dp then scale to exact ×10⁶ BIGINT, so max/mean are
+    * order-independent integers on both engines.
+    *
+    * 100 TB shape: one calibration pass (dim-sized single-row broadcast,
+    * shared with the encode), then ONE map-only corpus scan into a
+    * (dim)-keyed aggregate — dim rows out, map-side combinable, no
+    * shuffle of vectors. */
+  def sqReconError(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scales = sqScales(emb, vecCol)
+    val code = when(col("z.s") === 0.0, lit(0L)).otherwise(
+      greatest(lit(-127L), least(lit(127L), floor(col("z.x") * lit(127.0) / col("z.s")))))
+    emb.filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(scales))
+      .select(posexplode(arrays_zip(asDouble(col(vecCol)).as("x"), col("sv").as("s")))
+        .as(Seq("d0", "z")))
+      .select((col("d0") + 1).cast("long").as("dim"),
+        e6(round(abs(col("z.x") - code * col("z.s") / lit(127.0)), 6)).as("err_e6"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        max(col("err_e6")).as("max_err_e6"),
+        expr("sum(err_e6) div count(1)").as("mean_err_e6"))
+      .orderBy("dim")
+  }
+
   def annScalarQuant(
       emb: DataFrame, idCol: String, vecCol: String,
       queryMod: Int, k: Int): DataFrame = {

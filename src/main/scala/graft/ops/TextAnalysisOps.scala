@@ -1164,6 +1164,46 @@ object TextAnalysisOps {
     }.reduce(_.unionByName(_)).orderBy(col(groupCol), col("n"))
   }
 
+  /** SKIP-GRAM CO-OCCURRENCE PAIRS: count unordered token pairs within a
+    * positional window of `window` tokens (offsets 1..window) and return
+    * the top `k` by count — the (center, context) pair-generation pass
+    * every word2vec-style embedding trainer and collocation miner runs
+    * over a training corpus (Mikolov et al. 2013's skip-gram extraction,
+    * minus the subsampling). The doc-level PMI sibling
+    * ([[pmiCollocations]]) scores set co-occurrence anywhere in a doc;
+    * this op is POSITIONAL — only pairs at token distance ≤ window count,
+    * so it sees local syntax, not topicality.
+    *
+    * Determinism: pairs normalize to (least, greatest) so direction
+    * cannot split counts; exact BIGINT counts; total (cnt desc, w1, w2)
+    * order.
+    *
+    * 100 TB shape: pair generation is MAP-ONLY — per offset a zip_with
+    * of the token array against its own `off`-shifted slice (no
+    * positional self-join, no posexplode shuffle of token rows); the only
+    * shuffle is the (w1, w2)-keyed count with map-side combine, and the
+    * result is a global top-k (TakeOrderedAndProject). Generated pair
+    * volume is ≤ window × corpus token count, streamed not stored. */
+  def skipgramPairs(
+      docs: DataFrame, textCol: String, window: Int, k: Int): DataFrame = {
+    require(window >= 1, s"bad window: $window")
+    require(k >= 1, s"bad k: $k")
+    val pairArrays = (1 to window).map { off =>
+      expr(
+        s"""zip_with(
+           |  slice(__tk, 1, greatest(size(__tk) - $off, 0)),
+           |  slice(__tk, ${off + 1}, greatest(size(__tk) - $off, 0)),
+           |  (a, b) -> struct(least(a, b) AS w1, greatest(a, b) AS w2))""".stripMargin)
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(graft.functions.TextHash.tokens(col(textCol)).as("__tk"))
+      .select(explode(flatten(array(pairArrays: _*))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** QUALITY ENSEMBLE: rank-blend three incomparable per-doc quality
     * signals — token count, distinct-token ratio (ppm), and mean token
     * length (centi-chars) — into one ECDF-normalized ordering via

@@ -392,6 +392,23 @@ LEFT JOIN agg ON nw.doc_id = agg.doc_id
 ORDER BY nw.doc_id"""
   }
 
+  /** Mirror of [[graft.ops.DedupOps.dupAttribution]]: same md5 cluster
+    * key, same min-id keeper (doc_id is unique, so `arg_min` equals the
+    * engine's lexicographic struct-min), same cross-group test, same
+    * truncating ppm. */
+  def dupAttribution(table: String, groupCol: String): String =
+    s"""WITH d AS (SELECT md5(text) AS k, doc_id, $groupCol AS g
+  FROM $table WHERE text IS NOT NULL),
+kp AS (SELECT k, MIN(doc_id) AS keep_id, arg_min(g, doc_id) AS keep_g
+  FROM d GROUP BY k)
+SELECT g AS $groupCol, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(SUM(CASE WHEN doc_id <> keep_id AND g <> keep_g THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dup,
+  CAST((SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+FROM d JOIN kp USING (k)
+GROUP BY g
+ORDER BY $groupCol"""
+
   def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
 ${shingleCte(w)}

@@ -331,6 +331,25 @@ FROM e ORDER BY col_name"""
 FROM $table"""
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Mirror of [[graft.ops.RelationalOps.ksPairwise]]: same per-group
+    * histogram, same union value axis with zero-filled gaps, same
+    * truncating ×10⁶ ECDF ranks, same pairwise max-gap — all integer. */
+  def ksPairwise(table: String, groupCol: String, metricCol: String): String =
+    s"""WITH h AS (SELECT $groupCol AS g, CAST($metricCol AS BIGINT) AS v, COUNT(*) AS c
+  FROM $table WHERE $metricCol IS NOT NULL GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM h),
+t AS (SELECT g, SUM(c) AS n FROM h GROUP BY g),
+filled AS (SELECT t.g, vals.v, t.n, COALESCE(h.c, 0) AS c
+  FROM vals CROSS JOIN t LEFT JOIN h ON h.g = t.g AND h.v = vals.v),
+e AS (SELECT g, v, n,
+  (SUM(c) OVER (PARTITION BY g ORDER BY v) * 1000000) // n AS e_ppm FROM filled)
+SELECT a.g AS group_a, b.g AS group_b,
+  CAST(MIN(a.n) AS BIGINT) AS n_a, CAST(MIN(b.n) AS BIGINT) AS n_b,
+  CAST(MAX(ABS(a.e_ppm - b.e_ppm)) AS BIGINT) AS ks_ppm
+FROM e a JOIN e b ON a.v = b.v AND a.g < b.g
+GROUP BY a.g, b.g
+ORDER BY group_a, group_b"""
+
   def topSuppliers(k: Int): String =
     s"""WITH rev AS (
   SELECT l_suppkey, CAST(SUM($discE4) AS BIGINT) AS revenue_e4 FROM lineitem GROUP BY l_suppkey)

@@ -488,6 +488,46 @@ round(CAST(SUM(CAST(embedding[1]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*
 round(CAST(SUM(CAST(embedding[2]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_d1
 FROM $table GROUP BY label ORDER BY label"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.labelCentroidMargin]]: same
+    * decimal-exact per-(label, dim) 6-dp means, same 6-dp cosine of every
+    * vector against every label centroid, same own-vs-best-other margin
+    * with the strict `< 0` mis test and truncating ppm. */
+  def labelCentroidMargin(table: String, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl, embedding::DOUBLE[] AS v
+  FROM $table WHERE embedding IS NOT NULL AND label IS NOT NULL),
+d AS (SELECT lbl, i.i AS dim,
+    round(CAST(SUM(CAST(v[i.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY lbl, i.i),
+c AS (SELECT lbl AS clbl, list(m ORDER BY dim) AS cv FROM d GROUP BY lbl),
+sc AS (SELECT e.id, e.lbl, c.clbl, ${cosSql("e.v", "c.cv", dim)} AS ccos FROM e, c),
+pm AS (SELECT id, lbl,
+    MAX(CASE WHEN clbl = lbl THEN ccos END) AS own,
+    MAX(CASE WHEN clbl <> lbl THEN ccos END) AS bo
+  FROM sc GROUP BY id, lbl),
+m AS (SELECT lbl, round(own - bo, 6) AS margin FROM pm
+  WHERE own IS NOT NULL AND bo IS NOT NULL)
+SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned,
+  round(CAST(SUM(CAST(margin AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+  MIN(margin) AS min_margin,
+  CAST((SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS mis_ppm
+FROM m GROUP BY lbl ORDER BY label"""
+
+  /** Mirror of [[graft.ops.SimilarityOps.sqReconError]]: same max-abs
+    * scales, same clamp∘floor codes, same `|x − q·s/127|` rounded to 6 dp
+    * then scaled to exact ×10⁶ BIGINT before the per-dim max/mean. */
+  def sqReconError(table: String, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table WHERE embedding IS NOT NULL),
+s AS (SELECT i.i AS d, max(abs(v[i.i])) AS s FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i) i GROUP BY 1),
+err AS (SELECT s.d AS dim,
+    CAST(CAST(round(ABS(v[s.d] - (CASE WHEN s.s = 0 THEN 0
+      ELSE greatest(-127, least(127, CAST(floor(v[s.d] * 127.0 / s.s) AS BIGINT))) END) * s.s / 127.0), 6)
+      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS e6
+  FROM e, s)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  MAX(e6) AS max_err_e6, CAST(SUM(e6) // COUNT(*) AS BIGINT) AS mean_err_e6
+FROM err GROUP BY dim ORDER BY dim"""
+
   /** Mirror of [[graft.ops.SimilarityOps.annScalarQuant]]: same max-abs
     * per-dimension scales, same clamp(floor(x*127/s)) int8 codes (floor,
     * not round — half-way doubles cannot diverge), same exact BIGINT dot

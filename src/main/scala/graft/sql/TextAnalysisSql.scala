@@ -521,4 +521,24 @@ SELECT m.$idCol, m.n_tokens, m.distinct_ppm, m.mean_len_centi,
 FROM m ${metrics.map(c => s"JOIN r_$c ON m.$c = v_$c").mkString(" ")}
 ORDER BY blend_ppm DESC, m.$idCol ASC LIMIT $limit"""
   }
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.skipgramPairs]]: per offset a
+    * positional list_transform over the token list (1-based; range guards
+    * the shifted index in-bounds), same (least, greatest) normalization,
+    * same exact counts and total order. */
+  def skipgramPairs(table: String, window: Int, k: Int): String = {
+    val blocks = (1 to window).map { off =>
+      s"""SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+  SELECT unnest(list_transform(range(1, greatest(len(tk) - $off, 0) + 1),
+    i -> {'w1': least(tk[CAST(i AS INT)], tk[CAST(i + $off AS INT)]),
+          'w2': greatest(tk[CAST(i AS INT)], tk[CAST(i + $off AS INT)])})) AS u
+  FROM t)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT $toks AS tk FROM $table WHERE text IS NOT NULL),
+p AS (
+$blocks)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
+GROUP BY w1, w2
+ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT $k"""
+  }
 }

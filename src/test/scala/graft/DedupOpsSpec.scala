@@ -576,4 +576,24 @@ class DedupOpsSpec extends AnyFunSuite {
     val errs = r.map(_.getAs[Long]("abs_err_ppm")).toSeq
     assert(errs == errs.sorted.reverse)
   }
+
+  test("dupAttribution: per-group dup and cross-group split match the hand computation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "s1"), (2L, "a", "s2"), (3L, "a", "s1"), // keeper 1@s1; 2 cross, 3 same
+      (4L, "b", "s2"), (5L, "b", "s2"),                  // keeper 4@s2; 5 same
+      (6L, "c", "s1"),                                   // unique
+      (7L, null, "s1"))                                  // null text drops
+      .toDF("doc_id", "text", "source")
+    val r = DedupOps.dupAttribution(df, "text", "doc_id", "source")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("s1") == ((3L, 1L, 0L, 333333L)))
+    assert(r("s2") == ((3L, 2L, 1L, 666666L)))
+    // invariants: cross <= dup <= n_docs; partitioning-invariant
+    val b = DedupOps.dupAttribution(df.repartition(5), "text", "doc_id", "source")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r == b)
+  }
 }

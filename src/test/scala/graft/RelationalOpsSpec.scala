@@ -246,4 +246,38 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("No Partition Defined"),
       s"unpartitioned window in:\n$plan")
   }
+
+  test("ksPairwise: hand-computed gap, zero for identical, 10^6 for disjoint") {
+    import spark.implicits._
+    // A=[1,1,2,3] ecdf 500000/750000/1e6; B=[1,2,2,4] ecdf 250000/750000/750000/1e6
+    // gaps at v=1..4: 250000, 0, 250000, 0 -> ks 250000
+    val df = Seq(("A", 1), ("A", 1), ("A", 2), ("A", 3),
+      ("B", 1), ("B", 2), ("B", 2), ("B", 4)).toDF("g", "v")
+    val r = RelationalOps.ksPairwise(df, "g", "v").collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "A" && r.head.getString(1) == "B")
+    assert(r.head.getAs[Long]("n_a") == 4 && r.head.getAs[Long]("n_b") == 4)
+    assert(r.head.getAs[Long]("ks_ppm") == 250000L)
+    // identical distributions -> 0
+    val same = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2)).toDF("g", "v")
+    assert(RelationalOps.ksPairwise(same, "g", "v")
+      .collect().head.getAs[Long]("ks_ppm") == 0L)
+    // disjoint supports -> full gap 10^6
+    val dis = Seq(("A", 1), ("A", 2), ("B", 10), ("B", 11)).toDF("g", "v")
+    assert(RelationalOps.ksPairwise(dis, "g", "v")
+      .collect().head.getAs[Long]("ks_ppm") == 1000000L)
+  }
+
+  test("ksPairwise: every unordered pair once; null metrics drop; partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (s"s${i % 4}", if (i % 7 == 0) null
+      else java.lang.Long.valueOf(i % 23))).toDF("g", "v")
+    val r = RelationalOps.ksPairwise(df, "g", "v").collect()
+    assert(r.length == 6) // C(4,2)
+    assert(r.forall(x => x.getString(0) < x.getString(1)))
+    assert(r.forall(x => x.getAs[Long]("ks_ppm") >= 0 &&
+      x.getAs[Long]("ks_ppm") <= 1000000L))
+    val b = RelationalOps.ksPairwise(df.repartition(13), "g", "v").collect()
+    assert(r.toSeq == b.toSeq)
+  }
 }

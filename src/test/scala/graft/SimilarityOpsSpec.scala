@@ -601,4 +601,51 @@ class SimilarityOpsSpec extends AnyFunSuite {
       SimilarityOps.clusterSilhouette(emb, "vec_id", "embedding", k = 1, iters = 1)
     }
   }
+
+  test("labelCentroidMargin: clean labels score positive margins; a planted mislabel goes negative") {
+    import spark.implicits._
+    // label 0 points along e1, label 1 along e2 — vec 5 carries label 1
+    // but sits on e1: its own-centroid cosine loses to label 0's centroid
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0), (3L, Array(0.95f, 0.05f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (6L, Array(0.1f, 0.9f), 1),
+      (5L, Array(1.0f, 0.02f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.labelCentroidMargin(emb, "vec_id", "embedding", "label")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n_vecs") == 3 && r(0L).getAs[Long]("n_misassigned") == 0)
+    assert(r(0L).getAs[Double]("min_margin") > 0.0)
+    assert(r(1L).getAs[Long]("n_vecs") == 3 && r(1L).getAs[Long]("n_misassigned") == 1)
+    assert(r(1L).getAs[Double]("min_margin") < 0.0)
+    assert(r(1L).getAs[Long]("mis_ppm") == 333333L)
+    // decimal-exact aggregation: partitioning-invariant
+    val b = SimilarityOps.labelCentroidMargin(emb.repartition(7), "vec_id", "embedding", "label")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.view.mapValues(_.toString).toMap == b.view.mapValues(_.toString).toMap)
+  }
+
+  test("sqReconError: error bounded by s/127 half-step analogue; zero-scale dim has zero error") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)), (2L, Array(-1.0f, 0.0f, 0.25f)),
+      (3L, Array(0.3f, 0.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.sqReconError(emb, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    // dim 2 is all-zero: scale 0, code 0, reconstruction exact
+    assert(r(2L).getAs[Long]("max_err_e6") == 0L)
+    // floor-based code is within one step: err <= s/127 (+ 6-dp rounding)
+    Seq(1L, 3L).foreach { d =>
+      val bound = (1.0 / 127.0 + 5e-7) * 1e6
+      assert(r(d).getAs[Long]("max_err_e6") <= bound.toLong + 1,
+        s"dim $d err ${r(d)} exceeds one quantization step")
+      assert(r(d).getAs[Long]("mean_err_e6") <= r(d).getAs[Long]("max_err_e6"))
+      assert(r(d).getAs[Long]("n_vecs") == 3L)
+    }
+    // exact integers: partitioning-invariant
+    val b = SimilarityOps.sqReconError(emb.repartition(5), "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.view.mapValues(_.toString).toMap == b.view.mapValues(_.toString).toMap)
+  }
 }

@@ -719,4 +719,25 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(blends == blends.sorted.reverse, "blend must be non-increasing")
     assert(rows.map(_.getLong(0)).distinct.length == 20)
   }
+
+  test("skipgramPairs: window-2 pairs of 'a b a c' match the hand enumeration") {
+    import spark.implicits._
+    // offset 1: (a,b) (a,b) (a,c); offset 2: (a,a) (b,c)
+    val df = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r = TextAnalysisOps.skipgramPairs(df, "text", window = 2, k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(("a", "b", 2L), ("a", "a", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("skipgramPairs: direction never splits counts; short docs and nulls drop; k caps") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, "y x"), (3L, "solo"), (4L, null))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.skipgramPairs(df, "text", window = 2, k = 10).collect()
+    assert(r.length == 1)
+    assert((r.head.getString(0), r.head.getString(1), r.head.getLong(2)) == (("x", "y", 2L)))
+    val capped = TextAnalysisOps.skipgramPairs(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", window = 2, k = 3)
+    assert(capped.count() == 3)
+  }
 }
