@@ -1314,6 +1314,28 @@ GROUP BY segment ORDER BY segment""")),
         SimilarityOps.sqReconError(Tables.embeddings(s, dir), "vec_id", "embedding"),
       Some(graft.sql.SimilaritySql.sqReconError("embeddings", dim = 64))),
 
+    ("q157_group_heavy_hitters",
+      // per-source Misra-Gries heavy hitters: the FineWeb-style per-dump
+      // boilerplate detector q119's global table misses when a template
+      // floods only one source; exact recount over the per-group sketch
+      // candidates, cnt*(k+1) > n_g threshold
+      (s: SparkSession, dir: String) =>
+        SketchOps.frequentNgramsByGroup(Tables.documents(s, dir), "text", "source",
+          w = 1, k = 30),
+      Some(graft.sql.SketchSql.frequentNgramsByGroup("documents", "source",
+        w = 1, k = 30))),
+
+    ("q158_funnel_dwell",
+      // view -> purchase dwell-time percentiles: seconds between a user's
+      // first view and first purchase at-or-after it (q75's sequencing
+      // contract), nearest-rank bounds over the integer dwell histogram
+      (s: SparkSession, dir: String) =>
+        SessionOps.funnelDwell(Tables.events(s, dir), "user_id", "ts", "event_id",
+          "event_type", fromStage = "view", toStage = "purchase",
+          percents = Seq(25, 50, 75, 90)),
+      Some(graft.sql.OracleSql.funnelDwell("view", "purchase",
+        percents = Seq(25, 50, 75, 90)))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

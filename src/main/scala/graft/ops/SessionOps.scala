@@ -89,6 +89,52 @@ object SessionOps {
       .orderBy("stage")
   }
 
+  /** FUNNEL DWELL-TIME distribution: seconds between a user's FIRST
+    * `fromStage` event and their first `toStage` event at-or-after it
+    * (the [[conversionFunnel]] sequencing contract: at equal timestamps
+    * the event-id order decides), summarized as nearest-rank percentiles —
+    * the "how long does view → purchase take" table product analytics
+    * reads next to the funnel counts. One output row:
+    * (n_users, p<p₁>, p<p₂>, …).
+    *
+    * Determinism: dwell is an exact integer (µs difference truncated to
+    * seconds — timestamps compare as raw int64 µs, the [[sessionizeBatch]]
+    * unit rationale); percentiles use the engine-wide ⌈p·n/100⌉
+    * nearest-rank convention ([[RelationalOps.nearestRankBounds]] — ONE
+    * definition, so this op cannot drift from the clip/calibration
+    * family).
+    *
+    * 100 TB shape: first-stage row per user is one user-key aggregate
+    * (min struct — map-side combinable, no window); the target-stage join
+    * reuses the user-key partitioning; dwell values collapse to a
+    * value-axis histogram before any ordering (the nearestRankBounds
+    * two-level prefix sum — no unpartitioned window, no corpus sort). */
+  def funnelDwell(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, fromStage: String, toStage: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty, "need at least one percentile")
+    val base = events.filter(col(tsCol).isNotNull)
+    val firstA = base.filter(col(typeCol) === fromStage)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("id"))).as("fa"))
+      .select(col("u"), col("fa.t").as("at"), col("fa.id").as("aid"))
+    val dwell = base.filter(col(typeCol) === toStage)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("bt"),
+        col(idCol).as("bid"))
+      .join(firstA, Seq("u"))
+      .filter(col("bt") > col("at") ||
+        (col("bt") === col("at") && col("bid") > col("aid")))
+      .groupBy("u")
+      .agg(min(col("bt")).as("bt"), min(col("at")).as("at"))
+      .select(expr("(bt - at) div 1000000").as("dwell_secs"))
+    val n = dwell.agg(count(lit(1)).as("n_users"))
+    val bounds = RelationalOps.nearestRankBounds(dwell, "dwell_secs", percents)
+    n.crossJoin(bounds)
+      .select(col("n_users") +:
+        percents.zipWithIndex.map { case (p, i) => col(s"bound_$i").as(s"p$p") }: _*)
+  }
+
   /** COHORT RETENTION: users grouped by the ISO week of their first event
     * (the cohort); each (cohort, week offset) cell counts the cohort's
     * users active in that later week — the classic retention triangle.

@@ -248,6 +248,76 @@ object SketchOps {
       .orderBy(col("cnt").desc, col("term").asc)
   }
 
+  /** PER-GROUP Misra-Gries heavy hitters: [[frequentNgrams]] with the
+    * guarantee held INDEPENDENTLY per group (source / dump / language
+    * shard) — the FineWeb-style per-dump boilerplate detector: a template
+    * flooding one crawl dump is invisible in the global table when the
+    * dump is 1% of the corpus, but dominates its own group's counters.
+    * Same two-pass shape: pass 1 keeps k Misra-Gries counters PER GROUP
+    * per partition (any term with per-group count > n_g/(k+1) must
+    * survive in at least one partition — the superset argument applies
+    * group-wise because decrements only fire on that group's rows),
+    * pass 2 recounts candidates exactly and keeps `cnt·(k+1) > n_g`.
+    * Both passes read one snapshot, so the superset guarantee is
+    * structural (the [[frequentNgrams]] contract).
+    *
+    * Output: (group, term, cnt, share_ppm) — exact counts, share of the
+    * GROUP's n-gram mass, ordered (group, cnt desc, term).
+    *
+    * 100 TB shape: pass-1 state is ≤ (k+1)·groups·partitions rows
+    * however big the corpus; candidates broadcast into the exact recount
+    * (one (group, term)-keyed partial-agg shuffle); group totals ride a
+    * broadcast join. */
+  def frequentNgramsByGroup(
+      docs: DataFrame, textCol: String, groupCol: String,
+      w: Int, k: Int): DataFrame = {
+    require(w >= 1, s"ngram width must be >= 1: $w")
+    require(k >= 1, s"summary size must be >= 1: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val snap = docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), col(textCol).as("__text"))
+      .localCheckpoint()
+    def ngrams = snap
+      .select(col("__g"), Generators.ngramExplode(col("__text"), w).as("term"))
+    val summary = ngrams.as[(String, String)].mapPartitions { it =>
+      val maps = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      val np = scala.collection.mutable.HashMap.empty[String, Long]
+      while (it.hasNext) {
+        val (g, t) = it.next()
+        np.update(g, np.getOrElse(g, 0L) + 1)
+        val m = maps.getOrElseUpdate(
+          g, scala.collection.mutable.HashMap.empty[String, Long])
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < k => m.update(t, 1L)
+          case None =>
+            m.mapValuesInPlace((_, v) => v - 1)
+            m.filterInPlace((_, v) => v > 0)
+        }
+      }
+      np.iterator.map { case (g, c) => (g, null: String, c) } ++
+        maps.iterator.flatMap { case (g, m) =>
+          m.keysIterator.map(t => (g, t, 0L))
+        }
+    }.toDF("__g", "term", "np").localCheckpoint()
+    val totals = summary.filter(col("term").isNull)
+      .groupBy("__g").agg(sum(col("np")).cast("long").as("n"))
+    val candidates = summary.filter(col("term").isNotNull)
+      .select("__g", "term").distinct()
+    ngrams
+      .join(broadcast(candidates), Seq("__g", "term"))
+      .groupBy("__g", "term")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("__g"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("__g").as(groupCol), col("term"), col("cnt"),
+        expr("cnt * 1000000 div n").as("share_ppm"))
+      .orderBy(col(groupCol), col("cnt").desc, col("term").asc)
+  }
+
   /** Power-of-2 QUANTILE sketch over a non-negative integer metric — the
     * rank/quantile companion to [[countMinSketch]] (frequency) and
     * [[hllRegisters]] (cardinality): (bucket, cnt) where bucket is the

@@ -244,6 +244,33 @@ u AS (SELECT user_id, $flags FROM w${stages.size - 1} GROUP BY user_id)""")
     * [[graft.ops.SessionOps.cohortRetention]]: Monday-based
     * date_trunc('week') on both engines, exact day-difference // 7
     * offsets, distinct (cohort, offset, user) before the count. */
+  /** Mirror of [[graft.ops.SessionOps.funnelDwell]]: the first fromStage
+    * row by (t, id), qualifying toStage rows strictly after it in that
+    * order, µs-truncated dwell seconds, and the engine-wide ⌈p·n/100⌉
+    * nearest-rank percentile convention over the dwell histogram. */
+  def funnelDwell(
+      fromStage: String, toStage: String, percents: Seq[Int]): String = {
+    val pSel = percents.map(p =>
+      s"(SELECT CAST(MIN(v) AS BIGINT) FROM cm, t WHERE cum >= (($p * n + 99) // 100)) AS p$p")
+      .mkString(",\n  ")
+    s"""WITH b0 AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+  FROM events WHERE ts IS NOT NULL),
+fa AS (SELECT user_id, t AS at, event_id AS aid FROM (
+    SELECT user_id, t, event_id,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC) AS rn
+    FROM b0 WHERE event_type = '$fromStage') WHERE rn = 1),
+d AS (SELECT e.user_id, (MIN(e.t) - MIN(fa.at)) // 1000000 AS dwell
+  FROM b0 e JOIN fa ON fa.user_id = e.user_id
+  WHERE e.event_type = '$toStage'
+    AND (e.t > fa.at OR (e.t = fa.at AND e.event_id > fa.aid))
+  GROUP BY e.user_id),
+h AS (SELECT dwell AS v, COUNT(*) AS c FROM d GROUP BY 1),
+cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+t AS (SELECT SUM(c) AS n FROM h)
+SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_users,
+  $pSel"""
+  }
+
   def cohortRetention: String =
     s"""WITH w AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
   FROM events WHERE ts IS NOT NULL),

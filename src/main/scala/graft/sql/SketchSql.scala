@@ -40,6 +40,23 @@ FROM c, tot WHERE cnt * ${k + 1} > n
 ORDER BY cnt DESC, term ASC"""
   }
 
+  /** Mirror of [[graft.ops.SketchOps.frequentNgramsByGroup]]: the oracle
+    * is EXACT per-group counts filtered at the same `cnt·(k+1) > n_g`
+    * threshold — legal because the engine's Misra-Gries candidates are a
+    * per-group superset of the answer at any partitioning. */
+  def frequentNgramsByGroup(table: String, groupCol: String, w: Int, k: Int): String = {
+    val gram = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT CAST($groupCol AS VARCHAR) AS g, $toks AS tk
+  FROM $table WHERE text IS NOT NULL AND $groupCol IS NOT NULL),
+gg AS (SELECT g, unnest(list_transform(range(1, len(tk) - ${w - 2}), i -> $gram)) AS term FROM t),
+c AS (SELECT g, term, COUNT(*) AS cnt FROM gg GROUP BY g, term),
+tot AS (SELECT g, SUM(cnt) AS n FROM c GROUP BY g)
+SELECT c.g AS $groupCol, term, CAST(cnt AS BIGINT) AS cnt,
+  CAST((cnt * 1000000) // n AS BIGINT) AS share_ppm
+FROM c JOIN tot ON c.g = tot.g WHERE cnt * ${k + 1} > n
+ORDER BY $groupCol, cnt DESC, term ASC"""
+  }
+
   /** Mirror of [[graft.ops.SketchOps.hllRegisters]]: same md5 bucket/value
     * split, same binary-string-length rank — DuckDB's bin() is unpadded
     * exactly like Spark's, so `61 - length(bin(v))` is the identical

@@ -70,4 +70,28 @@ class SessionOpsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length <= 1,
       s"funnel should partition by user once:\n${plan.take(800)}")
   }
+
+  test("funnel dwell: first-A-to-first-qualifying-B seconds with the equal-ts id tiebreak") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: view t=0, purchase t=10 -> dwell 10
+      (1L, ts(0), 1L, "view"), (1L, ts(10), 2L, "purchase"),
+      // u2: purchase BEFORE first view does not qualify; later one does -> 14
+      (2L, ts(5), 3L, "purchase"), (2L, ts(6), 4L, "view"), (2L, ts(20), 5L, "purchase"),
+      // u3: view only; u4: purchase only -> both excluded
+      (3L, ts(1), 6L, "view"), (4L, ts(1), 7L, "purchase"),
+      // u5: equal ts, purchase id AFTER view id -> qualifies, dwell 0
+      (5L, ts(100), 50L, "view"), (5L, ts(100), 51L, "purchase"),
+      // u6: equal ts, purchase id BEFORE view id -> does NOT qualify
+      (6L, ts(100), 61L, "purchase"), (6L, ts(100), 62L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = SessionOps.funnelDwell(events, "user_id", "ts", "event_id",
+      "event_type", "view", "purchase", percents = Seq(25, 50, 90)).collect()
+    assert(r.length == 1)
+    // dwells {0, 10, 14}: rank ceil(p*3/100) -> p25=0, p50=10, p90=14
+    assert(r.head.getAs[Long]("n_users") == 3L)
+    assert(r.head.getAs[Long]("p25") == 0L)
+    assert(r.head.getAs[Long]("p50") == 10L)
+    assert(r.head.getAs[Long]("p90") == 14L)
+  }
 }

@@ -179,6 +179,29 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group Misra-Gries finds a group-local flood the global table misses") {
+    import spark.implicits._
+    // "spam" floods g1 (30 of its 60 tokens) but is 30/1090 of the corpus:
+    // per-group with k=4 it must surface in g1; globally at k=4 it would
+    // need > 1090/5 = 218 occurrences
+    val rows = (1 to 30).map(i => (i.toLong, "spam", "g1")) ++
+      (1 to 30).map(i => (100L + i, s"one$i", "g1")) ++
+      (1 to 1030).map(i => (10000L + i, s"div${i % 515}", "g2"))
+    val df = rows.toDF("id", "text", "src")
+    val got = SketchOps.frequentNgramsByGroup(df, "text", "src", w = 1, k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // g1: spam 30/60 (share 500000 ppm, bound 60/5=12); one* (1 each) stay out
+    assert(got.toSeq == Seq(("g1", "spam", 30L, 500000L)))
+    // the global sketch at the same k misses it
+    val global = SketchOps.frequentNgrams(df, "text", w = 1, k = 4)
+      .collect().map(_.getString(0)).toSet
+    assert(!global.contains("spam"))
+    // partitioning-independence: the superset guarantee holds group-wise
+    val p7 = SketchOps.frequentNgramsByGroup(df.repartition(7), "text", "src", w = 1, k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == p7.toSeq)
+  }
+
   test("Misra-Gries exact pass joins a broadcast candidate set (no vocabulary shuffle)") {
     val plan = SketchOps.frequentNgrams(docs, "text", w = 2, k = 50)
       .queryExecution.executedPlan.toString
