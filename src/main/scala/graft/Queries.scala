@@ -1336,6 +1336,16 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.OracleSql.funnelDwell("view", "purchase",
         percents = Seq(25, 50, 75, 90)))),
 
+    ("q159_levenshtein_pairs",
+      // typo-level near-dup pairs the shingle family is blind to: complete
+      // length-blocked candidates (lev >= |len diff|), banded threshold
+      // kernel, exact-equal to brute force within maxDist
+      (s: SparkSession, dir: String) =>
+        DedupOps.levenshteinPairs(Tables.documents(s, dir), "text", "doc_id",
+          maxDist = 20, sampleMod = 1, limit = 100),
+      Some(graft.sql.DedupSql.levenshteinPairs("documents",
+        maxDist = 20, sampleMod = 1, limit = 100))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -112,6 +112,57 @@ object DedupOps {
       .orderBy(groupCol)
   }
 
+  /** EDIT-DISTANCE near-dup pairs — the TYPO-level dedup the token-set
+    * family (MinHash/SimHash/Jaccard) is blind to: a dozen character
+    * edits barely move a 3-shingle set, but OCR noise, mojibake repairs
+    * and template fill-ins differ by exactly such edits. All pairs with
+    * `levenshtein ≤ maxDist` over the deterministic id-residue sample,
+    * with a COMPLETE candidate generation: `lev(a,b) ≥ |len(a) − len(b)|`,
+    * so blocking each doc to length keys `len..len+maxDist` and joining
+    * on the partner's exact length provably loses no qualifying pair
+    * (each unordered pair is generated exactly once: the shorter side
+    * probes upward; equal lengths tie-break on id).
+    *
+    * The verify kernel is the BANDED levenshtein (threshold form —
+    * O(len·maxDist) per pair, early exit past the band instead of the
+    * full O(len²) matrix).
+    *
+    * Output: (doc_a, doc_b, dist) with doc_a < doc_b, ordered
+    * (dist asc, doc_a, doc_b), top `limit`.
+    *
+    * 100 TB shape: the length join shuffles (length-key, doc) rows —
+    * maxDist+1 keys per doc — and candidate volume is bounded by
+    * length-class co-location, not n²; at corpus scale a same-length
+    * class is still large, so production deployments run this kernel
+    * per-shard / per-cluster (the [[jaccardBruteForce]] sampleMod
+    * convention) or behind a q-gram count prefilter; the blocking + band
+    * here is the exact-complete core those wrappers share. */
+  def levenshteinPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, sampleMod: Int, limit: Int): DataFrame = {
+    require(maxDist >= 0, s"bad maxDist: $maxDist")
+    require(sampleMod >= 1, s"bad sampleMod: $sampleMod")
+    require(limit >= 1, s"bad limit: $limit")
+    val base = docs
+      .filter(col(textCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+    val probes = base.select(col("id").as("id_a"), col("t").as("ta"),
+      col("len").as("la"),
+      explode(sequence(col("len"), col("len") + maxDist)).as("lk"))
+    probes
+      .join(base.select(col("id").as("id_b"), col("t").as("tb"),
+        col("len").as("lk")), "lk")
+      .filter(col("la") < col("lk") ||
+        (col("la") === col("lk") && col("id_a") < col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0) // banded kernel returns -1 past the threshold
+      .orderBy(col("dist").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
+  }
+
   /** INCREMENTAL exact dedup: dedup a NEW shard against an existing
     * corpus without touching the corpus — the production ingest pattern
     * (re-deduping 100 TB per arriving shard is not a plan). A new row

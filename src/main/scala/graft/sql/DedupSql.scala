@@ -409,6 +409,18 @@ FROM d JOIN kp USING (k)
 GROUP BY g
 ORDER BY $groupCol"""
 
+  /** Mirror of [[graft.ops.DedupOps.levenshteinPairs]]: plain all-pairs
+    * levenshtein over the same sample — legal as the oracle because the
+    * engine's length blocking is a complete candidate superset and the
+    * banded kernel equals the full matrix within the threshold. */
+  def levenshteinPairs(table: String, maxDist: Int, sampleMod: Int, limit: Int): String =
+    s"""WITH d AS (SELECT doc_id AS id, text AS t FROM $table
+  WHERE text IS NOT NULL AND doc_id % $sampleMod = 0)
+SELECT a.id AS doc_a, b.id AS doc_b, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.id < b.id
+WHERE levenshtein(a.t, b.t) <= $maxDist
+ORDER BY dist ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
+
   def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
     s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
 ${shingleCte(w)}

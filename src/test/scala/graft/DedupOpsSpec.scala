@@ -577,6 +577,40 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(errs == errs.sorted.reverse)
   }
 
+  test("levenshteinPairs: equals brute force within the threshold; length blocking loses nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sitting"),
+      (4L, "completely different string here"), (5L, "kitten"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.levenshteinPairs(df, "text", "doc_id",
+      maxDist = 3, sampleMod = 1, limit = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // hand-enumerated: exact copy 0, single edits 1, sitten->sitting 2,
+    // kitten->sitting 3; doc 4 is out of every band
+    assert(got == Seq((1L, 5L, 0L), (1L, 2L, 1L), (2L, 5L, 1L),
+      (2L, 3L, 2L), (1L, 3L, 3L), (3L, 5L, 3L)))
+    // brute-force cross-check: full-matrix levenshtein over all pairs
+    val t = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- t.keys; b <- t.keys if a < b
+      d = lev(t(a), t(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got.toSet == brute)
+    // partitioning-invariant
+    val p7 = DedupOps.levenshteinPairs(df.repartition(7), "text", "doc_id",
+      maxDist = 3, sampleMod = 1, limit = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == p7)
+  }
+
   test("dupAttribution: per-group dup and cross-group split match the hand computation") {
     import spark.implicits._
     val df = Seq(
