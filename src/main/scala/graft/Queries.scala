@@ -1346,6 +1346,17 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.levenshteinPairs("documents",
         maxDist = 20, sampleMod = 1, limit = 100))),
 
+    ("q160_lsh_scurve",
+      // LSH band S-curve calibration: empirical band-collision rate by
+      // exact-jaccard decile vs the theoretical 1-(1-s^r)^b midpoint —
+      // the "choose nBands/r" table, measuring the candidate-generation
+      // stage itself (q143 calibrates the estimator on surfaced pairs)
+      (s: SparkSession, dir: String) =>
+        DedupOps.lshBandSCurve(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, nBands = 8, r = 2, sampleMod = 4),
+      Some(graft.sql.DedupSql.lshBandSCurve("documents",
+        w = 3, nBands = 8, r = 2, sampleMod = 4))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -112,6 +112,75 @@ object DedupOps {
       .orderBy(groupCol)
   }
 
+  /** Theoretical band-collision probability at the midpoint of each
+    * jaccard bucket: `1 − (1 − s^r)^b` (the LSH S-curve), rounded to ppm.
+    * Computed ONCE driver-side and inlined as literals into BOTH the
+    * engine plan and the oracle SQL — the [[SimilarityOps.hyperplanes]]
+    * convention for shared derived constants. */
+  private[graft] def sCurveTheoryPpm(nBands: Int, r: Int, nBuckets: Int): Seq[Long] =
+    (0 until nBuckets).map { i =>
+      val s = (i + 0.5) / nBuckets
+      math.round(1e6 * (1.0 - math.pow(1.0 - math.pow(s, r), nBands)))
+    }
+
+  /** LSH BAND S-CURVE calibration — the table you read to CHOOSE
+    * `nBands`/`r` before running MinHash dedup at scale: over the
+    * deterministic id-residue pair sample, bucket every pair by its EXACT
+    * shingle-set jaccard (integer ppm deciles) and report the EMPIRICAL
+    * band-collision rate (the fraction of pairs sharing at least one of
+    * the `nBands` signature bands) next to the THEORETICAL S-curve value
+    * `1 − (1 − s^r)^b` at the bucket midpoint. A low-jaccard bucket with
+    * a high empirical rate means wasted verify work (bands too
+    * permissive); a high-jaccard bucket below ~10⁶ ppm means missed
+    * near-dups (bands too strict). The per-pair companion is
+    * [[minhashCalibration]] (signature-estimate error on VERIFIED pairs);
+    * this op measures the CANDIDATE-GENERATION stage itself, including
+    * the pairs it never surfaces.
+    *
+    * Determinism: exact integer jaccard (n∩·10⁶ div n∪ over the distinct
+    * 28-bit shingle-hash sets), exact band-slice equality, truncating
+    * ppm; theory values are driver-computed literals identical in both
+    * engines.
+    *
+    * 100 TB shape: calibration is SAMPLE-scoped by construction (the
+    * [[jaccardBruteForce]] sampleMod convention — all-pairs exact
+    * jaccard is the measurement, not a corpus operation); signatures and
+    * hash sets are one map-only pass over the sample, the pair stage is
+    * a broadcast cross join of the bounded sample against itself, and
+    * the output is ≤ nBuckets rows. */
+  def lshBandSCurve(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int, nBands: Int, r: Int, sampleMod: Int,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBands >= 1 && r >= 1, s"bad band shape: $nBands x $r")
+    require(sampleMod >= 1, s"bad sampleMod: $sampleMod")
+    require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
+    val sampled = docs.filter(col(idCol) % sampleMod === 0)
+    val side = minhashSignatures(sampled, textCol, idCol, w, nBands * r)
+      .join(shingleHashSets(sampled, textCol, idCol, w), "id")
+    val a = side.select(col("id").as("ia"), col("m").as("ma"), col("hs").as("ha"))
+    val b = side.select(col("id").as("ib"), col("m").as("mb"), col("hs").as("hb"))
+    val theory = sCurveTheoryPpm(nBands, r, nBuckets)
+    a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        expr("size(array_intersect(ha, hb)) * 1000000L div size(array_union(ha, hb))")
+          .as("jppm"),
+        expr(s"exists(sequence(0, ${nBands - 1}), bd -> " +
+          s"slice(ma, bd * $r + 1, $r) = slice(mb, bd * $r + 1, $r))").as("collide"))
+      .select(least(expr(s"jppm * $nBuckets div 1000000"), lit(nBuckets - 1L))
+        .as("bucket"), col("collide"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("collide"), 1L).otherwise(0L)).as("n_collide"))
+      .select(col("bucket"),
+        (col("bucket") * (1000000L / nBuckets)).as("lo_ppm"),
+        col("n_pairs"), col("n_collide"),
+        expr("n_collide * 1000000 div n_pairs").as("collide_ppm"),
+        element_at(array(theory.map(lit): _*), (col("bucket") + 1).cast("int"))
+          .as("theory_ppm"))
+      .orderBy("bucket")
+  }
+
   /** EDIT-DISTANCE near-dup pairs — the TYPO-level dedup the token-set
     * family (MinHash/SimHash/Jaccard) is blind to: a dozen character
     * edits barely move a 3-shingle set, but OCR noise, mojibake repairs

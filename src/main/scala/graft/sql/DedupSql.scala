@@ -409,6 +409,35 @@ FROM d JOIN kp USING (k)
 GROUP BY g
 ORDER BY $groupCol"""
 
+  /** Mirror of [[graft.ops.DedupOps.lshBandSCurve]]: all sampled pairs,
+    * same exact integer hash-set jaccard, same band-slice equality over
+    * the shared `sig` minhash formula, same bucket/ppm arithmetic;
+    * theory literals come from the SAME driver-side computation. */
+  def lshBandSCurve(
+      table: String, w: Int, nBands: Int, r: Int,
+      sampleMod: Int, nBuckets: Int = 10): String = {
+    val theory = graft.ops.DedupOps.sCurveTheoryPpm(nBands, r, nBuckets)
+    val lo = 1000000L / nBuckets
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
+${shingleCte(w)},
+hs AS (SELECT id, s, list_transform(s, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS hl FROM sh),
+sig AS (SELECT id, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(hl, h -> (((506952114*(j+1)) % 2147483647) * h + ((40503*j + 1013904223) % 2147483647)) % 2147483647))) AS m,
+    list_distinct(hl) AS dh FROM hs),
+p AS (SELECT
+    (len(list_intersect(a.dh, b.dh)) * 1000000) // len(list_distinct(list_concat(a.dh, b.dh))) AS jppm,
+    len(list_filter(range(0, $nBands), bd -> a.m[bd*$r+1 : bd*$r+$r] = b.m[bd*$r+1 : bd*$r+$r])) > 0 AS collide
+  FROM sig a JOIN sig b ON a.id < b.id),
+g AS (SELECT least(jppm * $nBuckets // 1000000, ${nBuckets - 1}) AS bucket,
+    COUNT(*) AS n_pairs, SUM(CASE WHEN collide THEN 1 ELSE 0 END) AS n_collide
+  FROM p GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bucket * $lo AS BIGINT) AS lo_ppm,
+  CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_collide AS BIGINT) AS n_collide,
+  CAST((n_collide * 1000000) // n_pairs AS BIGINT) AS collide_ppm,
+  ([${theory.mkString(", ")}]::BIGINT[])[CAST(bucket AS INT) + 1] AS theory_ppm
+FROM g ORDER BY bucket"""
+  }
+
   /** Mirror of [[graft.ops.DedupOps.levenshteinPairs]]: plain all-pairs
     * levenshtein over the same sample — legal as the oracle because the
     * engine's length blocking is a complete candidate superset and the

@@ -577,6 +577,33 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(errs == errs.sorted.reverse)
   }
 
+  test("lshBandSCurve: exact copies collide in every band at bucket 9; theory is the closed form") {
+    import spark.implicits._
+    val copy = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (2L, copy), (4L, copy), // identical: jaccard 1e6 -> top bucket, must collide
+      (6L, "totally different words with zero shingle overlap here"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.lshBandSCurve(df, "text", "doc_id",
+      w = 3, nBands = 8, r = 2, sampleMod = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val top = r(9L)
+    assert(top.getAs[Long]("n_pairs") == 1L && top.getAs[Long]("n_collide") == 1L)
+    assert(top.getAs[Long]("collide_ppm") == 1000000L)
+    assert(top.getAs[Long]("lo_ppm") == 900000L)
+    assert(r(0L).getAs[Long]("n_pairs") == 2L) // the two disjoint pairs
+    // theory literals are the closed form, monotone along the curve
+    val theory = DedupOps.sCurveTheoryPpm(8, 2, 10)
+    assert(top.getAs[Long]("theory_ppm") == theory(9))
+    assert(theory == theory.sorted)
+    assert(theory.head >= 0 && theory.last <= 1000000L)
+    // partitioning-invariant
+    val b = DedupOps.lshBandSCurve(df.repartition(5), "text", "doc_id",
+      w = 3, nBands = 8, r = 2, sampleMod = 2)
+      .collect().map(x => x.getLong(0) -> x.toString).toMap
+    assert(r.view.mapValues(_.toString).toMap == b)
+  }
+
   test("levenshteinPairs: equals brute force within the threshold; length blocking loses nothing") {
     import spark.implicits._
     val df = Seq(
