@@ -1357,6 +1357,38 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.lshBandSCurve("documents",
         w = 3, nBands = 8, r = 2, sampleMod = 4))),
 
+    ("q161_triplet_mining",
+      // contrastive-training data prep: per sampled anchor, the nearest
+      // same-label positive and nearest other-label hard negative with
+      // the cosine margin — vector-granularity mislabel signal when the
+      // margin goes negative (q155 reports it per label)
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.tripletMining(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", queryMod = 20),
+      Some(graft.sql.SimilaritySql.tripletMining("embeddings",
+        queryMod = 20, dim = 64))),
+
+    ("q162_split_leakage",
+      // train/eval leakage audit: verified MinHash near-dup pairs counted
+      // per unordered split pair over the q86 90/5/5 hash split — the
+      // off-diagonal rows are leaked supervision exact dedup cannot stop
+      (s: SparkSession, dir: String) =>
+        CurationOps.splitLeakage(Tables.documents(s, dir), "text", "doc_id",
+          splits = Seq(("train", 90L), ("val", 5L), ("test", 5L)), den = 100L,
+          w = 3, nBands = 8, r = 2, minJaccard = 0.0),
+      Some(graft.sql.CurationSql.splitLeakage("documents",
+        splits = Seq(("train", 90L), ("val", 5L), ("test", 5L)), den = 100L,
+        w = 3, nBands = 8, r = 2, minJaccard = 0.0))),
+
+    ("q163_event_transitions",
+      // first-order Markov transition matrix over per-user event
+      // sequences with per-from share ppm — "what happens AFTER an
+      // error" path analysis; one user-key shuffle, bounded output
+      (s: SparkSession, dir: String) =>
+        SessionOps.eventTransitions(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", k = 50),
+      Some(graft.sql.OracleSql.eventTransitions(k = 50))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -146,4 +146,39 @@ object CurationOps {
       .reduce(_ unionByName _)
       .orderBy("stage")
   }
+
+  /** SPLIT-LEAKAGE check — the audit every train/eval split needs AFTER
+    * near-dup analysis: a hash split ([[SampleOps.splitAssign]]) is
+    * uniform over DOCUMENTS, but near-duplicate PAIRS do not respect it —
+    * an eval doc whose near-twin sits in train is leaked supervision, and
+    * exact-dedup-then-split does not prevent it (fuzzy twins survive
+    * exact dedup). Counts verified MinHash near-dup pairs
+    * ([[DedupOps.minhashVerifiedPairs]] — the complete pair set at
+    * `minJaccard`, no top-K truncation) per unordered split pair: the
+    * OFF-diagonal rows are the leak; `(eval, train)` > 0 means "dedup
+    * ACROSS splits before freezing the benchmark".
+    *
+    * Output: (split_a ≤ split_b, n_pairs), ordered.
+    *
+    * 100 TB shape: the split assignment is one map-only hash expression
+    * joined onto the pair relation by doc id twice (pairs are the
+    * band-bucket-bounded LSH output, never n²); the final frame is
+    * ≤ splits² rows. */
+  def splitLeakage(
+      docs: DataFrame, textCol: String, idCol: String,
+      splits: Seq[(String, Long)], den: Long,
+      w: Int, nBands: Int, r: Int, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val assigned = SampleOps.splitAssign(docs, idCol, splits, den)
+      .select(col(idCol).as("__sid"), col("split"))
+    DedupOps.minhashVerifiedPairs(docs, textCol, idCol, w, nBands, r,
+        minJaccard, maxBucket)
+      .join(assigned.select(col("__sid").as("doc_a"), col("split").as("__sa")), "doc_a")
+      .join(assigned.select(col("__sid").as("doc_b"), col("split").as("__sb")), "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
 }

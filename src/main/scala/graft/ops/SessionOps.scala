@@ -135,6 +135,42 @@ object SessionOps {
         percents.zipWithIndex.map { case (p, i) => col(s"bound_$i").as(s"p$p") }: _*)
   }
 
+  /** EVENT-TYPE TRANSITION matrix (first-order Markov counts): for every
+    * consecutive event pair within a user's (ts, id)-ordered history,
+    * count (from_type → to_type) and report each transition's share of
+    * its from-type's outgoing mass — the path-analysis table behind
+    * "what do users do AFTER an error?", and the behavioral sibling of
+    * the token-level skip-gram table
+    * ([[graft.ops.TextAnalysisOps.skipgramPairs]]).
+    *
+    * Output: (from_type, to_type, n_transitions, share_ppm), ordered
+    * (n_transitions desc, from_type, to_type), top `k`.
+    *
+    * 100 TB shape: ONE shuffle on the user key (the
+    * [[sessionizeBatch]]/[[conversionFunnel]] exchange); the lead window
+    * is per-user (partitioned — never global); transitions partial-agg
+    * map-side into a ≤ |types|² frame, whose from-type totals are a
+    * broadcast join. */
+  def eventTransitions(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val trans = events.filter(col(tsCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = trans.groupBy("from_type")
+      .agg(sum(col("n_transitions")).as("__tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        expr("n_transitions * 1000000 div __tot").as("share_ppm"))
+      .orderBy(col("n_transitions").desc, col("from_type").asc, col("to_type").asc)
+      .limit(k)
+  }
+
   /** COHORT RETENTION: users grouped by the ISO week of their first event
     * (the cohort); each (cohort, week offset) cell counts the cohort's
     * users active in that later week — the classic retention triangle.

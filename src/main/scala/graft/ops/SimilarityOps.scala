@@ -1333,6 +1333,56 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  /** HARD-NEGATIVE TRIPLET MINING — the training-pair generator for
+    * contrastive embedding fine-tuning (the SimCSE / sentence-transformers
+    * data prep): for each sampled anchor, its most-similar SAME-label
+    * vector (the positive) and its most-similar OTHER-label vector (the
+    * hard negative — the one that teaches the model something; a random
+    * negative is trivially far). `margin = pos_cos − neg_cos`: anchors
+    * with small or negative margins are exactly the boundary cases a
+    * contrastive loss needs most, and a heavily negative margin is the
+    * same mislabel signal [[labelCentroidMargin]] reports at label
+    * granularity, here at VECTOR granularity with the culprit attached.
+    *
+    * Output per anchor: (anchor_id, label, pos_id, pos_cos, neg_id,
+    * neg_cos, margin), ordered by anchor_id. Anchors missing either side
+    * (singleton label, or only one label in the corpus) drop.
+    *
+    * Determinism: 6-dp cosine; winner per side from a lexicographic
+    * struct-min ((−cos, id) — cos desc, id asc, the training tiebreak),
+    * map-side combinable — no per-anchor window over the corpus.
+    *
+    * 100 TB shape: anchors (id-residue sample) broadcast with their
+    * vectors; the corpus streams ONCE against them (the [[annBruteForce]]
+    * exactness-reference shape — swap in an ANN shortlist for production
+    * fan-out); the per-(anchor) aggregate carries two bounded structs. */
+  def tripletMining(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryMod: Int): DataFrame = {
+    require(queryMod >= 1, s"bad queryMod: $queryMod")
+    val base = emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("nid"), col(labelCol).cast("long").as("nlbl"),
+        col(vecCol).as("nv"))
+    val anchors = base.filter(col("nid") % queryMod === 0)
+      .select(col("nid").as("aid"), col("nlbl").as("albl"), col("nv").as("av"))
+    base.crossJoin(broadcast(anchors))
+      .filter(col("nid") =!= col("aid"))
+      .select(col("aid"), col("albl"), col("nid"), col("nlbl"),
+        cosine(col("nv"), col("av")).as("ccos"))
+      .groupBy("aid", "albl")
+      .agg(
+        min(when(col("nlbl") === col("albl"),
+          struct((-col("ccos")).as("nc"), col("nid").as("id")))).as("p"),
+        min(when(col("nlbl") =!= col("albl"),
+          struct((-col("ccos")).as("nc"), col("nid").as("id")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("aid").as("anchor_id"), col("albl").as("label"),
+        col("p.id").as("pos_id"), (-col("p.nc")).as("pos_cos"),
+        col("n.id").as("neg_id"), (-col("n.nc")).as("neg_cos"),
+        round((-col("p.nc")) - (-col("n.nc")), 6).as("margin"))
+      .orderBy("anchor_id")
+  }
+
   // --- SCALAR (int8-style symmetric) QUANTIZATION -------------------------
 
   /** Per-dimension quantization scales: the max absolute component value

@@ -94,4 +94,27 @@ UNION ALL SELECT $decoN, 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(COALES
 UNION ALL SELECT $budgetN, 'budget', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
 ORDER BY stage"""
   }
+
+  /** Mirror of [[graft.ops.CurationOps.splitLeakage]]: the shared LSH
+    * pair CTEs (complete verified set at the threshold), the q86 split
+    * CASE over the same md5 hash/thresholds, unordered split-pair
+    * normalization, exact counts. */
+  def splitLeakage(
+      table: String, splits: Seq[(String, Long)], den: Long,
+      w: Int, nBands: Int, r: Int, minJaccard: Double,
+      maxBucket: Int = 1000): String = {
+    val cum = splits.init.scanLeft(0L) { case (acc, (_, n)) => acc + n }.tail
+    val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    val whens = splits.init.zip(cum).map { case ((name, _), c) =>
+      s"WHEN $h < '${graft.ops.SampleOps.hexThreshold(c, den)}' THEN '$name'"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+${DedupSql.minhashPairCtes("toks", w, nBands, r, maxBucket)},
+asg AS (SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split FROM $table),
+pr AS (SELECT least(sa.split, sb.split) AS split_a, greatest(sa.split, sb.split) AS split_b
+  FROM v JOIN asg sa ON sa.doc_id = v.doc_a JOIN asg sb ON sb.doc_id = v.doc_b
+  WHERE v.jaccard >= $minJaccard)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 }

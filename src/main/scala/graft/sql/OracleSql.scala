@@ -271,6 +271,21 @@ SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_users,
   $pSel"""
   }
 
+  /** Mirror of [[graft.ops.SessionOps.eventTransitions]]: LEAD over the
+    * same (user, t, id) order, exact counts, truncating per-from ppm. */
+  def eventTransitions(k: Int): String =
+    s"""WITH b0 AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+  FROM events WHERE ts IS NOT NULL),
+p AS (SELECT event_type AS from_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC) AS to_type
+  FROM b0),
+c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n) AS tt FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n_transitions,
+  CAST((c.n * 1000000) // t.tt AS BIGINT) AS share_ppm
+FROM c JOIN tot t ON c.from_type = t.from_type
+ORDER BY n_transitions DESC, c.from_type ASC, c.to_type ASC LIMIT $k"""
+
   def cohortRetention: String =
     s"""WITH w AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
   FROM events WHERE ts IS NOT NULL),

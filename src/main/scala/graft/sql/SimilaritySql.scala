@@ -513,6 +513,28 @@ SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
   CAST((SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS mis_ppm
 FROM m GROUP BY lbl ORDER BY label"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.tripletMining]]: the oracle
+    * ranks each side with a ROW_NUMBER over (ccos desc, id asc) — the
+    * same total order the engine's lexicographic struct-min encodes. */
+  def tripletMining(table: String, queryMod: Int, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl, embedding::DOUBLE[] AS v
+  FROM $table WHERE embedding IS NOT NULL AND label IS NOT NULL),
+a AS (SELECT id AS aid, lbl AS albl, v AS av FROM e WHERE id % $queryMod = 0),
+sc AS (SELECT a.aid, a.albl, e.id AS nid, e.lbl AS nlbl, ${cosSql("e.v", "a.av", dim)} AS ccos
+  FROM e, a WHERE e.id <> a.aid),
+pos AS (SELECT aid, nid, ccos FROM (
+  SELECT aid, nid, ccos, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY ccos DESC, nid ASC) AS rk
+  FROM sc WHERE nlbl = albl) WHERE rk = 1),
+neg AS (SELECT aid, nid, ccos FROM (
+  SELECT aid, nid, ccos, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY ccos DESC, nid ASC) AS rk
+  FROM sc WHERE nlbl <> albl) WHERE rk = 1)
+SELECT a.aid AS anchor_id, a.albl AS label,
+  p.nid AS pos_id, p.ccos AS pos_cos,
+  n.nid AS neg_id, n.ccos AS neg_cos,
+  round(p.ccos - n.ccos, 6) AS margin
+FROM a JOIN pos p ON p.aid = a.aid JOIN neg n ON n.aid = a.aid
+ORDER BY anchor_id"""
+
   /** Mirror of [[graft.ops.SimilarityOps.sqReconError]]: same max-abs
     * scales, same clamp∘floor codes, same `|x − q·s/127|` rounded to 6 dp
     * then scaled to exact ×10⁶ BIGINT before the per-dim max/mean. */

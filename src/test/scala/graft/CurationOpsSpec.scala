@@ -97,4 +97,27 @@ class CurationOpsSpec extends AnyFunSuite {
     docs.zip(docs.tail).foreach { case (a, b) => assert(a >= b, "doc funnel must shrink") }
     toks.zip(toks.tail).foreach { case (a, b) => assert(a >= b, "token funnel must shrink") }
   }
+
+  test("splitLeakage: pair counts match an independent recount off the split assignment") {
+    import spark.implicits._
+    // many exact copies -> verified pairs at jaccard 1; ids spread so the
+    // 50/50 hash split puts copies on both sides (leak rows expected)
+    val copy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = (1L to 40L).map(i => (i, copy)).toDF("doc_id", "text")
+    val splits = Seq(("train", 1L), ("eval", 1L))
+    val got = graft.ops.CurationOps.splitLeakage(df, "text", "doc_id",
+      splits, den = 2L, w = 3, nBands = 8, r = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent recount: all C(40,2) pairs are near-dups (exact copies),
+    // so the expected matrix is a closed form of the per-split counts
+    val assign = graft.ops.SampleOps.splitAssign(df, "doc_id", splits, den = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val nT = assign.values.count(_ == "train").toLong
+    val nE = assign.values.count(_ == "eval").toLong
+    assert(nT > 0 && nE > 0, "hash split should land docs on both sides")
+    assert(got.getOrElse(("train", "train"), 0L) == nT * (nT - 1) / 2)
+    assert(got.getOrElse(("eval", "eval"), 0L) == nE * (nE - 1) / 2)
+    assert(got.getOrElse(("eval", "train"), 0L) == nT * nE, "cross-split leak rows")
+    assert(got.values.sum == 40L * 39 / 2)
+  }
 }

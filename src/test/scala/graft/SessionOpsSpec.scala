@@ -71,6 +71,25 @@ class SessionOpsSpec extends AnyFunSuite {
       s"funnel should partition by user once:\n${plan.take(800)}")
   }
 
+  test("eventTransitions: Markov counts and per-from shares off a hand sequence") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: a -> b -> a -> c ; u2: a -> b (cross-user pairs never count)
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"), (1L, ts(4), 4L, "c"),
+      (2L, ts(9), 5L, "a"), (2L, ts(10), 6L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = SessionOps.eventTransitions(events, "user_id", "ts", "event_id",
+      "event_type", k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    // from a: b twice, c once -> shares 666666 / 333333
+    assert(r(("a", "b")) == ((2L, 666666L)))
+    assert(r(("a", "c")) == ((1L, 333333L)))
+    // from b: a once (u1 only; u2's b is terminal)
+    assert(r(("b", "a")) == ((1L, 1000000L)))
+    assert(r.size == 3)
+  }
+
   test("funnel dwell: first-A-to-first-qualifying-B seconds with the equal-ts id tiebreak") {
     import spark.implicits._
     val events = Seq(

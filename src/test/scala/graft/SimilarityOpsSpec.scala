@@ -624,6 +624,31 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(r.view.mapValues(_.toString).toMap == b.view.mapValues(_.toString).toMap)
   }
 
+  test("tripletMining: nearest same-label positive, nearest other-label hard negative, margin sign") {
+    import spark.implicits._
+    // anchor 0 (label 0) along e1: positive = closest label-0 (id 2),
+    // hard negative = the label-1 vector that also points along e1 (id 3)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0), (4L, Array(0.5f, 0.5f), 0),
+      (3L, Array(0.95f, 0.05f), 1), (5L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.tripletMining(emb, "vec_id", "embedding", "label",
+      queryMod = 2).collect().map(x => x.getLong(0) -> x).toMap
+    val a0 = r(0L)
+    assert(a0.getAs[Long]("pos_id") == 2L && a0.getAs[Long]("neg_id") == 3L)
+    // the hard negative is CLOSER than the positive here: margin < 0
+    assert(a0.getAs[Double]("margin") < 0.0)
+    assert(math.abs(a0.getAs[Double]("margin") -
+      (a0.getAs[Double]("pos_cos") - a0.getAs[Double]("neg_cos"))) <= 1e-6)
+    // anchor 4 (label 0): positive 2 or 0, negative exists; margins consistent
+    assert(r.contains(4L) && r.contains(2L))
+    // partitioning-invariant
+    val b = SimilarityOps.tripletMining(emb.repartition(7), "vec_id", "embedding",
+      "label", queryMod = 2).collect().map(x => x.getLong(0) -> x.toString).toMap
+    assert(r.view.mapValues(_.toString).toMap == b)
+  }
+
   test("sqReconError: error bounded by s/127 half-step analogue; zero-scale dim has zero error") {
     import spark.implicits._
     val emb = Seq(
