@@ -1389,6 +1389,26 @@ GROUP BY segment ORDER BY segment""")),
           "user_id", "ts", "event_id", "event_type", k = 50),
       Some(graft.sql.OracleSql.eventTransitions(k = 50))),
 
+    ("q164_retrieval_eval",
+      // MRR / recall@k of the BM25 stack against boolean-AND relevance —
+      // the integer evaluation harness a ranking change shows up in;
+      // rides q101's pruned postings shape
+      (s: SparkSession, dir: String) =>
+        RetrievalOps.retrievalEval(Tables.documents(s, dir), "text", "doc_id",
+          Queries.bm25Queries, k = 15),
+      Some(graft.sql.RetrievalSql.retrievalEval("documents", Queries.bm25Queries,
+        k = 15))),
+
+    ("q165_calibrated_clip",
+      // per-source [p10, p90] length clip with per-group cuts (the
+      // FineWeb per-dump calibrated filter q141 tabulates): cuts +
+      // kept share per source in one broadcast-join recount
+      (s: SparkSession, dir: String) =>
+        RelationalOps.calibratedClip(Tables.documents(s, dir), "source",
+          "n_chars", pLo = 10, pHi = 90),
+      Some(graft.sql.RelationalSql.calibratedClip("documents", "source",
+        "n_chars", pLo = 10, pHi = 90))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -665,6 +665,45 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_active"))
       .orderBy("nation_name")
 
+  /** CALIBRATED per-group clip report — the FineWeb per-dump move in one
+    * operator: each group (source / dump / language) is clipped at its
+    * OWN nearest-rank [pLo, pHi] metric percentiles
+    * ([[groupedPercentiles]] — the same rank convention as the global
+    * q58 clip, so the two paths cannot drift), and the report shows per
+    * group what a shared-absolute-threshold filter would hide: the cuts
+    * themselves plus the kept share. A group whose kept_ppm deviates
+    * from (pHi − pLo + 1)% signals heavy metric ties at its cut values —
+    * exactly the histogram-shape information a threshold tuner needs.
+    *
+    * Output per group: (lo_cut, hi_cut, n_docs, n_kept, kept_ppm),
+    * ordered by group.
+    *
+    * 100 TB shape: cuts come from the per-group value histogram
+    * (cardinality-sized, per-GROUP cumulative window); the recount is
+    * ONE corpus scan against the broadcast (#groups × 2) cut table;
+    * output is ≤ #groups rows. */
+  def calibratedClip(
+      df: DataFrame, groupCol: String, metricCol: String,
+      pLo: Int, pHi: Int): DataFrame = {
+    require(1 <= pLo && pLo < pHi && pHi <= 100, s"bad percent range [$pLo, $pHi]")
+    val cuts = groupedPercentiles(df, groupCol, metricCol, Seq(pLo, pHi))
+      .groupBy(col(groupCol).as("__g"))
+      .agg(
+        max(when(col("pct") === pLo, col("cut_value"))).as("lo_cut"),
+        max(when(col("pct") === pHi, col("cut_value"))).as("hi_cut"))
+    df.filter(col(metricCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(metricCol).cast("long").as("__v"))
+      .join(broadcast(cuts), Seq("__g"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        min(col("lo_cut")).as("lo_cut"), min(col("hi_cut")).as("hi_cut"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__v").between(col("lo_cut"), col("hi_cut")), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_docs"))
+      .orderBy(groupCol)
+  }
+
   /** Pairwise two-sample KOLMOGOROV–SMIRNOV distance between the per-group
     * distributions of an integer metric — the distribution-drift check a
     * curation pipeline runs between corpus shards/dumps before pooling them

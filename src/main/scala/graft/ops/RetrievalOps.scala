@@ -315,6 +315,63 @@ object RetrievalOps {
     scoreBm25(tf, dl, queryRelation(postings.sparkSession, queries), k, k1, b)
   }
 
+  /** RETRIEVAL EVALUATION — MRR / recall@k of the engine's own BM25
+    * ranking against a MECHANICAL relevance oracle (docs containing ALL
+    * the query's terms — boolean-AND relevance, the standard pseudo-label
+    * when no human judgments exist): per query, the relevant-doc count,
+    * the rank of the first relevant doc in the BM25 top-`k` (0 = none
+    * retrieved), reciprocal rank and recall@k in integer ppm. The
+    * evaluation harness that belongs NEXT to a retrieval stack: a ranking
+    * change shows up here as a moved integer, not an anecdote.
+    *
+    * Output: (query_id, n_relevant, first_rank, rr_ppm, hits_at_k,
+    * recall_ppm), one row per query (queries with zero relevant docs
+    * report zeros), ordered by query_id.
+    *
+    * 100 TB shape: rides [[bm25TopK]]'s pruned shape (postings semi-join
+    * the broadcast query terms BEFORE the tf shuffle); the relevance side
+    * is a distinct (doc, query-term) projection of the SAME pruned
+    * postings (no second corpus scan shape), aggregated per (query, doc)
+    * with a broadcast query-size join; all metric arithmetic is exact
+    * integer. */
+  def retrievalEval(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val qr = queryRelation(spark, queries)
+    val ranked = bm25TopK(docs, textCol, idCol, queries, k, k1, b)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val docTerms = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .join(broadcast(qr.select("term").distinct()), Seq("term"), "left_semi")
+      .distinct()
+    val qsizes = qr.groupBy("query_id").agg(countDistinct(col("term")).as("nt"))
+    val relevant = docTerms.join(broadcast(qr), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("mt"))
+      .join(broadcast(qsizes), Seq("query_id"))
+      .filter(col("mt") === col("nt"))
+      .select("query_id", "doc_id")
+    val nRel = relevant.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    val hit = ranked.join(relevant, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(min(col("rk")).as("__fr"), count(lit(1)).as("__hits"))
+    qsizes.select("query_id")
+      .join(nRel, Seq("query_id"), "left")
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("__fr"), lit(0L)).as("first_rank"),
+        when(coalesce(col("__fr"), lit(0L)) > 0,
+          expr("1000000 div __fr")).otherwise(lit(0L)).as("rr_ppm"),
+        coalesce(col("__hits"), lit(0L)).as("hits_at_k"),
+        when(coalesce(col("n_relevant"), lit(0L)) > 0,
+          expr("coalesce(__hits, 0) * 1000000 div n_relevant"))
+          .otherwise(lit(0L)).as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
   private def queryRelation(spark: org.apache.spark.sql.SparkSession,
       queries: Seq[(String, Seq[String])]): DataFrame = {
     import spark.implicits._

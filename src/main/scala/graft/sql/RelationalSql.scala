@@ -331,6 +331,33 @@ FROM e ORDER BY col_name"""
 FROM $table"""
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Mirror of [[graft.ops.RelationalOps.calibratedClip]]: the
+    * groupedPercentiles rank CTEs, pivoted to per-group lo/hi cuts, then
+    * the one-scan recount with the same truncating ppm. */
+  def calibratedClip(
+      table: String, groupCol: String, metricCol: String,
+      pLo: Int, pHi: Int): String =
+    s"""WITH h AS (SELECT $groupCol AS g, CAST($metricCol AS BIGINT) AS v, COUNT(*) AS c
+  FROM $table WHERE $metricCol IS NOT NULL GROUP BY 1, 2),
+cm AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM h),
+t AS (SELECT g, SUM(c) AS n FROM h GROUP BY g),
+cuts AS (SELECT x.g, x.pct, MIN(cm.v) AS cut FROM (
+    SELECT t.g, pct, (pct * t.n + 99) // 100 AS rk
+    FROM t, (SELECT unnest([$pLo, $pHi]) AS pct)) x
+  JOIN cm ON cm.g = x.g AND cm.cum >= x.rk GROUP BY x.g, x.pct),
+b AS (SELECT g, MAX(CASE WHEN pct = $pLo THEN cut END) AS lo_cut,
+    MAX(CASE WHEN pct = $pHi THEN cut END) AS hi_cut FROM cuts GROUP BY g),
+d AS (SELECT $groupCol AS g, CAST($metricCol AS BIGINT) AS v FROM $table
+  WHERE $metricCol IS NOT NULL)
+SELECT d.g AS $groupCol,
+  CAST(MIN(b.lo_cut) AS BIGINT) AS lo_cut, CAST(MIN(b.hi_cut) AS BIGINT) AS hi_cut,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN d.v BETWEEN b.lo_cut AND b.hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST((SUM(CASE WHEN d.v BETWEEN b.lo_cut AND b.hi_cut THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS kept_ppm
+FROM d JOIN b ON d.g = b.g
+GROUP BY d.g
+ORDER BY $groupCol"""
+
   /** Mirror of [[graft.ops.RelationalOps.ksPairwise]]: same per-group
     * histogram, same union value axis with zero-filled gaps, same
     * truncating ×10⁶ ECDF ranks, same pairwise max-gap — all integer. */

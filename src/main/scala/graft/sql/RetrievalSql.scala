@@ -152,6 +152,55 @@ SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score_micro, n_terms_hit
 FROM r WHERE rk <= $k ORDER BY query_id, rk"""
   }
 
+  /** Mirror of [[graft.ops.RetrievalOps.retrievalEval]]: the bm25TopK
+    * CTE chain verbatim, a distinct (doc, query-term) relation for the
+    * boolean-AND relevance truth, and the same zero-filled integer
+    * MRR / recall@k arithmetic. */
+  def retrievalEval(table: String, queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val qrows = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"(${sq(qid)}, ${sq(t)})") }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qrows),
+t AS (SELECT doc_id, unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+contrib AS (SELECT q.query_id, tf.doc_id,
+  CAST(round(
+    ln(1 + (corpus.n_docs - df.df_docs + 0.5) / (df.df_docs + 0.5))
+    * (tf.tf * ($k1 + 1.0))
+    / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / corpus.avgdl))
+    * 1e6) AS BIGINT) AS contrib_micro
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+    JOIN dl USING (doc_id) CROSS JOIN corpus),
+s AS (SELECT query_id, doc_id, SUM(contrib_micro) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+  ORDER BY score_micro DESC, doc_id ASC) AS rk FROM s),
+topk AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= $k),
+dterm AS (SELECT DISTINCT doc_id, term FROM tf),
+m AS (SELECT q.query_id, d.doc_id, COUNT(DISTINCT q.term) AS mt
+  FROM q JOIN dterm d USING (term) GROUP BY 1, 2),
+qs AS (SELECT query_id, COUNT(DISTINCT term) AS nt FROM q GROUP BY 1),
+rel AS (SELECT m.query_id, m.doc_id FROM m JOIN qs USING (query_id) WHERE m.mt = qs.nt),
+nr AS (SELECT query_id, COUNT(*) AS n_relevant FROM rel GROUP BY 1),
+hit AS (SELECT tk.query_id, MIN(tk.rk) AS fr, COUNT(*) AS hits
+  FROM topk tk JOIN rel ON rel.query_id = tk.query_id AND rel.doc_id = tk.doc_id
+  GROUP BY 1)
+SELECT qs.query_id,
+  CAST(COALESCE(nr.n_relevant, 0) AS BIGINT) AS n_relevant,
+  CAST(COALESCE(hit.fr, 0) AS BIGINT) AS first_rank,
+  CAST(CASE WHEN COALESCE(hit.fr, 0) > 0 THEN 1000000 // hit.fr ELSE 0 END AS BIGINT) AS rr_ppm,
+  CAST(COALESCE(hit.hits, 0) AS BIGINT) AS hits_at_k,
+  CAST(CASE WHEN COALESCE(nr.n_relevant, 0) > 0
+    THEN (COALESCE(hit.hits, 0) * 1000000) // nr.n_relevant ELSE 0 END AS BIGINT) AS recall_ppm
+FROM qs LEFT JOIN nr USING (query_id) LEFT JOIN hit USING (query_id)
+ORDER BY query_id"""
+  }
+
   /** Mirror of [[graft.ops.RetrievalOps.phraseSearch]]: positional
     * postings pruned to the phrase terms, one position-offset self-join
     * per subsequent term (only relative offsets matter, so the 1-based

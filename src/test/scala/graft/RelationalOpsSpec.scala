@@ -247,6 +247,23 @@ class RelationalOpsSpec extends AnyFunSuite {
       s"unpartitioned window in:\n$plan")
   }
 
+  test("calibratedClip: per-group cuts and kept shares off hand-computed percentiles") {
+    import spark.implicits._
+    // A: 1..10 -> p10 cut = rank ceil(1) = 1, p90 cut = rank 9 = 9; keep 1..9
+    // B: ten copies of 5 -> both cuts 5, keep all
+    val df = ((1 to 10).map(v => ("A", v)) ++ (1 to 10).map(_ => ("B", 5)))
+      .toDF("g", "v")
+    val r = RelationalOps.calibratedClip(df, "g", "v", pLo = 10, pHi = 90)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    assert(r("A") == ((1L, 9L, 10L, 9L, 900000L)))
+    assert(r("B") == ((5L, 5L, 10L, 10L, 1000000L)))
+    // cuts agree with the shared groupedPercentiles rank convention
+    val gp = RelationalOps.groupedPercentiles(df, "g", "v", Seq(10, 90))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(gp(("A", 10L)) == r("A")._1 && gp(("A", 90L)) == r("A")._2)
+  }
+
   test("ksPairwise: hand-computed gap, zero for identical, 10^6 for disjoint") {
     import spark.implicits._
     // A=[1,1,2,3] ecdf 500000/750000/1e6; B=[1,2,2,4] ecdf 250000/750000/750000/1e6

@@ -210,4 +210,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
       graft.ops.RetrievalOps.phraseSearch(df, "text", "doc_id", Seq("big"), 10)
     }
   }
+
+  test("retrievalEval: boolean-AND relevance, MRR consistency, zero-relevant query reports zeros") {
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      (1L, "apple pie apple"), (2L, "apple apple apple"),
+      (3L, "pie pie apple pie"), (4L, "banana split"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      "q_both" -> Seq("apple", "pie"),       // docs 1 and 3 relevant
+      "q_none" -> Seq("apple", "banana"))    // no doc has both
+    val r = RetrievalOps.retrievalEval(df, "text", "doc_id", queries, k = 10)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val both = r("q_both")
+    assert(both.getAs[Long]("n_relevant") == 2L)
+    assert(both.getAs[Long]("hits_at_k") == 2L)
+    assert(both.getAs[Long]("recall_ppm") == 1000000L)
+    val fr = both.getAs[Long]("first_rank")
+    assert(fr >= 1L && both.getAs[Long]("rr_ppm") == 1000000L / fr)
+    val none = r("q_none")
+    assert(none.getAs[Long]("n_relevant") == 0L)
+    assert(none.getAs[Long]("first_rank") == 0L && none.getAs[Long]("rr_ppm") == 0L)
+    assert(none.getAs[Long]("hits_at_k") == 0L && none.getAs[Long]("recall_ppm") == 0L)
+  }
 }
