@@ -319,5 +319,37 @@ class PlanSpec extends AnyFunSuite {
     partitionedWindowsOnly(
       RelationalOps.equiDepthHistogram(Tables.documents(spark, sf), "n_chars", nBuckets = 4),
       "equiDepthHistogram")
+    partitionedWindowsOnly(
+      RelationalOps.ksPairwise(Tables.documents(spark, sf), "source", "n_chars"),
+      "ksPairwise")
+  }
+
+  test("r9 ops: no cartesian products; broadcast where the small side is bounded") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    // skip-gram pair generation is map-only: no join of any kind before the agg
+    val sg = graft.ops.TextAnalysisOps.skipgramPairs(docs, "text", 2, 50)
+      .queryExecution.executedPlan.toString
+    assert(!sg.contains("Join"), s"skipgramPairs must not join:\n${sg.take(600)}")
+    assert(sg.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    // levenshtein pairs: candidates come from the length equi-join, never a cartesian
+    val lev = graft.ops.DedupOps.levenshteinPairs(docs, "text", "doc_id", 20, 1, 100)
+      .queryExecution.executedPlan.toString
+    assert(!lev.contains("CartesianProduct"), s"levenshteinPairs cartesian:\n${lev.take(600)}")
+    // triplet mining: the anchor side broadcasts; the corpus never sort-merge-joins
+    val tm = graft.ops.SimilarityOps.tripletMining(emb, "vec_id", "embedding",
+      "label", queryMod = 20).queryExecution.executedPlan.toString
+    assert(tm.contains("BroadcastNestedLoopJoin") || tm.contains("BroadcastHashJoin"),
+      s"anchors must broadcast:\n${tm.take(600)}")
+    assert(!tm.contains("CartesianProduct") && !tm.contains("SortMergeJoin"),
+      s"tripletMining corpus side must stream once:\n${tm.take(600)}")
+    // calibrated clip: the per-group cut table broadcasts into the recount
+    val cc = RelationalOps.calibratedClip(docs, "source", "n_chars", 10, 90)
+      .queryExecution.executedPlan.toString
+    assert(cc.contains("BroadcastHashJoin"), s"cut table must broadcast:\n${cc.take(600)}")
+    // dup attribution: one key shuffle family, no cartesian
+    val da = graft.ops.DedupOps.dupAttribution(docs, "text", "doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert(!da.contains("CartesianProduct"), s"dupAttribution cartesian:\n${da.take(600)}")
   }
 }
