@@ -607,6 +607,49 @@ object StreamingOps {
       }
   }
 
+  /** Input event for the streaming transition counter. */
+  final case class TransitionEvent(
+      userId: Long, ts: java.sql.Timestamp, eventId: Long, eventType: String)
+
+  /** Per-user carry: the LAST event seen, so a transition spanning a
+    * micro-batch boundary is not lost. */
+  final case class LastEvent(tsMs: Long, eventId: Long, eventType: String)
+
+  /** One observed (from → to) step of a user's event path. */
+  final case class Transition(userId: Long, fromType: String, toType: String)
+
+  /** Streaming EVENT-TRANSITION extraction — the live half of
+    * [[graft.ops.SessionOps.eventTransitions]]: per user, emit one
+    * (from, to) row per consecutive event pair in (ts, id) order,
+    * carrying the last event across micro-batches in per-user state so a
+    * boundary-spanning transition is never dropped (spec-pinned: any
+    * batch split of an in-order stream emits exactly the batch
+    * operator's pairs). The sink aggregates counts/shares — counting is
+    * stateless downstream of this extraction.
+    *
+    * Ordering contract: events sort by (ts, id) WITHIN each micro-batch
+    * (the [[funnelStream]] convention); an out-of-order arrival chains in
+    * arrival order — the keep-arrival-order semantics every screen in
+    * this file documents. State is ONE LastEvent per user (bounded). */
+  def transitionStream(events: Dataset[TransitionEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[TransitionEvent], state: GroupState[LastEvent]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+          val out = scala.collection.mutable.Buffer.empty[Transition]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += Transition(userId, p.eventType, e.eventType))
+            prev = Some(LastEvent(e.ts.getTime, e.eventId, e.eventType))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // --- Stateful sessionization -------------------------------------------
 
   /** Input event for sessionization. Carries the event-time column itself:

@@ -765,6 +765,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions agree with the batch matrix across a micro-batch boundary") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val typed = in.toDF().toDF("userId", "ts", "eventId", "eventType")
+      .as[StreamingOps.TransitionEvent]
+    val q = StreamingOps.transitionStream(typed).toDF()
+      .writeStream.format("memory").queryName("transition_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 ends mid-path for user 1; batch 2 continues it — the
+      // boundary-spanning b->a transition must come from carried state
+      in.addData((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+        (2L, ts(9), 5L, "a"))
+      q.processAllAvailable()
+      in.addData((1L, ts(3), 3L, "a"), (1L, ts(4), 4L, "c"),
+        (2L, ts(10), 6L, "b"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT fromType, toType, COUNT(*) AS n FROM transition_stream GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.SessionOps.eventTransitions(
+        Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"),
+          (1L, ts(4), 4L, "c"), (2L, ts(9), 5L, "a"), (2L, ts(10), 6L, "b"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", k = 10)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream $streamed must equal batch $batch including the boundary pair")
+    } finally q.stop()
+  }
+
   test("streaming funnel progress agrees with the batch funnel on an in-order stream") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
