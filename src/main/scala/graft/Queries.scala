@@ -1409,6 +1409,28 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.RelationalSql.calibratedClip("documents", "source",
         "n_chars", pLo = 10, pHi = 90))),
 
+    ("q166_join_integrity",
+      // referential pre-flight before any doc <-> embedding join: row and
+      // distinct-key counts per side, matched keys, orphan ppm — the
+      // check that catches a silently 40%-orphaned corpus before it
+      // drops from every downstream hybrid/SemDeDup stage
+      (s: SparkSession, dir: String) =>
+        ProfileOps.joinIntegrity(
+          Tables.documents(s, dir), "doc_id",
+          Tables.embeddings(s, dir), "vec_id"),
+      Some(graft.sql.RelationalSql.joinIntegrity(
+        "documents", "doc_id", "embeddings", "vec_id"))),
+
+    ("q167_weighted_sample",
+      // Efraimidis-Spirakis weighted priority sample, deterministic:
+      // inclusion ∝ n_chars so the sample's char mass is unbiased where
+      // a plain hash sample over-represents short docs; micro-ln key
+      (s: SparkSession, dir: String) =>
+        SampleOps.weightedPrioritySample(Tables.documents(s, dir),
+          "doc_id", "n_chars", n = 100),
+      Some(graft.sql.SampleSql.weightedPrioritySample("documents",
+        "doc_id", "n_chars", n = 100))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

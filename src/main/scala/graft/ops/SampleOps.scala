@@ -53,6 +53,37 @@ object SampleOps {
     else df.filter(hashKey(col(keyCol)) < lit(hexThreshold(num, den)))
   }
 
+  /** WEIGHTED PRIORITY SAMPLE — Efraimidis–Spirakis A-Res (Inf. Proc.
+    * Lett. 2006) made deterministic: keep the top `n` rows by priority
+    * `u^(1/w)` where `u` is the row's md5-derived uniform — inclusion
+    * probability ∝ weight, so sampling docs with weight = token count
+    * yields a token-mass-unbiased subsample where [[hashSample]]'s
+    * unweighted keep would over-represent short docs. Reproducible
+    * (same keys → same sample), monotone in n (growing the sample only
+    * ADDS rows), and mergeable (the top-n of a union is the top-n of
+    * per-shard top-ns — a distributed TakeOrdered, no global sort).
+    *
+    * The ranking key is ln(u)/w — monotone in the priority — computed as
+    * ONE pinned double expression rounded ONCE to micro-int (the
+    * zipfSlope/q103 micro-ln convention: a raw `ln` in an ORDER BY is a
+    * cross-engine ulp hazard; rounded at 1e-6 both engines agree
+    * bit-for-bit). Rows with null/non-positive weight drop.
+    *
+    * Output: (key, weight, priority_micro), (priority desc, key asc),
+    * top n. */
+  def weightedPrioritySample(
+      df: DataFrame, keyCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bad n: $n")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol).cast("long").as("weight"),
+        round(log((u + lit(0.5)) / lit(4294967296.0)) / col(weightCol).cast("long")
+          * lit(1000000.0)).cast("long").as("priority_micro"))
+      .orderBy(col("priority_micro").desc, col(keyCol).asc)
+      .limit(n)
+  }
+
   /** Weighted corpus mix: per-group sampling fractions applied in ONE
     * map-only pass — the "reweight sources for training" primitive (cap
     * web crawl at 30%, keep all code, …). Each group's fraction is its

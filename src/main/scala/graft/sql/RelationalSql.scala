@@ -320,6 +320,25 @@ FROM e ORDER BY col_name"""
     * column UNION ALL'd — same null count, exact distinct, and value/
     * length min-max metric (`isString` columns profile `length(col)`,
     * matching the Spark side's type dispatch). */
+  /** Mirror of [[graft.ops.ProfileOps.joinIntegrity]]: distinct keys per
+    * side, inner key match, integer orphan ppm. */
+  def joinIntegrity(
+      leftTable: String, leftKey: String,
+      rightTable: String, rightKey: String): String =
+    s"""WITH lk AS (SELECT CAST($leftKey AS BIGINT) AS k FROM $leftTable WHERE $leftKey IS NOT NULL),
+rk AS (SELECT CAST($rightKey AS BIGINT) AS k FROM $rightTable WHERE $rightKey IS NOT NULL),
+ld AS (SELECT DISTINCT k FROM lk), rd AS (SELECT DISTINCT k FROM rk),
+c AS (SELECT
+  (SELECT COUNT(*) FROM lk) AS n_left, (SELECT COUNT(*) FROM rk) AS n_right,
+  (SELECT COUNT(*) FROM ld) AS n_left_keys, (SELECT COUNT(*) FROM rd) AS n_right_keys,
+  (SELECT COUNT(*) FROM ld JOIN rd USING (k)) AS n_matched_keys)
+SELECT CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+  CAST(n_left_keys AS BIGINT) AS n_left_keys, CAST(n_right_keys AS BIGINT) AS n_right_keys,
+  CAST(n_matched_keys AS BIGINT) AS n_matched_keys,
+  CAST(((n_left_keys - n_matched_keys) * 1000000) // n_left_keys AS BIGINT) AS left_orphan_ppm,
+  CAST(((n_right_keys - n_matched_keys) * 1000000) // n_right_keys AS BIGINT) AS right_orphan_ppm
+FROM c"""
+
   def tableProfile(table: String, cols: Seq[(String, Boolean)]): String =
     cols.map { case (c, isString) =>
       val m = if (isString) s"length($c)" else c

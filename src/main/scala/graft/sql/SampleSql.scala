@@ -192,4 +192,16 @@ SELECT CAST(ctx_window AS BIGINT) AS ctx_window, $groupCol,
   CAST(n_docs * ctx_window - kept_tokens AS BIGINT) AS pad_tokens,
   CAST((CAST(kept_tokens AS HUGEINT) * 1000000) // (n_docs * ctx_window) AS BIGINT) AS utilization_ppm
 FROM g ORDER BY ctx_window, $groupCol"""
+
+  /** Mirror of [[graft.ops.SampleOps.weightedPrioritySample]]: same
+    * md5-uniform, same pinned `ln(u)/w × 10⁶` expression rounded once to
+    * micro-int, same (priority desc, key asc) top cut. */
+  def weightedPrioritySample(
+      table: String, keyCol: String, weightCol: String, n: Int): String =
+    s"""WITH d AS (SELECT $keyCol, CAST($weightCol AS BIGINT) AS weight,
+  ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM $table WHERE $weightCol IS NOT NULL AND $weightCol > 0)
+SELECT $keyCol, weight,
+  CAST(round(ln((u + 0.5) / 4294967296.0) / weight * 1000000) AS BIGINT) AS priority_micro
+FROM d ORDER BY priority_micro DESC, $keyCol ASC LIMIT $n"""
 }

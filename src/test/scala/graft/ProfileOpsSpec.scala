@@ -104,4 +104,17 @@ class ProfileOpsSpec extends AnyFunSuite {
       assert(rel < 0.26, s"$c: est ${est(c)} vs exact ${exact(c)} (rel $rel)")
     }
   }
+
+  test("joinIntegrity: orphan shares off a hand-computed key overlap") {
+    import spark.implicits._
+    val left = Seq(1L, 1L, 2L, 3L).toDF("doc_id")
+    val right = Seq(2L, 3L, 3L, 4L, 5L).toDF("vec_id")
+    val r = graft.ops.ProfileOps.joinIntegrity(left, "doc_id", right, "vec_id")
+      .collect().head
+    assert(r.getAs[Long]("n_left") == 4L && r.getAs[Long]("n_right") == 5L)
+    assert(r.getAs[Long]("n_left_keys") == 3L && r.getAs[Long]("n_right_keys") == 4L)
+    assert(r.getAs[Long]("n_matched_keys") == 2L)
+    assert(r.getAs[Long]("left_orphan_ppm") == 333333L)
+    assert(r.getAs[Long]("right_orphan_ppm") == 500000L)
+  }
 }

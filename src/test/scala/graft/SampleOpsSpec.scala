@@ -345,4 +345,29 @@ class SampleOpsSpec extends AnyFunSuite {
       SampleOps.truncationWaste(docs, "text", "src", Seq(4, 4))
     }
   }
+
+  test("weightedPrioritySample: heavy weights dominate, nested in n, formula JVM-recomputable") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, 10L)) :+ (1000L, 1000000000L))
+      .toDF("doc_id", "n_chars")
+    val top = SampleOps.weightedPrioritySample(df, "doc_id", "n_chars", 20).collect()
+    // the 10^9-weight row has priority ln(u)/10^9 ~ 0 micro: it must lead
+    assert(top.head.getLong(0) == 1000L)
+    assert(top.head.getAs[Long]("priority_micro") == 0L)
+    // nested: top-10 is a prefix of top-20 (same total order)
+    val top10 = SampleOps.weightedPrioritySample(df, "doc_id", "n_chars", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.map(_.getLong(0)).take(10).toSeq == top10)
+    // JVM recomputation of one row pins the md5-uniform + micro-ln formula
+    val k = top(1).getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(k.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    val expect = math.round(math.log(u) / 10L * 1e6)
+    assert(top(1).getAs[Long]("priority_micro") == expect)
+    // weight <= 0 and null weights drop
+    val bad = Seq((1L, 0L), (2L, -5L)).toDF("doc_id", "n_chars")
+    assert(SampleOps.weightedPrioritySample(bad, "doc_id", "n_chars", 5).count() == 0)
+  }
 }
