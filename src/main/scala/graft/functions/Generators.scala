@@ -260,6 +260,82 @@ object Generators {
       copy(child = newChild)
   }
 
+  /** WINNOWING fingerprints of a doc in one JVM pass: (n_fp, fp) rows —
+    * one per DISTINCT fingerprint, each carrying the doc's distinct
+    * count. Fingerprints are the window minima of the positional k-gram
+    * 28-bit hashes ([[TextHash.hash28]]: first 7 md5 hex chars as long),
+    * window length `win` — the Schleimer et al. 2003 scheme, same
+    * arithmetic as the HOF form in `TextAnalysisOps.winnowingSets`.
+    *
+    * Why a Generator instead of explode(<HOF chain>): the winnowing
+    * expression is a 4-deep nested-lambda tree (split → shingle concat →
+    * md5 → window-min), and a Generate stage over it re-EMITS the whole
+    * chain at each of its references during whole-stage codegen — the
+    * generated function for Project+Generate+partial-agg grew large
+    * enough that Janino spent ~60 s compiling it (measured at sf0.001:
+    * 62.6 s first execution, 0.1 s re-execution of the cached plan — and
+    * every fresh plan recompiles). One tight eval per row removes the
+    * codegen object entirely; q144 drops to sub-second. */
+  case class WinnowExplode(child: Expression, k: Int, win: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(k >= 1, s"shingle width must be >= 1, got $k")
+    require(win >= 1, s"window must be >= 1, got $win")
+
+    override def elementSchema: StructType = StructType(
+      StructField("n_fp", org.apache.spark.sql.types.LongType, nullable = false) ::
+        StructField("fp", org.apache.spark.sql.types.LongType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_explode needs a string column, got ${child.dataType}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = v.asInstanceOf[UTF8String].toString.split(" +")
+        .filter(_.nonEmpty)
+      if (toks.length < k + win - 1) return Nil
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nSh = toks.length - k + 1
+      val hs = new Array[Long](nSh)
+      var i = 0
+      while (i < nSh) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var o = 1
+        while (o < k) { sb.append(' ').append(toks(i + o)); o += 1 }
+        val d = md.digest(sb.toString.getBytes("UTF-8"))
+        // first 7 hex chars = bytes 0..2 and the high nibble of byte 3
+        hs(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+          ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+        md.reset()
+        i += 1
+      }
+      val set = new java.util.LinkedHashSet[java.lang.Long]()
+      var j = 0
+      while (j <= nSh - win) {
+        var m = hs(j)
+        var o = 1
+        while (o < win) { if (hs(j + o) < m) m = hs(j + o); o += 1 }
+        set.add(m)
+        j += 1
+      }
+      val n = set.size.toLong
+      val out = new Array[InternalRow](set.size)
+      val it = set.iterator()
+      var r = 0
+      while (it.hasNext) { out(r) = InternalRow(n, it.next().longValue()); r += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WinnowExplode =
+      copy(child = newChild)
+  }
+
   /** Consecutive NON-OVERLAPPING k-token segments of the whitespace-
     * tokenized text, in order: (seg_idx, seg, ntok) rows; the last segment
     * may be shorter than k. Same tokenization contract as the other
@@ -468,6 +544,10 @@ object Generators {
   /** Column API: one row per w-gram occurrence of `text` (multiset). */
   def ngramExplode(text: Column, w: Int): Column =
     toColumn(NgramExplode(toExpression(text), w))
+
+  /** Column API: (n_fp, fp) per distinct winnowing fingerprint of `text`. */
+  def winnowExplode(text: Column, k: Int, win: Int): Column =
+    toColumn(WinnowExplode(toExpression(text), k, win))
 
   /** Column API: one row per surviving analyzer token of `text`. */
   def tokenExplode(text: Column, minLen: Int, stopwords: Seq[String]): Column =

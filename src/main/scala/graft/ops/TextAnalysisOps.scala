@@ -670,9 +670,17 @@ object TextAnalysisOps {
       maxBucket: Int = 1000): DataFrame = {
     require(minShared >= 1, s"bad minShared: $minShared")
     require(limit >= 1, s"bad limit: $limit")
-    winnowingSets(docs, textCol, idCol, k, win)
-      .select(col("doc_id"), size(col("__fp")).cast("long").as("n_fp"),
-        explode(col("__fp")).as("fp"))
+    // one-pass Generator, NOT explode(winnowingSets(...).__fp): the
+    // Generate stage over the 4-deep nested-lambda fingerprint expression
+    // re-emits the whole chain per codegen reference — Janino measurably
+    // spent ~60 s compiling the fused stage per fresh plan (see
+    // functions.Generators.WinnowExplode); arithmetic is identical and
+    // spec-pinned equal to winnowingSets' __fp
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.winnowExplode(col(textCol), k, win)
+          .as(Seq("n_fp", "fp")))
       .groupBy("fp")
       .agg(collect_list(struct(col("doc_id").as("id"), col("n_fp"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)

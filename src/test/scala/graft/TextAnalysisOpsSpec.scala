@@ -476,6 +476,36 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowExplode generator equals the HOF fingerprint sets on the real corpus") {
+    // q144's pair path now fingerprints through the one-pass Generator
+    // (the HOF chain's fused codegen took ~60 s to compile per plan);
+    // the two forms must stay bit-identical: same tokens, same hash28,
+    // same window minima, same distinct set
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val gen = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Generators.winnowExplode(col("text"), 3, 4).as(Seq("n_fp", "fp")))
+      .groupBy("doc_id")
+      .agg(max(col("n_fp")).as("n_fp"), sort_array(collect_list(col("fp"))).as("fps"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val hof = TextAnalysisOps.winnowingFingerprints(docs, "text", "doc_id", k = 3, win = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_fp"), r.getAs[String]("fp_md5"))).toMap
+    assert(gen.keySet == hof.keySet, "same docs must carry fingerprints")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    gen.foreach { case (id, (n, fps)) =>
+      assert(n == hof(id)._1, s"doc $id distinct-fp count")
+      assert(fps.length.toLong == n, s"doc $id emits each distinct fp once")
+      assert(fps.distinct.length == fps.length)
+      // fp VALUES equal the HOF set: recompute the q122 md5-of-sorted form
+      md.reset()
+      val hex = md.digest(fps.sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(hex == hof(id)._2, s"doc $id fingerprint values diverge from the HOF form")
+    }
+  }
+
   test("winnowing: short docs absent, density bounded, map-only plan, repartition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
