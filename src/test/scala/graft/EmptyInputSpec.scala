@@ -55,7 +55,17 @@ class EmptyInputSpec extends AnyFunSuite {
     // the mix plan is driven by the 5-entry literal weight relation:
     // an empty corpus reports zero availability + full deficit per
     // weight — the op's loud-missing-source contract working as designed
-    "q148_mix_plan" -> 5L)
+    "q148_mix_plan" -> 5L,
+    // dwell is a cross join of two ungrouped aggregates: one row with
+    // n_users 0 and null bounds (the oracle's FROM-less scalar
+    // subqueries also yield exactly one row)
+    "q158_funnel_dwell" -> 1L,
+    // the eval is driven by the 3-entry literal query relation: an empty
+    // corpus reports all-zero metrics per query
+    "q164_retrieval_eval" -> 3L,
+    // join integrity is one row of ungrouped counts: zeros with null
+    // orphan ppms (0-key division) on both engines
+    "q166_join_integrity" -> 1L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
