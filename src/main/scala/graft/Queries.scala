@@ -1431,6 +1431,26 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SampleSql.weightedPrioritySample("documents",
         "doc_id", "n_chars", n = 100))),
 
+    ("q168_pattern_density",
+      // PII / deny-list density per source: which shards even need the
+      // q65 redaction pass — docs-with-hit ppm + matches per Mchar per
+      // pattern, one map-only scan into a group aggregate
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.patternDensity(Tables.documents(s, dir), "text", "source",
+          TextAnalysisOps.scrubPatterns),
+      Some(graft.sql.TextAnalysisSql.patternDensity("documents", "source",
+        TextAnalysisOps.scrubPatterns))),
+
+    ("q169_boilerplate_prefixes",
+      // per-source dominant document opening and its share: the template-
+      // header tell (share far above background = strip headers BEFORE
+      // dedup); struct-min argmax, no per-group window
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.boilerplatePrefixes(Tables.documents(s, dir), "text",
+          "source", prefixLen = 3),
+      Some(graft.sql.TextAnalysisSql.boilerplatePrefixes("documents", "source",
+        prefixLen = 3))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -475,6 +475,88 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** Per-group PATTERN DENSITY — the PII/deny-list AUDIT TABLE read
+    * before deciding where [[patternScrub]]'s redaction must run: per
+    * group (source / dump), how many docs carry at least one match of
+    * each named pattern, total match counts, and matches per million
+    * characters. A source whose email density towers over the rest is a
+    * scrape of a contact-bearing site; density ≈ 0 means scrubbing that
+    * source is wasted compute.
+    *
+    * Output per group: (n_docs, n_chars, then per pattern `docs_<name>`
+    * and `n_<name>`, then `hit_docs_ppm` — docs with ANY match — and
+    * `match_per_mchar` over all patterns), ordered by group.
+    *
+    * 100 TB shape: ONE map-only scan (regexp_count per pattern, codegen)
+    * into a group-keyed partial aggregate — ≤ #groups rows out, no
+    * shuffle of text. */
+  def patternDensity(
+      docs: DataFrame, textCol: String, groupCol: String,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one (name, regex, replacement)")
+    val perDoc = patterns.map { case (name, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"__c_$name")
+    }
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol) +: length(col(textCol)).cast("long").as("__len") +: perDoc: _*)
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_chars")) ++
+        patterns.flatMap { case (name, _, _) =>
+          Seq(
+            sum(when(col(s"__c_$name") > 0, 1L).otherwise(0L)).as(s"docs_$name"),
+            sum(col(s"__c_$name")).as(s"n_$name"))
+        }
+    val anyHit = patterns.map(p => col(s"__c_${p._1}") > 0).reduce(_ || _)
+    base
+      .withColumn("__any", when(anyHit, 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail :+ sum(col("__any")).as("__hits"): _*)
+      .withColumn("hit_docs_ppm", expr("__hits * 1000000 div n_docs"))
+      .withColumn("match_per_mchar",
+        expr(s"(${patterns.map(p => s"n_${p._1}").mkString(" + ")}) * 1000000 div n_chars"))
+      .drop("__hits")
+      .orderBy(groupCol)
+  }
+
+  /** BOILERPLATE PREFIX detection — per group, the most common
+    * `prefixLen`-token document OPENING and its share of the group's
+    * docs: crawl dumps and template mills start every page with the same
+    * header ("subscribe to our newsletter …"), and a prefix share far
+    * above 1/vocab-diversity is the cheap tell that a source needs
+    * header stripping BEFORE dedup (exact dedup misses it — the bodies
+    * differ). The per-doc sibling is the q66 prefix-containment check;
+    * this is the per-SOURCE rollup.
+    *
+    * Output per group: (prefix, n_docs, n_prefix, share_ppm), the top
+    * prefix by (count desc, prefix asc), ordered by group.
+    *
+    * 100 TB shape: one map-only prefix projection, one (group, prefix)
+    * partial-agg shuffle (short strings, never full text), one bounded
+    * per-group argmax via lexicographic struct-max. */
+  def boilerplatePrefixes(
+      docs: DataFrame, textCol: String, groupCol: String,
+      prefixLen: Int): DataFrame = {
+    require(prefixLen >= 1, s"bad prefixLen: $prefixLen")
+    val toks = graft.functions.TextHash.tokens(col(textCol))
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        concat_ws(" ", slice(toks, 1, prefixLen)).as("prefix"))
+      .filter(col("prefix") =!= "")
+      .groupBy("g", "prefix")
+      .agg(count(lit(1)).as("n_prefix"))
+    val totals = counts.groupBy("g").agg(sum(col("n_prefix")).as("n_docs"))
+    counts
+      // argmax by (count desc, prefix asc): negate the count in a struct
+      // min — map-side combinable, no per-group window
+      .groupBy("g")
+      .agg(min(struct((-col("n_prefix")).as("nc"), col("prefix"))).as("best"))
+      .join(broadcast(totals), Seq("g"))
+      .select(col("g").as(groupCol), col("best.prefix").as("prefix"),
+        col("n_docs"), (-col("best.nc")).as("n_prefix"))
+      .withColumn("share_ppm", expr("n_prefix * 1000000 div n_docs"))
+      .orderBy(groupCol)
+  }
+
   /** Tokenizer VOCABULARY build + out-of-vocabulary coverage — the
     * "how big must the vocab be" question every tokenizer-training run
     * answers first (cf. BPE/WordPiece sizing studies): take the top

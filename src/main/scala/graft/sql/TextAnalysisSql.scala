@@ -293,6 +293,48 @@ FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0
 ORDER BY doc_id"""
   }
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.patternDensity]]: same RE2/Java
+    * common-subset regexes, same per-group integer density arithmetic. */
+  def patternDensity(
+      table: String, groupCol: String,
+      patterns: Seq[(String, String, String)]): String = {
+    val perDoc = patterns.map { case (name, re, _) =>
+      s"len(regexp_extract_all(text, ${sq(re)})) AS c_$name"
+    }.mkString(",\n  ")
+    val aggs = patterns.map { case (name, _, _) =>
+      s"CAST(SUM(CASE WHEN c_$name > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_$name," +
+        s"\n  CAST(SUM(c_$name) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    val anyHit = patterns.map(p => s"c_${p._1} > 0").mkString(" OR ")
+    val total = patterns.map(p => s"SUM(c_${p._1})").mkString(" + ")
+    s"""WITH d AS (SELECT $groupCol, length(text) AS len,
+  $perDoc
+  FROM $table WHERE text IS NOT NULL)
+SELECT $groupCol, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len) AS BIGINT) AS n_chars,
+  $aggs,
+  CAST((SUM(CASE WHEN $anyHit THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS hit_docs_ppm,
+  CAST((($total) * 1000000) // SUM(len) AS BIGINT) AS match_per_mchar
+FROM d GROUP BY $groupCol ORDER BY $groupCol"""
+  }
+
+  /** Mirror of [[graft.ops.TextAnalysisOps.boilerplatePrefixes]]: same
+    * token-prefix projection, arg-max by (count desc, prefix asc), same
+    * truncating share. */
+  def boilerplatePrefixes(table: String, groupCol: String, prefixLen: Int): String =
+    s"""WITH p AS (SELECT $groupCol AS g,
+    array_to_string(($toks)[1:$prefixLen], ' ') AS prefix
+  FROM $table WHERE text IS NOT NULL),
+c AS (SELECT g, prefix, COUNT(*) AS n_prefix FROM p WHERE prefix <> '' GROUP BY 1, 2),
+t AS (SELECT g, SUM(n_prefix) AS n_docs FROM c GROUP BY g),
+r AS (SELECT g, prefix, n_prefix,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY n_prefix DESC, prefix ASC) AS rk FROM c)
+SELECT r.g AS $groupCol, r.prefix, CAST(t.n_docs AS BIGINT) AS n_docs,
+  CAST(r.n_prefix AS BIGINT) AS n_prefix,
+  CAST((r.n_prefix * 1000000) // t.n_docs AS BIGINT) AS share_ppm
+FROM r JOIN t ON r.g = t.g WHERE r.rk = 1
+ORDER BY $groupCol"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.tfIdfTopTerms]]: rational idf,
     * identical `(tf * n)::DOUBLE / df` operation order (bit-stable — see
     * the op's scaladoc on why not `ln`). */

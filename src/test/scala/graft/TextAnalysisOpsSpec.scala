@@ -750,6 +750,41 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == 20)
   }
 
+  test("patternDensity: per-source hit shares and densities off a planted fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at bob@example.com today", "s1"),   // email x1
+      (2L, "nothing sensitive here at all okay", "s1"),
+      (3L, "secret secret customer plan", "s2"))            // denylist x3
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysisOps.patternDensity(df, "text", "source",
+      TextAnalysisOps.scrubPatterns)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s1").getAs[Long]("n_docs") == 2L)
+    assert(r("s1").getAs[Long]("docs_email") == 1L && r("s1").getAs[Long]("n_email") == 1L)
+    assert(r("s1").getAs[Long]("hit_docs_ppm") == 500000L)
+    assert(r("s2").getAs[Long]("n_denylist") == 3L)
+    assert(r("s2").getAs[Long]("hit_docs_ppm") == 1000000L)
+    // density: 3 matches over 27 chars -> 3*1e6 div 27
+    assert(r("s2").getAs[Long]("match_per_mchar") ==
+      3L * 1000000L / r("s2").getAs[Long]("n_chars"))
+  }
+
+  test("boilerplatePrefixes: the dominant opening per source with its share") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "subscribe to our newsletter now", "s1"),
+      (2L, "subscribe to our channel today", "s1"),
+      (3L, "totally original text here", "s1"),
+      (4L, "alpha beta gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysisOps.boilerplatePrefixes(df, "text", "source", prefixLen = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("s1") == (("subscribe to our", 3L, 2L, 666666L)))
+    assert(r("s2") == (("alpha beta gamma", 1L, 1L, 1000000L)))
+  }
+
   test("skipgramPairs: window-2 pairs of 'a b a c' match the hand enumeration") {
     import spark.implicits._
     // offset 1: (a,b) (a,b) (a,c); offset 2: (a,a) (b,c)
