@@ -1451,6 +1451,19 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.boilerplatePrefixes("documents", "source",
         prefixLen = 3))),
 
+    ("q170_signal_correlation",
+      // quality-signal redundancy: Pearson corr between two q150 blend
+      // signals (n_tokens vs distinct_ppm) — |corr| near 1 means the
+      // pair measures the same thing and wastes ensemble capacity;
+      // exact decimal moments, count-distinct variance guard, one
+      // pinned-order double expression (library also ships the
+      // doc-length vs embedding-norm encoder-bias variant)
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.signalCorrelation(Tables.documents(s, dir), "text",
+          "n_tokens", "distinct_ppm"),
+      Some(graft.sql.TextAnalysisSql.signalCorrelation("documents",
+        "n_tokens", "distinct_ppm"))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -665,6 +665,47 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_active"))
       .orderBy("nation_name")
 
+  /** PEARSON CORRELATION of two integer columns, cross-engine exact up to
+    * the one final double expression: the five moment sums accumulate as
+    * exact DECIMAL(38,0) (associative — aggregation order cannot move
+    * them), doubles appear only in the single final Pearson formula in a
+    * pinned operation order (the [[momentStats]] contract), and zero
+    * variance on either side yields NULL via an INTEGER-exact guard
+    * (`count distinct < 2` — never a `den == 0.0` float test that could
+    * differ by a ulp). Output: one row
+    * (n_pairs, corr — 6 dp, null when undefined).
+    *
+    * 100 TB shape: one map-side-combinable five-sum aggregate; the
+    * decimal(19)² products bound |x|, |y| < 10¹⁹ᐟ² per row and the
+    * decimal(38,0) sums bound the corpus at ~10³⁸⁻²ˣ magnitudes —
+    * recheck if a metric ever exceeds ~10¹² per row. */
+  def integerCorrelation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val moments = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(x.cast("decimal(38,0)")).as("sx"),
+        sum(y.cast("decimal(38,0)")).as("sy"),
+        sum((d19(x) * d19(y)).cast("decimal(38,0)")).as("sxy"),
+        sum((d19(x) * d19(x)).cast("decimal(38,0)")).as("sxx"),
+        sum((d19(y) * d19(y)).cast("decimal(38,0)")).as("syy"),
+        countDistinct(x).as("ndx"),
+        countDistinct(y).as("ndy"))
+    def dd(name: String): Column = col(name).cast("double")
+    val n = col("n_pairs").cast("double")
+    moments.select(col("n_pairs"),
+      when(col("n_pairs") < 2 || col("ndx") < 2 || col("ndy") < 2,
+        lit(null).cast("double"))
+        .otherwise(round(
+          (n * dd("sxy") - dd("sx") * dd("sy")) /
+            (sqrt(n * dd("sxx") - dd("sx") * dd("sx")) *
+              sqrt(n * dd("syy") - dd("sy") * dd("sy"))),
+          6)).as("corr"))
+  }
+
   /** CALIBRATED per-group clip report — the FineWeb per-dump move in one
     * operator: each group (source / dump / language) is clipped at its
     * OWN nearest-rank [pLo, pHi] metric percentiles

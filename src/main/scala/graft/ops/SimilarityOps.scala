@@ -1276,6 +1276,45 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
 
+  /** LENGTH ↔ EMBEDDING-NORM CORRELATION — the encoder LENGTH-BIAS check
+    * (q170): Pearson correlation between a document-length metric and its
+    * embedding's squared norm over the doc ↔ vector join. A strong
+    * positive correlation means the encoder leaks length into magnitude —
+    * dot-product retrieval then systematically prefers long documents,
+    * and the fix (normalize, or switch to cosine) should land BEFORE the
+    * index is built. Complements [[embeddingProfile]] (marginal norm
+    * stats) with the cross-modal signal.
+    *
+    * Determinism: the [[graft.ops.RelationalOps.momentStats]] contract —
+    * x is exact integer, y is the 6-dp-rounded squared norm, all five
+    * moment sums accumulate as EXACT decimals (associative — partial-agg
+    * order cannot move them), and doubles appear only in the single
+    * final Pearson expression, identical operation order both engines.
+    *
+    * Output: one row (n_pairs, corr). n_pairs < 2 or zero variance on
+    * either side yields a null corr on both engines.
+    *
+    * 100 TB shape: one id-keyed join (the two projections are narrow),
+    * one five-sum aggregate — no window, no collect; decimal(38)
+    * headroom bounds the corpus at ~10¹² rows at these magnitudes (note
+    * in-code if a wider accumulator is ever needed). */
+  def lengthNormCorrelation(
+      docs: DataFrame, docIdCol: String, lenCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String): DataFrame = {
+    val x = docs.filter(col(lenCol).isNotNull)
+      .select(col(docIdCol).as("k"), col(lenCol).cast("long").as("x"))
+    val n2 = round(aggregate(transform(col(vecCol), v => v.cast("double")),
+      lit(0.0d), (a, v) => a + v * v), 6)
+    // y in exact ×10⁶ micro-ints (the zipfSlope regression-sum contract);
+    // Pearson is scale-invariant, so the micro scaling cancels. A
+    // unit-normalized corpus has zero norm variance and reports a NULL
+    // corr (the integerCorrelation guard) — itself the answer: no
+    // length bias is possible through the magnitude channel.
+    val y = emb.filter(col(vecCol).isNotNull)
+      .select(col(vecIdCol).as("k"), e6(n2).as("y"))
+    RelationalOps.integerCorrelation(x.join(y, Seq("k")), "x", "y")
+  }
+
   /** LABEL-CENTROID MARGIN — annotation QA over a labeled embedding
     * corpus: per label, how separable the label is in embedding space.
     * Every vector scores against ALL label centroids (decimal-exact 6-dp

@@ -1325,4 +1325,35 @@ object TextAnalysisOps {
     RelationalOps.rankBlend(metrics, idCol,
       Seq("n_tokens", "distinct_ppm", "mean_len_centi"), limit)
   }
+
+  /** QUALITY-SIGNAL REDUNDANCY check — the measurement to run BEFORE
+    * blending signals ([[qualityEnsemble]] / FineWeb-style ensembles):
+    * Pearson correlation between two of the per-doc integer quality
+    * metrics (`n_tokens`, `distinct_ppm`, `mean_len_centi`). Rank
+    * blending buys the most when signals are DEcorrelated; |corr| near 1
+    * means the pair measures the same thing and one of them is wasted
+    * ensemble capacity. Exactness contract and output shape:
+    * [[RelationalOps.integerCorrelation]] (one row; n_pairs, 6-dp corr,
+    * null on zero variance). One map-only metric scan + one five-sum
+    * aggregate. */
+  def signalCorrelation(
+      docs: DataFrame, textCol: String,
+      xMetric: String, yMetric: String): DataFrame = {
+    val allowed = Set("n_tokens", "distinct_ppm", "mean_len_centi")
+    require(allowed(xMetric) && allowed(yMetric) && xMetric != yMetric,
+      s"metrics must be two distinct of $allowed: $xMetric, $yMetric")
+    val toks = tokens(col(textCol))
+    val metrics = docs
+      .filter(col(textCol).isNotNull)
+      .select(toks.as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(
+        size(col("__t")).cast("long").as("n_tokens"),
+        expr("CAST(size(array_distinct(__t)) AS BIGINT) * 1000000 div size(__t)")
+          .as("distinct_ppm"),
+        expr(
+          "aggregate(__t, 0L, (acc, x) -> acc + length(x)) * 100 div size(__t)")
+          .as("mean_len_centi"))
+    RelationalOps.integerCorrelation(metrics, xMetric, yMetric)
+  }
 }

@@ -513,6 +513,33 @@ SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
   CAST((SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS mis_ppm
 FROM m GROUP BY lbl ORDER BY label"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.lengthNormCorrelation]]: same
+    * 6-dp sequential Σv² norm, same ×10⁶ micro-int y, exact decimal
+    * moment sums, doubles only in the one final Pearson expression with
+    * the identical operation order. */
+  def lengthNormCorrelation(
+      docsTable: String, lenCol: String, embTable: String): String =
+    s"""WITH x AS (SELECT doc_id AS k, CAST($lenCol AS BIGINT) AS x
+  FROM $docsTable WHERE $lenCol IS NOT NULL),
+y AS (SELECT vec_id AS k,
+    CAST(CAST(round(list_sum(list_transform(embedding::DOUBLE[], v -> v * v)), 6)
+      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+  FROM $embTable WHERE embedding IS NOT NULL),
+m AS (SELECT COUNT(*) AS n_pairs,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+  FROM x JOIN y USING (k))
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  round(
+    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+    6) AS corr
+FROM m"""
+
   /** Mirror of [[graft.ops.SimilarityOps.tripletMining]]: the oracle
     * ranks each side with a ROW_NUMBER over (ccos desc, id asc) — the
     * same total order the engine's lexicographic struct-min encodes. */

@@ -293,6 +293,34 @@ FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0
 ORDER BY doc_id"""
   }
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.signalCorrelation]]: the q150
+    * metric expressions, exact decimal moment sums, the count-distinct
+    * zero-variance guard, one pinned-order double Pearson expression. */
+  def signalCorrelation(table: String, xMetric: String, yMetric: String): String =
+    s"""WITH t AS (SELECT $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND len($toks) > 0),
+mm AS (SELECT CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST((CAST(len(list_distinct(tk)) AS BIGINT) * 1000000) // len(tk) AS BIGINT) AS distinct_ppm,
+    CAST((list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))) * 100) // len(tk) AS BIGINT) AS mean_len_centi
+  FROM t),
+f AS (SELECT $xMetric AS x, $yMetric AS y FROM mm
+  WHERE $xMetric IS NOT NULL AND $yMetric IS NOT NULL),
+m AS (SELECT COUNT(*) AS n_pairs,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy,
+    COUNT(DISTINCT x) AS ndx, COUNT(DISTINCT y) AS ndy
+  FROM f)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  CASE WHEN n_pairs < 2 OR ndx < 2 OR ndy < 2 THEN NULL
+    ELSE round(
+      (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      6) END AS corr
+FROM m"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.patternDensity]]: same RE2/Java
     * common-subset regexes, same per-group integer density arithmetic. */
   def patternDensity(

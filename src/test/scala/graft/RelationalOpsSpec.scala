@@ -247,6 +247,27 @@ class RelationalOpsSpec extends AnyFunSuite {
       s"unpartitioned window in:\n$plan")
   }
 
+  test("integerCorrelation: +-1 on exact linear data, null on zero variance, exact moments") {
+    import spark.implicits._
+    val up = Seq((1, 10), (2, 20), (3, 30), (4, 40)).toDF("x", "y")
+    val r1 = RelationalOps.integerCorrelation(up, "x", "y").collect().head
+    assert(r1.getLong(0) == 4L && r1.getDouble(1) == 1.0)
+    val down = Seq((1, 40), (2, 30), (3, 20), (4, 10)).toDF("x", "y")
+    assert(RelationalOps.integerCorrelation(down, "x", "y")
+      .collect().head.getDouble(1) == -1.0)
+    // zero variance on y -> null, not a division error (ANSI mode)
+    val flat = Seq((1, 7), (2, 7), (3, 7)).toDF("x", "y")
+    assert(RelationalOps.integerCorrelation(flat, "x", "y").collect().head.isNullAt(1))
+    // single pair -> null
+    val one = Seq((1, 2)).toDF("x", "y")
+    assert(RelationalOps.integerCorrelation(one, "x", "y").collect().head.isNullAt(1))
+    // partitioning-invariant (decimal-exact moments)
+    val big = (1L to 500L).map(i => (i, (i * 37) % 101)).toDF("x", "y")
+    val a = RelationalOps.integerCorrelation(big.repartition(1), "x", "y").collect().head
+    val b = RelationalOps.integerCorrelation(big.repartition(13), "x", "y").collect().head
+    assert(a.toString == b.toString)
+  }
+
   test("calibratedClip: per-group cuts and kept shares off hand-computed percentiles") {
     import spark.implicits._
     // A: 1..10 -> p10 cut = rank ceil(1) = 1, p90 cut = rank 9 = 9; keep 1..9

@@ -624,6 +624,24 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(r.view.mapValues(_.toString).toMap == b.view.mapValues(_.toString).toMap)
   }
 
+  test("lengthNormCorrelation: planted length-norm bias is caught; unit norms yield null") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars")
+    // norms grow with length: corr 1.0-ish (positive, strong)
+    val biased = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), (3L, Array(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.lengthNormCorrelation(
+      docs, "doc_id", "n_chars", biased, "vec_id", "embedding").collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) > 0.9)
+    // unit-normalized corpus: zero norm variance -> null corr (the guard)
+    val unit = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(SimilarityOps.lengthNormCorrelation(
+      docs, "doc_id", "n_chars", unit, "vec_id", "embedding").collect().head.isNullAt(1))
+  }
+
   test("tripletMining: nearest same-label positive, nearest other-label hard negative, margin sign") {
     import spark.implicits._
     // anchor 0 (label 0) along e1: positive = closest label-0 (id 2),
