@@ -65,7 +65,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q164_retrieval_eval" -> 3L,
     // join integrity is one row of ungrouped counts: zeros with null
     // orphan ppms (0-key division) on both engines
-    "q166_join_integrity" -> 1L)
+    "q166_join_integrity" -> 1L,
+    // correlation is one ungrouped moments row: n_pairs 0 with the null
+    // corr the variance guard produces on both engines
+    "q170_signal_correlation" -> 1L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
