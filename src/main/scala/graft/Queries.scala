@@ -1464,6 +1464,17 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.signalCorrelation("documents",
         "n_tokens", "distinct_ppm"))),
 
+    ("q171_dup_span_profile",
+      // duplicated-window span ladder: share of L-token windows occurring
+      // >= 2 times corpus-wide for L in 1..64 doubling — brackets the
+      // longest verbatim clone and sets the segment-dedup window size;
+      // |ladder| map-only passes instead of a suffix-array's log n sorts
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.dupSpanProfile(Tables.documents(s, dir), "text", "doc_id",
+          ladder = Seq(1, 2, 4, 8, 16, 32, 64)),
+      Some(graft.sql.TextAnalysisSql.dupSpanProfile("documents",
+        ladder = Seq(1, 2, 4, 8, 16, 32, 64)))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -998,6 +998,66 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** DUPLICATED-WINDOW SPAN PROFILE — "how LONG are the verbatim overlaps
+    * in this corpus": for each window length L on a fixed doubling ladder,
+    * the share of L-token windows whose exact text occurs more than once
+    * corpus-wide, and how many documents carry such a window. Read down
+    * the ladder: the largest L with `n_dup_windows > 0` brackets the
+    * corpus's longest verbatim clone (it lies in [L, 2·L_next)), the
+    * dup_ppm decay rate says whether overlap is boilerplate snippets
+    * (fast decay) or wholesale copying (plateau) — the profile that
+    * decides the segment-dedup window size (q110/q112) and the honest
+    * scalable stand-in for a full suffix-array longest-repeat scan
+    * (which needs O(log n) corpus sorts; this is |ladder| map-only
+    * passes).
+    *
+    * Output per L: (span_tokens, n_windows, n_dup_windows, n_docs,
+    * n_dup_docs, dup_ppm), ordered by span_tokens.
+    *
+    * Determinism: exact counts; windows hash to 60-bit md5 ints (the
+    * ngramNovelty convention) so the dup-group shuffle carries 8-byte
+    * keys — collisions at 60 bits are negligible and IDENTICAL in both
+    * engines (same md5 prefix).
+    *
+    * 100 TB shape: one NgramExplode scan per ladder rung (independent,
+    * scheduled in parallel under one action); each is a map-only window
+    * generate into a hash-keyed partial-agg count — the dup test
+    * shuffles (hash, count) pairs, never window text; per-doc
+    * attribution reuses the same hash keys via a semi join of dup
+    * hashes. */
+  def dupSpanProfile(
+      docs: DataFrame, textCol: String, idCol: String,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ >= 1) && ladder == ladder.sorted,
+      s"ladder must be ascending positive lengths: $ladder")
+    val base = docs.filter(col(textCol).isNotNull)
+    ladder.map { l =>
+      // NgramExplode emits the window text; hash it to 60 bits immediately
+      val hashed = base
+        .select(col(idCol).as("doc_id"),
+          graft.functions.Generators.ngramExplode(col(textCol), l).as("__w"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("__w")), 1, 15), 16, 10).cast("long").as("h"))
+      val counts = hashed.groupBy("h").agg(count(lit(1)).as("c"))
+      val dupHashes = counts.filter(col("c") >= 2).select("h")
+      val winStats = counts.agg(
+        sum(col("c")).as("n_windows"),
+        coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("n_dup_windows"))
+      val docStats = hashed.select("doc_id").distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val dupDocStats = hashed.join(dupHashes, Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+        .agg(count(lit(1)).as("n_dup_docs"))
+      winStats.crossJoin(docStats).crossJoin(dupDocStats)
+        .select(lit(l.toLong).as("span_tokens"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          col("n_dup_windows"), col("n_docs"), col("n_dup_docs"))
+        .withColumn("dup_ppm",
+          when(col("n_windows") > 0, expr("n_dup_windows * 1000000 div n_windows"))
+            .otherwise(lit(0L)))
+    }.reduce(_ unionByName _).orderBy("span_tokens")
+  }
+
   /** VOCABULARY GROWTH profile (Heaps' law, V(n) ≈ K·n^β): cumulative
     * token and distinct-type counts at doubling corpus prefixes — the
     * "how fast does my vocabulary grow as the corpus scales" curve that

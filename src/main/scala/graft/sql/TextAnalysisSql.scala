@@ -293,6 +293,36 @@ FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0
 ORDER BY doc_id"""
   }
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.dupSpanProfile]]: per ladder
+    * rung the same space-joined windows, the same 60-bit md5 hash keys,
+    * exact counts and truncating ppm; empty rungs report zero rows of
+    * their own (scalar subqueries always yield the rung row). */
+  def dupSpanProfile(table: String, ladder: Seq[Int]): String = {
+    val ctes = ladder.map { l =>
+      // slice + array_to_string, NOT a 2·l-deep `||` chain (DuckDB's
+      // binder recursion limit trips near l = 64)
+      val gram = s"array_to_string(tk[i : i + ${l - 1}], ' ')"
+      s"""h$l AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${l - 2}), i -> $gram)) AS g
+  FROM t WHERE len(tk) >= $l)),
+c$l AS (SELECT h, COUNT(*) AS c FROM h$l GROUP BY h)"""
+    }.mkString(",\n")
+    val blocks = ladder.map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS span_tokens,
+  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM c$l) AS n_windows,
+  (SELECT CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) FROM c$l) AS n_dup_windows,
+  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM h$l) AS n_docs,
+  (SELECT CAST(COUNT(DISTINCT h$l.doc_id) AS BIGINT) FROM h$l JOIN c$l USING (h) WHERE c$l.c >= 2) AS n_dup_docs"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+$ctes,
+u AS (
+$blocks)
+SELECT span_tokens, n_windows, n_dup_windows, n_docs, n_dup_docs,
+  CAST(CASE WHEN n_windows > 0 THEN (n_dup_windows * 1000000) // n_windows ELSE 0 END AS BIGINT) AS dup_ppm
+FROM u ORDER BY span_tokens"""
+  }
+
   /** Mirror of [[graft.ops.TextAnalysisOps.signalCorrelation]]: the q150
     * metric expressions, exact decimal moment sums, the count-distinct
     * zero-variance guard, one pinned-order double Pearson expression. */

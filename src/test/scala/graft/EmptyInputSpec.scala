@@ -68,7 +68,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q166_join_integrity" -> 1L,
     // correlation is one ungrouped moments row: n_pairs 0 with the null
     // corr the variance guard produces on both engines
-    "q170_signal_correlation" -> 1L)
+    "q170_signal_correlation" -> 1L,
+    // the span ladder reports every rung (all-zero rows) on both engines
+    "q171_dup_span_profile" -> 7L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

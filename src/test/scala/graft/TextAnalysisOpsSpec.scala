@@ -750,6 +750,34 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == 20)
   }
 
+  test("dupSpanProfile: a planted 8-token clone lights the ladder up to its length") {
+    import spark.implicits._
+    val clone = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, clone + " tail alpha beta"), (2L, "head gamma " + clone),
+      (3L, "completely unrelated words here delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.dupSpanProfile(df, "text", "doc_id",
+      ladder = Seq(1, 2, 4, 8, 16))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // the shared 8-token span forces dup windows at L = 1, 2, 4, 8
+    Seq(1L, 2L, 4L, 8L).foreach { l =>
+      assert(r(l).getAs[Long]("n_dup_windows") >= 2, s"L=$l must see the clone")
+      assert(r(l).getAs[Long]("n_dup_docs") == 2L, s"L=$l dup docs")
+    }
+    // at L=8 the clone is exactly one window per doc and the only dup
+    assert(r(8L).getAs[Long]("n_dup_windows") == 2L)
+    // no 16-token verbatim overlap exists
+    assert(r(16L).getAs[Long]("n_dup_windows") == 0L)
+    assert(r(16L).getAs[Long]("n_dup_docs") == 0L)
+    // rung rows exist even where no doc is long enough
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    val s16 = TextAnalysisOps.dupSpanProfile(short, "text", "doc_id", Seq(16))
+      .collect().head
+    assert(s16.getLong(0) == 16L && s16.getAs[Long]("n_windows") == 0L &&
+      s16.getAs[Long]("dup_ppm") == 0L)
+  }
+
   test("patternDensity: per-source hit shares and densities off a planted fixture") {
     import spark.implicits._
     val df = Seq(
