@@ -1475,6 +1475,17 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.dupSpanProfile("documents",
         ladder = Seq(1, 2, 4, 8, 16, 32, 64)))),
 
+    ("q172_zipf_by_source",
+      // per-source Zipf slope: the corpus-law health row of a per-shard
+      // dashboard — a flattening slope is template flood, a cliff is a
+      // truncated vocabulary, visible per shard before the pooled curve
+      // moves; micro-ln ints, one pinned double division per group
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.zipfSlopeByGroup(Tables.documents(s, dir), "text",
+          "source", topR = 32),
+      Some(graft.sql.TextAnalysisSql.zipfSlopeByGroup("documents", "source",
+        topR = 32))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

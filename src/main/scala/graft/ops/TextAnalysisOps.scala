@@ -1239,6 +1239,59 @@ object TextAnalysisOps {
         col("t1.term").as("top_term"), col("t1.c").as("top_count"))
   }
 
+  /** Per-group ZIPF rank-frequency slope — [[zipfSlope]] per source/dump
+    * (the corpus-law HEALTH row of a per-shard dashboard): a shard whose
+    * slope flattens relative to its siblings is template-flooded, one
+    * whose slope cliffs has a truncated vocabulary — visible per shard
+    * long before the pooled corpus curve moves. Same micro-int ln
+    * convention and pinned one-double-division regression as the global
+    * form (they cannot drift: identical x/y/sum expressions).
+    *
+    * Output per group: (n_terms, slope_ppm, intercept_micro, top_term,
+    * top_count), ordered by group.
+    *
+    * 100 TB shape: one (group, term) partial-agg count shuffle (bounded
+    * by group × vocabulary, never corpus tokens); the per-group top-R
+    * rank runs as a window over that ALREADY-REDUCED relation (the q141
+    * per-group-window convention — partitioned, input vocabulary-sized);
+    * regression sums are exact BIGINTs per group, ≤ #groups rows out. */
+  def zipfSlopeByGroup(
+      docs: DataFrame, textCol: String, groupCol: String,
+      topR: Int = 64): DataFrame = {
+    require(topR >= 2, s"zipf regression needs topR >= 2: $topR")
+    val counts = docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy("g", "term")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("c").desc, col("term").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topR)
+      .select(col("g"), col("rank"), col("c"), col("term"),
+        round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1e6, 0).cast("long").as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        min(struct(col("rank"), col("term"), col("c"))).as("t1"))
+      .filter(col("n_terms") >= 2)
+      .select(col("g"), col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("__s"),
+        col("sx"), col("sy"), col("t1"))
+      .select(col("g").as(groupCol), col("n_terms"),
+        round(col("__s") * 1e6, 0).cast("long").as("slope_ppm"),
+        round((col("sy").cast("double") - col("__s") * col("sx").cast("double")) /
+          col("n_terms"), 0).cast("long").as("intercept_micro"),
+        col("t1.term").as("top_term"), col("t1.c").as("top_count"))
+      .orderBy(groupCol)
+  }
+
   /** LONGEST REPEATED-TOKEN RUN per document — the degenerate-repetition
     * signal ("the the the the …") that model-generated and
     * template-corrupted text exhibits and that RATIO rules (q54's

@@ -558,6 +558,31 @@ SELECT n_terms, CAST(round(sl * 1e6) AS BIGINT) AS slope_ppm,
   (SELECT CAST(c AS BIGINT) FROM r WHERE rank = 1) AS top_count
 FROM s"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.zipfSlopeByGroup]]: the
+    * [[zipfSlope]] arithmetic with every stage PARTITION BY group. */
+  def zipfSlopeByGroup(table: String, groupCol: String, topR: Int): String =
+    s"""WITH c AS (SELECT $groupCol AS g, t AS term, COUNT(*) AS c FROM (
+    SELECT $groupCol, unnest($toks) AS t FROM $table
+    WHERE text IS NOT NULL AND $groupCol IS NOT NULL) GROUP BY 1, 2),
+r AS (SELECT g, term, c,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, term ASC) AS rank
+  FROM c QUALIFY rank <= $topR),
+xy AS (SELECT g, term, c, rank,
+  CAST(round(ln(rank::DOUBLE) * 1e6) AS BIGINT) AS x,
+  CAST(round(ln(c::DOUBLE) * 1e6) AS BIGINT) AS y FROM r),
+a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_terms,
+  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy GROUP BY g HAVING COUNT(*) >= 2),
+s AS (SELECT a.*,
+  (n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE AS sl
+  FROM a)
+SELECT s.g AS $groupCol, n_terms,
+  CAST(round(sl * 1e6) AS BIGINT) AS slope_ppm,
+  CAST(round((sy::DOUBLE - sl * sx::DOUBLE) / n_terms) AS BIGINT) AS intercept_micro,
+  (SELECT term FROM r WHERE r.g = s.g AND rank = 1) AS top_term,
+  (SELECT CAST(c AS BIGINT) FROM r WHERE r.g = s.g AND rank = 1) AS top_count
+FROM s ORDER BY $groupCol"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.longestTokenRun]]: the HOF
     * fold's first-maximal-run semantics as gaps-and-islands (pos − the
     * per-(doc, token) row number is constant exactly along a run) with

@@ -750,6 +750,28 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == 20)
   }
 
+  test("zipfSlopeByGroup: agrees with the global slope on a single-group corpus; flags flat groups") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val single = docs.withColumn("__one", org.apache.spark.sql.functions.lit("g"))
+    val grouped = TextAnalysisOps.zipfSlopeByGroup(single, "text", "__one", topR = 32)
+      .collect()
+    val global = TextAnalysisOps.zipfSlope(docs, "text", topR = 32).collect().head
+    assert(grouped.length == 1)
+    assert(grouped.head.getAs[Long]("slope_ppm") == global.getAs[Long]("slope_ppm"))
+    assert(grouped.head.getAs[String]("top_term") == global.getAs[String]("top_term"))
+    // a uniform-frequency group has slope ~0; a skewed one is negative
+    val fixture = ((1 to 8).flatMap(i => Seq((s"u$i", "flat"))) ++
+      (1 to 16).map(_ => ("hot", "skew")) ++ (1 to 8).map(i => (s"w$i", "skew")) ++
+      (1 to 4).map(_ => ("warm", "skew")))
+      .map { case (tok, g) => (g, tok) }
+      .toDF("src", "text")
+    val r = TextAnalysisOps.zipfSlopeByGroup(fixture, "text", "src", topR = 32)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("slope_ppm")).toMap
+    assert(r("flat") == 0L, "uniform frequencies must regress to slope 0")
+    assert(r("skew") < -100000L, "skewed frequencies must slope down")
+  }
+
   test("dupSpanProfile: a planted 8-token clone lights the ladder up to its length") {
     import spark.implicits._
     val clone = "one two three four five six seven eight"
