@@ -56,6 +56,23 @@ object Queries {
     ("s", "t"), ("a", "r"), ("ar", "t"), ("a", "t"),
     ("c", "h"), ("at", "ch"), ("r", "o"), ("ro", "w"))
 
+  /** The customer–supplier INTERACTION GRAPH's canonical edge relation,
+    * shared session-wide: q104 PageRank, q121 k-core and q133 label
+    * propagation all analyze the SAME graph, so the expensive part
+    * (lineitem ⋈ orders, distinct, symmetric canonicalization) derives
+    * once per (session, sf dir) via
+    * [[graft.ops.GraphOps.symmetricEdgesShared]] and each algorithm
+    * starts from its `FromEdges` entry point — the in-session form of
+    * the writeEdges/readEdges persisted artifact. Disjoint odd/even node
+    * namespaces (cust·2, supp·2+1). */
+  private def interactionEdges(s: SparkSession, dir: String): DataFrame =
+    GraphOps.symmetricEdgesShared(s, s"interaction|$dir", "a", "b") {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+    }
+
   /** q148's target mixture: four real sources plus one deliberately
     * absent name (`src_news`) so the missing-source deficit path stays
     * exercised at every scale factor. */
@@ -1486,6 +1503,17 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.zipfSlopeByGroup("documents", "source",
         topR = 32))),
 
+    ("q173_token_entropy",
+      // per-source unigram token entropy in micro-nats + Shannon evenness
+      // ppm: the whole-distribution complement of the Zipf slope's top-R
+      // head — low entropy flags template flood, near-10^6 evenness flags
+      // id-like junk; micro-ln ints, exact DECIMAL sums, clamped floor
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.tokenEntropyByGroup(Tables.documents(s, dir), "text",
+          "source"),
+      Some(graft.sql.TextAnalysisSql.tokenEntropyByGroup("documents",
+        "source"))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats
@@ -1570,13 +1598,8 @@ GROUP BY segment ORDER BY segment""")),
       // graph (disjoint odd/even node namespaces), 5 rounds of exact
       // BIGINT recurrence — one shuffle per round, no driver-side data;
       // the oracle re-runs the identical recurrence as a recursive CTE
-      (s: SparkSession, dir: String) => {
-        val pairs = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-          .distinct()
-        GraphOps.pageRankSymmetric(pairs, "a", "b", iters = 5).limit(100)
-      },
+      (s: SparkSession, dir: String) =>
+        GraphOps.pageRankFromEdges(interactionEdges(s, dir), iters = 5).limit(100),
       Some(graft.sql.GraphSql.pageRankCustomerSupplier(iters = 5, limit = 100))),
 
     ("q121_kcore",
@@ -1584,13 +1607,8 @@ GROUP BY segment ORDER BY segment""")),
       // (degree agg + two semi-joins each), fixed-round semantics so the
       // unrolled-CTE oracle is equal by construction; k=8 reaches fixpoint
       // within the budget at every test scale factor
-      (s: SparkSession, dir: String) => {
-        val pairs = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-          .distinct()
-        GraphOps.kCore(pairs, "a", "b", k = 8, rounds = 4)
-      },
+      (s: SparkSession, dir: String) =>
+        GraphOps.kCoreFromEdges(interactionEdges(s, dir), k = 8, rounds = 4),
       Some(graft.sql.GraphSql.kCoreCustomerSupplier(k = 8, rounds = 4))),
 
     ("q123_jaccard_join_exact",
@@ -1683,13 +1701,8 @@ GROUP BY segment ORDER BY segment""")),
       // classic algorithm's RNG) — where connected components answer
       // reachability, this answers clustering; one shuffle per round,
       // struct-max argmax (no per-node window sort)
-      (s: SparkSession, dir: String) => {
-        val pairs = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-          .distinct()
-        GraphOps.labelPropagation(pairs, "a", "b", rounds = 3)
-      },
+      (s: SparkSession, dir: String) =>
+        GraphOps.labelPropagationFromEdges(interactionEdges(s, dir), rounds = 3),
       Some(graft.sql.GraphSql.labelPropagationCustomerSupplier(rounds = 3))),
 
     ("q134_pair_token_f1",

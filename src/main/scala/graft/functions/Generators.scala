@@ -260,6 +260,69 @@ object Generators {
       copy(child = newChild)
   }
 
+  /** ALL ladder rungs' n-gram window hashes in ONE tokenization pass:
+    * (span, h) per L-token window occurrence, for every L in `ladder`
+    * with L ≤ token count. `h` is the 60-bit md5 hash of the
+    * space-joined window — bit-identical to
+    * `conv(substring(md5(w),1,15),16,10)::long` ([[TextHash.hash60]]),
+    * so a SQL oracle reproduces it from the window text.
+    *
+    * Why one generator instead of |ladder| × [[NgramExplode]] scans: the
+    * span profile (`TextAnalysisOps.dupSpanProfile`) needs every rung,
+    * and each separate explode re-reads and re-tokenizes the full text
+    * column; this emits all rungs off one token array and ships 16-byte
+    * rows (no window strings cross the shuffle). */
+  case class MultiNgramHashExplode(child: Expression, ladder: Seq[Int])
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(ladder.nonEmpty && ladder.forall(_ >= 1) && ladder == ladder.sorted,
+      s"ladder must be ascending positive lengths: $ladder")
+
+    override def elementSchema: StructType = StructType(
+      StructField("span", org.apache.spark.sql.types.LongType, nullable = false) ::
+        StructField("h", org.apache.spark.sql.types.LongType, nullable = false) :: Nil)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"multi_ngram_hash_explode needs a string column, got ${child.dataType}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = v.asInstanceOf[UTF8String].toString.split(" +")
+        .filter(_.nonEmpty)
+      if (toks.isEmpty || ladder.head > toks.length) return Nil
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      ladder.iterator.takeWhile(_ <= toks.length).foreach { w =>
+        val span = w.toLong
+        var i = 0
+        while (i <= toks.length - w) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var o = 1
+          while (o < w) { sb.append(' ').append(toks(i + o)); o += 1 }
+          val d = md.digest(sb.toString.getBytes("UTF-8"))
+          // first 15 md5 hex chars: bytes 0..6 + the high nibble of byte 7
+          val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+            ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+            ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+            ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
+          md.reset()
+          out += InternalRow(span, h)
+          i += 1
+        }
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MultiNgramHashExplode =
+      copy(child = newChild)
+  }
+
   /** WINNOWING fingerprints of a doc in one JVM pass: (n_fp, fp) rows —
     * one per DISTINCT fingerprint, each carrying the doc's distinct
     * count. Fingerprints are the window minima of the positional k-gram
@@ -544,6 +607,10 @@ object Generators {
   /** Column API: one row per w-gram occurrence of `text` (multiset). */
   def ngramExplode(text: Column, w: Int): Column =
     toColumn(NgramExplode(toExpression(text), w))
+
+  /** Column API: (span, h) hash60 rows for every ladder rung's windows. */
+  def multiNgramHashExplode(text: Column, ladder: Seq[Int]): Column =
+    toColumn(MultiNgramHashExplode(toExpression(text), ladder))
 
   /** Column API: (n_fp, fp) per distinct winnowing fingerprint of `text`. */
   def winnowExplode(text: Column, k: Int, win: Int): Column =

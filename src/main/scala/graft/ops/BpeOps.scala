@@ -75,6 +75,73 @@ object BpeOps {
     out.toSeq
   }
 
+  /** Symbol count after applying the whole merge list to one word — the
+    * [[applyMerge]] fold with the intermediate sequences elided: symbols
+    * live in ONE reused array and each merge pass compacts it in place,
+    * left-to-right, non-overlapping (the identical greedy contract,
+    * property-pinned equal to the fold in `BpeOpsSpec`). The inference
+    * hot path calls this once per word occurrence; the fold allocated
+    * |merges|+1 sequences per word, which dominated q139's profile.
+    *
+    * (Training keeps [[applyMerge]]: it needs the merged ARRAY, and its
+    * per-round cost is vocabulary-sized, not corpus-sized.) */
+  private[graft] def mergedSymbolCount(
+      word: String, merges: IndexedSeq[(String, String)]): Int = {
+    var n = word.length
+    if (n <= 1 || merges.isEmpty) return n
+    val arr = new Array[String](n)
+    var i = 0
+    while (i < n) { arr(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var m = 0
+    while (m < merges.length && n > 1) {
+      val l = merges(m)._1; val r = merges(m)._2
+      var w = 0; var j = 0
+      while (j < n) {
+        if (j < n - 1 && arr(j) == l && arr(j + 1) == r) {
+          arr(w) = l + r; j += 2
+        } else { arr(w) = arr(j); j += 1 }
+        w += 1
+      }
+      n = w; m += 1
+    }
+    n
+  }
+
+  /** PER-THREAD word→token-count memo for the inference kernels: word
+    * text is Zipf-distributed, so a bounded map catches the head and the
+    * long tail falls through to [[mergedSymbolCount]] — never wrong,
+    * only slower. Thread-local (not closure-captured) because Spark may
+    * share one deserialized UDF closure across executor threads on some
+    * plans (local relations); keyed by the merge table so two different
+    * tokenizers in one JVM never cross-read. 2^17 entries ≈ a few MB per
+    * thread at worst; the map survives across tasks on the same thread,
+    * which is exactly the reuse a long scan wants. */
+  private[graft] object MergeMemo {
+    private val MemoCap = 1 << 17
+    private val tl =
+      new ThreadLocal[(IndexedSeq[(String, String)], java.util.HashMap[String, Integer])]
+    def count(word: String, ms: IndexedSeq[(String, String)]): Int = {
+      var st = tl.get()
+      // reference check on the hot path: within a task the captured merge
+      // table is one instance. A new task's content-equal instance keeps
+      // the memo (re-keyed so the next call is back on the eq fast path);
+      // a genuinely different table resets it.
+      if (st == null || !(st._1 eq ms)) {
+        st =
+          if (st != null && st._1 == ms) (ms, st._2)
+          else (ms, new java.util.HashMap[String, Integer]())
+        tl.set(st)
+      }
+      val hit = st._2.get(word)
+      if (hit != null) hit.intValue()
+      else {
+        val v = mergedSymbolCount(word, ms)
+        if (st._2.size < MemoCap) st._2.put(word, v)
+        v
+      }
+    }
+  }
+
   /** BPE TRAIN: learn `rounds` merges from the corpus. Returns the merge
     * table (round, left_sym, right_sym, pair_count) in learned order —
     * the artifact a tokenizer ships. Stops early if no pair remains
@@ -123,11 +190,7 @@ object BpeOps {
     val enc = udf((text: String) => {
       val words = text.trim.split(" +").filter(_.nonEmpty)
       var total = 0L
-      words.foreach { w =>
-        var syms: Seq[String] = w.map(_.toString)
-        ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-        total += syms.length
-      }
+      words.foreach { w => total += MergeMemo.count(w, ms) }
       total
     })
     docs
@@ -164,9 +227,7 @@ object BpeOps {
       var nw = 0L; var nc = 0L; var nt = 0L
       words.foreach { w =>
         nw += 1; nc += w.length
-        var syms: Seq[String] = w.map(_.toString)
-        ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-        nt += syms.length
+        nt += MergeMemo.count(w, ms)
       }
       (nw, nc, nt)
     })

@@ -156,14 +156,21 @@ object DedupOps {
     require(sampleMod >= 1, s"bad sampleMod: $sampleMod")
     require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
     val sampled = docs.filter(col(idCol) % sampleMod === 0)
+    // sample-bounded (sampleMod rows of signature + hash set), feeds BOTH
+    // cross-join sides — materialize once instead of re-scanning the
+    // corpus and re-minhashing per side (r9: q160 5.3 s → ~3 s at sf0.1)
     val side = minhashSignatures(sampled, textCol, idCol, w, nBands * r)
       .join(shingleHashSets(sampled, textCol, idCol, w), "id")
+      .localCheckpoint()
     val a = side.select(col("id").as("ia"), col("m").as("ma"), col("hs").as("ha"))
     val b = side.select(col("id").as("ib"), col("m").as("mb"), col("hs").as("hb"))
     val theory = sCurveTheoryPpm(nBands, r, nBuckets)
     a.crossJoin(b).filter(col("ia") < col("ib"))
       .select(
-        expr("size(array_intersect(ha, hb)) * 1000000L div size(array_union(ha, hb))")
+        // |a ∪ b| = |a| + |b| − |a ∩ b| (distinct sets) — one array pass
+        // per pair instead of array_intersect + array_union's two
+        expr("size(array_intersect(ha, hb)) * 1000000L div " +
+          "(size(ha) + size(hb) - size(array_intersect(ha, hb)))")
           .as("jppm"),
         expr(s"exists(sequence(0, ${nBands - 1}), bd -> " +
           s"slice(ma, bd * $r + 1, $r) = slice(mb, bd * $r + 1, $r))").as("collide"))

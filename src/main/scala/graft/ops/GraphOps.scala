@@ -50,6 +50,42 @@ object GraphOps {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Session-scoped memo of materialized [[symmetricEdges]] relations —
+    * see [[symmetricEdgesShared]]. The [[RetrievalOps.moreLikeThisShared]]
+    * convention: keys carry the session, stopped sessions' entries drop
+    * on the next lookup, hits counted for the spec. */
+  private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  /** Memo-hit counter, exposed for the spec only. */
+  private[graft] val edgeMemoHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[symmetricEdges]] as a SHARED, SESSION-SCOPED MATERIALIZED
+    * ARTIFACT — the in-session equivalent of [[writeEdges]]/[[readEdges]]
+    * for runs that consume the SAME graph several ways (the catalog's
+    * q104 PageRank / q121 k-core / q133 label propagation all analyze
+    * the customer–supplier interaction graph; before r9 each re-ran the
+    * fact-table join + union/distinct, ~1.5 s apiece at sf0.1). First
+    * caller per (session, sourceKey) derives `pairs` (by-name — a memo
+    * hit never constructs the upstream plan) and checkpoints the
+    * canonical edge relation; later callers reuse it. `sourceKey` must
+    * identify the pair relation's content and construction (the catalog
+    * passes the sf directory + graph name). The memoized value is the
+    * EDGE relation — the same thing [[writeEdges]] would persist; at
+    * billion-edge scale prefer the on-disk artifact, which this memo
+    * deliberately mirrors one-to-one. */
+  def symmetricEdgesShared(spark: org.apache.spark.sql.SparkSession,
+      sourceKey: String, aCol: String, bCol: String)
+      (pairs: => DataFrame): DataFrame = {
+    edgeMemo.forEach { (key, _) =>
+      if (key._1.sparkContext.isStopped) edgeMemo.remove(key)
+    }
+    val key = (spark, s"$sourceKey|$aCol|$bCol")
+    val prev = edgeMemo.get(key)
+    if (prev != null) { edgeMemoHits.incrementAndGet(); prev }
+    else edgeMemo.computeIfAbsent(key, _ =>
+      symmetricEdges(pairs, aCol, bCol).localCheckpoint())
+  }
+
   /** Persist a [[symmetricEdges]] relation: range-partitioned and sorted
     * by (src, dst), so parquet row-group min/max stats on `src` prune
     * per-node/per-range reads and the degree aggregate's shuffle reads

@@ -1019,43 +1019,60 @@ object TextAnalysisOps {
     * keys — collisions at 60 bits are negligible and IDENTICAL in both
     * engines (same md5 prefix).
     *
-    * 100 TB shape: one NgramExplode scan per ladder rung (independent,
-    * scheduled in parallel under one action); each is a map-only window
-    * generate into a hash-keyed partial-agg count — the dup test
-    * shuffles (hash, count) pairs, never window text; per-doc
-    * attribution reuses the same hash keys via a semi join of dup
-    * hashes. */
+    * 100 TB shape: the [[graft.functions.Generators.MultiNgramHashExplode]]
+    * generator emits every rung's window hashes off one token array
+    * (r9 — the per-rung NgramExplode form re-read and re-tokenized the
+    * corpus 3·|ladder| times; measured 6.3 s → ~2.2 s at sf0.1), into a
+    * (span, hash)-keyed partial-agg count — the dup test shuffles
+    * (span, hash, count) rows, never window text. THREE lazy generator
+    * passes total (window stats; the dup-hash set; the per-doc dup
+    * attribution semi join), plan-asserted ≤ 3 in `PlanSpec`;
+    * deliberately NOT collapsed to one by materializing the counts —
+    * the (span, hash) relation is corpus-scale, and the engine's rule is
+    * to re-derive cheap corpus-scale intermediates rather than spill
+    * them to block storage. The per-rung doc universe needs only each
+    * doc's TOKEN COUNT (a doc emits a rung-L window iff n_tokens ≥ L),
+    * one map-only pass. */
   def dupSpanProfile(
       docs: DataFrame, textCol: String, idCol: String,
       ladder: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
     require(ladder.nonEmpty && ladder.forall(_ >= 1) && ladder == ladder.sorted,
       s"ladder must be ascending positive lengths: $ladder")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.filter(col(textCol).isNotNull)
-    ladder.map { l =>
-      // NgramExplode emits the window text; hash it to 60 bits immediately
-      val hashed = base
-        .select(col(idCol).as("doc_id"),
-          graft.functions.Generators.ngramExplode(col(textCol), l).as("__w"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("__w")), 1, 15), 16, 10).cast("long").as("h"))
-      val counts = hashed.groupBy("h").agg(count(lit(1)).as("c"))
-      val dupHashes = counts.filter(col("c") >= 2).select("h")
-      val winStats = counts.agg(
-        sum(col("c")).as("n_windows"),
-        coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("n_dup_windows"))
-      val docStats = hashed.select("doc_id").distinct()
-        .agg(count(lit(1)).as("n_docs"))
-      val dupDocStats = hashed.join(dupHashes, Seq("h"), "left_semi")
-        .select("doc_id").distinct()
-        .agg(count(lit(1)).as("n_dup_docs"))
-      winStats.crossJoin(docStats).crossJoin(dupDocStats)
-        .select(lit(l.toLong).as("span_tokens"),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-          col("n_dup_windows"), col("n_docs"), col("n_dup_docs"))
-        .withColumn("dup_ppm",
-          when(col("n_windows") > 0, expr("n_dup_windows * 1000000 div n_windows"))
-            .otherwise(lit(0L)))
-    }.reduce(_ unionByName _).orderBy("span_tokens")
+    def hashed = base.select(col(idCol).as("doc_id"),
+      graft.functions.Generators.multiNgramHashExplode(col(textCol), ladder)
+        .as(Seq("span_tokens", "h")))
+    val counts = hashed.groupBy("span_tokens", "h").agg(count(lit(1)).as("c"))
+    val winStats = counts.groupBy("span_tokens").agg(
+      sum(col("c")).as("n_windows"),
+      coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("n_dup_windows"))
+    val dupHashes = counts.filter(col("c") >= 2).select("span_tokens", "h")
+    val dupDocStats = hashed
+      .join(dupHashes, Seq("span_tokens", "h"), "left_semi")
+      .select("span_tokens", "doc_id").distinct()
+      .groupBy("span_tokens").agg(count(lit(1)).as("n_dup_docs"))
+    val ladderArr = array(ladder.map(l => lit(l.toLong)): _*)
+    val docStats = base
+      .select(col(idCol).as("doc_id"),
+        size(graft.functions.TextHash.tokens(col(textCol))).cast("long").as("__nt"))
+      .select(col("doc_id"),
+        explode(filter(ladderArr, l => l <= col("__nt"))).as("span_tokens"))
+      .groupBy("span_tokens").agg(countDistinct(col("doc_id")).as("n_docs"))
+    ladder.map(_.toLong).toDF("span_tokens")
+      .join(winStats, Seq("span_tokens"), "left")
+      .join(docStats, Seq("span_tokens"), "left")
+      .join(dupDocStats, Seq("span_tokens"), "left")
+      .select(col("span_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      .withColumn("dup_ppm",
+        when(col("n_windows") > 0, expr("n_dup_windows * 1000000 div n_windows"))
+          .otherwise(lit(0L)))
+      .orderBy("span_tokens")
   }
 
   /** VOCABULARY GROWTH profile (Heaps' law, V(n) ≈ K·n^β): cumulative
@@ -1237,6 +1254,66 @@ object TextAnalysisOps {
         round((col("sy").cast("double") - col("__s") * col("sx").cast("double")) /
           col("n_terms"), 0).cast("long").as("intercept_micro"),
         col("t1.term").as("top_term"), col("t1.c").as("top_count"))
+  }
+
+  /** Per-group UNIGRAM TOKEN ENTROPY — the third corpus-law health row
+    * next to the Zipf slope ([[zipfSlopeByGroup]]) and Heaps growth
+    * ([[vocabularyGrowth]]): H = ln N − (Σ c·ln c)/N in MICRO-NATS over
+    * each group's term-frequency distribution, plus the normalized
+    * efficiency H/ln V (Shannon evenness, ppm). A shard whose entropy
+    * sits far below its siblings is template-flooded (few terms carry
+    * the mass — the same pathology the Zipf slope shows as flattening,
+    * measured on the whole distribution instead of the top-R head); an
+    * efficiency near 10⁶ means near-uniform usage, the fingerprint of
+    * id-like or generated junk.
+    *
+    * Determinism: per-term `round(ln c · 10⁶)` longs (the [[zipfSlope]]
+    * micro-ln convention, gate-proven cross-engine), summed exactly in
+    * DECIMAL(38,0) (c·ln-micro products overflow BIGINT near 10¹³-token
+    * groups — the mixPlan rationale), ONE truncating integer division
+    * per group for the mean, integer subtraction clamped at the
+    * information-theoretic floor of 0 (micro-rounding can land a
+    * near-degenerate group ~1 micro-nat negative, where truncating and
+    * floor division would diverge cross-engine), and one more truncating
+    * division for the evenness — no accumulated float anywhere.
+    * Single-type groups (V = 1, ln V = 0) report null efficiency.
+    *
+    * Output per group: (n_tokens, n_types, entropy_micro,
+    * efficiency_ppm), ordered by group.
+    *
+    * 100 TB shape: one (group, term) partial-agg count shuffle (bounded
+    * by group × vocabulary, never corpus tokens — the
+    * [[zipfSlopeByGroup]] shape), then one metadata-sized per-group
+    * aggregate; ≤ #groups rows out. */
+  def tokenEntropyByGroup(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val counts = docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy("g", "term")
+      .agg(count(lit(1)).as("c"))
+    counts
+      .select(col("g"), col("c"),
+        round(log(col("c").cast("double")) * 1e6, 0).cast("long").as("lc"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum((col("c") * col("lc")).cast("decimal(38,0)")).as("__sclc"))
+      .select(col("g"), col("n_tokens"), col("n_types"),
+        // clamp at the information-theoretic floor: micro-rounding can
+        // push a near-degenerate group ~1 micro-nat below 0, where the
+        // engines' truncating-vs-floor division would diverge downstream
+        greatest(
+          round(log(col("n_tokens").cast("double")) * 1e6, 0).cast("long") -
+            expr("CAST(__sclc div n_tokens AS BIGINT)"),
+          lit(0L)).as("entropy_micro"),
+        round(log(col("n_types").cast("double")) * 1e6, 0).cast("long").as("__lv"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("entropy_micro"),
+        when(col("__lv") > 0,
+          expr("entropy_micro * 1000000 div __lv")).as("efficiency_ppm"))
+      .orderBy(groupCol)
   }
 
   /** Per-group ZIPF rank-frequency slope — [[zipfSlope]] per source/dump

@@ -583,6 +583,32 @@ SELECT s.g AS $groupCol, n_terms,
   (SELECT CAST(c AS BIGINT) FROM r WHERE r.g = s.g AND rank = 1) AS top_count
 FROM s ORDER BY $groupCol"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.tokenEntropyByGroup]]: same
+    * per-term micro-ln longs, Σ c·ln-micro summed exactly into HUGEINT
+    * (128-bit — DuckDB's native SUM(BIGINT) type; the engine's
+    * DECIMAL(38,0) holds the same integer), one truncating division per
+    * group for the mean and one for the evenness, null efficiency at
+    * V = 1. HUGEINT `//` is exact integer division; a DECIMAL `//`
+    * would be TRUE division whose BIGINT cast then ROUNDS (caught at
+    * the q173 gate dry-run: entropy off by one where the mean's
+    * fraction exceeded .5). Non-negative operands everywhere. */
+  def tokenEntropyByGroup(table: String, groupCol: String): String =
+    s"""WITH c AS (SELECT $groupCol AS g, t AS term, COUNT(*) AS c FROM (
+    SELECT $groupCol, unnest($toks) AS t FROM $table
+    WHERE text IS NOT NULL AND $groupCol IS NOT NULL) GROUP BY 1, 2),
+a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_types,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
+    SUM(c * CAST(round(ln(c::DOUBLE) * 1e6) AS BIGINT)) AS sclc
+  FROM c GROUP BY g),
+e AS (SELECT g, n_tokens, n_types,
+    GREATEST(CAST(round(ln(n_tokens::DOUBLE) * 1e6) AS BIGINT)
+      - CAST(sclc // n_tokens AS BIGINT), 0) AS entropy_micro,
+    CAST(round(ln(n_types::DOUBLE) * 1e6) AS BIGINT) AS lv
+  FROM a)
+SELECT g AS $groupCol, n_tokens, n_types, entropy_micro,
+  CASE WHEN lv > 0 THEN (entropy_micro * 1000000) // lv END AS efficiency_ppm
+FROM e ORDER BY $groupCol"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.longestTokenRun]]: the HOF
     * fold's first-maximal-run semantics as gaps-and-islands (pos − the
     * per-(doc, token) row number is constant exactly along a run) with

@@ -13,6 +13,24 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(BpeOps.applyMerge(Seq.empty, "a", "b") == Seq.empty)
   }
 
+  test("mergedSymbolCount equals the applyMerge fold (and the memo) on random words") {
+    val merges = Queries.fertilityMerges.toIndexedSeq
+    val rnd = new scala.util.Random(42)
+    val alphabet = "starchowx"
+    (1 to 2000).foreach { _ =>
+      val w = (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      var syms: Seq[String] = w.map(_.toString)
+      merges.foreach { case (l, r) => syms = BpeOps.applyMerge(syms, l, r) }
+      assert(BpeOps.mergedSymbolCount(w, merges) == syms.length, s"word '$w'")
+      assert(BpeOps.MergeMemo.count(w, merges) == syms.length, s"memo word '$w'")
+    }
+    // a second merge table on the same thread must not cross-read the memo
+    val other = IndexedSeq(("s", "t"))
+    assert(BpeOps.MergeMemo.count("st", other) == 1)
+    assert(BpeOps.MergeMemo.count("st", merges) == 1) // st is also a merge there
+    assert(BpeOps.MergeMemo.count("at", IndexedSeq.empty[(String, String)]) == 2)
+  }
+
   test("bpeTrain learns the textbook merge sequence on the classic fixture") {
     import spark.implicits._
     // Sennrich et al.'s worked example: {low:5, lower:2, newest:6, widest:3}

@@ -161,6 +161,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("shared edge memo: hit serves the identical relation, content equals a fresh build, pairs derive once") {
+    import spark.implicits._
+    val key = "graphspec-shared-" + System.nanoTime() // unique per run
+    var builds = 0
+    def pairs = { builds += 1; Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b") }
+    val fresh = GraphOps.symmetricEdges(pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits0 = GraphOps.edgeMemoHits.get()
+    val first = GraphOps.symmetricEdgesShared(spark, key, "a", "b")(pairs)
+    val second = GraphOps.symmetricEdgesShared(spark, key, "a", "b")(pairs)
+    assert(second eq first)
+    assert(GraphOps.edgeMemoHits.get() == hits0 + 1)
+    // by-name pairs: the fresh build above + the first shared call only —
+    // a memo hit never constructs the upstream plan
+    assert(builds == 2)
+    assert(first.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == fresh)
+    // a different key never collides
+    val other = GraphOps.symmetricEdgesShared(spark, key + "-b", "a", "b")(pairs)
+    assert(!(other eq first))
+  }
+
   test("persisted edge artifact: write -> reload feeds all three algorithms bit-identically") {
     import spark.implicits._
     // the q97/q105 pattern for the graph family: derive the canonical

@@ -352,4 +352,34 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!da.contains("CartesianProduct"), s"dupAttribution cartesian:\n${da.take(600)}")
   }
+
+  test("dup span profile: ONE multi-span generator per corpus pass, no per-rung explode fan-out") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.ops.TextAnalysisOps.dupSpanProfile(docs, "text", "doc_id",
+      ladder = Seq(1, 2, 4, 8, 16, 32, 64)).queryExecution.executedPlan.toString
+    // the whole 7-rung ladder must ride the one-pass generator: three
+    // lazy passes (window stats; dup-hash set; dup-doc attribution —
+    // deliberately NOT materialized: the (span, hash) relation is
+    // corpus-scale), never 3 x |ladder|
+    val nGen = "multingramhashexplode".r.findAllIn(plan).size
+    assert(nGen >= 1 && nGen <= 3,
+      s"expected 1-3 MultiNgramHashExplode generates, got $nGen:\n${plan.take(800)}")
+    // bare ngramexplode (the per-rung form) must be gone — match the word
+    // boundary so the multi-span generator's own name can't false-hit
+    assert(!plan.contains(" ngramexplode") && !plan.contains("[ngramexplode"),
+      s"per-rung NgramExplode crept back into the span profile:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n${plan.take(600)}")
+  }
+
+  test("token entropy: the only corpus shuffle is the (group, term) partial agg") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.ops.TextAnalysisOps.tokenEntropyByGroup(docs, "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"tokenEntropy must not join:\n${plan.take(600)}")
+    // partial aggregation must be present before the exchange (map-side
+    // combine bounds the shuffle by group x vocabulary, not corpus tokens)
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("No Partition Defined"),
+      s"bad plan:\n${plan.take(600)}")
+  }
 }

@@ -800,6 +800,57 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       s16.getAs[Long]("dup_ppm") == 0L)
   }
 
+  test("MultiNgramHashExplode equals per-rung NgramExplode + hash60 on the real corpus") {
+    // q171's one-pass generator must stay bit-identical to the SQL-visible
+    // form: same tokens, same windows, same 60-bit md5 ints, multiset-equal
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val ladder = Seq(1, 3, 8)
+    val gen = docs
+      .select(col("doc_id"),
+        graft.functions.Generators.multiNgramHashExplode(col("text"), ladder)
+          .as(Seq("span", "h")))
+      .groupBy("span", "h").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ref = ladder.flatMap { l =>
+      docs.select(
+        graft.functions.Generators.ngramExplode(col("text"), l).as("w"))
+        .select(graft.functions.TextHash.hash60(col("w")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .collect().map(r => (l.toLong, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(gen == ref, "one-pass multi-span hashes must equal the per-rung hash60 form")
+  }
+
+  test("tokenEntropyByGroup: hand-computed micro-nats, single-type null evenness, clamped floor") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b", "s1"), (2L, "a", "s1"),        // a:3 b:1 -> N=4 V=2
+      (3L, "x x x", "s2"),                          // N=3 V=1: H=0, eff null
+      (4L, null.asInstanceOf[String], "s1"), (5L, "y", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysisOps.tokenEntropyByGroup(df, "text", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("s1", "s2"), "null text/group rows must drop")
+    // H(s1) = ln 4 - (3 ln 3)/4 in micro-nats, every step integer:
+    // round(ln4*1e6)=1386294, 3*round(ln3*1e6)=3295836, div 4 = 823959
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("n_tokens") == 4L && s1.getAs[Long]("n_types") == 2L)
+    assert(s1.getAs[Long]("entropy_micro") == 562335L)
+    assert(s1.getAs[Long]("efficiency_ppm") == 811278L)
+    val s2 = r("s2")
+    assert(s2.getAs[Long]("n_tokens") == 3L && s2.getAs[Long]("n_types") == 1L)
+    assert(s2.getAs[Long]("entropy_micro") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("efficiency_ppm")),
+      "single-type group has undefined evenness")
+    // uniform distribution: H = ln V exactly -> evenness 10^6
+    val uni = Seq((1L, "p q r s", "u")).toDF("doc_id", "text", "source")
+    val ru = TextAnalysisOps.tokenEntropyByGroup(uni, "text", "source")
+      .collect().head
+    assert(ru.getAs[Long]("entropy_micro") == 1386294L)
+    assert(ru.getAs[Long]("efficiency_ppm") == 1000000L)
+  }
+
   test("patternDensity: per-source hit shares and densities off a planted fixture") {
     import spark.implicits._
     val df = Seq(
