@@ -1514,6 +1514,17 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.tokenEntropyByGroup("documents",
         "source"))),
 
+    ("q174_source_kl",
+      // per-source KL(source || corpus) in micro-nats: the single-number
+      // domain-shift row — which shard's re-weighting moves the mixture
+      // most; part-vs-whole makes q never zero (no smoothing), micro-ln
+      // ints, non-negative exact sum, one truncating division, clamp 0
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.sourceKlDivergence(Tables.documents(s, dir), "text",
+          "source"),
+      Some(graft.sql.TextAnalysisSql.sourceKlDivergence("documents",
+        "source"))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

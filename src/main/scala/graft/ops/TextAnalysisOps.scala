@@ -1316,6 +1316,73 @@ object TextAnalysisOps {
       .orderBy(groupCol)
   }
 
+  /** Per-group KL DIVERGENCE vs the POOLED corpus — the single-number
+    * domain-shift row of the per-shard dashboard: KL(source ‖ corpus)
+    * over unigram distributions, in MICRO-NATS. Complements the other
+    * drift ops: [[termDrift]] is per-TERM between two slices, the KS
+    * drift is a NUMERIC metric's distribution, DSIR ([[dsirWeights]])
+    * scores docs against an external target — this scores each SOURCE
+    * against the corpus it is part of. A source near 0 is
+    * distributionally exchangeable with the pool; a high-KL source is
+    * the one whose up/down-weighting moves the mixture most (and the
+    * first place to look when the pooled Zipf/entropy rows drift).
+    *
+    * NO SMOOTHING NEEDED, by construction: every source term occurs in
+    * the pooled corpus (c ≤ d), so q is never zero — the usual KL
+    * zero-mass headache disappears because the comparison is
+    * part-vs-whole.
+    *
+    * Arithmetic (exact cross-engine): with per-term source count c,
+    * corpus count d, source tokens Nₛ, corpus tokens N —
+    * KL = ln N − ln Nₛ − (Σ c·(ln d − ln c))/Nₛ. Each ln is one
+    * micro-rounded long (the [[zipfSlope]] convention); rounding is
+    * monotone and c ≤ d, so every per-term (ld − lc) is ≥ 0 and the sum
+    * P is NON-NEGATIVE — `P div Nₛ` therefore truncates identically in
+    * both engines (the q173 floor-vs-trunc hazard cannot arise), summed
+    * exactly in DECIMAL(38,0)/HUGEINT (c·Δln overflows BIGINT near
+    * 10¹³-token groups). The result clamps at the information-theoretic
+    * floor of 0 (micro-rounding can dip a near-pool-identical source a
+    * few micro-nats negative).
+    *
+    * Output per group: (n_tokens, n_types, kl_micro), ordered by group.
+    *
+    * 100 TB shape: ONE corpus scan into the (group, term) partial-agg
+    * count (vocabulary × groups rows, never corpus tokens) — the corpus
+    * totals d re-aggregate from THAT relation, no second scan; the
+    * relation feeds both the totals and the join, so it checkpoints
+    * (vocabulary-sized — the per-doc-metrics trade, not the forbidden
+    * corpus-scale one); then a term-keyed join of two vocabulary-bounded
+    * relations and a per-group aggregate, ≤ #groups rows out. */
+  def sourceKlDivergence(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val t = docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .groupBy("g", "term")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val d = t.groupBy("term").agg(sum(col("c")).as("d"))
+    val n = d.agg(sum(col("d")).as("__n"))
+      .select(round(log(col("__n").cast("double")) * 1e6, 0).cast("long").as("__lN"))
+    t.join(d, "term")
+      .select(col("g"), col("c"),
+        ((round(log(col("d").cast("double")) * 1e6, 0).cast("long") -
+          round(log(col("c").cast("double")) * 1e6, 0).cast("long")) * col("c"))
+          .cast("decimal(38,0)").as("__p"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("__p")).as("__P"))
+      .crossJoin(broadcast(n))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"),
+        greatest(
+          col("__lN") -
+            round(log(col("n_tokens").cast("double")) * 1e6, 0).cast("long") -
+            expr("CAST(__P div n_tokens AS BIGINT)"),
+          lit(0L)).as("kl_micro"))
+      .orderBy(groupCol)
+  }
+
   /** Per-group ZIPF rank-frequency slope — [[zipfSlope]] per source/dump
     * (the corpus-law HEALTH row of a per-shard dashboard): a shard whose
     * slope flattens relative to its siblings is template-flooded, one

@@ -609,6 +609,27 @@ SELECT g AS $groupCol, n_tokens, n_types, entropy_micro,
   CASE WHEN lv > 0 THEN (entropy_micro * 1000000) // lv END AS efficiency_ppm
 FROM e ORDER BY $groupCol"""
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.sourceKlDivergence]]: same
+    * micro-ln longs, the non-negative Σ c·(ln d − ln c) summed into
+    * HUGEINT (the q173 convention — DECIMAL `//` is true division in
+    * DuckDB), one truncating division per group, clamp at 0. */
+  def sourceKlDivergence(table: String, groupCol: String): String =
+    s"""WITH t AS (SELECT $groupCol AS g, term, COUNT(*) AS c FROM (
+    SELECT $groupCol, unnest($toks) AS term FROM $table
+    WHERE text IS NOT NULL AND $groupCol IS NOT NULL) GROUP BY 1, 2),
+d AS (SELECT term, SUM(c) AS d FROM t GROUP BY term),
+n AS (SELECT CAST(round(ln(SUM(d)::DOUBLE) * 1e6) AS BIGINT) AS lN FROM d),
+a AS (SELECT t.g, CAST(COUNT(*) AS BIGINT) AS n_types,
+    CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+    SUM(t.c * (CAST(round(ln(d.d::DOUBLE) * 1e6) AS BIGINT)
+             - CAST(round(ln(t.c::DOUBLE) * 1e6) AS BIGINT))) AS p
+  FROM t JOIN d USING (term) GROUP BY t.g)
+SELECT g AS $groupCol, n_tokens, n_types,
+  GREATEST((SELECT lN FROM n)
+    - CAST(round(ln(n_tokens::DOUBLE) * 1e6) AS BIGINT)
+    - CAST(p // n_tokens AS BIGINT), 0) AS kl_micro
+FROM a ORDER BY $groupCol"""
+
   /** Mirror of [[graft.ops.TextAnalysisOps.longestTokenRun]]: the HOF
     * fold's first-maximal-run semantics as gaps-and-islands (pos − the
     * per-(doc, token) row number is constant exactly along a run) with

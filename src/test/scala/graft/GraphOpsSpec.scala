@@ -172,7 +172,9 @@ class GraphOpsSpec extends AnyFunSuite {
     val first = GraphOps.symmetricEdgesShared(spark, key, "a", "b")(pairs)
     val second = GraphOps.symmetricEdgesShared(spark, key, "a", "b")(pairs)
     assert(second eq first)
-    assert(GraphOps.edgeMemoHits.get() == hits0 + 1)
+    // >=: the counter is global and other suites run in parallel (the
+    // catalog queries share the interaction graph through this memo)
+    assert(GraphOps.edgeMemoHits.get() >= hits0 + 1)
     // by-name pairs: the fresh build above + the first shared call only —
     // a memo hit never constructs the upstream plan
     assert(builds == 2)

@@ -382,4 +382,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("No Partition Defined"),
       s"bad plan:\n${plan.take(600)}")
   }
+
+  test("source KL: one corpus scan, vocabulary-keyed join, broadcast totals, no cartesian") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.ops.TextAnalysisOps.sourceKlDivergence(docs, "text", "source")
+    val plan = df.queryExecution.executedPlan.toString
+    // the checkpointed (group, term) relation feeds both the corpus
+    // totals and the join — the corpus text must be scanned exactly once
+    val nScans = "ngramexplode".r.findAllIn(plan).size
+    assert(nScans <= 1, s"expected <= 1 corpus token scan, got $nScans:\n${plan.take(800)}")
+    // the one-row lN relation broadcasts; nothing plans a cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"totals must broadcast:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("No Partition Defined"),
+      s"bad plan:\n${plan.take(600)}")
+  }
 }

@@ -169,7 +169,9 @@ class RetrievalOpsSpec extends AnyFunSuite {
     // the second call is a memo HIT returning the same materialized
     // relation — no recomputation of the lexical side
     assert(second eq first)
-    assert(RetrievalOps.mltMemoHits.get() == hits0 + 1)
+    // >=: the counter is global and other suites run in parallel (the
+    // catalog hybrids share their lexical side through this memo)
+    assert(RetrievalOps.mltMemoHits.get() >= hits0 + 1)
     assert(first.collect().toSeq == fresh)
     // a different parameterization never collides
     val other = RetrievalOps.moreLikeThisShared(docs, "text", "doc_id",

@@ -851,6 +851,32 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(ru.getAs[Long]("efficiency_ppm") == 1000000L)
   }
 
+  test("sourceKlDivergence: hand-computed micro-nats, pool-identical source clamps to 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b", "s1"), (2L, "a b b b", "s2"),
+      (3L, null.asInstanceOf[String], "s1"), (4L, "z", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysisOps.sourceKlDivergence(df, "text", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("s1", "s2"), "null text/group rows must drop")
+    // corpus a:3 b:4 N=7; s1 = {a:2, b:1}; s2 = {a:1, b:3} — every step
+    // integer: P = Σ c·(round(ln d·1e6) − round(ln c·1e6)), KL =
+    // lN − lNs − P div Ns (values recomputed in the DuckDB dry-run)
+    assert(r("s1").getAs[Long]("kl_micro") == 114890L)
+    assert(r("s1").getAs[Long]("n_tokens") == 3L && r("s1").getAs[Long]("n_types") == 2L)
+    assert(r("s2").getAs[Long]("kl_micro") == 69202L)
+    // a single-source corpus IS the pool: KL exactly 0 (c = d, Ns = N)
+    val solo = Seq((1L, "p q p r", "only")).toDF("doc_id", "text", "source")
+    assert(TextAnalysisOps.sourceKlDivergence(solo, "text", "source")
+      .collect().head.getAs[Long]("kl_micro") == 0L)
+    // two identically-distributed sources: both ~0 after the clamp
+    val sym = Seq((1L, "x y", "l"), (2L, "x y", "r")).toDF("doc_id", "text", "source")
+    TextAnalysisOps.sourceKlDivergence(sym, "text", "source").collect()
+      .foreach(x => assert(x.getAs[Long]("kl_micro") <= 1L,
+        s"identical halves must be ~0: $x"))
+  }
+
   test("patternDensity: per-source hit shares and densities off a planted fixture") {
     import spark.implicits._
     val df = Seq(
