@@ -899,7 +899,8 @@ GROUP BY segment ORDER BY segment""")),
         CurationOps.curationFunnel(Tables.documents(s, dir), "text", "doc_id",
           stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
           prefixLen = 8, w = 3, benchMod = 20,
-          maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L),
+          maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L,
+          sharedStageKey = Some(dir)),
       Some(graft.sql.CurationSql.curationFunnel("documents",
         stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
         prefixLen = 8, w = 3, benchMod = 20,
@@ -915,7 +916,8 @@ GROUP BY segment ORDER BY segment""")),
           stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
           prefixLen = 8, w = 3, benchMod = 20,
           maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L,
-          ndMinJaccard = 0.3, ndBands = 8, ndR = 2),
+          ndMinJaccard = 0.3, ndBands = 8, ndR = 2,
+          sharedStageKey = Some(dir)),
       Some(graft.sql.CurationSql.curationFunnel("documents",
         stopwords = cfg.stopwords, minTokens = 30, maxTokens = 1000, minStops = 3,
         prefixLen = 8, w = 3, benchMod = 20,

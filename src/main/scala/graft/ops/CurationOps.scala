@@ -50,6 +50,21 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Session-scoped memo of the funnels' SHARED stage-0–2 prefix —
+    * (masked, s2): the per-doc rule-mask frame and the exact-dedup
+    * survivor frame, both per-doc integers and already
+    * localCheckpoint'ed. The q71 base funnel and the q96 near-dup funnel
+    * run IDENTICAL quality + exact-dedup stages over the same corpus, so
+    * the second caller per (session, key) skips the corpus tokenization,
+    * the mask pass and the prefix-key shuffle entirely — the
+    * [[RetrievalOps.moreLikeThisShared]] / [[GraphOps.symmetricEdgesShared]]
+    * convention, third instance. Every stage-0–2 parameter folds into
+    * the key, so differing knobs never collide. */
+  private val stageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+  /** Memo-hit counter, exposed for the spec only. */
+  private[graft] val stageMemoHits = new java.util.concurrent.atomic.AtomicLong(0)
+
   def curationFunnel(
       docs: DataFrame, textCol: String, idCol: String,
       stopwords: Seq[String],
@@ -57,30 +72,47 @@ object CurationOps {
       prefixLen: Int, w: Int, benchMod: Int,
       maxOverlapNum: Long, maxOverlapDen: Long,
       budget: Long,
-      ndMinJaccard: Double = 0.0, ndBands: Int = 0, ndR: Int = 2): DataFrame = {
+      ndMinJaccard: Double = 0.0, ndBands: Int = 0, ndR: Int = 2,
+      sharedStageKey: Option[String] = None): DataFrame = {
     require(benchMod >= 2, s"benchMod must be >= 2: $benchMod")
     require(maxOverlapDen > 0 && maxOverlapNum >= 0,
       s"overlap threshold must be a non-negative fraction: $maxOverlapNum/$maxOverlapDen")
     val corpus = docs.filter(col(textCol).isNotNull && col(idCol) % benchMod =!= 0)
     val bench = docs.filter(col(textCol).isNotNull && col(idCol) % benchMod === 0)
 
-    // stage 0 + 1: per-doc token counts and rule mask in one pass
-    val masked = TextAnalysisOps.gopherRuleMask(
-      corpus, textCol, idCol, stopwords, minTokens, maxTokens, minStops)
-      .localCheckpoint()
+    // stages 0-2, optionally through the session memo: per-doc rule mask
+    // (one pass) and the deterministic min-id keeper per content prefix
+    def buildStages(): (DataFrame, DataFrame) = {
+      val masked = TextAnalysisOps.gopherRuleMask(
+        corpus, textCol, idCol, stopwords, minTokens, maxTokens, minStops)
+        .localCheckpoint()
+      val s1m = masked.filter(col("rule_mask") === 0L).select("doc_id", "n_tokens")
+      val keyed = corpus
+        .select(col(idCol).as("doc_id"),
+          concat_ws(" ", slice(tokens(col(textCol)), 1, prefixLen)).as("__key"))
+        .join(s1m, "doc_id")
+      val wKey = Window.partitionBy(col("__key")).orderBy(col("doc_id").asc)
+      val s2m = keyed
+        .withColumn("__rn", row_number().over(wKey))
+        .filter(col("__rn") === 1)
+        .select("doc_id", "n_tokens")
+        .localCheckpoint()
+      (masked, s2m)
+    }
+    val (masked, s2) = sharedStageKey match {
+      case None => buildStages()
+      case Some(srcKey) =>
+        stageMemo.forEach { (key, _) =>
+          if (key._1.sparkContext.isStopped) stageMemo.remove(key)
+        }
+        val key = (docs.sparkSession,
+          s"$srcKey|$textCol|$idCol|${stopwords.mkString(",")}|" +
+            s"$minTokens|$maxTokens|$minStops|$prefixLen|$benchMod")
+        val prev = stageMemo.get(key)
+        if (prev != null) { stageMemoHits.incrementAndGet(); prev }
+        else stageMemo.computeIfAbsent(key, _ => buildStages())
+    }
     val s1 = masked.filter(col("rule_mask") === 0L).select("doc_id", "n_tokens")
-
-    // stage 2: deterministic min-id keeper per content prefix key
-    val keyed = corpus
-      .select(col(idCol).as("doc_id"),
-        concat_ws(" ", slice(tokens(col(textCol)), 1, prefixLen)).as("__key"))
-      .join(s1, "doc_id")
-    val wKey = Window.partitionBy(col("__key")).orderBy(col("doc_id").asc)
-    val s2 = keyed
-      .withColumn("__rn", row_number().over(wKey))
-      .filter(col("__rn") === 1)
-      .select("doc_id", "n_tokens")
-      .localCheckpoint()
 
     // optional fuzzy near-dup stage over the exact-dedup survivors:
     // complete MinHash-LSH pair set (no top-K cut — truncating the edge

@@ -98,6 +98,27 @@ class CurationOpsSpec extends AnyFunSuite {
     toks.zip(toks.tail).foreach { case (a, b) => assert(a >= b, "token funnel must shrink") }
   }
 
+  test("shared stage memo: second funnel reuses stages 0-2, output equals the unshared form") {
+    val key = "curationspec-shared-" + System.nanoTime() // unique per run
+    def run(shared: Option[String], nd: Boolean) = CurationOps.curationFunnel(
+      Tables.documents(spark, sf), "text", "doc_id",
+      stopwords = graft.model.Defaults.config.stopwords,
+      minTokens = 30, maxTokens = 1000, minStops = 3,
+      prefixLen = 8, w = 3, benchMod = 20,
+      maxOverlapNum = 1, maxOverlapDen = 2, budget = 4000L,
+      ndMinJaccard = if (nd) 0.3 else 0.0, ndBands = if (nd) 8 else 0,
+      sharedStageKey = shared)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = run(None, nd = false)
+    val baseNd = run(None, nd = true)
+    val hits0 = CurationOps.stageMemoHits.get()
+    // first shared call builds the stages; the second (the q96-after-q71
+    // bench shape) is a memo HIT and must produce the identical report
+    assert(run(Some(key), nd = false) == base)
+    assert(run(Some(key), nd = true) == baseNd)
+    assert(CurationOps.stageMemoHits.get() >= hits0 + 1)
+  }
+
   test("splitLeakage: pair counts match an independent recount off the split assignment") {
     import spark.implicits._
     // many exact copies -> verified pairs at jaccard 1; ids spread so the
