@@ -291,10 +291,13 @@ object Queries {
         maxHamming = 5, nChunks = 6, nBits = 60, sampleMod = 2, limit = 50))),
 
     ("q23_jaccard_bruteforce",
+      // fixed-size md5-top-N sample: the all-pairs stage is a CONSTANT
+      // 250²/2 pairs at any corpus scale (the r9 id-residue convention
+      // was corpus-proportional — a latent quadratic)
       (s: SparkSession, dir: String) =>
         DedupOps.jaccardBruteForce(Tables.documents(s, dir), "text", "doc_id",
-          w = 3, sampleMod = 20, limit = 50),
-      Some(graft.sql.DedupSql.jaccardBruteForce("documents", w = 3, sampleMod = 20, limit = 50))),
+          w = 3, sampleN = 250, limit = 50),
+      Some(graft.sql.DedupSql.jaccardBruteForce("documents", w = 3, sampleN = 250, limit = 50))),
 
     ("q60_sequence_packing",
       // context-window packing plan: spread docs over 8 md5 buckets,
@@ -449,6 +452,21 @@ object Queries {
       Some(graft.sql.SimilaritySql.ivfPqKmeansAnn("embeddings",
         dim = 64, kCoarse = 8, kmIters = 2, m = 4, ksub = 8, iters = 2,
         queryMod = 40, k = 5, nprobe = 2))),
+
+    ("q175_ivf_pq_kmeans_rerank",
+      // the full production FAISS stack (r9 verdict ask): trained coarse
+      // quantizer + residual PQ + exact-cosine refine of the ADC
+      // shortlist — q129's prefix with q125's refine suffix; RECALL.json
+      // carries the scaled-point measurement (the trained path must meet
+      // the id-residue rerank's recall with an O(k·dim) coarse broadcast)
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.ivfPqKmeansRerankAnn(Tables.embeddings(s, dir),
+          "vec_id", "embedding",
+          dim = 64, kCoarse = 8, kmIters = 2, m = 4, ksub = 8, iters = 2,
+          queryMod = 40, k = 5, nprobe = 2, rerank = 15),
+      Some(graft.sql.SimilaritySql.ivfPqKmeansRerankAnn("embeddings",
+        dim = 64, kCoarse = 8, kmIters = 2, m = 4, ksub = 8, iters = 2,
+        queryMod = 40, k = 5, nprobe = 2, rerank = 15))),
 
     ("q131_ann_truncated",
       // Matryoshka-style dimension truncation: exact cosine top-k over
@@ -776,7 +794,10 @@ GROUP BY segment ORDER BY segment""")),
       // over the broadcast candidate set only; the cnt*(k+1) > n filter makes
       // the output partitioning-independent, so the oracle is plain exact SQL
       (s: SparkSession, dir: String) =>
-        SketchOps.frequentNgrams(Tables.documents(s, dir), "text", w = 2, k = 800),
+        // snapshot = false: static parquet is immutable, so the two-pass
+        // superset guarantee holds without the corpus-sized checkpoint
+        SketchOps.frequentNgrams(Tables.documents(s, dir), "text", w = 2, k = 800,
+          snapshot = false),
       Some(graft.sql.SketchSql.frequentNgrams("documents", w = 2, k = 800))),
 
     ("q85_log2_quantiles",
@@ -1340,7 +1361,7 @@ GROUP BY segment ORDER BY segment""")),
       // candidates, cnt*(k+1) > n_g threshold
       (s: SparkSession, dir: String) =>
         SketchOps.frequentNgramsByGroup(Tables.documents(s, dir), "text", "source",
-          w = 1, k = 30),
+          w = 1, k = 30, snapshot = false), // immutable parquet: skip the snapshot copy
       Some(graft.sql.SketchSql.frequentNgramsByGroup("documents", "source",
         w = 1, k = 30))),
 
@@ -1370,11 +1391,13 @@ GROUP BY segment ORDER BY segment""")),
       // exact-jaccard decile vs the theoretical 1-(1-s^r)^b midpoint —
       // the "choose nBands/r" table, measuring the candidate-generation
       // stage itself (q143 calibrates the estimator on surfaced pairs)
+      // fixed-size md5-top-N sample (500 docs → ≤124,750 pairs at ANY
+      // corpus scale; the r9 id-residue sample grew with the corpus)
       (s: SparkSession, dir: String) =>
         DedupOps.lshBandSCurve(Tables.documents(s, dir), "text", "doc_id",
-          w = 3, nBands = 8, r = 2, sampleMod = 4),
+          w = 3, nBands = 8, r = 2, sampleN = 500),
       Some(graft.sql.DedupSql.lshBandSCurve("documents",
-        w = 3, nBands = 8, r = 2, sampleMod = 4))),
+        w = 3, nBands = 8, r = 2, sampleN = 500))),
 
     ("q161_triplet_mining",
       // contrastive-training data prep: per sampled anchor, the nearest

@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Deterministic FIXED-SIZE calibration sample: the `n` non-null-text
+    * docs with the smallest `(md5(id), id)` key. This replaces the
+    * id-residue `% sampleMod` convention for every all-pairs calibration
+    * stage: a residue class is corpus-PROPORTIONAL (100× data → 100×
+    * sample → 10,000× pairs — a latent quadratic), while this sample is
+    * an ABSOLUTE size, so the pair stage is O(n²) in a constant n at any
+    * corpus scale. Cost is one map-only md5 pass plus a distributed
+    * top-N (TakeOrdered — per-partition heaps, no corpus shuffle). The
+    * md5 order is independent of id assignment order, so the draw is
+    * uniform, and the oracle mirrors it verbatim:
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`. */
+  private[graft] def md5TopNSample(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bad sampleN: $n")
+    docs.filter(col(textCol).isNotNull)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(n)
+  }
+
   /** Exact dedup: keep the row with the minimum `idCol` per `keyCol` value.
     * One shuffle; survivor is deterministic. */
   def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
@@ -125,7 +144,7 @@ object DedupOps {
 
   /** LSH BAND S-CURVE calibration — the table you read to CHOOSE
     * `nBands`/`r` before running MinHash dedup at scale: over the
-    * deterministic id-residue pair sample, bucket every pair by its EXACT
+    * deterministic fixed-size [[md5TopNSample]], bucket every pair by its EXACT
     * shingle-set jaccard (integer ppm deciles) and report the EMPIRICAL
     * band-collision rate (the fraction of pairs sharing at least one of
     * the `nBands` signature bands) next to the THEORETICAL S-curve value
@@ -142,21 +161,21 @@ object DedupOps {
     * ppm; theory values are driver-computed literals identical in both
     * engines.
     *
-    * 100 TB shape: calibration is SAMPLE-scoped by construction (the
-    * [[jaccardBruteForce]] sampleMod convention — all-pairs exact
-    * jaccard is the measurement, not a corpus operation); signatures and
-    * hash sets are one map-only pass over the sample, the pair stage is
-    * a broadcast cross join of the bounded sample against itself, and
-    * the output is ≤ nBuckets rows. */
+    * 100 TB shape: calibration is FIXED-SIZE-sample-scoped by
+    * construction ([[md5TopNSample]] — all-pairs exact jaccard is the
+    * measurement, not a corpus operation, and `sampleN` is an absolute
+    * bound, so the pair stage is a CONSTANT ≤ sampleN²/2 pairs at any
+    * corpus scale); signatures and hash sets are one map-only pass over
+    * the sample, the pair stage is a broadcast cross join of the bounded
+    * sample against itself, and the output is ≤ nBuckets rows. */
   def lshBandSCurve(
       docs: DataFrame, textCol: String, idCol: String,
-      w: Int, nBands: Int, r: Int, sampleMod: Int,
+      w: Int, nBands: Int, r: Int, sampleN: Int,
       nBuckets: Int = 10): DataFrame = {
     require(nBands >= 1 && r >= 1, s"bad band shape: $nBands x $r")
-    require(sampleMod >= 1, s"bad sampleMod: $sampleMod")
     require(nBuckets >= 1, s"bad nBuckets: $nBuckets")
-    val sampled = docs.filter(col(idCol) % sampleMod === 0)
-    // sample-bounded (sampleMod rows of signature + hash set), feeds BOTH
+    val sampled = md5TopNSample(docs, textCol, idCol, sampleN)
+    // sample-bounded (sampleN rows of signature + hash set), feeds BOTH
     // cross-join sides — materialize once instead of re-scanning the
     // corpus and re-minhashing per side (r9: q160 5.3 s → ~3 s at sf0.1)
     val side = minhashSignatures(sampled, textCol, idCol, w, nBands * r)
@@ -167,13 +186,14 @@ object DedupOps {
     val theory = sCurveTheoryPpm(nBands, r, nBuckets)
     a.crossJoin(b).filter(col("ia") < col("ib"))
       .select(
-        // |a ∪ b| = |a| + |b| − |a ∩ b| (distinct sets) — one array pass
-        // per pair instead of array_intersect + array_union's two
-        expr("size(array_intersect(ha, hb)) * 1000000L div " +
-          "(size(ha) + size(hb) - size(array_intersect(ha, hb)))")
-          .as("jppm"),
+        // |a ∪ b| = |a| + |b| − |a ∩ b| (distinct sets) — the intersect
+        // size is bound ONCE here so the one-array-pass-per-pair claim
+        // holds structurally, not via codegen subexpression elimination
+        expr("size(array_intersect(ha, hb))").as("ni"),
+        expr("size(ha) + size(hb)").as("ns"),
         expr(s"exists(sequence(0, ${nBands - 1}), bd -> " +
           s"slice(ma, bd * $r + 1, $r) = slice(mb, bd * $r + 1, $r))").as("collide"))
+      .select(expr("ni * 1000000L div (ns - ni)").as("jppm"), col("collide"))
       .select(least(expr(s"jppm * $nBuckets div 1000000"), lit(nBuckets - 1L))
         .as("bucket"), col("collide"))
       .groupBy("bucket")
@@ -1249,14 +1269,22 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Brute-force all-pairs n-gram Jaccard over an id-sampled subset
-    * (id % sampleMod == 0): the exact baseline the LSH path approximates.
-    * Deliberately gated on the sample — never run all-pairs at scale. */
+  /** Brute-force all-pairs n-gram Jaccard over the deterministic
+    * FIXED-SIZE [[md5TopNSample]] (`sampleN` absolute rows, not a corpus
+    * fraction — the pair count is constant at any scale): the exact
+    * baseline the LSH path approximates. Deliberately gated on the
+    * sample — never run all-pairs at scale. */
   def jaccardBruteForce(
       docs: DataFrame, textCol: String, idCol: String,
-      w: Int, sampleMod: Int, limit: Int): DataFrame = {
-    val sample = shingled(docs.filter(col(idCol) % sampleMod === 0), textCol, idCol, w)
-    sample.as("x").join(sample.as("y"), col("x.id") < col("y.id"))
+      w: Int, sampleN: Int, limit: Int): DataFrame = {
+    // checkpoint: the corpus-scan + top-N runs ONCE for both join sides.
+    // The streamed side re-spreads (the top-N lands in one partition) so
+    // the n²/2 jaccard evaluations parallelize; the broadcast side reads
+    // the tiny checkpoint as-is.
+    val sample = shingled(md5TopNSample(docs, textCol, idCol, sampleN),
+      textCol, idCol, w).localCheckpoint()
+    sample.repartition(col("id"))
+      .as("x").join(sample.as("y"), col("x.id") < col("y.id"))
       .select(
         col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         jaccard(col("x.sh"), col("y.sh")).as("jaccard"))

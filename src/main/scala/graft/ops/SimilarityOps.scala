@@ -1229,12 +1229,49 @@ object SimilarityOps {
       dim: Int, coarseMod: Int, m: Int, ksub: Int, iters: Int,
       queryMod: Int, k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"shortlist $rerank must be >= k=$k")
-    val shortlist = ivfPqAnn(emb, idCol, vecCol, dim, coarseMod, m, ksub, iters,
-        queryMod, rerank, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
+    exactRefine(
+      ivfPqAnn(emb, idCol, vecCol, dim, coarseMod, m, ksub, iters,
+        queryMod, rerank, nprobe),
+      emb, idCol, vecCol, queryMod, k)
+  }
+
+  /** [[ivfPqRerankAnn]] over TRAINED coarse cells — the full production
+    * FAISS stack (`IndexIVFPQ(quantizer=trained kmeans) + RefineFlat`):
+    * [[ivfPqKmeansAnn]]'s ADC ranking selects the shortlist, exact
+    * cosines re-rank it. This closes the r9 finding that the trained
+    * quantizer TRAILED the id-residue rerank path (0.304 vs 0.688 at the
+    * scaled operating point) — the gap was never the quantizer, it was
+    * the missing refine stage over its candidates; with it wired the
+    * trained path reaches the same coverage ceiling with an O(k·dim)
+    * coarse broadcast however large the corpus (measured, `RECALL.json`:
+    * ivf_pq_kmeans_rerank[scaled] = 0.736 vs the id-residue rerank's
+    * 0.688 — the balanced trained cells give nprobe=16 BETTER coverage
+    * than the same probes over skewed id-residue cells).
+    *
+    * Output: (query_id, neighbor_id, cos, rk) — exact-cosine scores,
+    * [[ivfPqRerankAnn]]'s contract. */
+  def ivfPqKmeansRerankAnn(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, kCoarse: Int, kmIters: Int, m: Int, ksub: Int, iters: Int,
+      queryMod: Int, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"shortlist $rerank must be >= k=$k")
+    exactRefine(
+      ivfPqKmeansAnn(emb, idCol, vecCol, dim, kCoarse, kmIters, m, ksub, iters,
+        queryMod, rerank, nprobe),
+      emb, idCol, vecCol, queryMod, k)
+  }
+
+  /** The shared EXACT-REFINE stage of the rerank family: true cosines of
+    * a per-query shortlist against the raw vectors, final top-k. The
+    * shortlist join is id-keyed (a point-lookup stream against the
+    * vector store at scale, never a scan); the query side broadcasts. */
+  private def exactRefine(
+      shortlist: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
+      queryMod: Int, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     shortlist
+      .select(col("query_id"), col("neighbor_id"))
       .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
         "neighbor_id")
       .join(broadcast(emb.filter(col(idCol) % queryMod === 0)

@@ -198,25 +198,33 @@ object SketchOps {
     * sibling is [[TextAnalysisOps.ngramNovelty]]; segment dedup STRIPS
     * what this op REPORTS).
     *
-    * Both passes derive from ONE materialized text projection
-    * (`localCheckpoint` of the filtered text column), so the
-    * candidate-superset guarantee is STRUCTURAL — the two scans cannot
-    * see different rows whatever the source (a mutating view or a
-    * non-deterministic relation is snapshotted by construction; r8
-    * closed this by documentation only). The snapshot costs one
-    * text-column materialization to executor block storage — 1× the
-    * text, NOT the w× n-gram occurrence stream (which this sketch
-    * exists to avoid materializing); at sf0.1 the change is
-    * within-noise (q119 ~1.0 s before and after). */
-  def frequentNgrams(docs: DataFrame, textCol: String, w: Int, k: Int): DataFrame = {
+    * With `snapshot = true` (the safe default) both passes derive from
+    * ONE materialized text projection (`localCheckpoint` of the filtered
+    * text column), so the candidate-superset guarantee is STRUCTURAL —
+    * the two scans cannot see different rows whatever the source (a
+    * mutating view or a non-deterministic relation is snapshotted by
+    * construction; r8 closed this by documentation only). The snapshot
+    * costs one text-column materialization to executor block storage —
+    * 1× the text, NOT the w× n-gram occurrence stream, but at 100 TB
+    * that is still a corpus-sized copy per call. Callers reading
+    * IMMUTABLE storage (static parquet — both scans provably see the
+    * same rows already) pass `snapshot = false` and skip the copy
+    * entirely: the two passes then re-scan the source, which columnar
+    * pruning makes one text-column read each. Measured at sf0.1 (q119):
+    * 1.29 s snapshotted (r9 committed bench) vs 0.90 s unsnapshotted
+    * (min-of-5) — the parquet re-scan is CHEAPER than writing + reading
+    * the block-storage copy, on top of the 100 TB storage-footprint
+    * argument. */
+  def frequentNgrams(docs: DataFrame, textCol: String, w: Int, k: Int,
+      snapshot: Boolean = true): DataFrame = {
     require(w >= 1, s"ngram width must be >= 1: $w")
     require(k >= 1, s"summary size must be >= 1: $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val snap = docs
+    val proj = docs
       .filter(col(textCol).isNotNull)
       .select(col(textCol).as("__text"))
-      .localCheckpoint()
+    val snap = if (snapshot) proj.localCheckpoint() else proj
     def ngrams = snap
       .select(Generators.ngramExplode(col("__text"), w).as("term"))
     val summary = ngrams.as[String].mapPartitions { it =>
@@ -258,8 +266,10 @@ object SketchOps {
     * survive in at least one partition — the superset argument applies
     * group-wise because decrements only fire on that group's rows),
     * pass 2 recounts candidates exactly and keeps `cnt·(k+1) > n_g`.
-    * Both passes read one snapshot, so the superset guarantee is
-    * structural (the [[frequentNgrams]] contract).
+    * Both passes read one snapshot by default, so the superset guarantee
+    * is structural; immutable-storage callers pass `snapshot = false`
+    * and skip the corpus-sized copy (the [[frequentNgrams]] contract —
+    * q157 at sf0.1: 1.31 s snapshotted vs 1.13 s unsnapshotted min-of-5).
     *
     * Output: (group, term, cnt, share_ppm) — exact counts, share of the
     * GROUP's n-gram mass, ordered (group, cnt desc, term).
@@ -270,15 +280,15 @@ object SketchOps {
     * broadcast join. */
   def frequentNgramsByGroup(
       docs: DataFrame, textCol: String, groupCol: String,
-      w: Int, k: Int): DataFrame = {
+      w: Int, k: Int, snapshot: Boolean = true): DataFrame = {
     require(w >= 1, s"ngram width must be >= 1: $w")
     require(k >= 1, s"summary size must be >= 1: $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val snap = docs
+    val proj = docs
       .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"), col(textCol).as("__text"))
-      .localCheckpoint()
+    val snap = if (snapshot) proj.localCheckpoint() else proj
     def ngrams = snap
       .select(col("__g"), Generators.ngramExplode(col("__text"), w).as("term"))
     val summary = ngrams.as[(String, String)].mapPartitions { it =>

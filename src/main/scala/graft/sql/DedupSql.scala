@@ -409,17 +409,26 @@ FROM d JOIN kp USING (k)
 GROUP BY g
 ORDER BY $groupCol"""
 
-  /** Mirror of [[graft.ops.DedupOps.lshBandSCurve]]: all sampled pairs,
-    * same exact integer hash-set jaccard, same band-slice equality over
-    * the shared `sig` minhash formula, same bucket/ppm arithmetic;
-    * theory literals come from the SAME driver-side computation. */
+  /** The fixed-size calibration sample CTE — mirror of
+    * [[graft.ops.DedupOps.md5TopNSample]]: the `n` non-null-text rows
+    * with the smallest (md5(id), id). Engines agree byte-for-byte: both
+    * render a BIGINT id as its decimal string and md5 to lowercase hex. */
+  private def sampCte(table: String, n: Int): String =
+    s"""samp AS (SELECT doc_id, text FROM $table WHERE text IS NOT NULL
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $n)"""
+
+  /** Mirror of [[graft.ops.DedupOps.lshBandSCurve]]: all pairs of the
+    * same fixed-size md5-top-N sample, same exact integer hash-set
+    * jaccard, same band-slice equality over the shared `sig` minhash
+    * formula, same bucket/ppm arithmetic; theory literals come from the
+    * SAME driver-side computation. */
   def lshBandSCurve(
       table: String, w: Int, nBands: Int, r: Int,
-      sampleMod: Int, nBuckets: Int = 10): String = {
+      sampleN: Int, nBuckets: Int = 10): String = {
     val theory = graft.ops.DedupOps.sCurveTheoryPpm(nBands, r, nBuckets)
     val lo = 1000000L / nBuckets
-    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table
-  WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
+    s"""WITH ${sampCte(table, sampleN)},
+toks AS (SELECT doc_id AS id, $toks AS tk FROM samp),
 ${shingleCte(w)},
 hs AS (SELECT id, s, list_transform(s, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS hl FROM sh),
 sig AS (SELECT id, list_transform(range(0,${nBands * r}), j -> list_min(list_transform(hl, h -> (((506952114*(j+1)) % 2147483647) * h + ((40503*j + 1013904223) % 2147483647)) % 2147483647))) AS m,
@@ -450,8 +459,9 @@ FROM d a JOIN d b ON a.id < b.id
 WHERE levenshtein(a.t, b.t) <= $maxDist
 ORDER BY dist ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
-  def jaccardBruteForce(table: String, w: Int, sampleMod: Int, limit: Int): String =
-    s"""WITH toks AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL AND doc_id % $sampleMod = 0),
+  def jaccardBruteForce(table: String, w: Int, sampleN: Int, limit: Int): String =
+    s"""WITH ${sampCte(table, sampleN)},
+toks AS (SELECT doc_id AS id, $toks AS tk FROM samp),
 ${shingleCte(w)}
 SELECT x.id AS doc_a, y.id AS doc_b,
 round(len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard

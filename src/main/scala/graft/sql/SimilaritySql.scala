@@ -421,6 +421,24 @@ SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM rranked WHERE r
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC) AS rk FROM scores)
 SELECT query_id, neighbor_id, adist_e6, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
 
+  /** Mirror of [[graft.ops.SimilarityOps.ivfPqKmeansRerankAnn]]: the
+    * kmeans-trained coarse prefix, the ADC top-`rerank` shortlist, and
+    * the exact-cosine refine — [[ivfPqKmeansAnn]]'s prefix with
+    * [[ivfPqRerankAnn]]'s suffix, both verbatim. */
+  def ivfPqKmeansRerankAnn(table: String, dim: Int, kCoarse: Int, kmIters: Int,
+      m: Int, ksub: Int, iters: Int, queryMod: Int, k: Int, nprobe: Int,
+      rerank: Int): String =
+    ivfPqPrefixWith(table, dim,
+      preCtes = kmeansCtesBody(table, kCoarse, kmIters, dim, p = "km") + ",\n",
+      coarseCte = s"c AS (SELECT cid, cv FROM kmc$kmIters)",
+      m, ksub, iters, queryMod, nprobe) + s""",
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC) AS rk FROM scores),
+short AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $rerank),
+rr AS (SELECT sh.query_id, sh.neighbor_id, ${cosSql("q.v", "n.v", dim)} AS cos
+  FROM short sh JOIN e q ON q.id = sh.query_id JOIN e n ON n.id = sh.neighbor_id),
+rranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM rr)
+SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM rranked WHERE rk <= $k ORDER BY query_id, rk"""
+
   /** Shared IVF-PQ text through the `scores` CTE (ADC sums) — id-residue
     * coarse cells (the oracle-cheap default). */
   private def ivfPqPrefix(table: String, dim: Int, coarseMod: Int, m: Int,

@@ -86,7 +86,7 @@ class DedupOpsSpec extends AnyFunSuite {
   test("LSH finds the high-similarity pairs that brute force finds") {
     // brute force over the full sf0.001 corpus (500 docs) as ground truth
     val truth = DedupOps
-      .jaccardBruteForce(docs, "text", "doc_id", w = 3, sampleMod = 1, limit = 1000000)
+      .jaccardBruteForce(docs, "text", "doc_id", w = 3, sampleN = 1000000, limit = 1000000)
       .filter(col("jaccard") >= 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = DedupOps
@@ -585,7 +585,7 @@ class DedupOpsSpec extends AnyFunSuite {
       (6L, "totally different words with zero shingle overlap here"))
       .toDF("doc_id", "text")
     val r = DedupOps.lshBandSCurve(df, "text", "doc_id",
-      w = 3, nBands = 8, r = 2, sampleMod = 2)
+      w = 3, nBands = 8, r = 2, sampleN = 10)
       .collect().map(x => x.getLong(0) -> x).toMap
     val top = r(9L)
     assert(top.getAs[Long]("n_pairs") == 1L && top.getAs[Long]("n_collide") == 1L)
@@ -599,7 +599,7 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(theory.head >= 0 && theory.last <= 1000000L)
     // partitioning-invariant
     val b = DedupOps.lshBandSCurve(df.repartition(5), "text", "doc_id",
-      w = 3, nBands = 8, r = 2, sampleMod = 2)
+      w = 3, nBands = 8, r = 2, sampleN = 10)
       .collect().map(x => x.getLong(0) -> x.toString).toMap
     assert(r.view.mapValues(_.toString).toMap == b)
   }

@@ -351,6 +351,27 @@ class SimilarityOpsSpec extends AnyFunSuite {
       val d = byRk.map(_.getLong(2))
       assert(d.zip(d.tail).forall { case (a, b) => a <= b })
     }
+    // the kmeans + refine composition reports EXACT cosines (the
+    // ivfPqRerankAnn contract over trained cells): every surfaced pair's
+    // cosine equals brute force's, and per-query order is cosine desc
+    val refined = SimilarityOps.ivfPqKmeansRerankAnn(df, "vec_id", "embedding",
+      dim = 4, kCoarse = 2, kmIters = 2, m = 2, ksub = 4, iters = 2,
+      queryMod = 16, k = 3, nprobe = 2, rerank = 6).collect()
+    val bf = SimilarityOps.annBruteForce(df, "vec_id", "embedding",
+        queryMod = 16, k = 31)
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("neighbor_id"),
+        org.apache.spark.sql.functions.col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(refined.nonEmpty)
+    refined.foreach { r =>
+      assert(bf((r.getLong(0), r.getLong(1))) == r.getDouble(2),
+        s"kmeans-refined cosine diverges from brute force: $r")
+    }
+    refined.groupBy(_.getLong(0)).values.foreach { qs =>
+      val byRk = qs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("brute-force plan broadcasts the query side") {
