@@ -59,9 +59,13 @@ object CurationOps {
     * the mask pass and the prefix-key shuffle entirely — the
     * [[RetrievalOps.moreLikeThisShared]] / [[GraphOps.symmetricEdgesShared]]
     * convention, third instance. Every stage-0–2 parameter folds into
-    * the key, so differing knobs never collide. */
+    * the key as a TUPLE FIELD (the stopword list as a List, not a
+    * delimiter-joined string — a stopword containing the delimiter can
+    * never alias two parameterizations), plus [[MemoFingerprint]] of the
+    * docs relation, so a reused srcKey over changed backing data
+    * recomputes instead of serving a stale prefix. */
   private val stageMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+    (org.apache.spark.sql.SparkSession, Any), (DataFrame, DataFrame)]()
   /** Memo-hit counter, exposed for the spec only. */
   private[graft] val stageMemoHits = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -106,8 +110,9 @@ object CurationOps {
           if (key._1.sparkContext.isStopped) stageMemo.remove(key)
         }
         val key = (docs.sparkSession,
-          s"$srcKey|$textCol|$idCol|${stopwords.mkString(",")}|" +
-            s"$minTokens|$maxTokens|$minStops|$prefixLen|$benchMod")
+          (MemoFingerprint.of(docs), srcKey, textCol, idCol,
+            stopwords.toList, minTokens, maxTokens, minStops, prefixLen,
+            benchMod))
         val prev = stageMemo.get(key)
         if (prev != null) { stageMemoHits.incrementAndGet(); prev }
         else stageMemo.computeIfAbsent(key, _ => buildStages())

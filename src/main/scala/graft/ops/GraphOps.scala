@@ -55,7 +55,7 @@ object GraphOps {
     * convention: keys carry the session, stopped sessions' entries drop
     * on the next lookup, hits counted for the spec. */
   private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+    (org.apache.spark.sql.SparkSession, Any), DataFrame]()
   /** Memo-hit counter, exposed for the spec only. */
   private[graft] val edgeMemoHits = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -65,11 +65,15 @@ object GraphOps {
     * q104 PageRank / q121 k-core / q133 label propagation all analyze
     * the customer–supplier interaction graph; before r9 each re-ran the
     * fact-table join + union/distinct, ~1.5 s apiece at sf0.1). First
-    * caller per (session, sourceKey) derives `pairs` (by-name — a memo
-    * hit never constructs the upstream plan) and checkpoints the
-    * canonical edge relation; later callers reuse it. `sourceKey` must
-    * identify the pair relation's content and construction (the catalog
-    * passes the sf directory + graph name). The memoized value is the
+    * caller per (session, sourceKey, content) computes and checkpoints
+    * the canonical edge relation; later callers reuse it. `sourceKey`
+    * names the pair relation's construction (the catalog passes the sf
+    * directory + graph name); the key ALSO folds in [[MemoFingerprint]]
+    * of the pair plan's backing files, so a reused sourceKey over
+    * CHANGED data recomputes instead of serving stale edges. The
+    * fingerprint needs the ANALYZED plan (cheap — file-index listing,
+    * no job), so `pairs` is forced once per lookup; only the EXECUTION
+    * of the join/distinct is skipped on a hit. The memoized value is the
     * EDGE relation — the same thing [[writeEdges]] would persist; at
     * billion-edge scale prefer the on-disk artifact, which this memo
     * deliberately mirrors one-to-one. */
@@ -79,11 +83,12 @@ object GraphOps {
     edgeMemo.forEach { (key, _) =>
       if (key._1.sparkContext.isStopped) edgeMemo.remove(key)
     }
-    val key = (spark, s"$sourceKey|$aCol|$bCol")
+    val p = pairs
+    val key = (spark, (MemoFingerprint.of(p), sourceKey, aCol, bCol))
     val prev = edgeMemo.get(key)
     if (prev != null) { edgeMemoHits.incrementAndGet(); prev }
     else edgeMemo.computeIfAbsent(key, _ =>
-      symmetricEdges(pairs, aCol, bCol).localCheckpoint())
+      symmetricEdges(p, aCol, bCol).localCheckpoint())
   }
 
   /** Persist a [[symmetricEdges]] relation: range-partitioned and sorted

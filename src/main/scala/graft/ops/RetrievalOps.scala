@@ -27,7 +27,7 @@ object RetrievalOps {
     * relations (|queries| × k rows, tiny); keys carry the session so a
     * restarted session can never serve another session's plan. */
   private val mltMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any), DataFrame]()
   /** Memo-hit counter, exposed for the spec only. */
   private[graft] val mltMemoHits = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -42,8 +42,12 @@ object RetrievalOps {
     * The memoized value is the RESULT relation (per-query top-k — small
     * by construction), never the corpus-sized intermediates, so the memo
     * costs |queries| × k rows of executor storage per distinct key.
-    * `sourceKey` must identify the docs relation's content (the catalog
-    * passes the sf directory); parameters are folded into the key, so
+    * `sourceKey` names the docs relation (the catalog passes the sf
+    * directory), and the key ALSO folds in [[MemoFingerprint]] of the
+    * relation itself, so a reused sourceKey over CHANGED backing data
+    * recomputes instead of serving a stale ranking — the content check
+    * is structural, not a caller contract. Parameters are key fields
+    * (a tuple, not a joined string — no delimiter collisions), so
     * differing knobs never collide. Stopped sessions' entries are
     * dropped on the next lookup. */
   def moreLikeThisShared(docs: DataFrame, textCol: String, idCol: String,
@@ -53,7 +57,7 @@ object RetrievalOps {
       if (key._1.sparkContext.isStopped) mltMemo.remove(key)
     }
     val key = (spark,
-      s"$sourceKey|$textCol|$idCol|$queryMod|$k|$maxQueryTerms")
+      (MemoFingerprint.of(docs), sourceKey, textCol, idCol, queryMod, k, maxQueryTerms))
     val prev = mltMemo.get(key)
     if (prev != null) { mltMemoHits.incrementAndGet(); prev }
     else mltMemo.computeIfAbsent(key, _ =>

@@ -175,13 +175,22 @@ class GraphOpsSpec extends AnyFunSuite {
     // >=: the counter is global and other suites run in parallel (the
     // catalog queries share the interaction graph through this memo)
     assert(GraphOps.edgeMemoHits.get() >= hits0 + 1)
-    // by-name pairs: the fresh build above + the first shared call only —
-    // a memo hit never constructs the upstream plan
-    assert(builds == 2)
+    // by-name pairs: every lookup constructs the plan ONCE to take its
+    // content fingerprint (fresh build + first + second = 3), but a hit
+    // skips the join/distinct EXECUTION — `second eq first` above
+    assert(builds == 3)
     assert(first.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == fresh)
     // a different key never collides
     val other = GraphOps.symmetricEdgesShared(spark, key + "-b", "a", "b")(pairs)
     assert(!(other eq first))
+    // STALENESS: same sourceKey, CHANGED upstream data -> the content
+    // fingerprint (semanticHash for in-memory frames) forces a rebuild
+    def pairs2 = Seq((1L, 2L), (2L, 4L)).toDF("a", "b")
+    val changed = GraphOps.symmetricEdgesShared(spark, key, "a", "b")(pairs2)
+    assert(!(changed eq first))
+    assert(changed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      GraphOps.symmetricEdges(pairs2, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("persisted edge artifact: write -> reload feeds all three algorithms bit-identically") {

@@ -189,6 +189,33 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(shared == unshared)
   }
 
+  test("shared lexical memo: mutating the backing dir under a constant sourceKey recomputes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_stale_").toString
+    val path = dir + "/docs"
+    val key = "retrievalspec-stale-" + System.nanoTime() // constant across BOTH calls
+    Seq((0L, "alpha beta gamma"), (1L, "alpha beta delta"), (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    val first = RetrievalOps.moreLikeThisShared(spark.read.parquet(path),
+      "text", "doc_id", queryMod = 2, k = 2, maxQueryTerms = 10, sourceKey = key)
+    val firstRows = first.collect().toSeq
+    // MUTATE the backing data under the SAME path and sourceKey: the
+    // content fingerprint (sorted inputFiles) must force a fresh build —
+    // the pre-r10 string key would have served the stale ranking here
+    // non-isomorphic to the first fixture: doc 2 now shares a term with
+    // doc 0, so the fresh ranking has MORE rows than the stale one would
+    Seq((0L, "one two three"), (1L, "one two four"), (2L, "three five six"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    val reread = spark.read.parquet(path)
+    val changed = RetrievalOps.moreLikeThisShared(reread,
+      "text", "doc_id", queryMod = 2, k = 2, maxQueryTerms = 10, sourceKey = key)
+    assert(!(changed eq first))
+    val fresh = RetrievalOps.moreLikeThis(reread,
+      "text", "doc_id", queryMod = 2, k = 2, maxQueryTerms = 10).collect().toSeq
+    assert(changed.collect().toSeq == fresh)
+    assert(changed.collect().toSeq != firstRows)
+  }
+
   test("phrase search: adjacency required, counts exact, repeated terms handled") {
     import spark.implicits._
     val df = Seq(
