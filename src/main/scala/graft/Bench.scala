@@ -28,6 +28,21 @@ package graft
   * `spread` covers it, so a drift whose spread ≥ its ratio is demonstrably
   * load noise and the rest are real.
   *
+  * ESCALATION to MIN-of-9 (the r9 verdict's ask): the r9 adjudication
+  * rule — "spread ≥ ratio ⇒ noise" — left exactly one row ambiguous
+  * (q20 at 1.44× with spread 1.40). Now any regressed query whose
+  * min-of-5 ratio still exceeds its 5-sample spread takes 4 more
+  * samples; `escalated` lists them, and a query still regressing past
+  * its 9-sample spread is real by the rule, not unadjudicated.
+  *
+  * COLD-START block (the r9 verdict's ask): the untimed warmup builds
+  * the session memos, so the steady-state rows for the memoized
+  * families measure the materialized-view regime. `cold_start` records
+  * the fresh-session first run of q115 (shared lexical ranking), q104
+  * (edge artifact) and q71 (funnel stage prefix), taken before any
+  * warmup (after two unrelated JIT-warming queries), making the
+  * amortization claim measured.
+  *
   * Failure tracking (r8 ADVICE): a sample that throws is recorded as a
   * FAILED sample, never folded into the min/median as if time-to-failure
   * were intrinsic cost — a query that starts failing fast must surface as
@@ -77,6 +92,23 @@ object Bench {
       val ok = try { run(fn); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // COLD-START numbers for the memoized query families (r9 verdict):
+    // the steady-state stat below measures q104/q115/q71-and-kin AFTER
+    // the untimed warmup built their session memos (shared lexical
+    // ranking, edge artifact, funnel stage prefix) — the materialized-
+    // view framing. These three first-run timings, taken on the fresh
+    // session BEFORE any warmup, are the measured amortization cost that
+    // framing was only asserting. Two unrelated queries run untimed
+    // first so JIT/codegen/parquet-footer warmup doesn't inflate the
+    // build cost (residual first-query JIT bias remains and is noted).
+    val coldStart: Seq[(String, Double)] = {
+      Seq("q20_dedup_stats", "q13_revenue_by_nation").foreach { n =>
+        SparkEntry.queries.get(n).foreach(fn => try run(fn) catch { case _: Throwable => () })
+      }
+      Seq("q115_hybrid_search", "q104_pagerank", "q71_curation_funnel").flatMap { n =>
+        SparkEntry.queries.get(n).map(fn => n -> timeOne(fn)._1)
+      }
+    }
     // Untimed warmup pass: JIT + codegen + parquet footer caches. The timed
     // passes below measure steady-state query throughput, which is what a
     // long-running engine delivers.
@@ -108,6 +140,20 @@ object Bench {
     }
     def samples(n: String): Seq[(Double, Boolean)] =
       passes.toSeq.flatMap(_.get(n))
+    // ESCALATION (r9 verdict): after min-of-5, a regressed query whose
+    // ratio vs prev STILL exceeds its measured spread is unadjudicated —
+    // load noise (spread) cannot account for the drift — so it gets 4
+    // more samples (min-of-9) instead of landing ambiguous. A query that
+    // still regresses past its 9-sample spread is then REAL, by the rule.
+    val escalated = regressed.keys.toSeq.filter { n =>
+      val s = samples(n).map(_._1)
+      val sp = if (s.nonEmpty && s.min > 0) s.max / s.min else 1.0
+      val st = statOf(samples(n).collect { case (t, true) => t }, min = true)
+      st > 0 && prev.get(n).exists(p => p > 0 && st / p > sp)
+    }.sorted
+    (1 to 4).foreach { _ =>
+      passes += escalated.map(n => n -> timeOne(SparkEntry.queries(n))).toMap
+    }
     val results = med.map { case (n, m) =>
       n -> (if (extraNames.contains(n))
               statOf(samples(n).collect { case (t, true) => t }, min = true)
@@ -135,10 +181,12 @@ object Bench {
     // stdout truncation can no longer lose data ("parsed": null in the
     // driver's capture stops mattering).
     val summary =
-      s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses;min_of_${nPasses + nExtra}_slowest_decile_and_regressed",""" +
+      s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses;min_of_${nPasses + nExtra}_slowest_decile_and_regressed;min_of_9_when_ratio_exceeds_spread",""" +
         s""""total":$total,"n_queries":${results.size},""" +
         s""""failed_queries":${jarr(failedQueries)},""" +
         s""""regressed_vs_prev":${jnum(regressed.toSeq.sortBy(_._1))},""" +
+        s""""escalated":${jarr(escalated)},""" +
+        s""""cold_start":${jnum(coldStart)},""" +
         s""""slowest":${jnum(slowest)},""" +
         s""""spread":${jnum(spread.sortBy(_._1))},""" +
         s""""queries":${jnum(results.toSeq.sortBy(_._1))}}"""
