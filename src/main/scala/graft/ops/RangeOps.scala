@@ -69,7 +69,15 @@ object RangeOps {
     * [loCol, hiCol] containing it (inclusive both ends), via the
     * sweep-line delta sum — no pair materialization. Returns (point, n)
     * with points that hit no interval ABSENT — callers zero-fill against
-    * their own point set if needed. */
+    * their own point set if needed.
+    *
+    * Scale shape: the running-sum window is deliberately GLOBAL
+    * (unpartitioned, single task), and that is safe because its input is
+    * BOUNDED BY THE CALENDAR, not the data: both sides of the merged day
+    * axis are per-day aggregates (the deltas groupBy and the points
+    * distinct), so the window sees ≤ 2·|distinct interval endpoints| +
+    * |distinct point days| rows — days in the span, never interval or
+    * point ROWS (PlanSpec-pinned). */
   def pointInIntervalCounts(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String): DataFrame = {

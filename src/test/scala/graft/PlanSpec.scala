@@ -397,4 +397,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("No Partition Defined"),
       s"bad plan:\n${plan.take(600)}")
   }
+
+  test("the four global windows run over post-aggregation bounded-domain relations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, datediff, max, min, to_date}
+    // These four ops deliberately use an UNPARTITIONED window (the
+    // WindowExec warnings in the test log) — safe ONLY because each
+    // window's input is a post-aggregation calendar/bucket relation whose
+    // row count is bounded by the DOMAIN (days in span, <=64 log2
+    // buckets), never the fact table. Pin both halves so a future edit
+    // cannot silently feed one a corpus-sized relation.
+    def windowIsPostAgg(df: DataFrame, opName: String): Unit = {
+      df.collect() // force the AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      val winIdx = plan.indexOf("Window")
+      assert(winIdx >= 0, s"$opName: expected a Window node:\n${plan.take(600)}")
+      // an aggregate must sit BELOW the window (children print after the
+      // parent): the window reads reduced data, not the raw scan
+      assert(plan.indexOf("HashAggregate", winIdx) > winIdx,
+        s"$opName: global window must consume a post-aggregation relation:\n${plan.take(1200)}")
+    }
+    val events = Tables.events(spark, sf)
+    val spanDays = events
+      .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1).cast("long"))
+      .head().getLong(0)
+    val nEvents = events.count()
+    // 1. trailing moving average: input = the gap-filled daily calendar
+    val ma = graft.ops.ResampleOps.movingAverageDaily(events, "ts", k = 7)
+    windowIsPostAgg(ma, "movingAverageDaily")
+    assert(ma.count() == spanDays && spanDays < nEvents,
+      s"calendar rows ${ma.count()} != span $spanDays (events $nEvents)")
+    // 2. anomaly baseline: same zero-filled calendar domain
+    val an = graft.ops.AnomalyOps.anomalyDaily(events, "ts", "value",
+      windowDays = 7, z2 = 9)
+    windowIsPostAgg(an, "anomalyDaily")
+    assert(an.count() == spanDays)
+    // 3. quantile probe: the cumulative window reads the <=64-row sketch
+    val docs = Tables.documents(spark, sf)
+    val probe = graft.ops.SketchOps.log2QuantileProbe(docs, "n_chars", Seq(50, 90, 99))
+    windowIsPostAgg(probe, "log2QuantileProbe")
+    assert(graft.ops.SketchOps.log2Histogram(docs, "n_chars").count() <= 64L)
+    // 4. sweep-line running sum: the merged day axis collapses row
+    // multiplicity to distinct days BEFORE the window (500 interval rows
+    // over 5 days + 300 point rows over 3 days -> <= 13 axis rows)
+    val iv = (1 to 500).map(i =>
+      (java.sql.Date.valueOf(s"2024-01-0${i % 5 + 1}"),
+        java.sql.Date.valueOf(s"2024-01-0${i % 5 + 2}"))).toDF("lo", "hi")
+    val pts = (1 to 300).map(i =>
+      Tuple1(java.sql.Date.valueOf(s"2024-01-0${i % 3 + 2}"))).toDF("day")
+    val pic = graft.ops.RangeOps.pointInIntervalCounts(pts, "day", iv, "lo", "hi")
+    windowIsPostAgg(pic, "pointInIntervalCounts")
+    val nAxisDays = iv.select(col("lo").as("d")).union(iv.select(col("hi")))
+      .union(pts.select(col("day"))).agg(countDistinct(col("d"))).head().getLong(0) + 1
+    assert(pic.count() <= nAxisDays && nAxisDays <= 13,
+      s"sweep-line output ${pic.count()} must stay within the day domain $nAxisDays")
+  }
 }
