@@ -187,17 +187,26 @@ object TextAnalysisOps {
     * feeds THREE branches (the join, the df aggregate, the doc count), so
     * it is localCheckpoint'ed — one token-explode scan + one shuffle
     * total, instead of Spark re-deriving the lineage per branch (the
-    * [[graft.ops.SimilarityOps.pqAnn]] codebook pattern; measured ~3× on
-    * the corpus scan share of this query). */
-  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    * [[graft.ops.SimilarityOps.pqAnn]] codebook pattern). The (doc,
+    * term, tf) checkpoint is post-aggregation but still corpus-ORDER
+    * sized, so the trade is measured at two scales (r10, min-of-3,
+    * checkpoint vs `checkpoint = false`): sf0.1 0.91 s vs 1.20 s; a 10×
+    * synthetic blow-up (documents unioned 10× under shifted ids) 4.67 s
+    * vs 8.96 s — the win GROWS with scale (1.3× → 1.9×) because the
+    * re-derived branches re-pay the token explode + shuffle, which scale
+    * with the corpus, while the checkpoint write is the already-reduced
+    * relation. Checkpoint stays the default; the knob remains for
+    * memory-constrained executors. */
+  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int,
+      checkpoint: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val tf = docs
+    val tfLazy = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = if (checkpoint) tfLazy.localCheckpoint() else tfLazy
     val df = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -1268,9 +1277,10 @@ object TextAnalysisOps {
     * id-like or generated junk.
     *
     * Determinism: per-term `round(ln c · 10⁶)` longs (the [[zipfSlope]]
-    * micro-ln convention, gate-proven cross-engine), summed exactly in
-    * DECIMAL(38,0) (c·ln-micro products overflow BIGINT near 10¹³-token
-    * groups — the mixPlan rationale), ONE truncating integer division
+    * micro-ln convention, gate-proven cross-engine), the c·ln-micro
+    * PRODUCT taken in DECIMAL(38,0) — not multiplied in BIGINT and then
+    * cast, which silently wraps once a term count passes ~3×10¹¹ — and
+    * summed exactly in DECIMAL(38,0), ONE truncating integer division
     * per group for the mean, integer subtraction clamped at the
     * information-theoretic floor of 0 (micro-rounding can land a
     * near-degenerate group ~1 micro-nat negative, where truncating and
@@ -1299,7 +1309,10 @@ object TextAnalysisOps {
       .groupBy("g")
       .agg(count(lit(1)).as("n_types"),
         sum(col("c")).as("n_tokens"),
-        sum((col("c") * col("lc")).cast("decimal(38,0)")).as("__sclc"))
+        // cast BEFORE the multiply: c·lc in BIGINT wraps once a term
+        // count passes ~3×10¹¹ (lc ≈ 26·10⁶ there) — the DECIMAL sum
+        // only protects if the PRODUCT is already decimal
+        sum(col("c").cast("decimal(38,0)") * col("lc")).as("__sclc"))
       .select(col("g"), col("n_tokens"), col("n_types"),
         // clamp at the information-theoretic floor: micro-rounding can
         // push a near-degenerate group ~1 micro-nat below 0, where the
@@ -1338,9 +1351,10 @@ object TextAnalysisOps {
     * micro-rounded long (the [[zipfSlope]] convention); rounding is
     * monotone and c ≤ d, so every per-term (ld − lc) is ≥ 0 and the sum
     * P is NON-NEGATIVE — `P div Nₛ` therefore truncates identically in
-    * both engines (the q173 floor-vs-trunc hazard cannot arise), summed
-    * exactly in DECIMAL(38,0)/HUGEINT (c·Δln overflows BIGINT near
-    * 10¹³-token groups). The result clamps at the information-theoretic
+    * both engines (the q173 floor-vs-trunc hazard cannot arise); the
+    * c·Δln PRODUCT is taken in DECIMAL(38,0)/HUGEINT (cast before the
+    * multiply — a BIGINT product leaves no headroom past ~2.5×10¹³
+    * corpus tokens) and summed the same way. The result clamps at the information-theoretic
     * floor of 0 (micro-rounding can dip a near-pool-identical source a
     * few micro-nats negative).
     *
@@ -1367,9 +1381,12 @@ object TextAnalysisOps {
       .select(round(log(col("__n").cast("double")) * 1e6, 0).cast("long").as("__lN"))
     t.join(d, "term")
       .select(col("g"), col("c"),
+        // cast BEFORE the multiply (the tokenEntropyByGroup rationale):
+        // c·(ld−lc) in BIGINT leaves no headroom past ~2.5×10¹³ corpus
+        // tokens — the decimal product makes the 10¹³ design point safe
         ((round(log(col("d").cast("double")) * 1e6, 0).cast("long") -
-          round(log(col("c").cast("double")) * 1e6, 0).cast("long")) * col("c"))
-          .cast("decimal(38,0)").as("__p"))
+          round(log(col("c").cast("double")) * 1e6, 0).cast("long"))
+          .cast("decimal(38,0)") * col("c")).as("__p"))
       .groupBy("g")
       .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
         sum(col("__p")).as("__P"))

@@ -584,9 +584,11 @@ SELECT s.g AS $groupCol, n_terms,
 FROM s ORDER BY $groupCol"""
 
   /** Mirror of [[graft.ops.TextAnalysisOps.tokenEntropyByGroup]]: same
-    * per-term micro-ln longs, Σ c·ln-micro summed exactly into HUGEINT
-    * (128-bit — DuckDB's native SUM(BIGINT) type; the engine's
-    * DECIMAL(38,0) holds the same integer), one truncating division per
+    * per-term micro-ln longs, the c·ln-micro PRODUCT taken in HUGEINT
+    * (cast-before-multiply, mirroring the engine's decimal-before-
+    * multiply — a BIGINT product wraps/errors past ~3×10¹¹-count terms)
+    * and summed in HUGEINT (the engine's DECIMAL(38,0) holds the same
+    * integer), one truncating division per
     * group for the mean and one for the evenness, null efficiency at
     * V = 1. HUGEINT `//` is exact integer division; a DECIMAL `//`
     * would be TRUE division whose BIGINT cast then ROUNDS (caught at
@@ -598,7 +600,7 @@ FROM s ORDER BY $groupCol"""
     WHERE text IS NOT NULL AND $groupCol IS NOT NULL) GROUP BY 1, 2),
 a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_types,
     CAST(SUM(c) AS BIGINT) AS n_tokens,
-    SUM(c * CAST(round(ln(c::DOUBLE) * 1e6) AS BIGINT)) AS sclc
+    SUM(CAST(c AS HUGEINT) * CAST(round(ln(c::DOUBLE) * 1e6) AS BIGINT)) AS sclc
   FROM c GROUP BY g),
 e AS (SELECT g, n_tokens, n_types,
     GREATEST(CAST(round(ln(n_tokens::DOUBLE) * 1e6) AS BIGINT)
@@ -610,8 +612,9 @@ SELECT g AS $groupCol, n_tokens, n_types, entropy_micro,
 FROM e ORDER BY $groupCol"""
 
   /** Mirror of [[graft.ops.TextAnalysisOps.sourceKlDivergence]]: same
-    * micro-ln longs, the non-negative Σ c·(ln d − ln c) summed into
-    * HUGEINT (the q173 convention — DECIMAL `//` is true division in
+    * micro-ln longs, the non-negative Σ c·(ln d − ln c) with the product
+    * taken AND summed in HUGEINT (cast-before-multiply, the
+    * tokenEntropyByGroup convention; DECIMAL `//` is true division in
     * DuckDB), one truncating division per group, clamp at 0. */
   def sourceKlDivergence(table: String, groupCol: String): String =
     s"""WITH t AS (SELECT $groupCol AS g, term, COUNT(*) AS c FROM (
@@ -621,7 +624,7 @@ d AS (SELECT term, SUM(c) AS d FROM t GROUP BY term),
 n AS (SELECT CAST(round(ln(SUM(d)::DOUBLE) * 1e6) AS BIGINT) AS lN FROM d),
 a AS (SELECT t.g, CAST(COUNT(*) AS BIGINT) AS n_types,
     CAST(SUM(t.c) AS BIGINT) AS n_tokens,
-    SUM(t.c * (CAST(round(ln(d.d::DOUBLE) * 1e6) AS BIGINT)
+    SUM(CAST(t.c AS HUGEINT) * (CAST(round(ln(d.d::DOUBLE) * 1e6) AS BIGINT)
              - CAST(round(ln(t.c::DOUBLE) * 1e6) AS BIGINT))) AS p
   FROM t JOIN d USING (term) GROUP BY t.g)
 SELECT g AS $groupCol, n_tokens, n_types,
