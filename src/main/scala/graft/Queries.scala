@@ -1550,6 +1550,37 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.sourceKlDivergence("documents",
         "source"))),
 
+    ("q176_ndcg",
+      // nDCG@k of the BM25 ranking under GRADED relevance (distinct
+      // matching query terms) — the eval row q164's boolean-AND
+      // relevance can't give; rank discounts are driver-inlined
+      // 10^6/log2(r+1) literals shared by both engines, sums exact
+      (s: SparkSession, dir: String) =>
+        RetrievalOps.ndcgEval(Tables.documents(s, dir), "text", "doc_id",
+          Queries.bm25Queries, k = 15),
+      Some(graft.sql.RetrievalSql.ndcgEval("documents", Queries.bm25Queries,
+        k = 15))),
+
+    ("q177_cross_source_overlap",
+      // exact cross-source shingle containment/jaccard — the audit row
+      // for q149's HLL estimate and the "is src_b a re-crawl of src_a"
+      // dedup-planning signal; one vocabulary-bounded distinct relation,
+      // shingle-keyed pair join, <= sources^2 rows out
+      (s: SparkSession, dir: String) =>
+        DedupOps.crossSourceOverlap(Tables.documents(s, dir), "text", "source",
+          w = 3),
+      Some(graft.sql.DedupSql.crossSourceOverlap("documents", "source", w = 3))),
+
+    ("q178_lang_mixture",
+      // per-doc code-switching profile: chunked marker-argmax language
+      // distribution (majority lang + share, distinct langs, mixture
+      // entropy in micro-nats) — map-only HOFs, zero shuffle
+      (s: SparkSession, dir: String) =>
+        TextAnalysisOps.langMixtureProfile(Tables.documents(s, dir), "text",
+          "doc_id", chunkTokens = 16),
+      Some(graft.sql.TextAnalysisSql.langMixtureProfile("documents",
+        chunkTokens = 16))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

@@ -1269,6 +1269,51 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** EXACT cross-source shingle overlap — the audit row for
+    * [[graft.ops.SketchOps.hllOverlap]]'s sketch estimate, and the
+    * dedup-PLANNING signal on its own: for every source pair with any
+    * shared w-shingle, the exact distinct-shingle set sizes, the common
+    * count, both directional containments (`|A∩B| / |A|` — "is src_b a
+    * re-crawl / superset of src_a?") and the jaccard, all integer ppm.
+    * High containment with low jaccard is the re-crawl signature
+    * (one side swallows the other); high jaccard both ways means the
+    * pair shares a template pool and per-source dedup alone under-counts
+    * (the q153 attribution question at vocabulary granularity).
+    *
+    * 100 TB shape: ONE corpus scan into the distinct (group, shingle)
+    * relation (vocabulary × groups rows — partial-agg bounded, never
+    * corpus tokens); the pair stage is a self-join keyed on the SHINGLE
+    * (per-key work ≤ groups²/2 pair rows, groups = sources ≪ corpus),
+    * then a groups²-bounded aggregate. The sketch form ([[
+    * graft.ops.SketchOps.hllOverlap]]) replaces the shingle-keyed
+    * shuffle with register files when even the vocabulary shuffle is too
+    * much — this op is what certifies the sketch's error on a slice. */
+  def crossSourceOverlap(
+      docs: DataFrame, textCol: String, groupCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1: $w")
+    // distinct (group, shingle): feeds the sizes aggregate AND both join
+    // sides — materialize once (vocabulary-sized, the per-doc-metrics
+    // trade), not three upstream corpus scans
+    val gs = docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        Generators.shingleExplode(col(textCol), w).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = gs.groupBy("g").agg(count(lit(1)).as("n"))
+    gs.as("a").join(gs.as("b"),
+        col("a.s") === col("b.s") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("g").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("g").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("n_common * 1000000 div n_a").as("containment_a_ppm"),
+        expr("n_common * 1000000 div n_b").as("containment_b_ppm"),
+        expr("n_common * 1000000 div (n_a + n_b - n_common)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Brute-force all-pairs n-gram Jaccard over the deterministic
     * FIXED-SIZE [[md5TopNSample]] (`sampleN` absolute rows, not a corpus
     * fraction — the pair count is constant at any scale): the exact

@@ -376,6 +376,77 @@ object RetrievalOps {
       .orderBy("query_id")
   }
 
+  /** The nDCG rank-discount table as driver-computed integer literals:
+    * `round(10⁶ / log2(r + 1))` for r = 1..k — inlined identically into
+    * both engines (the S-curve theory-literal convention), so the one
+    * non-algebraic function in nDCG (the log) can never diverge
+    * cross-engine. */
+  private[graft] def ndcgDiscountPpm(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 * math.log(2.0) / math.log(r + 1.0)))
+
+  /** nDCG@k of the BM25 ranking under GRADED relevance — the eval row
+    * [[retrievalEval]]'s binary boolean-AND relevance cannot give: a doc
+    * matching 3 of 4 query terms counts 3/4 of a perfect match instead
+    * of zero, and rank position is discounted by the standard
+    * `1 / log2(rank + 1)`. Grade = distinct query terms present (0..nt,
+    * exact integers); DCG@k = Σ grade(rank r) · D(r) with the discount
+    * table D driver-inlined as micro literals ([[ndcgDiscountPpm]]);
+    * IDCG = the same sum over the ideal ordering (grade desc, doc id
+    * asc — total order, both engines); nDCG = DCG·10⁶ div IDCG, exact
+    * BIGINT end to end. A query whose terms match nothing reports 0.
+    *
+    * Output per query: (query_id, dcg_micro, idcg_micro, ndcg_ppm),
+    * ordered by query_id.
+    *
+    * 100 TB shape: rides [[bm25TopK]]'s pruned postings (corpus tokens
+    * semi-joined to query terms BEFORE the tf shuffle); the grade
+    * relation is |queries| × matching docs; the ideal ranking is a
+    * per-query window over that already-pruned relation; ≤ |queries|
+    * rows out. */
+  def ndcgEval(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val spark = docs.sparkSession
+    val qr = queryRelation(spark, queries)
+    val disc = array(ndcgDiscountPpm(k).map(lit): _*)
+    val ranked = bm25TopK(docs, textCol, idCol, queries, k, k1, b)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val grades = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Generators.ngramExplode(col(textCol), 1).as("term"))
+      .join(broadcast(qr.select("term").distinct()), Seq("term"), "left_semi")
+      .distinct()
+      .join(broadcast(qr), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("rel"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = grades
+      .withColumn("irk", row_number().over(wIdeal))
+      .filter(col("irk") <= k)
+      .select(col("query_id"),
+        (col("rel") * element_at(disc, col("irk"))).as("g"))
+      .groupBy("query_id")
+      .agg(sum(col("g")).as("idcg_micro"))
+    val dcg = ranked
+      .join(grades, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("rel"), lit(0L)) * element_at(disc, col("rk").cast("int"))).as("g"))
+      .groupBy("query_id")
+      .agg(sum(col("g")).as("dcg_micro"))
+    qr.select("query_id").distinct()
+      .join(idcg, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) > 0,
+          expr("coalesce(dcg_micro, 0L) * 1000000 div idcg_micro"))
+          .otherwise(lit(0L)).as("ndcg_ppm"))
+      .orderBy("query_id")
+  }
+
   private def queryRelation(spark: org.apache.spark.sql.SparkSession,
       queries: Seq[(String, Seq[String])]): DataFrame = {
     import spark.implicits._

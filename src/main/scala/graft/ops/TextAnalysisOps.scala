@@ -82,6 +82,75 @@ object TextAnalysisOps {
       .orderBy("true_lang", "predicted_lang")
   }
 
+  /** Per-document LANGUAGE-MIXTURE profile (code-switching detection) —
+    * what [[langIdConfusion]]'s whole-document argmax hides: a document
+    * that is half English and half German still gets ONE label, but
+    * mixed-language documents poison monolingual training corpora and
+    * are exactly what a per-shard language filter mislabels. Each doc's
+    * tokens split into fixed `chunkTokens` windows, every chunk gets the
+    * [[langProfiles]] marker argmax (score desc, candidate asc — the
+    * q27 tiebreak), and the per-doc row reports the chunk-language
+    * distribution: majority language + its share, distinct languages,
+    * and the mixture entropy in micro-nats (the q173 integer-ln
+    * convention: `ln n − (Σ c·ln c)/n` over micro-rounded longs, exact
+    * sum, one truncating division, clamped at 0). Entropy near 0 =
+    * monolingual; high entropy + low majority share = code-switched.
+    *
+    * 100 TB shape: ENTIRELY map-side — chunking, per-chunk argmax,
+    * distribution and entropy are all array HOFs inside one projection
+    * (the marker profiles are literals in the expression tree), so the
+    * op is one corpus scan with NO shuffle before the output sort; one
+    * row per non-empty doc. */
+  def langMixtureProfile(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"bad chunkTokens: $chunkTokens")
+    def lnMicro(x: Column): Column =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    val chunkOf = (i: Column, tk: Column) =>
+      slice(tk, i * chunkTokens + 1, lit(chunkTokens))
+    val argmaxLang = (ch: Column) => element_at(array_sort(array(
+      langProfiles.map { case (lang, markers) =>
+        struct(
+          (lit(0) - size(filter(ch,
+            t => array_contains(array(markers.map(lit): _*), t)))).as("neg"),
+          lit(lang).as("cand"))
+      }: _*)), 1).getField("cand")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+      .select(col("doc_id"), col("__tk"),
+        // integer div, not Column./ (which is double division)
+        expr(s"CAST((size(__tk) - 1) div $chunkTokens AS INT)").as("__last"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0), col("__last")),
+          i => argmaxLang(chunkOf(i, col("__tk")))).as("__langs"))
+      .select(col("doc_id"), col("__langs"),
+        array_distinct(col("__langs")).as("__dl"))
+      .select(col("doc_id"), col("__langs"),
+        size(col("__langs")).cast("long").as("n_chunks"),
+        size(col("__dl")).cast("long").as("n_langs"),
+        element_at(array_sort(transform(col("__dl"), l =>
+          struct(
+            (lit(0) - size(filter(col("__langs"), x => x === l))).as("neg"),
+            l.as("cand")))), 1).as("__top"),
+        transform(col("__dl"), l =>
+          size(filter(col("__langs"), x => x === l)).cast("long")).as("__cnts"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("__top").getField("cand").as("top_lang"),
+        (lit(0L) - col("__top").getField("neg")).as("top_chunks"),
+        aggregate(col("__cnts"), lit(0L),
+          (acc, c) => acc + c * lnMicro(c)).as("__sclc"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("top_lang"), col("top_chunks"),
+        expr("top_chunks * 1000000 div n_chunks").as("top_share_ppm"),
+        greatest(
+          lnMicro(col("n_chunks")) - expr("__sclc div n_chunks"),
+          lit(0L)).as("mix_entropy_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality profile over an id-sampled subset. All ratios are
     * integer-count divisions in double, rounded — deterministic. */
   def qualityProfile(docs: DataFrame, textCol: String, idCol: String, sampleMod: Int,

@@ -459,6 +459,29 @@ FROM d a JOIN d b ON a.id < b.id
 WHERE levenshtein(a.t, b.t) <= $maxDist
 ORDER BY dist ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
 
+  /** Mirror of [[graft.ops.DedupOps.crossSourceOverlap]]: same distinct
+    * (group, shingle) relation, same shingle-keyed pair join, same
+    * integer ppm containments/jaccard. */
+  def crossSourceOverlap(table: String, groupCol: String, w: Int): String = {
+    val parts = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT $groupCol AS g, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND $groupCol IS NOT NULL),
+sh AS (SELECT g, unnest(list_transform(range(1, len(tk)-${w - 2}), i -> $parts)) AS s
+  FROM t WHERE len(tk) >= $w),
+gs AS (SELECT DISTINCT g, s FROM sh),
+sizes AS (SELECT g, COUNT(*) AS n FROM gs GROUP BY g),
+common AS (SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_common
+  FROM gs a JOIN gs b ON a.s = b.s AND a.g < b.g GROUP BY 1, 2)
+SELECT c.src_a, c.src_b,
+  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+  CAST(c.n_common AS BIGINT) AS n_common,
+  CAST((c.n_common * 1000000) // sa.n AS BIGINT) AS containment_a_ppm,
+  CAST((c.n_common * 1000000) // sb.n AS BIGINT) AS containment_b_ppm,
+  CAST((c.n_common * 1000000) // (sa.n + sb.n - c.n_common) AS BIGINT) AS jaccard_ppm
+FROM common c JOIN sizes sa ON sa.g = c.src_a JOIN sizes sb ON sb.g = c.src_b
+ORDER BY src_a, src_b"""
+  }
+
   def jaccardBruteForce(table: String, w: Int, sampleN: Int, limit: Int): String =
     s"""WITH ${sampCte(table, sampleN)},
 toks AS (SELECT doc_id AS id, $toks AS tk FROM samp),

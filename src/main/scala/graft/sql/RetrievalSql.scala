@@ -201,6 +201,59 @@ FROM qs LEFT JOIN nr USING (query_id) LEFT JOIN hit USING (query_id)
 ORDER BY query_id"""
   }
 
+  /** Mirror of [[graft.ops.RetrievalOps.ndcgEval]]: same BM25 CTEs
+    * through the top-k, same graded relevance (distinct matching query
+    * terms), the SAME driver-computed discount literals
+    * ([[graft.ops.RetrievalOps.ndcgDiscountPpm]] — both engines index
+    * one literal array), same exact-BIGINT sums and truncating ppm. */
+  def ndcgEval(table: String, queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val qrows = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"(${sq(qid)}, ${sq(t)})") }
+      .mkString(", ")
+    val disc = s"[${graft.ops.RetrievalOps.ndcgDiscountPpm(k).mkString(", ")}]::BIGINT[]"
+    s"""WITH q(query_id, term) AS (VALUES $qrows),
+t AS (SELECT doc_id, unnest($toks) AS term FROM $table WHERE text IS NOT NULL),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+contrib AS (SELECT q.query_id, tf.doc_id,
+  CAST(round(
+    ln(1 + (corpus.n_docs - df.df_docs + 0.5) / (df.df_docs + 0.5))
+    * (tf.tf * ($k1 + 1.0))
+    / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / corpus.avgdl))
+    * 1e6) AS BIGINT) AS contrib_micro
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+    JOIN dl USING (doc_id) CROSS JOIN corpus),
+s AS (SELECT query_id, doc_id, SUM(contrib_micro) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+  ORDER BY score_micro DESC, doc_id ASC) AS rk FROM s),
+topk AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= $k),
+dterm AS (SELECT DISTINCT doc_id, term FROM tf),
+m AS (SELECT q.query_id, d.doc_id, COUNT(DISTINCT q.term) AS rel
+  FROM q JOIN dterm d USING (term) GROUP BY 1, 2),
+ideal AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+  ORDER BY rel DESC, doc_id ASC) AS irk FROM m),
+idcg AS (SELECT query_id, SUM(rel * ($disc)[CAST(irk AS INT)]) AS idcg_micro
+  FROM ideal WHERE irk <= $k GROUP BY 1),
+dcg AS (SELECT tk.query_id,
+    SUM(COALESCE(m.rel, 0) * ($disc)[CAST(tk.rk AS INT)]) AS dcg_micro
+  FROM topk tk LEFT JOIN m ON m.query_id = tk.query_id AND m.doc_id = tk.doc_id
+  GROUP BY 1),
+qs AS (SELECT DISTINCT query_id FROM q)
+SELECT qs.query_id,
+  CAST(COALESCE(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+  CAST(COALESCE(idcg.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+  CAST(CASE WHEN COALESCE(idcg.idcg_micro, 0) > 0
+    THEN (COALESCE(dcg.dcg_micro, 0) * 1000000) // idcg.idcg_micro
+    ELSE 0 END AS BIGINT) AS ndcg_ppm
+FROM qs LEFT JOIN idcg USING (query_id) LEFT JOIN dcg USING (query_id)
+ORDER BY query_id"""
+  }
+
   /** Mirror of [[graft.ops.RetrievalOps.phraseSearch]]: positional
     * postings pruned to the phrase terms, one position-offset self-join
     * per subsequent term (only relative offsets matter, so the 1-based

@@ -22,6 +22,44 @@ SELECT true_lang, cand AS predicted_lang, COUNT(*) AS n_docs
 FROM ranked WHERE rk = 1 GROUP BY true_lang, cand ORDER BY true_lang, predicted_lang"""
   }
 
+  /** Mirror of [[graft.ops.TextAnalysisOps.langMixtureProfile]]: same
+    * fixed-window chunking (1-based inclusive slices clamp identically),
+    * same marker-argmax per chunk via a struct sort (neg score first,
+    * candidate second — lexicographic struct order in both engines),
+    * same micro-ln entropy with HUGEINT-exact sum and truncating
+    * division, clamp at 0. */
+  def langMixtureProfile(table: String, chunkTokens: Int): String = {
+    val profiles = TextAnalysisOps.langProfiles
+      .map { case (lang, ms) => s"{'cand': ${sq(lang)}, 'markers': [${ms.map(sq).mkString(", ")}]}" }
+      .mkString(", ")
+    val ln = (x: String) => s"CAST(round(ln(($x)::DOUBLE) * 1e6) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, tk FROM (
+    SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL) WHERE len(tk) >= 1),
+cl AS (SELECT doc_id,
+    list_transform(range(0, (len(tk) - 1) // $chunkTokens + 1), i ->
+      (list_sort(list_transform([$profiles], p ->
+        {'neg': -len(list_filter(tk[i*$chunkTokens+1 : i*$chunkTokens+$chunkTokens],
+                                 x -> list_contains(p['markers'], x))),
+         'cand': p['cand']})))[1]['cand']) AS langs
+  FROM t),
+d AS (SELECT doc_id, langs, list_distinct(langs) AS dl FROM cl),
+e AS (SELECT doc_id,
+    CAST(len(langs) AS BIGINT) AS n_chunks,
+    CAST(len(dl) AS BIGINT) AS n_langs,
+    (list_sort(list_transform(dl, l ->
+      {'neg': -len(list_filter(langs, x -> x = l)), 'cand': l})))[1] AS top,
+    list_sum(list_transform(dl, l ->
+      CAST(len(list_filter(langs, x -> x = l)) AS BIGINT)
+        * ${ln("len(list_filter(langs, x -> x = l))")})) AS sclc
+  FROM d)
+SELECT doc_id, n_chunks, n_langs,
+  top['cand'] AS top_lang,
+  CAST(-top['neg'] AS BIGINT) AS top_chunks,
+  CAST((CAST(-top['neg'] AS BIGINT) * 1000000) // n_chunks AS BIGINT) AS top_share_ppm,
+  CAST(GREATEST(${ln("n_chunks")} - CAST(sclc AS HUGEINT) // n_chunks, 0) AS BIGINT) AS mix_entropy_micro
+FROM e ORDER BY doc_id"""
+  }
+
   def qualityProfile(table: String, sampleMod: Int, stopwords: Seq[String]): String = {
     val stops = s"[${stopwords.map(sq).mkString(", ")}]"
     s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM $table

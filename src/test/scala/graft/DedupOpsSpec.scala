@@ -657,4 +657,33 @@ class DedupOpsSpec extends AnyFunSuite {
         (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
     assert(r == b)
   }
+
+  test("crossSourceOverlap: hand-computed shingle sets, disjoint pair absent, re-crawl signature") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "A"),          // A shingles(w=2): {a b, b c, c d}
+      (2L, "b c d e", "B"),          // B: {b c, c d, d e}
+      (3L, "a b c d e", "S"),        // S: {a b, b c, c d, d e} — superset of both
+      (4L, "p q r", "C"),            // C: disjoint
+      (5L, null, "A"))               // null text drops
+      .toDF("doc_id", "text", "source")
+    val r = DedupOps.crossSourceOverlap(df, "text", "source", w = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+      .toMap
+    // A(3) vs B(3): common {b c, c d} = 2 -> containment 2/3 both ways,
+    // jaccard 2/4
+    assert(r(("A", "B")) == ((3L, 3L, 2L, 666666L, 666666L, 500000L)))
+    // A vs S: A fully contained (re-crawl signature: containment_a 10^6,
+    // jaccard below it)
+    assert(r(("A", "S")) == ((3L, 4L, 3L, 1000000L, 750000L, 750000L)))
+    assert(r(("B", "S")) == ((3L, 4L, 3L, 1000000L, 750000L, 750000L)))
+    // the disjoint source appears in NO pair
+    assert(!r.keySet.exists { case (a, b2) => a == "C" || b2 == "C" })
+    assert(r.size == 3)
+    // partitioning-invariant
+    val b = DedupOps.crossSourceOverlap(df.repartition(5), "text", "source", w = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.toString).toMap
+    assert(r.keySet == b.keySet)
+  }
 }

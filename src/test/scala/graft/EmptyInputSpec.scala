@@ -63,6 +63,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // the eval is driven by the 3-entry literal query relation: an empty
     // corpus reports all-zero metrics per query
     "q164_retrieval_eval" -> 3L,
+    // same literal query relation: all-zero nDCG rows per query
+    "q176_ndcg" -> 3L,
     // join integrity is one row of ungrouped counts: zeros with null
     // orphan ppms (0-key division) on both engines
     "q166_join_integrity" -> 1L,

@@ -216,6 +216,46 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(changed.collect().toSeq != firstRows)
   }
 
+  test("ndcgEval: matches an independent DCG recount; perfect single-term retrieval scores 10^6") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "x y common words"),            // rel(qa)=2
+      (2L, "x x x x x x x x x x common"),  // rel(qa)=1, heavy tf
+      (3L, "y common filler"),             // rel(qa)=1
+      (4L, "nothing relevant here"),       // rel(qa)=0
+      (5L, "z z common"))                  // rel(qb)=1
+      .toDF("doc_id", "text")
+    val queries = Seq("qa" -> Seq("x", "y"), "qb" -> Seq("z"))
+    val k = 4
+    val out = RetrievalOps.ndcgEval(df, "text", "doc_id", queries, k)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent recount: rel = distinct query terms present; DCG off
+    // the actual BM25 ranking; IDCG off (rel desc, doc asc)
+    val disc = RetrievalOps.ndcgDiscountPpm(k)
+    val rel = Map(
+      ("qa", 1L) -> 2L, ("qa", 2L) -> 1L, ("qa", 3L) -> 1L, ("qb", 5L) -> 1L)
+    val ranked = RetrievalOps.bm25TopK(df, "text", "doc_id", queries, k)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dcg = ranked.groupBy(_._1).view.mapValues(_.map { case (q, d, rk) =>
+      rel.getOrElse((q, d), 0L) * disc(rk.toInt - 1)
+    }.sum).toMap
+    val idcg = rel.keys.groupBy(_._1).view.mapValues(ds =>
+      ds.toSeq.map(kk => (rel(kk), kk._2)).sortBy { case (r, d) => (-r, d) }
+        .take(k).zipWithIndex.map { case ((r, _), i) => r * disc(i) }.sum).toMap
+    queries.map(_._1).foreach { q =>
+      val (gotDcg, gotIdcg, gotNdcg) = out(q)
+      assert(gotDcg == dcg(q), s"$q dcg: got $gotDcg want ${dcg(q)}")
+      assert(gotIdcg == idcg(q), s"$q idcg: got $gotIdcg want ${idcg(q)}")
+      assert(gotNdcg == gotDcg * 1000000L / gotIdcg)
+      assert(gotNdcg <= 1000000L)
+    }
+    // qb is a single-term query whose lone match ranks first: DCG = IDCG
+    assert(out("qb")._3 == 1000000L)
+  }
+
   test("phrase search: adjacency required, counts exact, repeated terms handled") {
     import spark.implicits._
     val df = Seq(

@@ -932,4 +932,36 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", window = 2, k = 3)
     assert(capped.count() == 3)
   }
+
+  test("langMixtureProfile: hand-computed chunks, ties break to the first candidate, entropy exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the of der die"),   // en-chunk + de-chunk: 50/50 mix
+      (2L, "the the the the"),  // en + en: monolingual, entropy 0
+      (3L, "zzz qqq"),          // zero markers -> all-tie -> "de" (cand asc)
+      (4L, null.asInstanceOf[String]), // dropped
+      (5L, "the of und"))       // trailing PARTIAL chunk still classified
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.langMixtureProfile(df, "text", "doc_id", chunkTokens = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3), x.getLong(4), x.getLong(5), x.getLong(6)))
+      .toMap
+    val ln2 = math.round(math.log(2.0) * 1e6) // 693147
+    // doc 1: counts {en:1, de:1} -> top = de (tie, candidate asc),
+    // share 1/2, H = ln 2 - (1*ln1 + 1*ln1)/2 = ln 2
+    assert(r(1L) == ((2L, 2L, "de", 1L, 500000L, ln2)))
+    // doc 2: {en:2} -> H = ln 2 - (2*ln2 div 2) = 0
+    assert(r(2L) == ((2L, 1L, "en", 2L, 1000000L, 0L)))
+    // doc 3: one chunk, no markers anywhere -> every candidate scores 0,
+    // argmax falls to the lexicographically first language
+    assert(r(3L) == ((1L, 1L, "de", 1L, 1000000L, 0L)))
+    assert(!r.contains(4L))
+    // doc 5: ["the","of"] -> en; ["und"] -> de (partial trailing chunk)
+    assert(r(5L) == ((2L, 2L, "de", 1L, 500000L, ln2)))
+    // map-only contract: no exchange before the output sort
+    val plan = TextAnalysisOps.langMixtureProfile(df, "text", "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"mixture profile must not aggregate:\n${plan.take(600)}")
+  }
 }
