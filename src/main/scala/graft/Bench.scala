@@ -39,9 +39,9 @@ package graft
   * the session memos, so the steady-state rows for the memoized
   * families measure the materialized-view regime. `cold_start` records
   * the fresh-session first run of q115 (shared lexical ranking), q104
-  * (edge artifact) and q71 (funnel stage prefix), taken before any
-  * warmup (after two unrelated JIT-warming queries), making the
-  * amortization claim measured.
+  * (edge artifact), q71 (funnel stage prefix) and q129 (trained IVF-PQ
+  * index), taken before any warmup (after two unrelated JIT-warming
+  * queries), making the amortization claim measured.
   *
   * Failure tracking (r8 ADVICE): a sample that throws is recorded as a
   * FAILED sample, never folded into the min/median as if time-to-failure
@@ -105,7 +105,8 @@ object Bench {
       Seq("q20_dedup_stats", "q13_revenue_by_nation").foreach { n =>
         SparkEntry.queries.get(n).foreach(fn => try run(fn) catch { case _: Throwable => () })
       }
-      Seq("q115_hybrid_search", "q104_pagerank", "q71_curation_funnel").flatMap { n =>
+      Seq("q115_hybrid_search", "q104_pagerank", "q71_curation_funnel",
+        "q129_ivf_pq_kmeans").flatMap { n =>
         SparkEntry.queries.get(n).map(fn => n -> timeOne(fn)._1)
       }
     }

@@ -1016,17 +1016,56 @@ object SimilarityOps {
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, kCoarse: Int, kmIters: Int, m: Int, ksub: Int, iters: Int,
       queryMod: Int, k: Int, nprobe: Int): DataFrame = {
-    // trained once; feeds the residual assignment AND the query-side
-    // probe ranking — checkpoint keeps the Lloyd iterations from
-    // re-running per consumer (the codebook-materialization precedent),
-    // and the relation is kCoarse rows of dim doubles: metadata-sized
-    val cents = kmeansCentroids(emb, idCol, vecCol, kCoarse, kmIters)
-      .select(col("cid"), col("centroid").as("cv"))
-      .localCheckpoint()
-    val (c, codebooks, codes) =
-      ivfPqIndexWith(emb, idCol, vecCol, cents, dim, m, ksub, iters)
+    val (c, codebooks, codes) = kmeansIndexShared(
+      emb, idCol, vecCol, dim, kCoarse, kmIters, m, ksub, iters)
     ivfPqFromIndex(emb.filter(col(idCol) % queryMod === 0),
       c, codebooks, codes, idCol, vecCol, dim, m, k, nprobe)
+  }
+
+  /** Session-scoped memo of the TRAINED IVF-PQ index triple (coarse
+    * centroids, residual codebooks, code table) — the in-session form of
+    * the [[ivfPqIndex]] persisted artifacts, shared by every consumer of
+    * the same (content, params) index: the catalog's q129 ADC search and
+    * q175 rerank search train IDENTICAL kmeans centroids + codebooks
+    * over the same corpus, so the second caller skips the whole training
+    * DAG (Lloyd rounds, residual pass, codebook iterations, encode). The
+    * [[graft.ops.RetrievalOps.moreLikeThisShared]] convention: keys
+    * carry the session + [[MemoFingerprint]] of the corpus + every
+    * training parameter (a tuple — no delimiter collisions); stopped
+    * sessions' entries drop on the next lookup; hits counted for the
+    * spec. The memoized codes relation is m small ints + a cell id per
+    * vector — the compressed index a production deployment PERSISTS
+    * (never the raw corpus), checkpointed so consumers read the artifact
+    * instead of re-running the encode window. */
+  private val pqIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Any), (DataFrame, DataFrame, DataFrame)]()
+  /** Memo-hit counter, exposed for the spec only. */
+  private[graft] val pqIndexMemoHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def kmeansIndexShared(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, kCoarse: Int, kmIters: Int, m: Int, ksub: Int, iters: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    pqIndexMemo.forEach { (key, _) =>
+      if (key._1.sparkContext.isStopped) pqIndexMemo.remove(key)
+    }
+    val key = (spark, (graft.ops.MemoFingerprint.of(emb),
+      idCol, vecCol, dim, kCoarse, kmIters, m, ksub, iters))
+    val prev = pqIndexMemo.get(key)
+    if (prev != null) { pqIndexMemoHits.incrementAndGet(); prev }
+    else pqIndexMemo.computeIfAbsent(key, _ => {
+      // trained once; feeds the residual assignment AND the query-side
+      // probe ranking — checkpoint keeps the Lloyd iterations from
+      // re-running per consumer (the codebook-materialization
+      // precedent), and the relation is kCoarse rows of dim doubles
+      val cents = kmeansCentroids(emb, idCol, vecCol, kCoarse, kmIters)
+        .select(col("cid"), col("centroid").as("cv"))
+        .localCheckpoint()
+      val (c, codebooks, codes) =
+        ivfPqIndexWith(emb, idCol, vecCol, cents, dim, m, ksub, iters)
+      (c, codebooks, codes.localCheckpoint())
+    })
   }
 
   /** Build the THREE persisted artifacts of an IVF-PQ index —
@@ -1255,6 +1294,8 @@ object SimilarityOps {
       dim: Int, kCoarse: Int, kmIters: Int, m: Int, ksub: Int, iters: Int,
       queryMod: Int, k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"shortlist $rerank must be >= k=$k")
+    // rides the shared trained-index memo through ivfPqKmeansAnn: the
+    // q129-after-q175 catalog shape trains the artifacts exactly once
     exactRefine(
       ivfPqKmeansAnn(emb, idCol, vecCol, dim, kCoarse, kmIters, m, ksub, iters,
         queryMod, rerank, nprobe),

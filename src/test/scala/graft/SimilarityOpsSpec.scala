@@ -353,10 +353,15 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
     // the kmeans + refine composition reports EXACT cosines (the
     // ivfPqRerankAnn contract over trained cells): every surfaced pair's
-    // cosine equals brute force's, and per-query order is cosine desc
+    // cosine equals brute force's, and per-query order is cosine desc.
+    // nprobe/queryMod are SEARCH params, not training params, so this
+    // call must reuse the trained-index memo the ADC call above built
+    val hits0 = SimilarityOps.pqIndexMemoHits.get()
     val refined = SimilarityOps.ivfPqKmeansRerankAnn(df, "vec_id", "embedding",
       dim = 4, kCoarse = 2, kmIters = 2, m = 2, ksub = 4, iters = 2,
       queryMod = 16, k = 3, nprobe = 2, rerank = 6).collect()
+    assert(SimilarityOps.pqIndexMemoHits.get() >= hits0 + 1,
+      "rerank must reuse the session-memoized trained index")
     val bf = SimilarityOps.annBruteForce(df, "vec_id", "embedding",
         queryMod = 16, k = 31)
       .select(org.apache.spark.sql.functions.col("query_id"),
