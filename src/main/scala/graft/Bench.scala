@@ -162,6 +162,26 @@ object Bench {
     }
     val failedQueries = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => samples(n).exists(!_._2))
+    // Record the FINAL stat's ratio, not the median's: the adjudication
+    // rule ("spread >= ratio => noise") and the escalation branch both
+    // judge the post-extra-samples min stat, so publishing the median
+    // ratio next to a min-sample spread compared two different
+    // quantities — r9's artifact flagged q133 at 1.33x (median) when its
+    // adjudicated min-of-5 ratio was 1.08, inside spread. The >1.3x
+    // MEDIAN trigger above still decides who GETS extra samples.
+    val regressedFinal = regressed.keys.toSeq.sorted.map { n =>
+      n -> results(n) / prev(n)
+    }
+    // Deliberate semantic changes this round: a query whose WORKLOAD
+    // changed can regress past its spread without being a performance
+    // bug. One entry per change, cleared next round.
+    val workloadChanged: Seq[(String, String)] = Seq(
+      "q23_jaccard_bruteforce" ->
+        ("r10 fixed-N calibration sample (scale fix): the absolute-size " +
+         "md5-top-N sample is larger at sf0.1 than the old proportional " +
+         "residue class, so the all-pairs kernel does more work here by " +
+         "design while becoming constant-cost at 100x"))
+      .filter { case (n, _) => regressed.contains(n) }
     val spread = extraNames.map { n =>
       val s = samples(n).map(_._1)
       n -> (if (s.nonEmpty && s.min > 0) s.max / s.min else 1.0)
@@ -185,8 +205,10 @@ object Bench {
       s"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","stat":"median_of_$nPasses;min_of_${nPasses + nExtra}_slowest_decile_and_regressed;min_of_9_when_ratio_exceeds_spread",""" +
         s""""total":$total,"n_queries":${results.size},""" +
         s""""failed_queries":${jarr(failedQueries)},""" +
-        s""""regressed_vs_prev":${jnum(regressed.toSeq.sortBy(_._1))},""" +
+        s""""regressed_vs_prev":${jnum(regressedFinal)},""" +
         s""""escalated":${jarr(escalated)},""" +
+        workloadChanged.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+          .mkString("\"workload_changed\":{", ",", "},") +
         s""""cold_start":${jnum(coldStart)},""" +
         s""""slowest":${jnum(slowest)},""" +
         s""""spread":${jnum(spread.sortBy(_._1))},""" +

@@ -1581,6 +1581,50 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.TextAnalysisSql.langMixtureProfile("documents",
         chunkTokens = 16))),
 
+    ("q179_exact_dup_spans",
+      // EXACT duplicated-span report (suffix-array semantics at threshold
+      // L): stride-1 8-token windows in >= 2 docs, merged into maximal
+      // per-doc spans — closes q93's strided-subsample blind spot; the
+      // shuffle carries 16-byte md5 window keys, never window text
+      (s: SparkSession, dir: String) =>
+        DedupOps.exactDupSpans(Tables.documents(s, dir), "text", "doc_id",
+          l = 8, minDocs = 2),
+      Some(graft.sql.DedupSql.exactDupSpans("documents", l = 8, minDocs = 2))),
+
+    ("q180_lexical_cosine_pairs",
+      // exact weighted lexical similarity: cosine over 3-gram tf vectors
+      // via the inverted term-keyed join, df <= 40 vocabulary rule bounds
+      // the per-gram fan-out (df^2, the DIMSUM-style cap); squared cosine
+      // cross-multiplied in DECIMAL(38,0) — no sqrt, no doubles anywhere
+      (s: SparkSession, dir: String) =>
+        DedupOps.lexicalCosinePairs(Tables.documents(s, dir), "text", "doc_id",
+          w = 3, dfCap = 40, minCos2Ppm = 250000L, limit = 100),
+      Some(graft.sql.DedupSql.lexicalCosinePairs("documents",
+        w = 3, dfCap = 40, minCos2Ppm = 250000L, limit = 100))),
+
+    ("q181_lexical_embedding_agreement",
+      // cross-signal embedding sanity audit: Pearson between exact
+      // shingle jaccard (ppm) and embedding cosine (micro) over all
+      // pairs of the fixed md5-top-N sample — near-zero corr = wrong
+      // model / scrambled id join, caught before SemDeDup trusts it
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.lexicalEmbeddingAgreement(
+          Tables.documents(s, dir), Tables.embeddings(s, dir),
+          "text", "doc_id", "vec_id", "embedding", w = 3, sampleN = 250),
+      Some(graft.sql.SimilaritySql.lexicalEmbeddingAgreement(
+        "documents", "embeddings", w = 3, sampleN = 250, dim = 64))),
+
+    ("q183_embedding_anisotropy",
+      // spectral embedding health: top-eigenvalue share of the centered
+      // scatter matrix via 8 integer power rounds (exact decimal sums,
+      // toward-zero rescale both engines share) — top_share_ppm near 1e6
+      // = cone-collapsed encoder, every cosine downstream is an illusion
+      (s: SparkSession, dir: String) =>
+        SimilarityOps.embeddingAnisotropy(Tables.embeddings(s, dir),
+          "embedding", dim = 64, iters = 8),
+      Some(graft.sql.SimilaritySql.embeddingAnisotropy("embeddings",
+        dim = 64, iters = 8))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats
@@ -1668,6 +1712,15 @@ GROUP BY segment ORDER BY segment""")),
       (s: SparkSession, dir: String) =>
         GraphOps.pageRankFromEdges(interactionEdges(s, dir), iters = 5).limit(100),
       Some(graft.sql.GraphSql.pageRankCustomerSupplier(iters = 5, limit = 100))),
+
+    ("q182_degree_assortativity",
+      // Newman's r over the same shared interaction-graph artifact:
+      // endpoint-degree Pearson across every directed edge copy — the
+      // one-row hub-vs-community scalar next to q116/q121/q133; exact
+      // decimal moments, one pinned double
+      (s: SparkSession, dir: String) =>
+        GraphOps.degreeAssortativity(interactionEdges(s, dir)),
+      Some(graft.sql.GraphSql.degreeAssortativityCustomerSupplier)),
 
     ("q121_kcore",
       // k-core of the same interaction graph: 4 synchronous peel rounds

@@ -1269,6 +1269,77 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** EXACT duplicated-span report — the stride-1 completion of
+    * [[segmentDedupStrided]], closing the "strided segments, not suffix
+    * arrays" trade documented there: with `l`-token windows starting at
+    * EVERY position, a verbatim cross-document run of ANY length >= l is
+    * covered at its exact extent, offset-free — the same span set a
+    * suffix-array pass reports for threshold l (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022), computed in ONE window-keyed shuffle instead of log n
+    * suffix-sort rounds.
+    *
+    * A window occurring in >= `minDocs` DISTINCT documents marks its
+    * tokens duplicated; per document the marked intervals merge into
+    * MAXIMAL spans (touching or overlapping intervals coalesce, so a
+    * 37-token clone at l=8 reports as ONE 37-token span, not 30 window
+    * hits). Per doc with at least one span: token count, span count,
+    * duplicated token mass, longest span, truncating dup ppm.
+    *
+    * 100 TB shape: the stride-1 window stream is l x corpus tokens — the
+    * deliberate price of exactness over [[segmentDedupStrided]]'s
+    * stride-k subsample (size l by [[graft.ops.TextAnalysisOps
+    * .dupSpanProfile]]'s ladder first); the shuffle carries md5 window
+    * KEYS (16 bytes), never window text (collision odds ~ n²/2¹²⁸ —
+    * negligible, and the SQL mirror hashes identically so the engines
+    * agree exactly). Frequency is one partial-agg shuffle on the key;
+    * the island merge is a per-document window over FREQUENT starts only
+    * (sparse), never the corpus token stream. */
+  def exactDupSpans(
+      docs: DataFrame, textCol: String, idCol: String,
+      l: Int, minDocs: Int): DataFrame = {
+    require(l >= 1, s"window width must be >= 1: $l")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // stride 1 => start == chunk_idx; short docs (n <= l) emit their one
+    // whole-doc window, same rule both engines
+    val wins = base.select(col("doc_id"),
+        Generators.chunkExplode(col("text"), l, 1).as(Seq("st", "ntok", "win")))
+      .select(col("doc_id"), col("st"), col("ntok"), md5(col("win")).as("wk"))
+    val freq = wins.groupBy("wk")
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select("wk")
+    val marked = wins.join(freq, "wk")
+      .select(col("doc_id"), col("st").as("lo"), (col("st") + col("ntok")).as("hi"))
+    // gaps-and-islands over one row per (doc, start): a span breaks where
+    // the next start clears every prior end (lo > running max hi)
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("lo").asc)
+    val spans = marked
+      .withColumn("prev_hi", max(col("hi")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("lo") > coalesce(col("prev_hi"), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val nTok = base.select(col("doc_id"),
+        size(filter(split(col("text"), " +"), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("hi") - col("lo")).as("dup_tokens"),
+        max(col("hi") - col("lo")).as("max_span"))
+      .join(nTok, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_tokens"), col("max_span"),
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** EXACT cross-source shingle overlap — the audit row for
     * [[graft.ops.SketchOps.hllOverlap]]'s sketch estimate, and the
     * dedup-PLANNING signal on its own: for every source pair with any
@@ -1312,6 +1383,61 @@ object DedupOps {
         expr("n_common * 1000000 div n_b").as("containment_b_ppm"),
         expr("n_common * 1000000 div (n_a + n_b - n_common)").as("jaccard_ppm"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** EXACT sparse LEXICAL-COSINE pairs — the term-vector complement of
+    * the set-based jaccard family (weighted: repeated shingles count)
+    * and of the dense-embedding ANN paths: cosine over raw w-gram
+    * TERM-FREQUENCY vectors, computed exactly with the inverted
+    * term-keyed join every all-pairs similarity system uses (cf.
+    * DIMSUM / ANF all-pairs): dot(a,b) = Σ over shared grams of
+    * tf_a·tf_b. Grams occurring in more than `dfCap` documents are
+    * EXCLUDED from the vectors — a declared vocabulary rule, identical
+    * in both engines: stopword-mass grams dominate neither the cosine
+    * nor (critically) the join fan-out, whose per-gram pair count is
+    * df². That cap IS the 100 TB bound: ≤ dfCap² candidate rows per
+    * gram off a term-keyed shuffle, never corpus².
+    *
+    * Everything is integer-exact: dot, |a|², |b|² are BIGINT sums; the
+    * threshold and the reported similarity use the SQUARED cosine
+    * cross-multiplied in DECIMAL(38,0) — no sqrt, no doubles, so the
+    * boundary cannot diverge cross-engine by a ulp. Pairs with
+    * cos2_ppm >= `minCos2Ppm` rank (cos2_ppm desc, doc_a, doc_b), top
+    * `limit`. */
+  def lexicalCosinePairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      w: Int, dfCap: Int, minCos2Ppm: Long, limit: Int): DataFrame = {
+    require(w >= 1, s"gram width must be >= 1: $w")
+    require(dfCap >= 2, s"dfCap must be >= 2: $dfCap")
+    require(minCos2Ppm >= 1 && minCos2Ppm <= 1000000L,
+      s"minCos2Ppm must be in [1, 1e6]: $minCos2Ppm")
+    // NgramExplode, not ShingleExplode: tf needs every OCCURRENCE (the
+    // shingle generator deduplicates per doc, which would collapse the
+    // vectors to binary)
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        Generators.ngramExplode(col(textCol), w).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // (id, term) is unique after the tf aggregate, so COUNT(*) per term
+    // IS the document frequency
+    val keep = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("term")
+    val kept = tf.join(keep, "term")
+    val norms = kept.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = kept.as("a").join(kept.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("na2"), col("nb2"),
+        expr("CAST((CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0)) " +
+          "* 1000000) div (CAST(na2 AS DECIMAL(19,0)) * " +
+          "CAST(nb2 AS DECIMAL(19,0))) AS BIGINT)").as("cos2_ppm"))
+      .filter(col("cos2_ppm") >= minCos2Ppm)
+      .orderBy(col("cos2_ppm").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(limit)
   }
 
   /** Brute-force all-pairs n-gram Jaccard over the deterministic

@@ -332,4 +332,39 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")
   }
+
+  /** DEGREE ASSORTATIVITY of the undirected graph (Newman, PRL 2002, in
+    * its edge-list Pearson form): the correlation between the two
+    * endpoint degrees over every DIRECTED copy of every edge — the
+    * [[symmetricEdges]] relation already carries both copies, which is
+    * exactly the population r is defined over (each undirected edge
+    * contributes (j,k) AND (k,j), making the statistic symmetric with no
+    * half-weight convention). r < 0 — hubs attached to leaves — is the
+    * template-flood / spam-hub signature on near-dup pair graphs and
+    * crawl host graphs; genuine community structure (re-post cores,
+    * organic neighborhoods) is assortative. The one-row scalar that says
+    * whether q116's triangles and q121's cores describe the whole graph
+    * or just its dense corner.
+    *
+    * Exactness and 100 TB shape: the degree table is ONE aggregate off
+    * the static edge relation (checkpointed once — it feeds the
+    * aggregate and both join probes); each directed edge joins its two
+    * endpoint degrees with the per-node relation riding the engine's
+    * [[BroadcastNodeLimit]] hint convention twice; the statistic is
+    * [[RelationalOps.integerCorrelation]]'s exact DECIMAL moments plus
+    * one pinned double — bit-stable on any partitioning. Output: one row
+    * (n_pairs = directed edge count, corr; NULL for degree-regular
+    * graphs via the integer-exact zero-variance guard). */
+  def degreeAssortativity(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val nNodes = deg.count()
+    val joined = edges
+      .join(hinted(deg.select(col("src"), col("d").as("deg_src")), nNodes),
+        "src")
+      .join(hinted(deg.select(col("src").as("dst"), col("d").as("deg_dst")),
+        nNodes), "dst")
+    RelationalOps.integerCorrelation(joined, "deg_src", "deg_dst")
+  }
 }

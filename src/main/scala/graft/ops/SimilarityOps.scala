@@ -1600,4 +1600,139 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** EMBEDDING ANISOTROPY — the spectral health row next to
+    * [[embeddingProfile]]'s per-label counters: the share of the
+    * centered scatter matrix's variance captured by its TOP eigenvalue,
+    * estimated by `iters` rounds of power iteration. Contextual/poorly
+    * trained encoders concentrate their vectors in a narrow cone
+    * (Ethayarajh, EMNLP 2019) — top_share_ppm near 10⁶ means every
+    * cosine in the ANN/SemDeDup/cluster family is dominated by one
+    * common direction and the index's discriminative power is an
+    * illusion; an isotropic corpus sits near the uniform share
+    * (10⁶/dim). The REPORTED statistic is the exact Rayleigh quotient of
+    * the deterministic R-round power iterate — monotone non-decreasing
+    * in R toward the true top-share, identical in both engines.
+    *
+    * Integer-exactness contract: components scale to micro ints;
+    * the per-dimension mean is one truncating division; scatter entries
+    * C_ij = Σ_v (m_i−μ_i)(m_j−μ_j) are exact DECIMAL(38,0) sums; the
+    * iterate rescales to ≤10³ by max-|w| each round (truncating div,
+    * toward-zero in BOTH engines); the share is the ONE decimal division
+    * (num·10⁶) div (den·trace), whose operands stay under 10³⁸ through
+    * corpora of 10⁹ vectors at dim 64 (num = vᵀCv ≤ dim²·10⁶·n·4·10¹² ≈
+    * 1.6·10³¹ — documented headroom), and the output is plain BIGINT ppm
+    * plus the per-vector mean scatter (trace div n).
+    *
+    * 100 TB shape: ONE corpus scan explodes each vector's centered
+    * outer product through map-side partial aggregation into the dim²
+    * scatter relation (the classic XᵀX shape — per-task state is dim²
+    * cells, never row-proportional); everything after is dim-sized
+    * (power rounds are dim²-row joins, checkpointed per round). */
+  def embeddingAnisotropy(
+      emb: DataFrame, vecCol: String, dim: Int, iters: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val rows = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * 1e6, 0).cast("long")).as("m"))
+    // dim rows; checkpointed — it feeds the mean array, the iterate init
+    // and the final count would otherwise each re-scan the corpus
+    val mu = rows
+      .select(posexplode(col("m")).as(Seq("i", "mi")))
+      .groupBy("i")
+      .agg(sum(col("mi")).as("s"), count(lit(1)).as("n"))
+      .select(col("i"), expr("s div n").as("mu"), col("n"))
+      .localCheckpoint()
+    // dim-sized: one bounded sorted struct array (the zipfSlope pattern)
+    val muArr = mu.agg(
+      transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+        e => e.getField("mu")).as("mua"),
+      max(col("n")).as("n"))
+    val centered = rows.crossJoin(broadcast(muArr))
+      .select(zip_with(col("m"), col("mua"), (m, u) => m - u).as("cv"))
+    val cov = centered
+      .select(posexplode(col("cv")).as(Seq("i", "ci")), col("cv"))
+      .select(col("i"), col("ci"), posexplode(col("cv")).as(Seq("j", "cj")))
+      .groupBy("i", "j")
+      .agg(sum(d38(d19(col("ci")) * d19(col("cj")))).as("cij"))
+      .localCheckpoint()
+    val trace = cov.filter(col("i") === col("j")).agg(sum(col("cij")).as("trace"))
+    // iterate scale 10³, not 10⁶: Spark's integral `div` lands in BIGINT,
+    // so the share must be ONE decimal division — (num·10⁶) div (den·trace)
+    // — and with v ≤ 10³ every operand stays under 10³⁸ through 10⁹
+    // vectors at dim 64 (num ≤ dim²·10⁶·n·4·10¹² ≈ 1.6·10³¹). The coarser
+    // rescale quantizes the DIRECTION ~0.1% per round; the reported
+    // Rayleigh quotient of that iterate is still exact, both engines.
+    var v = mu.select(col("i"), lit(1000L).cast("decimal(38,0)").as("v"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val w = cov.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i").agg(sum(col("cij") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i"),
+          when(col("mx") === 0, col("w"))
+            .otherwise(expr("CAST((w * 1000) div mx AS DECIMAL(38,0))")).as("v"))
+        .localCheckpoint()
+    }
+    val num = cov
+      .join(v.select(col("i"), col("v").as("vi")), "i")
+      .join(v.select(col("i").as("j"), col("v").as("vj")), "j")
+      .agg(sum(col("vi") * col("cij") * col("vj")).as("num"))
+    val den = v.agg(sum(col("v") * col("v")).as("den"))
+    // n_vecs off the checkpointed per-dim counts — not a third corpus scan
+    muArr.select(coalesce(col("n"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(trace))
+      .crossJoin(broadcast(num))
+      .crossJoin(broadcast(den))
+      .select(col("n_vecs"), lit(dim.toLong).as("dim"),
+        expr("CAST(trace div n_vecs AS BIGINT)").as("mean_scatter"),
+        when(col("trace") > 0,
+          expr("CAST((num * 1000000) div (den * trace) AS BIGINT)"))
+          .as("top_share_ppm"),
+        lit(1000000L / dim).as("uniform_share_ppm"))
+  }
+
+  /** LEXICAL-vs-EMBEDDING AGREEMENT audit — the cross-signal sanity row
+    * every embedding-dependent stage (SemDeDup, ANN retrieval, cluster
+    * topics) implicitly assumes: over all pairs of the fixed
+    * [[DedupOps.md5TopNSample]] calibration sample, the Pearson
+    * correlation between exact lexical w-shingle jaccard (integer ppm)
+    * and embedding cosine (micro units). Near-zero or negative
+    * correlation means the embedding column does not encode lexical
+    * content — the "wrong model / wrong column / scrambled id join"
+    * failure caught BEFORE a semantic dedup silently drops unrelated
+    * docs. Output: one row (n_pairs, corr), the q170 contract.
+    *
+    * Exactness: jaccard is integer hash-set arithmetic; cosine is the
+    * engine-pinned sequential fold rounded to 6 dp then scaled to micro
+    * ints (exact: the product of a 6-dp double and 10⁶ rounds to the
+    * same integer in both engines); the correlation is
+    * [[RelationalOps.integerCorrelation]]'s exact DECIMAL moments plus
+    * one pinned double expression.
+    *
+    * 100 TB shape: the sample is ABSOLUTE-SIZE — sampleN² pairs at any
+    * corpus scale; one scan of each table builds the checkpointed
+    * (id, hash-set, vector) side and everything downstream is bounded. */
+  def lexicalEmbeddingAgreement(
+      docs: DataFrame, emb: DataFrame,
+      textCol: String, idCol: String, vecIdCol: String, vecCol: String,
+      w: Int, sampleN: Int): DataFrame = {
+    val samp = DedupOps.md5TopNSample(docs, textCol, idCol, sampleN)
+    val side = DedupOps.shingleHashSets(samp, textCol, idCol, w)
+      .join(emb.select(col(vecIdCol).as("id"), col(vecCol).as("v")), "id")
+      .localCheckpoint()
+    val a = side.select(col("id").as("ia"), col("hs").as("ha"), col("v").as("va"))
+    val b = side.select(col("id").as("ib"), col("hs").as("hb"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)").as("ni"),
+        expr("CAST(size(ha) + size(hb) AS BIGINT)").as("ns"),
+        round(cosine(col("va"), col("vb")) * 1e6, 0).cast("long").as("cos_micro"))
+      .select(expr("ni * 1000000 div (ns - ni)").as("lex_jppm"), col("cos_micro"))
+    RelationalOps.integerCorrelation(pairs, "lex_jppm", "cos_micro")
+  }
 }

@@ -392,6 +392,39 @@ LEFT JOIN agg ON nw.doc_id = agg.doc_id
 ORDER BY nw.doc_id"""
   }
 
+  /** Mirror of [[graft.ops.DedupOps.exactDupSpans]]: same stride-1
+    * window rule ([[segmentDedupStrided]]'s start predicate with stride
+    * = 1), same md5 window key, same >= minDocs distinct-doc test, same
+    * maximal-span island merge (touching intervals coalesce), same
+    * truncating ppm. */
+  def exactDupSpans(table: String, l: Int, minDocs: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 1)) AS st FROM t2),
+wins AS (SELECT doc_id, st,
+    md5(array_to_string(tk[st+1 : least(st+$l, len(tk))], ' ')) AS wk,
+    least(st+$l, len(tk)) - st AS ntok
+  FROM st WHERE st = 0 OR st - 1 + $l < len(tk)),
+freq AS (SELECT wk FROM wins GROUP BY wk HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+mk AS (SELECT doc_id, st AS lo, st + ntok AS hi FROM wins JOIN freq USING (wk)),
+isl AS (SELECT doc_id, lo, hi, CASE WHEN lo > COALESCE(MAX(hi) OVER (
+      PARTITION BY doc_id ORDER BY lo
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+  FROM mk),
+grp AS (SELECT doc_id, lo, hi, SUM(brk) OVER (PARTITION BY doc_id ORDER BY lo
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM isl),
+sp AS (SELECT doc_id, isl, MIN(lo) AS lo, MAX(hi) AS hi FROM grp GROUP BY doc_id, isl),
+nt AS (SELECT doc_id, len(tk) AS n_tokens FROM t2),
+agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(hi - lo) AS dup_tokens,
+    MAX(hi - lo) AS max_span FROM sp GROUP BY doc_id)
+SELECT agg.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+  CAST(agg.n_spans AS BIGINT) AS n_spans,
+  CAST(agg.dup_tokens AS BIGINT) AS dup_tokens,
+  CAST(agg.max_span AS BIGINT) AS max_span,
+  CAST(agg.dup_tokens * 1000000 // nt.n_tokens AS BIGINT) AS dup_ppm
+FROM agg JOIN nt ON agg.doc_id = nt.doc_id
+ORDER BY agg.doc_id"""
+
   /** Mirror of [[graft.ops.DedupOps.dupAttribution]]: same md5 cluster
     * key, same min-id keeper (doc_id is unique, so `arg_min` equals the
     * engine's lexicographic struct-min), same cross-group test, same
@@ -480,6 +513,32 @@ SELECT c.src_a, c.src_b,
   CAST((c.n_common * 1000000) // (sa.n + sb.n - c.n_common) AS BIGINT) AS jaccard_ppm
 FROM common c JOIN sizes sa ON sa.g = c.src_a JOIN sizes sb ON sb.g = c.src_b
 ORDER BY src_a, src_b"""
+  }
+
+  /** Mirror of [[graft.ops.DedupOps.lexicalCosinePairs]]: same
+    * every-occurrence w-gram tf vectors, same df <= dfCap vocabulary
+    * rule, same term-keyed pair join, same DECIMAL(38,0)-exact squared
+    * cosine (HUGEINT here) and truncating ppm, same total order. */
+  def lexicalCosinePairs(
+      table: String, w: Int, dfCap: Int, minCos2Ppm: Long, limit: Int): String = {
+    val gram = s"array_to_string(tk[i : i + ${w - 1}], ' ')"
+    s"""WITH t AS (SELECT doc_id AS id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+tf AS (SELECT id, g AS term, COUNT(*) AS tf FROM (
+    SELECT id, unnest(list_transform(range(1, len(tk) - ${w - 2}), i -> $gram)) AS g
+    FROM t WHERE len(tk) >= $w) GROUP BY id, g),
+keep AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= $dfCap),
+k AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+n2 AS (SELECT id, SUM(tf * tf) AS n2 FROM k GROUP BY id),
+d AS (SELECT a.id AS doc_a, b.id AS doc_b, SUM(a.tf * b.tf) AS dot
+  FROM k a JOIN k b ON a.term = b.term AND a.id < b.id GROUP BY a.id, b.id),
+j AS (SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+    CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2,
+    CAST(CAST(dot AS HUGEINT) * dot * 1000000
+      // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+  FROM d JOIN n2 na ON d.doc_a = na.id JOIN n2 nb ON d.doc_b = nb.id)
+SELECT doc_a, doc_b, dot, na2, nb2, cos2_ppm FROM j
+WHERE cos2_ppm >= $minCos2Ppm
+ORDER BY cos2_ppm DESC, doc_a ASC, doc_b ASC LIMIT $limit"""
   }
 
   def jaccardBruteForce(table: String, w: Int, sampleN: Int, limit: Int): String =

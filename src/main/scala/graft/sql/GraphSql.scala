@@ -104,4 +104,34 @@ t AS (SELECT a, b, c FROM wdg
   WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = wdg.b AND e.hi = wdg.c)),
 n AS (SELECT unnest([a, b, c]) AS node FROM t)
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM n GROUP BY 1 ORDER BY 1"""
+
+  /** Mirror of [[graft.ops.GraphOps.degreeAssortativity]] over the
+    * customer–supplier graph (q104's pair CTE): same directed-copy
+    * population, same exact DECIMAL Pearson moments, same zero-variance
+    * guard and pinned final double
+    * ([[graft.ops.RelationalOps.integerCorrelation]]'s contract). */
+  def degreeAssortativityCustomerSupplier: String =
+    s"""WITH p AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p)
+  WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+f AS (SELECT CAST(ds.d AS BIGINT) AS x, CAST(dd.d AS BIGINT) AS y
+  FROM e JOIN deg ds ON ds.src = e.src JOIN deg dd ON dd.src = e.dst),
+m AS (SELECT COUNT(*) AS n_pairs,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy,
+    COUNT(DISTINCT x) AS ndx, COUNT(DISTINCT y) AS ndy
+  FROM f)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  CASE WHEN n_pairs < 2 OR ndx < 2 OR ndy < 2 THEN NULL
+    ELSE round(
+      (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      6) END AS corr
+FROM m"""
 }

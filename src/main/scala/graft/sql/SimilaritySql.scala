@@ -613,4 +613,83 @@ cand AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
   FROM c qs JOIN c ON c.vec_id <> qs.vec_id WHERE qs.vec_id % $queryMod = 0),
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC) AS rk FROM cand)
 SELECT query_id, neighbor_id, dot_q, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** Mirror of [[graft.ops.SimilarityOps.embeddingAnisotropy]]: same
+    * micro-int scaling, same truncating per-dim mean, same exact
+    * HUGEINT scatter sums (DECIMAL(38,0) on the engine side), same
+    * R unrolled power rounds with the toward-zero max-|w| rescale both
+    * engines share, same Rayleigh/trace ppm arithmetic. */
+  def embeddingAnisotropy(table: String, dim: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT cov.i, SUM(cov.cij * v${r - 1}.v) AS w
+  FROM cov JOIN v${r - 1} ON v${r - 1}.i = cov.j GROUP BY cov.i),
+mx$r AS MATERIALIZED (SELECT MAX(abs(w)) AS mx FROM w$r),
+v$r AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN w ELSE (w * 1000) // mx END AS v
+  FROM w$r, mx$r)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM $table
+  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+comps AS MATERIALIZED (SELECT vid, i.i AS i,
+    CAST(round(v[i.i] * 1000000, 0) AS BIGINT) AS m
+  FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i) i),
+mu AS MATERIALIZED (SELECT i, SUM(m) // COUNT(*) AS mu, COUNT(*) AS n FROM comps GROUP BY i),
+c AS MATERIALIZED (SELECT comps.vid, comps.i, CAST(comps.m - mu.mu AS HUGEINT) AS cv
+  FROM comps JOIN mu USING (i)),
+cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.cv * b.cv) AS cij
+  FROM c a JOIN c b ON a.vid = b.vid GROUP BY a.i, b.i),
+tr AS (SELECT SUM(cij) AS trace FROM cov WHERE i = j),
+nv AS (SELECT MAX(n) AS n_vecs FROM mu),
+v0 AS MATERIALIZED (SELECT i, CAST(1000 AS HUGEINT) AS v FROM mu),
+$rounds,
+num AS (SELECT SUM(a.v * cov.cij * b.v) AS num
+  FROM cov JOIN v$iters a ON a.i = cov.i JOIN v$iters b ON b.i = cov.j),
+den AS (SELECT SUM(v * v) AS den FROM v$iters)
+SELECT CAST(nv.n_vecs AS BIGINT) AS n_vecs, CAST($dim AS BIGINT) AS dim,
+  CAST(tr.trace // nv.n_vecs AS BIGINT) AS mean_scatter,
+  CASE WHEN tr.trace > 0
+    THEN CAST((num.num * 1000000) // (den.den * tr.trace) AS BIGINT)
+    ELSE NULL END AS top_share_ppm,
+  CAST(${1000000L / dim} AS BIGINT) AS uniform_share_ppm
+FROM nv, tr, num, den"""
+  }
+
+  /** Mirror of [[graft.ops.SimilarityOps.lexicalEmbeddingAgreement]]:
+    * same md5-top-N sample, same 28-bit shingle hash sets, same 6-dp
+    * cosine scaled to micro ints, same exact-decimal Pearson moments
+    * and pinned final double ([[graft.ops.RelationalOps
+    * .integerCorrelation]]'s contract). */
+  def lexicalEmbeddingAgreement(
+      docsTable: String, embTable: String,
+      w: Int, sampleN: Int, dim: Int): String = {
+    val gram = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH samp AS (SELECT doc_id, text FROM $docsTable WHERE text IS NOT NULL
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $sampleN),
+t AS (SELECT doc_id AS id, ${DedupSql.toksSql} AS tk FROM samp),
+sh AS (SELECT id, list_distinct(list_transform(range(1, len(tk) - ${w - 2}),
+    i -> ('0x' || substr(md5($gram), 1, 7))::BIGINT)) AS hs
+  FROM t WHERE len(tk) >= $w),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $embTable),
+side AS (SELECT sh.id, sh.hs, e.v FROM sh JOIN e USING (id)),
+p AS (SELECT
+    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS ni,
+    CAST(len(a.hs) + len(b.hs) AS BIGINT) AS ns,
+    CAST(round(${cosSql("a.v", "b.v", dim)} * 1000000, 0) AS BIGINT) AS cos_micro
+  FROM side a JOIN side b ON a.id < b.id),
+f AS (SELECT CAST((ni * 1000000) // (ns - ni) AS BIGINT) AS x, cos_micro AS y FROM p),
+m AS (SELECT COUNT(*) AS n_pairs,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy,
+    COUNT(DISTINCT x) AS ndx, COUNT(DISTINCT y) AS ndy
+  FROM f)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  CASE WHEN n_pairs < 2 OR ndx < 2 OR ndy < 2 THEN NULL
+    ELSE round(
+      (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      6) END AS corr
+FROM m"""
+  }
 }

@@ -417,6 +417,88 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(solo.head.getLong(2) == 0L && solo.head.getLong(3) == 4L)
   }
 
+  test("exact dup spans: overlapping window hits merge into one maximal span") {
+    import spark.implicits._
+    // a 5-token verbatim clone at different offsets: L=3 marks starts
+    // 2,3,4 in doc 1 and 0,1,2 in doc 2 — each doc must report ONE span
+    // of the clone's true extent, not three window hits
+    val df = Seq(
+      (1L, "p1 p2 X1 X2 X3 X4 X5 q1 q2"),
+      (2L, "X1 X2 X3 X4 X5 r1 r2 r3"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactDupSpans(df, "text", "doc_id", l = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((9L, 1L, 5L, 5L, 555555L)))
+    assert(out(2L) == ((8L, 1L, 5L, 5L, 625000L)))
+  }
+
+  test("exact dup spans: disjoint clones stay two spans, touching clones coalesce") {
+    import spark.implicits._
+    // doc 1 vs doc 2: X-run and Y-run separated by DIFFERENT middles —
+    // the bridging windows are unique, so two disjoint spans survive
+    val disjoint = Seq(
+      (1L, "X1 X2 X3 a Y1 Y2 Y3"),
+      (2L, "X1 X2 X3 b Y1 Y2 Y3"))
+      .toDF("doc_id", "text")
+    val d = DedupOps.exactDupSpans(disjoint, "text", "doc_id", l = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(d(1L) == ((2L, 6L, 3L)) && d(2L) == ((2L, 6L, 3L)))
+    // doc 1's X-span [0,3) and Y-span [3,6) touch (the bridging windows
+    // are unique to doc 1) — covered tokens are contiguous, ONE span
+    val touching = Seq(
+      (1L, "X1 X2 X3 Y1 Y2 Y3 a"),
+      (2L, "X1 X2 X3 c1 c2"),
+      (3L, "d1 Y1 Y2 Y3 d2"))
+      .toDF("doc_id", "text")
+    val t = DedupOps.exactDupSpans(touching, "text", "doc_id", l = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(t(1L) == ((1L, 6L, 6L)), "touching intervals must coalesce")
+  }
+
+  test("exact dup spans: short docs and singletons follow the window rule") {
+    import spark.implicits._
+    // docs shorter than L emit their one whole-doc window: identical
+    // short docs are fully duplicated; a doc with no >= minDocs window
+    // yields no row at all
+    val df = Seq((1L, "s1 s2"), (2L, "s1 s2"), (3L, "only here once"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactDupSpans(df, "text", "doc_id", l = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
+    assert(out == Map(1L -> ((2L, 2L, 1000000L)), 2L -> ((2L, 2L, 1000000L))))
+  }
+
+  test("lexical cosine pairs: weighted occurrences, integer-exact squared cosine") {
+    import spark.implicits._
+    // doc 1 repeats its grams: "x y" and "y x" carry tf = 2 (an
+    // occurrence-counting vector, NOT the binary shingle set), so
+    // dot(1,2) = 2, |1|^2 = 8, |2|^2 = 2 and cos^2 = 4/16 exactly
+    val df = Seq((1L, "x y x y x"), (2L, "x y z"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.lexicalCosinePairs(df, "text", "doc_id",
+      w = 2, dfCap = 10, minCos2Ppm = 100000L, limit = 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((1L, 2L, 2L, 8L, 2L, 250000L)))
+  }
+
+  test("lexical cosine pairs: the df cap excludes stopword-mass grams from the vectors") {
+    import spark.implicits._
+    val df = Seq((1L, "s t a"), (2L, "s t b"), (3L, "s t c"), (4L, "u v a"))
+      .toDF("doc_id", "text")
+    // "s t" sits in 3 docs: over the cap at 2 (vectors share nothing,
+    // no pair survives), inside it at 3 (three pairs at cos^2 = 1/4)
+    val capped = DedupOps.lexicalCosinePairs(df, "text", "doc_id",
+      w = 2, dfCap = 2, minCos2Ppm = 1L, limit = 10).collect()
+    assert(capped.isEmpty)
+    val kept = DedupOps.lexicalCosinePairs(df, "text", "doc_id",
+      w = 2, dfCap = 3, minCos2Ppm = 1L, limit = 10).collect()
+    assert(kept.length == 3)
+    assert(kept.forall(_.getLong(5) == 250000L))
+  }
+
   test("containment pairs: an embedded excerpt scores containment 1.0 with jaccard < 1") {
     import spark.implicits._
     val a = "alpha beta gamma delta epsilon zeta eta theta"

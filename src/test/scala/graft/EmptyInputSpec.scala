@@ -72,7 +72,14 @@ class EmptyInputSpec extends AnyFunSuite {
     // corr the variance guard produces on both engines
     "q170_signal_correlation" -> 1L,
     // the span ladder reports every rung (all-zero rows) on both engines
-    "q171_dup_span_profile" -> 7L)
+    "q171_dup_span_profile" -> 7L,
+    // correlation-shaped one-row aggregates (the q170 convention):
+    // n_pairs 0 with the null the zero-variance guard produces
+    "q181_lexical_embedding_agreement" -> 1L,
+    "q182_degree_assortativity" -> 1L,
+    // anisotropy is ungrouped aggregates cross-joined: one row with
+    // n_vecs 0 and null scatter/share on both engines
+    "q183_embedding_anisotropy" -> 1L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

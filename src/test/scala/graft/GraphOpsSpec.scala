@@ -223,4 +223,22 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L), s"got $tri")
   }
+
+  test("degree assortativity: a star is exactly -1, a cycle nulls out, triangles+pendants go negative") {
+    import spark.implicits._
+    def r(pairs: Seq[(Long, Long)]): (Long, Option[Double]) = {
+      val row = GraphOps.degreeAssortativity(
+        GraphOps.symmetricEdges(pairs.toDF("a", "b"), "a", "b")).collect().head
+      (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getDouble(1)))
+    }
+    // star K1,3: every directed edge pairs degree 3 with degree 1 in one
+    // order or the other — two mirrored points, Pearson exactly -1
+    assert(r(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((6L, Some(-1.0))))
+    // 4-cycle: degree-regular, the integer zero-variance guard fires
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((8L, None)))
+    // triangle with a pendant leaf: mixed degrees, hub-leaf edges drag r
+    // below zero (disassortative), but not to -1 (the core is uniform)
+    val (n, corr) = r(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(n == 8L && corr.exists(c => c < 0.0 && c > -1.0))
+  }
 }

@@ -717,4 +717,52 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x).toMap
     assert(r.view.mapValues(_.toString).toMap == b.view.mapValues(_.toString).toMap)
   }
+
+  test("embedding anisotropy: a one-axis corpus scores 1e6 ppm, a balanced cross scores uniform") {
+    import spark.implicits._
+    // all variance on axis 1: mu = (2e6, 0), centered (-1e6, 0, 1e6),
+    // C = [[2e12, 0], [0, 0]] — the power iterate locks onto axis 1 and
+    // the Rayleigh share is the whole trace
+    val cone = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), (3L, Array(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val c = SimilarityOps.embeddingAnisotropy(cone, "embedding", dim = 2, iters = 3)
+      .collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4)) ==
+      ((3L, 2L, 666666666666L, 1000000L, 500000L)))
+    // balanced cross: C = 2e12 * I — equal eigenvalues, the share sits
+    // exactly at the uniform 1e6/dim floor
+    val cross = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val x = SimilarityOps.embeddingAnisotropy(cross, "embedding", dim = 2, iters = 3)
+      .collect().head
+    assert((x.getLong(0), x.getLong(2), x.getLong(3)) == ((4L, 1000000000000L, 500000L)))
+  }
+
+  test("lexical-embedding agreement: aligned signals give corr 1, scrambled ids go negative") {
+    import spark.implicits._
+    // docs 1 and 2 are verbatim clones, doc 3 is lexically disjoint:
+    // pair jaccards are (1e6, 0, 0)
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5"), (2L, "a1 a2 a3 a4 a5"), (3L, "b1 b2 b3 b4 b5"))
+      .toDF("doc_id", "text")
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    // embeddings agree with the text: clones share e1, the outlier is
+    // orthogonal — two distinct (x, y) points, Pearson exactly 1
+    val aligned = Seq((1L, e1), (2L, e1), (3L, e2)).toDF("vec_id", "embedding")
+    val good = SimilarityOps.lexicalEmbeddingAgreement(docs, aligned,
+      "text", "doc_id", "vec_id", "embedding", w = 3, sampleN = 10).collect()
+    assert(good.length == 1 && good.head.getLong(0) == 3L)
+    assert(good.head.getDouble(1) == 1.0)
+    // a scrambled id join (doc 2's vector swapped): the clone pair now
+    // has cosine 0 while a disjoint pair has cosine 1 — moments give
+    // corr exactly -0.5, the audit's "do not trust this column" signal
+    val scrambled = Seq((1L, e1), (2L, e2), (3L, e1)).toDF("vec_id", "embedding")
+    val bad = SimilarityOps.lexicalEmbeddingAgreement(docs, scrambled,
+      "text", "doc_id", "vec_id", "embedding", w = 3, sampleN = 10).collect()
+    assert(bad.head.getDouble(1) == -0.5)
+  }
 }
