@@ -1413,16 +1413,23 @@ object DedupOps {
       s"minCos2Ppm must be in [1, 1e6]: $minCos2Ppm")
     // NgramExplode, not ShingleExplode: tf needs every OCCURRENCE (the
     // shingle generator deduplicates per doc, which would collapse the
-    // vectors to binary)
+    // vectors to binary). Checkpointed: it feeds the df filter AND the
+    // capped relation below — the crossSourceOverlap trade (materialize
+    // the vocabulary×docs relation once, not two corpus scans).
     val tf = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         Generators.ngramExplode(col(textCol), w).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // (id, term) is unique after the tf aggregate, so COUNT(*) per term
-    // IS the document frequency
+    // IS the document frequency. An aggregate + join, NOT a count-over-
+    // term window: a stopword gram's window partition is df rows buffered
+    // in one task — the exact hot-key blowup the cap exists to avoid.
     val keep = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("term")
-    val kept = tf.join(keep, "term")
+    // checkpointed too: norms and BOTH pair-join sides read it — three
+    // consumers re-running the term join would shuffle tf three times
+    val kept = tf.join(keep, "term").localCheckpoint()
     val norms = kept.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = kept.as("a").join(kept.as("b"),
         col("a.term") === col("b.term") && col("a.id") < col("b.id"))

@@ -355,10 +355,18 @@ object GraphOps {
     * one pinned double — bit-stable on any partitioning. Output: one row
     * (n_pairs = directed edge count, corr; NULL for degree-regular
     * graphs via the integer-exact zero-variance guard). */
-  def degreeAssortativity(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    // no edge checkpoint here: the canonical callers pass an already
+    // materialized relation ([[symmetricEdgesShared]] / [[readEdges]]),
+    // and re-snapshotting it per call would copy the artifact for
+    // nothing — the two consumers below (degree aggregate + pair join)
+    // re-read the caller's blocks
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
+    // the iterative trio's measured-count broadcast hint: a checkpointed
+    // per-node relation reports unknown stats, and waiting for AQE's
+    // runtime conversion still plans the edge shuffle first (measured
+    // ~1.3 s slower here) — under the hint the edges never shuffle
     val nNodes = deg.count()
     val joined = edges
       .join(hinted(deg.select(col("src"), col("d").as("deg_src")), nNodes),

@@ -1614,21 +1614,20 @@ object SimilarityOps {
     * the deterministic R-round power iterate — monotone non-decreasing
     * in R toward the true top-share, identical in both engines.
     *
-    * Integer-exactness contract: components scale to micro ints;
-    * the per-dimension mean is one truncating division; scatter entries
+    * Integer-exactness contract: components scale to micro ints; the
+    * per-dimension mean is one truncating division; scatter entries
     * C_ij = Σ_v (m_i−μ_i)(m_j−μ_j) are exact DECIMAL(38,0) sums; the
-    * iterate rescales to ≤10³ by max-|w| each round (truncating div,
-    * toward-zero in BOTH engines); the share is the ONE decimal division
-    * (num·10⁶) div (den·trace), whose operands stay under 10³⁸ through
-    * corpora of 10⁹ vectors at dim 64 (num = vᵀCv ≤ dim²·10⁶·n·4·10¹² ≈
-    * 1.6·10³¹ — documented headroom), and the output is plain BIGINT ppm
-    * plus the per-vector mean scatter (trace div n).
+    * iterate rescales to ≤10³ by max-|w| each round and the share is
+    * one truncating division (num·10⁶)/(den·trace) — BigInt here,
+    * HUGEINT in the oracle, both toward-zero, identical values.
     *
     * 100 TB shape: ONE corpus scan explodes each vector's centered
-    * outer product through map-side partial aggregation into the dim²
-    * scatter relation (the classic XᵀX shape — per-task state is dim²
-    * cells, never row-proportional); everything after is dim-sized
-    * (power rounds are dim²-row joins, checkpointed per round). */
+    * UPPER-TRIANGLE outer product through map-side partial aggregation
+    * into the dim(dim+1)/2-cell scatter relation (the classic XᵀX shape
+    * — per-task state is dim² cells, never row-proportional); the
+    * eigensolve itself is bounded DRIVER arithmetic over those ~2k
+    * collected cells (the BPE-argmax bounded-collect contract — a 64×64
+    * matrix-vector multiply is not distributed work). */
   def embeddingAnisotropy(
       emb: DataFrame, vecCol: String, dim: Int, iters: Int): DataFrame = {
     require(dim >= 2, s"dim must be >= 2: $dim")
@@ -1653,47 +1652,56 @@ object SimilarityOps {
       max(col("n")).as("n"))
     val centered = rows.crossJoin(broadcast(muArr))
       .select(zip_with(col("m"), col("mua"), (m, u) => m - u).as("cv"))
-    val cov = centered
+    // UPPER TRIANGLE only (j >= i, via a per-row slice), then mirror:
+    // C is symmetric, so this halves the dominant n·dim² explode — the
+    // mirrored rows are dim²/2 POST-aggregation rows, corpus-free
+    val upper = centered
       .select(posexplode(col("cv")).as(Seq("i", "ci")), col("cv"))
-      .select(col("i"), col("ci"), posexplode(col("cv")).as(Seq("j", "cj")))
+      .select(col("i"), col("ci"),
+        posexplode(slice(col("cv"), col("i") + 1, lit(dim))).as(Seq("p", "cj")))
+      .select(col("i"), (col("i") + col("p")).as("j"), col("ci"), col("cj"))
       .groupBy("i", "j")
       .agg(sum(d38(d19(col("ci")) * d19(col("cj")))).as("cij"))
-      .localCheckpoint()
-    val trace = cov.filter(col("i") === col("j")).agg(sum(col("cij")).as("trace"))
-    // iterate scale 10³, not 10⁶: Spark's integral `div` lands in BIGINT,
-    // so the share must be ONE decimal division — (num·10⁶) div (den·trace)
-    // — and with v ≤ 10³ every operand stays under 10³⁸ through 10⁹
-    // vectors at dim 64 (num ≤ dim²·10⁶·n·4·10¹² ≈ 1.6·10³¹). The coarser
-    // rescale quantizes the DIRECTION ~0.1% per round; the reported
-    // Rayleigh quotient of that iterate is still exact, both engines.
-    var v = mu.select(col("i"), lit(1000L).cast("decimal(38,0)").as("v"))
-      .localCheckpoint()
-    (1 to iters).foreach { _ =>
-      val w = cov.join(v.select(col("i").as("j"), col("v")), "j")
-        .groupBy("i").agg(sum(col("cij") * col("v")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("i"),
-          when(col("mx") === 0, col("w"))
-            .otherwise(expr("CAST((w * 1000) div mx AS DECIMAL(38,0))")).as("v"))
-        .localCheckpoint()
+      .localCheckpoint() // BOTH union branches read this, never re-explode
+    // The EIGENSOLVE is bounded driver arithmetic (the BPE-argmax /
+    // chart-input bounded-collect contract): the collected relation is
+    // the dim(dim+1)/2-cell upper triangle — 2,080 values at dim 64,
+    // INDEPENDENT of corpus size — and Scala BigInt reproduces the
+    // oracle's HUGEINT arithmetic exactly (both divisions truncate
+    // toward zero). The distributed work is exactly the one corpus scan
+    // above; running R rounds of a 64×64 matrix-vector multiply as
+    // Spark jobs spends ~R scheduler round-trips on micro-work
+    // (measured 2.5 s → ~1.3 s at sf0.1). Iterate scale 10³ keeps the
+    // share's operands under 10³⁸ through 10⁹ vectors at dim 64
+    // (num = vᵀCv ≤ dim²·10⁶·n·4·10¹²≈ 1.6·10³¹); the coarse rescale
+    // quantizes the DIRECTION ~0.1% per round, but the reported
+    // Rayleigh quotient of that iterate is exact, both engines.
+    val c = Array.fill(dim, dim)(BigInt(0))
+    upper.collect().foreach { r =>
+      val (i, j) = (r.getAs[Number](0).intValue, r.getAs[Number](1).intValue)
+      val x = BigInt(r.getDecimal(2).toBigInteger)
+      c(i)(j) = x
+      c(j)(i) = x
     }
-    val num = cov
-      .join(v.select(col("i"), col("v").as("vi")), "i")
-      .join(v.select(col("i").as("j"), col("v").as("vj")), "j")
-      .agg(sum(col("vi") * col("cij") * col("vj")).as("num"))
-    val den = v.agg(sum(col("v") * col("v")).as("den"))
-    // n_vecs off the checkpointed per-dim counts — not a third corpus scan
-    muArr.select(coalesce(col("n"), lit(0L)).as("n_vecs"))
-      .crossJoin(broadcast(trace))
-      .crossJoin(broadcast(num))
-      .crossJoin(broadcast(den))
-      .select(col("n_vecs"), lit(dim.toLong).as("dim"),
-        expr("CAST(trace div n_vecs AS BIGINT)").as("mean_scatter"),
-        when(col("trace") > 0,
-          expr("CAST((num * 1000000) div (den * trace) AS BIGINT)"))
-          .as("top_share_ppm"),
-        lit(1000000L / dim).as("uniform_share_ppm"))
+    val trace = (0 until dim).map(i => c(i)(i)).sum
+    var v = Array.fill(dim)(BigInt(1000))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = if (mx == 0) w else w.map(x => (x * 1000) / mx)
+    }
+    val num = (for (i <- 0 until dim; j <- 0 until dim) yield v(i) * c(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val nVecs = {
+      val r = mu.agg(max(col("n"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val meanScatter = if (nVecs > 0) Some((trace / nVecs).toLong) else None
+    val share = if (trace > 0) Some(((num * 1000000) / (den * trace)).toLong) else None
+    val session = emb.sparkSession
+    import session.implicits._
+    Seq((nVecs, dim.toLong, meanScatter, share, 1000000L / dim))
+      .toDF("n_vecs", "dim", "mean_scatter", "top_share_ppm", "uniform_share_ppm")
   }
 
   /** LEXICAL-vs-EMBEDDING AGREEMENT audit — the cross-signal sanity row

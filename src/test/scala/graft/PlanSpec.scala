@@ -149,6 +149,28 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from the (band, bh) bucket shuffle:\n${plan.take(600)}")
   }
 
+  test("exact dup spans and lexical cosine stay key-joined, never all-pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    // q179: candidates come from the md5-window-key shuffle; the island
+    // merge is a per-doc window — an all-pairs plan would be the suffix
+    // array trap this op exists to avoid
+    val spans = graft.ops.DedupOps.exactDupSpans(docs, "text", "doc_id",
+      l = 8, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!spans.contains("CartesianProduct"),
+      s"dup spans must come from the window-hash shuffle:\n${spans.take(600)}")
+    assert(spans.contains("hashpartitioning(wk"),
+      s"window frequency must shuffle on the md5 key:\n${spans.take(600)}")
+    // q180: the pair stage is the inverted TERM-keyed equi-join (df-cap
+    // bounded), never a doc x doc cartesian
+    val cos = graft.ops.DedupOps.lexicalCosinePairs(docs, "text", "doc_id",
+      w = 3, dfCap = 40, minCos2Ppm = 250000L, limit = 100)
+      .queryExecution.executedPlan.toString
+    assert(!cos.contains("CartesianProduct"),
+      s"lexical cosine must join on the gram key:\n${cos.take(600)}")
+  }
+
   test("indexed near-dup screen: no cartesian product, no interpreted row boundary") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
