@@ -1625,6 +1625,26 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.SimilaritySql.embeddingAnisotropy("embeddings",
         dim = 64, iters = 8))),
 
+    ("q184_span_screen_delta",
+      // q179's ingest-time delta form (the q97/q98 persisted-index
+      // pattern at window granularity): every-3rd-id shard docs report
+      // the maximal spans they share with the REST-of-corpus window
+      // index — corpus text never re-read, shard-local cost only.
+      // minDocs = 1: the ingest question is "has the corpus seen this
+      // span AT ALL", not "is it corpus-frequent"
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.exactDupSpansAgainstIndex(
+          docs.filter(col("doc_id") % 3 === 0),
+          DedupOps.frequentWindowIndex(
+            docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id",
+            l = 8, minDocs = 1),
+          "text", "doc_id", l = 8)
+      },
+      Some(graft.sql.DedupSql.exactDupSpansAgainstIndex("documents",
+        l = 8, minDocs = 1,
+        shardPred = "doc_id % 3 = 0", corpusPred = "doc_id % 3 <> 0"))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats

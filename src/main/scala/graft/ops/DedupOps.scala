@@ -1300,21 +1300,34 @@ object DedupOps {
       l: Int, minDocs: Int): DataFrame = {
     require(l >= 1, s"window width must be >= 1: $l")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // stride 1 => start == chunk_idx; short docs (n <= l) emit their one
-    // whole-doc window, same rule both engines
-    val wins = base.select(col("doc_id"),
-        Generators.chunkExplode(col("text"), l, 1).as(Seq("st", "ntok", "win")))
-      .select(col("doc_id"), col("st"), col("ntok"), md5(col("win")).as("wk"))
+    val wins = windowKeys(docs, textCol, idCol, l)
     val freq = wins.groupBy("wk")
       .agg(countDistinct(col("doc_id")).as("docs"))
       .filter(col("docs") >= minDocs)
       .select("wk")
+    spanReport(docs, textCol, idCol, wins, freq)
+  }
+
+  /** (doc_id, st, ntok, wk) stride-1 l-token window keys of a corpus —
+    * the shared front half of the exact-span family. Stride 1 => start ==
+    * chunk_idx; short docs (n <= l) emit their one whole-doc window, the
+    * same rule in both engines. Map-only. */
+  private def windowKeys(
+      docs: DataFrame, textCol: String, idCol: String, l: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        Generators.chunkExplode(col(textCol), l, 1).as(Seq("st", "ntok", "win")))
+      .select(col("doc_id"), col("st"), col("ntok"), md5(col("win")).as("wk"))
+
+  /** Shared back half: join a corpus' window keys against a (wk)
+    * frequent-window relation, merge the hits per doc into maximal
+    * spans (gaps-and-islands: a span breaks where the next start clears
+    * every prior end), report per doc. */
+  private def spanReport(
+      docs: DataFrame, textCol: String, idCol: String,
+      wins: DataFrame, freq: DataFrame): DataFrame = {
     val marked = wins.join(freq, "wk")
       .select(col("doc_id"), col("st").as("lo"), (col("st") + col("ntok")).as("hi"))
-    // gaps-and-islands over one row per (doc, start): a span breaks where
-    // the next start clears every prior end (lo > running max hi)
     val wDoc = Window.partitionBy("doc_id").orderBy(col("lo").asc)
     val spans = marked
       .withColumn("prev_hi", max(col("hi")).over(
@@ -1325,8 +1338,9 @@ object DedupOps {
         wDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "isl")
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
-    val nTok = base.select(col("doc_id"),
-        size(filter(split(col("text"), " +"), t => t =!= ""))
+    val nTok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " +"), t => t =!= ""))
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     spans.groupBy("doc_id")
@@ -1338,6 +1352,42 @@ object DedupOps {
         col("dup_tokens"), col("max_span"),
         expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** The span family's PERSISTED ARTIFACT (the bandKeyIndex / ivfPqIndex
+    * convention applied at window granularity): the distinct md5 keys of
+    * every stride-1 l-token window occurring in >= minDocs DISTINCT
+    * corpus docs — one 16-byte-key row per frequent window, the only
+    * corpus-derived input the ingest-time screen needs. Build once per
+    * epoch, persist, screen every arriving shard without re-reading
+    * corpus text. */
+  def frequentWindowIndex(
+      docs: DataFrame, textCol: String, idCol: String,
+      l: Int, minDocs: Int): DataFrame = {
+    require(l >= 1, s"window width must be >= 1: $l")
+    require(minDocs >= 1, s"minDocs must be >= 1: $minDocs")
+    windowKeys(docs, textCol, idCol, l)
+      .groupBy("wk")
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select("wk")
+  }
+
+  /** INGEST-TIME exact span screen — [[exactDupSpans]]'s delta form (the
+    * q97 / q98 persisted-index pattern): arriving shard docs report the
+    * maximal spans they share with the CORPUS' frequent windows
+    * ([[frequentWindowIndex]]), not with each other. The shard's window
+    * keys are map-only; the only join is shard-windows x index keyed on
+    * wk; corpus text is never touched — at 100 TB the screen's cost is
+    * the SHARD's size plus one index join, whatever the corpus size.
+    * A doc with no indexed span is absent (it carries no boilerplate the
+    * corpus already has). Output shape = [[exactDupSpans]]. */
+  def exactDupSpansAgainstIndex(
+      shard: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"window width must be >= 1: $l")
+    spanReport(shard, textCol, idCol,
+      windowKeys(shard, textCol, idCol, l), index.select("wk"))
   }
 
   /** EXACT cross-source shingle overlap — the audit row for

@@ -425,6 +425,43 @@ SELECT agg.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
 FROM agg JOIN nt ON agg.doc_id = nt.doc_id
 ORDER BY agg.doc_id"""
 
+  /** Mirror of [[graft.ops.DedupOps.exactDupSpansAgainstIndex]] over an
+    * id-parity shard split: the frequent-window index is built from the
+    * CORPUS side only (`corpusPred`), the span report covers the SHARD
+    * side only (`shardPred`) — same window rule, md5 key, island merge
+    * and ppm as [[exactDupSpans]]. */
+  def exactDupSpansAgainstIndex(
+      table: String, l: Int, minDocs: Int,
+      shardPred: String, corpusPred: String): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 1)) AS st FROM t2),
+wins AS (SELECT doc_id, st,
+    md5(array_to_string(tk[st+1 : least(st+$l, len(tk))], ' ')) AS wk,
+    least(st+$l, len(tk)) - st AS ntok
+  FROM st WHERE st = 0 OR st - 1 + $l < len(tk)),
+idx AS (SELECT wk FROM wins WHERE $corpusPred GROUP BY wk
+  HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+mk AS (SELECT doc_id, st AS lo, st + ntok AS hi FROM wins
+  JOIN idx USING (wk) WHERE $shardPred),
+isl AS (SELECT doc_id, lo, hi, CASE WHEN lo > COALESCE(MAX(hi) OVER (
+      PARTITION BY doc_id ORDER BY lo
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+  FROM mk),
+grp AS (SELECT doc_id, lo, hi, SUM(brk) OVER (PARTITION BY doc_id ORDER BY lo
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM isl),
+sp AS (SELECT doc_id, isl, MIN(lo) AS lo, MAX(hi) AS hi FROM grp GROUP BY doc_id, isl),
+nt AS (SELECT doc_id, len(tk) AS n_tokens FROM t2 WHERE $shardPred),
+agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(hi - lo) AS dup_tokens,
+    MAX(hi - lo) AS max_span FROM sp GROUP BY doc_id)
+SELECT agg.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+  CAST(agg.n_spans AS BIGINT) AS n_spans,
+  CAST(agg.dup_tokens AS BIGINT) AS dup_tokens,
+  CAST(agg.max_span AS BIGINT) AS max_span,
+  CAST(agg.dup_tokens * 1000000 // nt.n_tokens AS BIGINT) AS dup_ppm
+FROM agg JOIN nt ON agg.doc_id = nt.doc_id
+ORDER BY agg.doc_id"""
+
   /** Mirror of [[graft.ops.DedupOps.dupAttribution]]: same md5 cluster
     * key, same min-id keeper (doc_id is unique, so `arg_min` equals the
     * engine's lexicographic struct-min), same cross-group test, same

@@ -469,6 +469,37 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((2L, 2L, 1000000L)), 2L -> ((2L, 2L, 1000000L))))
   }
 
+  test("span screen delta: shard reports corpus boilerplate only, index survives write/reload") {
+    import spark.implicits._
+    // corpus docs 10/11 share the B-run (frequent at minDocs=2); shard
+    // docs 1/2 ALSO share an S-run absent from the corpus — the delta
+    // form must flag doc 1's B-run and stay silent on the shard-shard
+    // duplicate (that is q179's job, not the ingest screen's)
+    val corpus = Seq(
+      (10L, "B1 B2 B3 c1 c2"), (11L, "c3 B1 B2 B3 c4"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (1L, "s1 B1 B2 B3 S1 S2 S3"), (2L, "S1 S2 S3 s2 s3 s4 s5"))
+      .toDF("doc_id", "text")
+    val index = DedupOps.frequentWindowIndex(corpus, "text", "doc_id",
+      l = 3, minDocs = 2)
+    val out = DedupOps.exactDupSpansAgainstIndex(shard, index,
+      "text", "doc_id", l = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(1L -> ((7L, 1L, 3L, 3L))),
+      s"only doc 1's corpus-shared B-run is an indexed span: $out")
+    // the persisted-artifact contract: write -> fresh reload -> the
+    // screen reproduces its verdicts bit-identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanidx").toString
+    index.write.parquet(s"$dir/windows")
+    val reloaded = DedupOps.exactDupSpansAgainstIndex(shard,
+      spark.read.parquet(s"$dir/windows"), "text", "doc_id", l = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(reloaded == DedupOps.exactDupSpansAgainstIndex(shard, index,
+      "text", "doc_id", l = 3).collect().map(_.toSeq).toSeq)
+  }
+
   test("lexical cosine pairs: weighted occurrences, integer-exact squared cosine") {
     import spark.implicits._
     // doc 1 repeats its grams: "x y" and "y x" carry tf = 2 (an
