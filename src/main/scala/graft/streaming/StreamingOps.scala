@@ -160,6 +160,90 @@ object StreamingOps {
         col("best.jaccard").as("jaccard"))
   }
 
+  /** Streaming EXACT-SPAN screen: the live sibling of
+    * [[graft.ops.DedupOps.exactDupSpansAgainstIndex]] — each arriving doc
+    * reports the maximal token spans it shares with the STATIC corpus
+    * window index ([[graft.ops.DedupOps.frequentWindowIndex]], the span
+    * family's persisted artifact), the boilerplate-at-ingest check next
+    * to [[streamingNearDupScreen]]'s whole-doc verdicts.
+    *
+    * Stream-side window keys are MAP-ONLY (the one-pass ChunkExplode
+    * generator, stride 1); the index join holds no stream state and
+    * re-plans per micro-batch; the only streaming state is the final
+    * watermark-bounded per-doc aggregation. Structured Streaming forbids
+    * the batch form's per-doc window functions, so the maximal-span
+    * merge runs as a PURE EXPRESSION instead: collect the doc's hit
+    * intervals, sort, and fold gaps-and-islands in one `aggregate` HOF —
+    * bit-identical to the batch island merge (agreement spec-pinned,
+    * incl. across micro-batch splits). Emits the batch op's row shape
+    * (doc_id, n_tokens, n_spans, dup_tokens, max_span, dup_ppm) in
+    * Append mode once the watermark closes the doc's event time.
+    *
+    * 100 TB shape: per micro-batch cost is the batch's own l× window
+    * stream plus one index join — corpus text is never touched (the
+    * index is one 16-byte key per frequent window). */
+  def streamingSpanScreen(
+      newDocs: DataFrame, windowIndex: DataFrame,
+      textCol: String, idCol: String, tsCol: String, watermarkDelay: String,
+      l: Int): DataFrame = {
+    require(l >= 1, s"window width must be >= 1: $l")
+    val marked = newDocs
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        size(filter(split(col(textCol), " +"), t => t =!= ""))
+          .cast("long").as("n_tokens"),
+        graft.functions.Generators.chunkExplode(col(textCol), l, 1)
+          .as(Seq("st", "ntok", "win")))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("__ts"), col("n_tokens"), col("st"),
+        col("ntok"), md5(col("win")).as("wk"))
+      .join(windowIndex.select("wk"), "wk")
+      .select(col("doc_id"), col("__ts"), col("n_tokens"),
+        struct(col("st").as("lo"), (col("st") + col("ntok")).as("hi")).as("iv"))
+    val init = struct(lit(0L).as("n"), lit(0L).as("dup"), lit(0L).as("mx"),
+      lit(-1L).as("clo"), lit(-1L).as("chi"))
+    def closed(a: org.apache.spark.sql.Column)
+        : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+           org.apache.spark.sql.Column) = {
+      val len = a.getField("chi") - a.getField("clo")
+      (a.getField("n") + lit(1L), a.getField("dup") + len,
+        greatest(a.getField("mx"), len))
+    }
+    // gaps-and-islands as a fold over the sorted intervals: extend the
+    // open span while lo <= current hi, close it (count + mass + max)
+    // when the next start clears every prior end — the batch window
+    // form's exact arithmetic, expression-only
+    val merged = aggregate(
+      array_sort(collect_list(col("iv"))),
+      init,
+      (a, iv) => {
+        val lo = iv.getField("lo")
+        val hi = iv.getField("hi")
+        val (cn, cdup, cmx) = closed(a)
+        when(a.getField("chi") < 0L,
+          struct(lit(0L).as("n"), lit(0L).as("dup"), lit(0L).as("mx"),
+            lo.as("clo"), hi.as("chi")))
+          .when(lo > a.getField("chi"),
+            struct(cn.as("n"), cdup.as("dup"), cmx.as("mx"),
+              lo.as("clo"), hi.as("chi")))
+          .otherwise(struct(a.getField("n").as("n"), a.getField("dup").as("dup"),
+            a.getField("mx").as("mx"), a.getField("clo").as("clo"),
+            greatest(a.getField("chi"), hi).as("chi")))
+      },
+      a => {
+        val (cn, cdup, cmx) = closed(a)
+        struct(cn.as("n"), cdup.as("dup"), cmx.as("mx"))
+      })
+    marked
+      .groupBy(col("__ts"), col("doc_id"), col("n_tokens"))
+      .agg(merged.as("sp"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sp.n").as("n_spans"), col("sp.dup").as("dup_tokens"),
+        col("sp.mx").as("max_span"),
+        expr("sp.dup * 1000000 div n_tokens").as("dup_ppm"))
+  }
+
   /** PRODUCTION ingest loop for the persisted near-dup index: a
     * `foreachBatch` writer that screens each micro-batch against the
     * on-disk [[graft.ops.DedupOps.bandKeyIndex]] +

@@ -10,6 +10,62 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   private def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000)
 
+  test("streaming span screen agrees with the batch index screen, incl. split micro-batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // corpus shares the 4-token B-run: index (l=3, minDocs=2) holds
+    // "B1 B2 B3" and "B2 B3 B4" — shard doc 1's overlapping hits must
+    // MERGE to one 4-token span, doc 3's disjoint hits must stay two
+    val corpus = Seq((10L, "B1 B2 B3 B4 c1"), (11L, "c2 B1 B2 B3 B4"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.DedupOps.frequentWindowIndex(
+      corpus, "text", "doc_id", l = 3, minDocs = 2)
+    val shardRows = Seq(
+      (1L, "s1 B1 B2 B3 B4 S1"),
+      (2L, "S1 S2 S3 s2"),
+      (3L, "B1 B2 B3 z B2 B3 B4"))
+    val batch = graft.ops.DedupOps.exactDupSpansAgainstIndex(
+      shardRows.toDF("doc_id", "text"), index, "text", "doc_id", l = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(batch == Seq(
+      Seq(1L, 6L, 1L, 4L, 4L, 666666L),
+      Seq(3L, 7L, 2L, 6L, 3L, 857142L)), s"batch fixture drifted: $batch")
+
+    def run(name: String)(feed: (MemoryStream[(Long, String, java.sql.Timestamp)],
+        org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[Seq[Any]] = {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = StreamingOps.streamingSpanScreen(
+        in.toDF().toDF("doc_id", "text", "ts"), index,
+        "text", "doc_id", "ts", "0 seconds", l = 3)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        feed(in, q)
+        in.addData((98L, "w a t e r m a r k advance one", ts(5000)))
+        q.processAllAvailable()
+        in.addData((99L, "w a t e r m a r k advance two", ts(10000)))
+        q.processAllAvailable()
+        spark.sql(s"SELECT * FROM $name WHERE doc_id < 90 ORDER BY doc_id")
+          .collect().map(_.toSeq).toSeq
+      } finally q.stop()
+    }
+    val oneBatch = run("spanscreen") { (in, q) =>
+      in.addData(shardRows.map { case (id, t) => (id, t, ts(100)) }: _*)
+      q.processAllAvailable()
+    }
+    assert(oneBatch == batch, s"stream/batch divergence: $oneBatch vs $batch")
+    // the screen is per-doc stateless up to the watermarked aggregation:
+    // docs split across micro-batches produce the same verdicts
+    val split = run("spanscreen2") { (in, q) =>
+      in.addData((shardRows(0)._1, shardRows(0)._2, ts(100)))
+      q.processAllAvailable()
+      in.addData((shardRows(1)._1, shardRows(1)._2, ts(200)),
+        (shardRows(2)._1, shardRows(2)._2, ts(200)))
+      q.processAllAvailable()
+    }
+    assert(split == batch, s"split-batch divergence: $split vs $batch")
+  }
+
   test("keyword pipeline runs unchanged on a stream (windowed counts)") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
