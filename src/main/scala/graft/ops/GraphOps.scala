@@ -354,7 +354,8 @@ object GraphOps {
     * [[RelationalOps.integerCorrelation]]'s exact DECIMAL moments plus
     * one pinned double — bit-stable on any partitioning. Output: one row
     * (n_pairs = directed edge count, corr; NULL for degree-regular
-    * graphs via the integer-exact zero-variance guard). */
+    * graphs via the integer-exact zero-variance guard). Measured sf0.1:
+    * 2.8 s over the shared 1.2M-edge artifact, growth excess 0.36. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     // no edge checkpoint here: the canonical callers pass an already
     // materialized relation ([[symmetricEdgesShared]] / [[readEdges]]),

