@@ -244,6 +244,45 @@ object StreamingOps {
         expr("sp.dup * 1000000 div n_tokens").as("dup_ppm"))
   }
 
+  /** PRODUCTION ingest loop for the persisted WINDOW index — the span
+    * family's growing-index half ([[nearDupIngest]]'s contract at window
+    * granularity): each micro-batch screens against the on-disk
+    * [[graft.ops.DedupOps.frequentWindowIndex]] artifact
+    * ([[streamingSpanScreen]]'s static side), then APPENDS its own docs'
+    * distinct window keys, so later batches report spans shared with
+    * EVERYTHING seen before — arriving boilerplate is flagged the moment
+    * its first copy is anywhere in the ingested past, which the
+    * stream-static join alone cannot express (its static side is re-read
+    * per batch but never grows mid-query from the stream itself).
+    *
+    * Unlike the near-dup loop this screen does not BLOCK docs — it
+    * REPORTS span mass and appends every doc's windows (minDocs = 1, the
+    * ingest question being "has this span been seen AT ALL"; curation
+    * downstream decides what to do with high-dup_ppm docs). Duplicate
+    * keys across index epochs are harmless: repeated hit intervals merge
+    * into the same island, so the report is epoch-layout-independent.
+    * Layout contract = [[nearDupIngest]]: hive `batch=<id>` partitions,
+    * the seed epoch at `batch=-1`, each batch OVERWRITING its own
+    * partition (idempotent retried micro-batches).
+    * `onBatch(report, batchId)` gets the per-batch
+    * [[graft.ops.DedupOps.exactDupSpansAgainstIndex]]-shaped report. */
+  def spanIngest(
+      docs: DataFrame, indexDir: String,
+      textCol: String, idCol: String, l: Int,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      // the micro-batch feeds the screen and its own index append — pin
+      // it once instead of recomputing the source per consumer
+      val b = batch.localCheckpoint()
+      val report = graft.ops.DedupOps.exactDupSpansAgainstIndex(
+        b, spark.read.parquet(indexDir), textCol, idCol, l).localCheckpoint()
+      graft.ops.DedupOps.frequentWindowIndex(b, textCol, idCol, l, minDocs = 1)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      onBatch(report, batchId)
+    }
+
   /** PRODUCTION ingest loop for the persisted near-dup index: a
     * `foreachBatch` writer that screens each micro-batch against the
     * on-disk [[graft.ops.DedupOps.bandKeyIndex]] +

@@ -66,6 +66,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(split == batch, s"split-batch divergence: $split vs $batch")
   }
 
+  test("span ingest loop grows the window index: later batches see earlier spans") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spaningest").toString
+    // seed epoch (batch=-1): one corpus doc's windows
+    graft.ops.DedupOps.frequentWindowIndex(
+      Seq((10L, "B1 B2 B3 c1 c2")).toDF("doc_id", "text"),
+      "text", "doc_id", l = 3, minDocs = 1)
+      .write.parquet(s"$dir/index/batch=-1")
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Seq[Any]])]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.spanIngest(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index", "text", "doc_id", l = 3,
+      onBatch = (report, id) => reports.synchronized {
+        reports += ((id, report.collect().map(_.toSeq).toSeq))
+      }).start()
+    try {
+      // batch 0: doc 20 carries the SEED boilerplate, doc 21 is novel
+      in.addData((20L, "x B1 B2 B3 y"), (21L, "N1 N2 N3 N4 N5"))
+      q.processAllAvailable()
+      // batch 1: doc 30 repeats batch 0's NOVEL doc — only catchable if
+      // doc 21's windows were appended to the index
+      in.addData((30L, "N1 N2 N3 N4 z1 z2"))
+      q.processAllAvailable()
+      val byId = reports.sortBy(_._1).toSeq
+      assert(byId.map(_._1) == Seq(0L, 1L))
+      assert(byId(0)._2 == Seq(Seq(20L, 5L, 1L, 3L, 3L, 600000L)),
+        s"batch 0 must flag only the seed boilerplate: ${byId(0)._2}")
+      assert(byId(1)._2 == Seq(Seq(30L, 6L, 1L, 4L, 4L, 666666L)),
+        s"batch 1 must span-match the batch-0 survivor: ${byId(1)._2}")
+    } finally q.stop()
+  }
+
   test("keyword pipeline runs unchanged on a stream (windowed counts)") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
