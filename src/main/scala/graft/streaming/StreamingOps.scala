@@ -258,12 +258,29 @@ object StreamingOps {
     * Unlike the near-dup loop this screen does not BLOCK docs — it
     * REPORTS span mass and appends every doc's windows (minDocs = 1, the
     * ingest question being "has this span been seen AT ALL"; curation
-    * downstream decides what to do with high-dup_ppm docs). Duplicate
-    * keys across index epochs are harmless: repeated hit intervals merge
-    * into the same island, so the report is epoch-layout-independent.
+    * downstream decides what to do with high-dup_ppm docs). The append
+    * is DEDUPLICATED against the index the batch just screened against
+    * (one left-anti join on the already-read wk relation): without it,
+    * boilerplate present in every batch would gain one index copy per
+    * epoch, so after B batches the screen join would emit B matched rows
+    * per hit window — join work growing linearly with stream age for
+    * exactly the windows the screen exists to catch. (The REPORT would
+    * stay correct either way — repeated hit intervals merge into one
+    * island — but the COST would not; the anti-join keeps the index's
+    * key multiset globally distinct.)
     * Layout contract = [[nearDupIngest]]: hive `batch=<id>` partitions,
     * the seed epoch at `batch=-1`, each batch OVERWRITING its own
-    * partition (idempotent retried micro-batches).
+    * partition. Retry safety: the index read EXCLUDES the current
+    * batchId's partition, so a micro-batch replayed after its partition
+    * was written (crash between the parquet write and the streaming
+    * commit) screens against the same index state as the original
+    * attempt and rewrites the same partition content — without the
+    * exclusion, a replay would read its OWN previously-appended windows
+    * (minDocs = 1) and report every doc, novel ones included, as
+    * near-fully self-duplicated. For long-running streams, periodically
+    * fold the accumulated `batch=*` partitions into one via
+    * [[graft.io.Sinks.compactBatches]] (operational file-count hygiene;
+    * the key multiset is already distinct).
     * `onBatch(report, batchId)` gets the per-batch
     * [[graft.ops.DedupOps.exactDupSpansAgainstIndex]]-shaped report. */
   def spanIngest(
@@ -272,16 +289,34 @@ object StreamingOps {
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      // the micro-batch feeds the screen and its own index append — pin
-      // it once instead of recomputing the source per consumer
-      val b = batch.localCheckpoint()
-      val report = graft.ops.DedupOps.exactDupSpansAgainstIndex(
-        b, spark.read.parquet(indexDir), textCol, idCol, l).localCheckpoint()
-      graft.ops.DedupOps.frequentWindowIndex(b, textCol, idCol, l, minDocs = 1)
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-      onBatch(report, batchId)
+      onBatch(spanIngestBatch(batch, batchId, indexDir, textCol, idCol, l), batchId)
     }
+
+  /** One [[spanIngest]] micro-batch — screen, anti-joined append, report.
+    * Package-visible so the spec can drive a REPLAYED batch (same
+    * batchId, partition already on disk) directly, which MemoryStream
+    * cannot simulate. */
+  private[graft] def spanIngestBatch(
+      batch: DataFrame, batchId: Long, indexDir: String,
+      textCol: String, idCol: String, l: Int): DataFrame = {
+    val spark = batch.sparkSession
+    // the micro-batch feeds the screen and its own index append — pin
+    // it once instead of recomputing the source per consumer
+    val b = batch.localCheckpoint()
+    // Index keys minus this batch's own partition (retry safety, above).
+    // NOT checkpointed: it feeds two actions, but two pruned scans of a
+    // 16-byte-key parquet column beat pinning the whole index — at
+    // corpus scale this relation is the thing too big to cache per batch.
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("batch") =!= batchId)
+      .select("wk")
+    val report = graft.ops.DedupOps.exactDupSpansAgainstIndex(
+      b, idx, textCol, idCol, l).localCheckpoint()
+    graft.ops.DedupOps.frequentWindowIndex(b, textCol, idCol, l, minDocs = 1)
+      .join(idx, Seq("wk"), "left_anti")
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    report
+  }
 
   /** PRODUCTION ingest loop for the persisted near-dup index: a
     * `foreachBatch` writer that screens each micro-batch against the

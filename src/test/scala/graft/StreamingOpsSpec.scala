@@ -99,6 +99,73 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span ingest index stays key-distinct under every-batch boilerplate") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spandistinct").toString
+    graft.ops.DedupOps.frequentWindowIndex(
+      Seq((10L, "B1 B2 B3 c1 c2")).toDF("doc_id", "text"),
+      "text", "doc_id", l = 3, minDocs = 1)
+      .write.parquet(s"$dir/index/batch=-1")
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Seq[Any]])]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.spanIngest(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index", "text", "doc_id", l = 3,
+      onBatch = (report, id) => reports.synchronized {
+        reports += ((id, report.collect().map(_.toSeq).toSeq))
+      }).start()
+    try {
+      // the same boilerplate-bearing text arrives in EVERY batch — the
+      // accumulation regime: without the anti-joined append each epoch
+      // would add one more copy of the already-indexed windows
+      in.addData((20L, "x B1 B2 B3 y")); q.processAllAvailable()
+      in.addData((30L, "x B1 B2 B3 y")); q.processAllAvailable()
+      in.addData((40L, "x B1 B2 B3 y")); q.processAllAvailable()
+      val byId = reports.sortBy(_._1).toSeq
+      assert(byId.map(_._1) == Seq(0L, 1L, 2L))
+      // per-batch reports: batch 0 sees only the seed span; batches 1-2
+      // see the WHOLE text indexed (batch 0 appended its novel windows)
+      // and their reports are identical — stream age changes nothing
+      assert(byId(0)._2 == Seq(Seq(20L, 5L, 1L, 3L, 3L, 600000L)), s"${byId(0)._2}")
+      val full = Seq(Seq(30L, 5L, 1L, 5L, 5L, 1000000L))
+      assert(byId(1)._2 == full, s"${byId(1)._2}")
+      assert(byId(2)._2 == full.map(r => 40L +: r.tail), s"${byId(2)._2}")
+      // the index's key multiset is globally DISTINCT: 3 seed windows +
+      // batch 0's 2 novel ones ("x B1 B2", "B2 B3 y"); batches 1-2
+      // appended nothing (all their windows were already indexed)
+      val wks = spark.read.parquet(s"$dir/index").select("wk")
+        .collect().map(_.getString(0)).toSeq
+      assert(wks.size == 5 && wks.distinct.size == 5,
+        s"index must stay key-distinct across epochs: ${wks.size} keys, " +
+          s"${wks.distinct.size} distinct")
+    } finally q.stop()
+  }
+
+  test("span ingest replay screens against the pre-write index state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanreplay").toString
+    graft.ops.DedupOps.frequentWindowIndex(
+      Seq((10L, "B1 B2 B3 c1 c2")).toDF("doc_id", "text"),
+      "text", "doc_id", l = 3, minDocs = 1)
+      .write.parquet(s"$dir/index/batch=-1")
+    val b = Seq((20L, "N1 N2 N3 N4 N5")).toDF("doc_id", "text")
+    def runBatch(): Seq[Seq[Any]] =
+      StreamingOps.spanIngestBatch(b, 0L, s"$dir/index", "text", "doc_id", l = 3)
+        .collect().map(_.toSeq).toSeq
+    // first attempt: the doc is novel — empty report, windows appended
+    assert(runBatch().isEmpty, "novel doc must produce an empty span report")
+    val afterFirst = spark.read.parquet(s"$dir/index").select("wk")
+      .collect().map(_.getString(0)).sorted.toSeq
+    // REPLAY of the same batchId (crash between the parquet write and the
+    // streaming commit): must screen against the same index state as the
+    // original attempt — not against its own previously-appended windows,
+    // which would report the novel doc as fully self-duplicated
+    assert(runBatch().isEmpty, "replayed batch must not self-match its own windows")
+    val afterReplay = spark.read.parquet(s"$dir/index").select("wk")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(afterReplay == afterFirst, "replay must rewrite identical index content")
+  }
+
   test("keyword pipeline runs unchanged on a stream (windowed counts)") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
