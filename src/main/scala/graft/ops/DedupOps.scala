@@ -492,7 +492,10 @@ object DedupOps {
       minJaccard: Double, maxBucket: Int = 1000): DataFrame =
     candidateHashPairs(docs, textCol, idCol, w, nBands, r, maxBucket)
       .select(col("doc_a"), col("doc_b"),
-        hashSetJaccard(col("__ha"), col("__hb")).as("jaccard"))
+        size(array_intersect(col("__ha"), col("__hb"))).as("__ni"),
+        (size(col("__ha")) + size(col("__hb"))).as("__ns"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardFromNi(col("__ni"), col("__ns")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
   /** MINHASH ESTIMATOR CALIBRATION: for every verified LSH pair, the
@@ -734,11 +737,15 @@ object DedupOps {
       minContainment: Double = 0.8, limit: Int = 50,
       maxBucket: Int = 1000): DataFrame =
     candidateHashPairs(docs, textCol, idCol, w, nBands, r, maxBucket)
+      // intersect size bound ONCE — it feeds the containment AND the
+      // jaccard; set sizes are cheap but bound too for the min/union math
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
-          least(size(col("__ha")), size(col("__hb"))).cast("double"), 6)
-          .as("containment"),
-        hashSetJaccard(col("__ha"), col("__hb")).as("jaccard"))
+        size(array_intersect(col("__ha"), col("__hb"))).as("__ni"),
+        size(col("__ha")).as("__na"), size(col("__hb")).as("__nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__ni").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 6).as("containment"),
+        jaccardFromNi(col("__ni"), col("__na") + col("__nb")).as("jaccard"))
       .filter(col("containment") >= minContainment)
       .orderBy(col("containment").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(limit)
@@ -870,18 +877,25 @@ object DedupOps {
       .join(sigNew.select(col("id").as("sid"), col("hs").as("__hss")), "sid")
       .join(sigOld.select(col("id").as("cid"), col("hs").as("__hsc")), "cid")
       .select(col("sid").as("doc_id"), col("cid").as("near_dup_of"),
-        hashSetJaccard(col("__hss"), col("__hsc")).as("jaccard"))
+        size(array_intersect(col("__hss"), col("__hsc"))).as("__ni"),
+        (size(col("__hss")) + size(col("__hsc"))).as("__ns"))
+      .select(col("doc_id"), col("near_dup_of"),
+        jaccardFromNi(col("__ni"), col("__ns")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .withColumn("__rk", row_number().over(best))
       .filter(col("__rk") === 1).drop("__rk")
       .orderBy("doc_id")
   }
 
-  /** Exact Jaccard of two distinct-element long arrays, 6 dp — the
-    * hash-set verify of the MinHash delta family. */
-  private[graft] def hashSetJaccard(a: Column, b: Column): Column = round(
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double"), 6)
+  /** Exact Jaccard from a BOUND intersection size `ni` and the summed
+    * set sizes `ns` (|A∪B| = |A|+|B|−|A∩B| for distinct sets), 6 dp —
+    * the hash-set verify arithmetic of the MinHash families. Callers
+    * bind `size(array_intersect(…))` ONCE as a named column in the
+    * projection before this one (the lshBandSCurve convention), so each
+    * pair pays exactly one array pass structurally — not via codegen
+    * subexpression elimination, and with no array_union second pass. */
+  private[graft] def jaccardFromNi(ni: Column, ns: Column): Column =
+    round(ni.cast("double") / (ns - ni).cast("double"), 6)
 
   /** Per-doc DISTINCT 28-bit shingle-hash sets, map-only (no shuffle):
     * the verify-side companion of [[bandKeyIndex]] — persisted next to
@@ -940,7 +954,10 @@ object DedupOps {
       .join(corpusHashSets.select(col("id").as("__cid"), col("hs").as("__chs")),
         Seq("__cid"))
       .select(col("doc_id") +: carryCols ++: Seq(col("__cid"),
-        hashSetJaccard(col("__hs"), col("__chs")).as("jaccard")): _*)
+        size(array_intersect(col("__hs"), col("__chs"))).as("__ni"),
+        (size(col("__hs")) + size(col("__chs"))).as("__ns")): _*)
+      .select(col("doc_id") +: carryCols ++: Seq(col("__cid"),
+        jaccardFromNi(col("__ni"), col("__ns")).as("jaccard")): _*)
       .filter(col("jaccard") >= minJaccard)
   }
 
