@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-function coverage of the bench harness's bookkeeping: the JSON
+  * splicing, the committed-summary parsing, the stale-proof
+  * workload-change registry and the cold-start drift rule. No Spark. */
+class BenchSpec extends AnyFunSuite {
+
+  test("jstr escapes quotes, backslashes and control chars") {
+    assert(Bench.jstr("plain") == "\"plain\"")
+    assert(Bench.jstr("a \"quoted\" note") == "\"a \\\"quoted\\\" note\"")
+    assert(Bench.jstr("back\\slash") == "\"back\\\\slash\"")
+    assert(Bench.jstr("tab\there") == "\"tab\\u0009here\"")
+  }
+
+  test("parseNumObject reads the LAST tagged object and tolerates absence") {
+    val txt = """{"queries":{"q1":1.5},"nested":{"queries":{"q1":2.0,"q2":-1.0}}}"""
+    assert(Bench.parseNumObject(txt, "queries") == Map("q1" -> 2.0, "q2" -> -1.0))
+    assert(Bench.parseNumObject(txt, "cold_start") == Map.empty)
+    assert(Bench.parseNumObject("not json at all", "queries") == Map.empty)
+  }
+
+  test("workload registry: matching pin is active, moved prev is stale, absent is stale") {
+    val registry = Seq(
+      ("q_active", 0.26, "intentional sample growth"),
+      ("q_moved", 0.26, "left behind from a prior round"),
+      ("q_gone", 1.0, "query no longer in catalog"))
+    val prev = Map("q_active" -> 0.26, "q_moved" -> 0.51)
+    val (active, stale) = Bench.workloadChangeStatus(registry, prev)
+    assert(active == Seq("q_active" -> "intentional sample growth"))
+    // a stale entry must surface as a visible artifact error and never
+    // waive: both the moved-on pin and the vanished query report
+    assert(stale.size == 2)
+    assert(stale.exists(s => s.contains("q_moved") && s.contains("0.51")))
+    assert(stale.exists(s => s.contains("q_gone") && s.contains("absent")))
+  }
+
+  test("coldStartRegressed flags only past-threshold drifts with a positive prev") {
+    val prev = Map("a" -> 2.0, "b" -> 2.0, "c" -> -1.0)
+    val cur = Seq("a" -> 3.0, "b" -> 2.2, "c" -> 9.0, "d" -> 9.0)
+    val got = Bench.coldStartRegressed(cur, prev, flag = 1.3)
+    assert(got == Seq("a" -> 1.5)) // b under flag; c has no valid prev; d is new
+  }
+}
