@@ -638,14 +638,15 @@ c AS MATERIALIZED (SELECT comps.vid, comps.i, CAST(comps.m - mu.mu AS HUGEINT) A
 cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.cv * b.cv) AS cij
   FROM c a JOIN c b ON a.vid = b.vid GROUP BY a.i, b.i),
 tr AS (SELECT SUM(cij) AS trace FROM cov WHERE i = j),
-nv AS (SELECT MAX(n) AS n_vecs FROM mu),
+nv AS (SELECT COALESCE(MAX(n), 0) AS n_vecs FROM mu),
 v0 AS MATERIALIZED (SELECT i, CAST(1000 AS HUGEINT) AS v FROM mu),
 $rounds,
 num AS (SELECT SUM(a.v * cov.cij * b.v) AS num
   FROM cov JOIN v$iters a ON a.i = cov.i JOIN v$iters b ON b.i = cov.j),
 den AS (SELECT SUM(v * v) AS den FROM v$iters)
 SELECT CAST(nv.n_vecs AS BIGINT) AS n_vecs, CAST($dim AS BIGINT) AS dim,
-  CAST(tr.trace // nv.n_vecs AS BIGINT) AS mean_scatter,
+  CASE WHEN nv.n_vecs > 0 THEN CAST(tr.trace // nv.n_vecs AS BIGINT)
+    ELSE NULL END AS mean_scatter,
   CASE WHEN tr.trace > 0
     THEN CAST((num.num * 1000000) // (den.den * tr.trace) AS BIGINT)
     ELSE NULL END AS top_share_ppm,

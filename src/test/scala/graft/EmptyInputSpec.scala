@@ -78,7 +78,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q181_lexical_embedding_agreement" -> 1L,
     "q182_degree_assortativity" -> 1L,
     // anisotropy is ungrouped aggregates cross-joined: one row with
-    // n_vecs 0 and null scatter/share on both engines
+    // n_vecs 0 (Scala coerces, the mirror COALESCEs its MAX(n) — without
+    // that the engines would disagree 0 vs NULL here) and null
+    // scatter/share on both engines
     "q183_embedding_anisotropy" -> 1L)
 
   test("every declared query matches its oracle's empty-input semantics, never throws") {
