@@ -429,9 +429,11 @@ object Queries {
     ("q128_knn_graph_refined",
       // cross-cell-seeded NN-descent refinement of the cell-local kNN
       // graph (one round, every node in a deterministic md5 pseudo-cell):
-      // the form whose recall measurably beats the base graph
-      // (RECALL.json: 0.33 vs 0.14 at rounds=2) — now oracle-checked at
-      // rounds=1 via the unrolled candidate-round mirror
+      // recall at THIS gate shape is committed — RECALL.json
+      // knn_graph_refined[q128:cmod=50,k=3,rounds=1,xbuckets=100] =
+      // 0.2022 vs the unrefined graph's 0.1385 (the knob-sweep rows show
+      // coverage scaling further: 0.47 at xbuckets=20) — oracle-checked
+      // via the unrolled candidate-round mirror
       (s: SparkSession, dir: String) =>
         SimilarityOps.knnGraphRefined(Tables.embeddings(s, dir), "vec_id", "embedding",
           centroidMod = 50, kNbrs = 3, rounds = 1, crossBuckets = 100),

@@ -158,6 +158,16 @@ object RecallBench {
       m("knn_graph_refined[xseed:cmod=50,k=3,rounds=2,xbuckets=20]", bfAllk3,
         SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
           rounds = 2, crossBuckets = 20), qCol = "vec_id"),
+      // the GATE parameterization — exactly what q128 runs (the r10
+      // verdict's ask: the committed recall table must contain the shape
+      // the oracle actually checks, not only the knob-sweep shapes).
+      // rounds=1 with xbuckets=100 is sized for an oracle-checkable
+      // unrolled SQL mirror, so its recall sits below the xseed rows
+      // above: coverage (xbuckets) is the binding knob, and 100 buckets
+      // seed n²/100 cross-pairs vs xbuckets=40's n²/40
+      m("knn_graph_refined[q128:cmod=50,k=3,rounds=1,xbuckets=100]", bfAllk3,
+        SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
+          rounds = 1, crossBuckets = 100), qCol = "vec_id"),
       m("knn_graph_refined[xseed:cmod=50,k=3,rounds=4,xbuckets=40]", bfAllk3,
         SimilarityOps.knnGraphRefined(emb, id, v, centroidMod = 50, kNbrs = 3,
           rounds = 4, crossBuckets = 40), qCol = "vec_id"),
