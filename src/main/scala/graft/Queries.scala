@@ -1121,7 +1121,9 @@ GROUP BY segment ORDER BY segment""")),
       (s: SparkSession, dir: String) =>
         MultimodalOps.imageDecodeStats(
           MultimodalOps.imageCorpus(s, Tables.documents(s, dir)))
-          .orderBy("doc_id"),
+          // pinned before the total sort — the range sort's bounds
+          // sampling would run the decode chain twice (q94's fix)
+          .localCheckpoint().orderBy("doc_id"),
       Some(graft.sql.MultimodalSql.imageDecodeStats("documents"))),
 
     ("q135_image_ahash",
@@ -1133,7 +1135,9 @@ GROUP BY segment ORDER BY segment""")),
       (s: SparkSession, dir: String) =>
         MultimodalOps.imageAHash(
           MultimodalOps.imageCorpus(s, Tables.documents(s, dir)))
-          .orderBy("doc_id"),
+          // pinned before the total sort — the range sort's bounds
+          // sampling would run the decode chain twice (q94's fix)
+          .localCheckpoint().orderBy("doc_id"),
       Some(graft.sql.MultimodalSql.imageAHash("documents"))),
 
     ("q136_image_ahash_pairs",
@@ -1668,7 +1672,9 @@ GROUP BY segment ORDER BY segment""")),
       (s: SparkSession, dir: String) =>
         MultimodalOps.videoDecodeStats(
           MultimodalOps.videoCorpus(s, Tables.documents(s, dir)))
-          .orderBy("doc_id"),
+          // pinned before the total sort — the range sort's bounds
+          // sampling would run the decode chain twice (q94's fix)
+          .localCheckpoint().orderBy("doc_id"),
       Some(graft.sql.MultimodalSql.videoDecodeStats("documents"))),
 
     ("q127_video_mjpeg_decode",
@@ -1681,7 +1687,9 @@ GROUP BY segment ORDER BY segment""")),
       (s: SparkSession, dir: String) =>
         MultimodalOps.videoDecodeStats(
           MultimodalOps.videoCorpusMjpeg(s, Tables.documents(s, dir)))
-          .orderBy("doc_id"),
+          // pinned before the total sort — the range sort's bounds
+          // sampling would run the decode chain twice (q94's fix)
+          .localCheckpoint().orderBy("doc_id"),
       Some(graft.sql.MultimodalSql.videoDecodeStatsMjpeg("documents"))),
 
     ("q100_inverted_index",
