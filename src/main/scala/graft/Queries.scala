@@ -1651,15 +1651,44 @@ GROUP BY segment ORDER BY segment""")),
         l = 8, minDocs = 1,
         shardPred = "doc_id % 3 = 0", corpusPred = "doc_id % 3 <> 0"))),
 
+    ("q185_compressed_audio_headers",
+      // REAL mp3/ADTS-AAC HEADER metadata (the r10 verdict's stub-shrink
+      // ask): one bit-real compressed frame stream per doc (mp3 even
+      // ids, aac odd), walked by the published header arithmetic —
+      // bitrate/rate index tables, per-frame padding, 13-bit ADTS
+      // lengths — for rate/channels/bitrate/frames/duration/bytes. The
+      // waveform payload stays honestly stubbed (no JDK codec); the
+      // METADATA is now real parse, oracle-checked against the
+      // generator's closed form.
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.compressedAudioHeaderStats(
+          MultimodalOps.compressedAudioCorpus(s, Tables.documents(s, dir)))
+          // pinned before the total sort (the q94 convention)
+          .localCheckpoint().orderBy("doc_id"),
+      Some(graft.sql.MultimodalSql.compressedAudioHeaderStats("documents"))),
+
+    ("q186_audio_catalog_summary",
+      // corpus-hours audit over the compressed corpus: per format,
+      // clips/frames/bytes/duration totals + rate envelope + mono share,
+      // every number off the real header walk — the decode-budget
+      // planning row, aggregated map-side to formats rows
+      (s: SparkSession, dir: String) =>
+        MultimodalOps.compressedAudioCatalogSummary(
+          MultimodalOps.compressedAudioCorpus(s, Tables.documents(s, dir))),
+      Some(graft.sql.MultimodalSql.compressedAudioCatalogSummary("documents"))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats
       // come off the decoded stream. Lossless PCM makes decode-vs-formula
       // exact, so the oracle recomputes the generator in closed form.
+      // stats pinned before the total sort: the range sort SAMPLES its
+      // child for partition bounds, which would run the whole
+      // synth->encode->decode chain twice; the checkpoint is 6 longs/row
       (s: SparkSession, dir: String) =>
         MultimodalOps.audioDecodeStats(
           MultimodalOps.audioCorpus(s, Tables.documents(s, dir)))
-          .orderBy("doc_id"),
+          .localCheckpoint().orderBy("doc_id"),
       Some(graft.sql.MultimodalSql.audioDecodeStats("documents"))),
 
     ("q95_video_decode_stats",

@@ -101,6 +101,62 @@ ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
     * stream; PCM is lossless, so those must equal this closed-form
     * recomputation of the generator formula. A decoder that mangled the
     * RIFF header, endianness, or any sample value hash-diverges. */
+  /** Mirror of [[graft.ops.MultimodalOps.compressedAudioHeaderStats]]
+    * over [[graft.ops.MultimodalOps.compressedAudioCorpus]]: the engine
+    * walks REAL MPEG-1 Layer III / ADTS frame headers bit by bit
+    * (bitrate + rate index tables, spec frame-length arithmetic,
+    * per-frame padding) and this recomputes the generator's closed form
+    * — a parser that misread any index table, the 13-bit ADTS length
+    * split, or the 144·bitrate/rate walk hash-diverges on frame counts
+    * or byte totals. ADTS carries no header bitrate: NULL for aac. */
+  def compressedAudioHeaderStats(table: String): String =
+    s"""WITH u AS (
+  SELECT doc_id, 'mp3' AS format,
+    list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1) AS sample_rate,
+    CASE WHEN (doc_id // 2) % 4 = 3 THEN 1 ELSE 2 END AS channels,
+    list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+      CAST(doc_id % 14 AS INT) + 1) AS bitrate_kbps,
+    2 + doc_id % 5 AS n_frames, 1152 AS spf
+  FROM $table WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'aac' AS format,
+    list_extract([48000, 44100, 32000, 24000], CAST(doc_id % 4 AS INT) + 1) AS sample_rate,
+    1 + (doc_id // 2) % 2 AS channels,
+    NULL AS bitrate_kbps,
+    2 + doc_id % 5 AS n_frames, 1024 AS spf
+  FROM $table WHERE doc_id % 2 = 1),
+fr AS (SELECT doc_id, format, bitrate_kbps, sample_rate,
+  unnest(range(0, n_frames)) AS f FROM u),
+fl AS (SELECT doc_id,
+  SUM(CASE WHEN format = 'mp3'
+    THEN 144000 * bitrate_kbps // sample_rate + (doc_id + f) % 2
+    ELSE 71 + (doc_id + f) % 50 END) AS total_bytes
+  FROM fr GROUP BY doc_id)
+SELECT u.doc_id, u.format,
+  CAST(u.sample_rate AS BIGINT) AS sample_rate,
+  CAST(u.channels AS BIGINT) AS channels,
+  CAST(u.bitrate_kbps AS BIGINT) AS bitrate_kbps,
+  CAST(u.n_frames AS BIGINT) AS n_frames,
+  CAST(u.spf AS BIGINT) AS samples_per_frame,
+  CAST(u.n_frames * u.spf * 1000 // u.sample_rate AS BIGINT) AS duration_ms,
+  CAST(fl.total_bytes AS BIGINT) AS total_bytes
+FROM u JOIN fl USING (doc_id)
+ORDER BY doc_id"""
+
+  /** Mirror of [[graft.ops.MultimodalOps.compressedAudioCatalogSummary]]:
+    * the header-stats closed form wrapped in the same format-keyed
+    * aggregate. */
+  def compressedAudioCatalogSummary(table: String): String =
+    s"""WITH h AS (${compressedAudioHeaderStats(table)})
+SELECT format, CAST(COUNT(*) AS BIGINT) AS n_clips,
+  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes,
+  CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+  CAST(MIN(sample_rate) AS BIGINT) AS min_sample_rate,
+  CAST(MAX(sample_rate) AS BIGINT) AS max_sample_rate,
+  CAST(SUM(CASE WHEN channels = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mono
+FROM h GROUP BY format ORDER BY format"""
+
   def audioDecodeStats(table: String): String =
     s"""WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM $table),
 idx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),

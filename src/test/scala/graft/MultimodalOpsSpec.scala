@@ -440,4 +440,57 @@ class MultimodalOpsSpec extends AnyFunSuite {
         s"doc $id channel sums drifted")
     }
   }
+
+  test("mp3 header walk: index tables, frame count and byte total match the formulas") {
+    for (id <- 0L to 40L by 2) {
+      val bytes = MultimodalOps.synthMp3(id)
+      val h = MultimodalOps.parseMp3Headers(bytes)
+      val kbps = MultimodalOps.Mp3BitratesKbps((1 + id % 14).toInt)
+      val rate = MultimodalOps.Mp3RatesHz((id % 3).toInt)
+      assert(h.format == "mp3" && h.sampleRate == rate && h.bitrateKbps.contains(kbps))
+      assert(h.channels == (if ((id / 2) % 4 == 3) 1L else 2L))
+      assert(h.nFrames == 2 + id % 5 && h.samplesPerFrame == 1152L)
+      // independent byte recount off the spec's frame-length arithmetic
+      val expect = (0L until (2 + id % 5)).map(f => 144000L * kbps / rate + (id + f) % 2).sum
+      assert(h.totalBytes == bytes.length.toLong && h.totalBytes == expect,
+        s"doc $id byte walk drifted")
+    }
+  }
+
+  test("ADTS header walk: 13-bit length split, rate/channel tables, frame count") {
+    for (id <- 1L to 41L by 2) {
+      val bytes = MultimodalOps.synthAdts(id)
+      val h = MultimodalOps.parseAdtsHeaders(bytes)
+      assert(h.format == "aac" && h.bitrateKbps.isEmpty)
+      assert(h.sampleRate == MultimodalOps.AdtsRatesHz((3 + id % 4).toInt))
+      assert(h.channels == 1 + (id / 2) % 2)
+      assert(h.nFrames == 2 + id % 5 && h.samplesPerFrame == 1024L)
+      assert(h.totalBytes == (0L until (2 + id % 5)).map(f => 71 + (id + f) % 50).sum)
+    }
+  }
+
+  test("compressed-audio header walk fails loudly on corrupt sync or truncation") {
+    val ok = MultimodalOps.synthMp3(4L)
+    val badSync = ok.clone(); badSync(0) = 0x00
+    intercept[IllegalArgumentException](MultimodalOps.parseMp3Headers(badSync))
+    intercept[IllegalArgumentException](MultimodalOps.parseMp3Headers(ok.dropRight(1)))
+    val okA = MultimodalOps.synthAdts(5L)
+    val badA = okA.clone(); badA(1) = 0x00
+    intercept[IllegalArgumentException](MultimodalOps.parseAdtsHeaders(badA))
+    intercept[IllegalArgumentException](MultimodalOps.parseAdtsHeaders(okA.dropRight(1)))
+  }
+
+  test("compressedAudioHeaderStats: layer-bit dispatch and hand-computed rows") {
+    import spark.implicits._
+    val docs = Seq(2L, 7L).toDF("doc_id")
+    val got = MultimodalOps.compressedAudioHeaderStats(
+        MultimodalOps.compressedAudioCorpus(spark, docs))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // id 2 (mp3): bitrate idx 3 -> 48 kbps, rate idx 2 -> 32000, mode 1
+    // -> stereo, 4 frames of 216+pad bytes, 4*1152*1000/32000 = 144 ms
+    assert(got(0) == Seq(2L, "mp3", 32000L, 2L, 48L, 4L, 1152L, 144L, 866L))
+    // id 7 (aac): sf idx 6 -> 24000, 2 channels, 4 frames, 170 ms,
+    // bytes 71*4 + (7+8+9+10) mod-50 offsets = 318; header bitrate NULL
+    assert(got(1) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L))
+  }
 }
