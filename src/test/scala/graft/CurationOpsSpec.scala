@@ -119,6 +119,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(CurationOps.stageMemoHits.get() >= hits0 + 1)
   }
 
+  test("funnel stage memo: mutating the backing dir under a constant key recomputes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_stale_")
+      .toString + "/docs"
+    val key = "curationspec-stale-" + System.nanoTime() // constant across BOTH calls
+    def funnel(df: org.apache.spark.sql.DataFrame, shared: Option[String]) =
+      CurationOps.curationFunnel(
+        df, "text", "doc_id", stopwords = Seq("the"),
+        minTokens = 2, maxTokens = 100, minStops = 0,
+        prefixLen = 2, w = 3, benchMod = 20,
+        maxOverlapNum = 1, maxOverlapDen = 1, budget = 1000L,
+        sharedStageKey = shared)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    Seq((1L, "the alpha beta gamma delta"), (2L, "the alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val first = funnel(spark.read.parquet(dir), Some(key))
+    // MUTATE the backing data under the SAME path and srcKey: the funnel
+    // memo's content fingerprint (MemoFingerprint over sorted inputFiles)
+    // must force a stage-prefix rebuild — a stale hit would replay the
+    // old fixture's stage counts. Same structural-staleness proof the
+    // Retrieval and Graph memo families carry.
+    Seq((1L, "one two"), (2L, "three four"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val second = funnel(reread, Some(key))
+    assert(second == funnel(reread, None),
+      "post-mutation shared run must equal the unshared run on the new data")
+    assert(second != first, "mutated fixture must change the funnel report")
+  }
+
   test("splitLeakage: pair counts match an independent recount off the split assignment") {
     import spark.implicits._
     // many exact copies -> verified pairs at jaccard 1; ids spread so the
