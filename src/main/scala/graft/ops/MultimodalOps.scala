@@ -1148,11 +1148,13 @@ object MultimodalOps {
   private[graft] val AdtsRatesHz = Array(96000L, 88200L, 64000L, 48000L,
     44100L, 32000L, 24000L, 22050L, 16000L, 12000L, 11025L, 8000L, 7350L)
 
-  /** Header-derived stream facts of one compressed-audio payload. */
+  /** Header-derived stream facts of one compressed-audio payload.
+    * `tagBytes` is the skipped ID3v2 prefix (0 when the stream starts at
+    * its first audio frame; always 0 for ADTS). */
   final case class AudioHeaderInfo(
       format: String, sampleRate: Long, channels: Long,
       bitrateKbps: Option[Long], nFrames: Long, samplesPerFrame: Long,
-      totalBytes: Long)
+      totalBytes: Long, tagBytes: Long)
 
   /** Deterministic synthetic MPEG-1 Layer III frame STREAM for `docId`:
     * every 4-byte frame header is bit-real (sync, version/layer,
@@ -1161,13 +1163,31 @@ object MultimodalOps {
     * frame lengths follow the spec arithmetic (144·bitrate/rate +
     * padding), and the payload is deterministic filler — the waveform is
     * NOT real audio (that is the stub boundary), the container framing
-    * is. `2 + id mod 5` frames. */
+    * is. `2 + id mod 5` frames. Every third mp3 doc (`id mod 6 = 0`)
+    * opens with a bit-real ID3v2.3 TAG — 10-byte header plus a
+    * `10 + id mod 40`-byte body whose size field is SYNCHSAFE (7 bits
+    * per byte, the quirk every real mp3 walker must honor) — because
+    * real-world mp3 bytes rarely start at the first audio frame. */
   private[graft] def synthMp3(docId: Long): Array[Byte] = {
     val bIdx = (1 + docId % 14).toInt
     val sIdx = (docId % 3).toInt
     val mode = ((docId / 2) % 4).toInt
     val nf = (2 + docId % 5).toInt
     val bos = new ByteArrayOutputStream()
+    if (docId % 6 == 0) {
+      val body = (10 + docId % 40).toInt
+      val tag = new Array[Byte](10 + body)
+      tag(0) = 'I'; tag(1) = 'D'; tag(2) = '3'
+      tag(3) = 3; tag(4) = 0 // v2.3.0
+      tag(5) = 0 // flags
+      tag(6) = ((body >> 21) & 0x7F).toByte
+      tag(7) = ((body >> 14) & 0x7F).toByte
+      tag(8) = ((body >> 7) & 0x7F).toByte
+      tag(9) = (body & 0x7F).toByte
+      var i = 10
+      while (i < tag.length) { tag(i) = ((docId * 3 + i * 7) % 256).toByte; i += 1 }
+      bos.write(tag)
+    }
     var f = 0
     while (f < nf) {
       val pad = ((docId + f) % 2).toInt
@@ -1221,9 +1241,25 @@ object MultimodalOps {
     * spec's frame length. Streams here are CBR by construction, so
     * non-first frames must repeat the first header's fields (checked —
     * a parser that mis-walked would land mid-payload and fail the sync
-    * check loudly, never return garbage). */
+    * check loudly, never return garbage). A leading ID3v2 tag is skipped
+    * by its SYNCHSAFE size field (7 bits per byte — treating it as a
+    * plain 32-bit int, the classic walker bug, would land mid-tag and
+    * fail the sync check); footer-flagged tags are rejected loudly. */
   private[graft] def parseMp3Headers(bytes: Array[Byte]): AudioHeaderInfo = {
     var pos = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      require((bytes(5) & 0x10) == 0, "ID3v2 footer flag unsupported")
+      var sz = 0
+      var i = 6
+      while (i < 10) {
+        require((bytes(i) & 0x80) == 0, s"non-synchsafe ID3v2 size byte at $i")
+        sz = (sz << 7) | (bytes(i) & 0x7F)
+        i += 1
+      }
+      pos = 10 + sz
+      require(pos <= bytes.length, "ID3v2 tag runs past the payload")
+    }
+    val tagBytes = pos.toLong
     var nf = 0L
     var rate = 0L; var chans = 0L; var kbps = 0L
     while (pos < bytes.length) {
@@ -1250,7 +1286,8 @@ object MultimodalOps {
       pos += flen
       nf += 1
     }
-    AudioHeaderInfo("mp3", rate, chans, Some(kbps), nf, 1152L, bytes.length.toLong)
+    AudioHeaderInfo("mp3", rate, chans, Some(kbps), nf, 1152L,
+      bytes.length.toLong, tagBytes)
   }
 
   /** Walk an ADTS-AAC stream by its real 13-bit frame-length fields:
@@ -1283,7 +1320,7 @@ object MultimodalOps {
       pos += len
       nf += 1
     }
-    AudioHeaderInfo("aac", rate, chans, None, nf, 1024L, bytes.length.toLong)
+    AudioHeaderInfo("aac", rate, chans, None, nf, 1024L, bytes.length.toLong, 0L)
   }
 
   /** COMPRESSED audio corpus keyed on the documents table: one real
@@ -1304,10 +1341,11 @@ object MultimodalOps {
   /** Per-clip HEADER-derived stats for compressed audio — the metadata
     * half of the decode story (the r10 verdict's ask): format, sample
     * rate, channels, header bitrate (mp3 only; ADTS carries none),
-    * frame count, samples-per-frame, integer duration and byte size,
-    * all read off a REAL bit-level walk of the frame headers
-    * ([[parseMp3Headers]]/[[parseAdtsHeaders]]) — dispatch is on the
-    * layer bits, never the meta struct. This moves mp3/aac METADATA off
+    * frame count, samples-per-frame, integer duration, byte size and
+    * the skipped ID3v2 tag size, all read off a REAL bit-level walk of
+    * the frame headers ([[parseMp3Headers]]/[[parseAdtsHeaders]],
+    * including the synchsafe ID3v2 skip) — dispatch is on the layer
+    * bits, never the meta struct. This moves mp3/aac METADATA off
     * the stub entirely; only waveform decode remains stubbed (the JDK
     * ships no such codec). Map-only per clip; throws loudly on an
     * unwalkable stream, same contract as [[audioDecodeStats]]. */
@@ -1322,10 +1360,11 @@ object MultimodalOps {
                 else parseMp3Headers(r.content)
         (r.mediaId, h.format, h.sampleRate, h.channels, h.bitrateKbps,
           h.nFrames, h.samplesPerFrame,
-          h.nFrames * h.samplesPerFrame * 1000L / h.sampleRate, h.totalBytes)
+          h.nFrames * h.samplesPerFrame * 1000L / h.sampleRate, h.totalBytes,
+          h.tagBytes)
       }
     }.toDF("doc_id", "format", "sample_rate", "channels", "bitrate_kbps",
-      "n_frames", "samples_per_frame", "duration_ms", "total_bytes")
+      "n_frames", "samples_per_frame", "duration_ms", "total_bytes", "tag_bytes")
   }
 
   /** CORPUS-LEVEL compressed-audio catalog audit — the "how many hours

@@ -107,8 +107,9 @@ ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
     * (bitrate + rate index tables, spec frame-length arithmetic,
     * per-frame padding) and this recomputes the generator's closed form
     * — a parser that misread any index table, the 13-bit ADTS length
-    * split, or the 144·bitrate/rate walk hash-diverges on frame counts
-    * or byte totals. ADTS carries no header bitrate: NULL for aac. */
+    * split, the synchsafe ID3v2 size, or the 144·bitrate/rate walk
+    * hash-diverges on frame counts or byte totals. ADTS carries no
+    * header bitrate: NULL for aac. */
   def compressedAudioHeaderStats(table: String): String =
     s"""WITH u AS (
   SELECT doc_id, 'mp3' AS format,
@@ -116,14 +117,16 @@ ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
     CASE WHEN (doc_id // 2) % 4 = 3 THEN 1 ELSE 2 END AS channels,
     list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
       CAST(doc_id % 14 AS INT) + 1) AS bitrate_kbps,
-    2 + doc_id % 5 AS n_frames, 1152 AS spf
+    2 + doc_id % 5 AS n_frames, 1152 AS spf,
+    CASE WHEN doc_id % 6 = 0 THEN 20 + doc_id % 40 ELSE 0 END AS tag_bytes
   FROM $table WHERE doc_id % 2 = 0
   UNION ALL
   SELECT doc_id, 'aac' AS format,
     list_extract([48000, 44100, 32000, 24000], CAST(doc_id % 4 AS INT) + 1) AS sample_rate,
     1 + (doc_id // 2) % 2 AS channels,
     NULL AS bitrate_kbps,
-    2 + doc_id % 5 AS n_frames, 1024 AS spf
+    2 + doc_id % 5 AS n_frames, 1024 AS spf,
+    0 AS tag_bytes
   FROM $table WHERE doc_id % 2 = 1),
 fr AS (SELECT doc_id, format, bitrate_kbps, sample_rate,
   unnest(range(0, n_frames)) AS f FROM u),
@@ -139,7 +142,8 @@ SELECT u.doc_id, u.format,
   CAST(u.n_frames AS BIGINT) AS n_frames,
   CAST(u.spf AS BIGINT) AS samples_per_frame,
   CAST(u.n_frames * u.spf * 1000 // u.sample_rate AS BIGINT) AS duration_ms,
-  CAST(fl.total_bytes AS BIGINT) AS total_bytes
+  CAST(fl.total_bytes + u.tag_bytes AS BIGINT) AS total_bytes,
+  CAST(u.tag_bytes AS BIGINT) AS tag_bytes
 FROM u JOIN fl USING (doc_id)
 ORDER BY doc_id"""
 

@@ -450,9 +450,12 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert(h.format == "mp3" && h.sampleRate == rate && h.bitrateKbps.contains(kbps))
       assert(h.channels == (if ((id / 2) % 4 == 3) 1L else 2L))
       assert(h.nFrames == 2 + id % 5 && h.samplesPerFrame == 1152L)
-      // independent byte recount off the spec's frame-length arithmetic
+      // independent byte recount off the spec's frame-length arithmetic,
+      // plus the synchsafe-skipped ID3v2 prefix every third mp3 carries
+      val tag = if (id % 6 == 0) 20 + id % 40 else 0L
       val expect = (0L until (2 + id % 5)).map(f => 144000L * kbps / rate + (id + f) % 2).sum
-      assert(h.totalBytes == bytes.length.toLong && h.totalBytes == expect,
+      assert(h.tagBytes == tag, s"doc $id tag skip drifted")
+      assert(h.totalBytes == bytes.length.toLong && h.totalBytes == expect + tag,
         s"doc $id byte walk drifted")
     }
   }
@@ -478,19 +481,29 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val badA = okA.clone(); badA(1) = 0x00
     intercept[IllegalArgumentException](MultimodalOps.parseAdtsHeaders(badA))
     intercept[IllegalArgumentException](MultimodalOps.parseAdtsHeaders(okA.dropRight(1)))
+    // ID3v2: a non-synchsafe size byte and a footer flag both fail loudly
+    val tagged = MultimodalOps.synthMp3(6L)
+    assert(MultimodalOps.parseMp3Headers(tagged).tagBytes == 26L)
+    val badSz = tagged.clone(); badSz(6) = (badSz(6) | 0x80).toByte
+    intercept[IllegalArgumentException](MultimodalOps.parseMp3Headers(badSz))
+    val footer = tagged.clone(); footer(5) = 0x10
+    intercept[IllegalArgumentException](MultimodalOps.parseMp3Headers(footer))
   }
 
   test("compressedAudioHeaderStats: layer-bit dispatch and hand-computed rows") {
     import spark.implicits._
-    val docs = Seq(2L, 7L).toDF("doc_id")
+    val docs = Seq(2L, 6L, 7L).toDF("doc_id")
     val got = MultimodalOps.compressedAudioHeaderStats(
         MultimodalOps.compressedAudioCorpus(spark, docs))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     // id 2 (mp3): bitrate idx 3 -> 48 kbps, rate idx 2 -> 32000, mode 1
     // -> stereo, 4 frames of 216+pad bytes, 4*1152*1000/32000 = 144 ms
-    assert(got(0) == Seq(2L, "mp3", 32000L, 2L, 48L, 4L, 1152L, 144L, 866L))
+    assert(got(0) == Seq(2L, "mp3", 32000L, 2L, 48L, 4L, 1152L, 144L, 866L, 0L))
+    // id 6 (mp3 + ID3v2): 96 kbps @ 44100, mono, 3 frames of 313+pad,
+    // 26-byte tag skipped synchsafe; 3*1152*1000/44100 = 78 ms
+    assert(got(1) == Seq(6L, "mp3", 44100L, 1L, 96L, 3L, 1152L, 78L, 966L, 26L))
     // id 7 (aac): sf idx 6 -> 24000, 2 channels, 4 frames, 170 ms,
     // bytes 71*4 + (7+8+9+10) mod-50 offsets = 318; header bitrate NULL
-    assert(got(1) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L))
+    assert(got(2) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L, 0L))
   }
 }
