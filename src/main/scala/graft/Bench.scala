@@ -201,7 +201,10 @@ object Bench {
       val flagged = coldStartRegressed(coldStart, prevCold, regressFlag).map(_._1).toSet
       if (flagged.isEmpty) coldStart
       else {
+        // builder configs persist (initialSessionOptions), but function
+        // registration is per-session — mirror GraftSession.local
         val fresh = spark.newSession()
+        graft.sql.GraftFunctions.register(fresh)
         coldStart.map { case (n, t) =>
           if (!flagged(n)) n -> t
           else n -> math.min(t, try {

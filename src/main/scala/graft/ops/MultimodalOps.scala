@@ -124,8 +124,8 @@ object MultimodalOps {
     * .write` facades route EVERY call through a synchronized provider
     * lookup (sun JDK13Services), which 32 executor threads contend on at
     * one encode plus one decode per row — measured as q94's catalog-worst
-    * scale growth (sf0.1 steady-state 2.95 s, growth excess 0.55; 1.71 s
-    * / 0.21 after this change). Resolving the reader/writer services once
+    * scale growth (sf0.1 steady-state 2.95 s, growth excess 0.55; 1.39 s
+    * / 0.29 after this change and the sort pinning). Resolving the reader/writer services once
     * via the public `javax.sound.sampled.spi` SPI and invoking them
     * directly keeps the codec path 100% JDK-real with zero per-row
     * locking. */
@@ -912,8 +912,9 @@ object MultimodalOps {
     * + one decode per row, doubled by the gate query's range-sort bounds
     * sampling re-running the chain. With the SPI providers resolved once
     * ([[audioReaders]]/[[audioWriters]]) and the stats pinned before the
-    * sort, measured sf0.1 steady-state is 2.95 -> 1.52 s and growth
-    * excess 0.55 -> ~0.22 — inside the media family's band. */
+    * sort, measured sf0.1 steady-state is 2.95 -> 1.39 s and growth
+    * excess 0.55 -> 0.29 (r11 SCALEBENCH) — inside the media family's
+    * band and out of the catalog-worst slot. */
   def audioDecodeStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -1348,7 +1349,8 @@ object MultimodalOps {
     * bits, never the meta struct. This moves mp3/aac METADATA off
     * the stub entirely; only waveform decode remains stubbed (the JDK
     * ships no such codec). Map-only per clip; throws loudly on an
-    * unwalkable stream, same contract as [[audioDecodeStats]]. */
+    * unwalkable stream, same contract as [[audioDecodeStats]].
+    * Measured sf0.1 steady-state: 0.60 s, growth excess 0.12. */
   def compressedAudioHeaderStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -1374,7 +1376,8 @@ object MultimodalOps {
     * sample-rate envelope and the mono share, all off the REAL header
     * walks of [[compressedAudioHeaderStats]] (never the meta struct).
     * 100 TB shape: map-only header walk per clip + one format-keyed
-    * map-side-combinable aggregate to formats rows. */
+    * map-side-combinable aggregate to formats rows. Measured sf0.1
+    * steady-state: 0.38 s, growth excess 0.08. */
   def compressedAudioCatalogSummary(media: Dataset[MediaRow]): DataFrame =
     compressedAudioHeaderStats(media)
       .groupBy("format")
