@@ -332,8 +332,17 @@ object StreamingOps {
     * (`batch=<id>` subdirs); the SEED corpus index must be written the
     * same way (e.g. `batch=-1`) so partition discovery stays consistent.
     * Each batch OVERWRITES its own partition — a retried micro-batch
-    * rewrites the same files instead of double-appending (idempotent
-    * recovery, the exactly-once discipline foreachBatch demands).
+    * rewrites the same files instead of double-appending — and the
+    * artifact reads EXCLUDE the current batchId's partition, which is
+    * what actually makes the retry idempotent: without the exclusion, a
+    * micro-batch replayed after its partitions were written (crash
+    * between the writes and the streaming commit) would screen its own
+    * docs against their OWN appended keys, every first-attempt survivor
+    * would self-match at jaccard 1.0 and flip to blocked, and the
+    * partitions would be rewritten EMPTY — the accepted docs silently
+    * vanishing from the index. With the exclusion the replay sees the
+    * same index state as the original attempt and rewrites identical
+    * content (spec-pinned).
     * Within-batch near-dups are NOT screened against each other (same
     * corpus-vs-shard contract as [[graft.ops.DedupOps.minhashDedupDelta]];
     * run the pair path inside the batch if intra-shard dups matter).
@@ -346,21 +355,37 @@ object StreamingOps {
       onBatch: (DataFrame, DataFrame, Long) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      // the micro-batch feeds the screen and the accepted anti join —
-      // pin it once instead of recomputing the source per consumer
-      val b = batch.localCheckpoint()
-      val blocked = graft.ops.DedupOps.minhashDeltaIndexed(
-        b, spark.read.parquet(indexDir), spark.read.parquet(hashSetsDir),
-        textCol, idCol, w, nBands, r, minJaccard).localCheckpoint()
-      val accepted = b.join(blocked.select(col("doc_id").as("__bid")),
-        col(idCol) === col("__bid"), "left_anti")
-      graft.ops.DedupOps.bandKeyIndex(accepted, textCol, idCol, w, nBands, r)
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-      graft.ops.DedupOps.shingleHashSets(accepted, textCol, idCol, w)
-        .write.mode("overwrite").parquet(s"$hashSetsDir/batch=$batchId")
+      val (accepted, blocked) = nearDupIngestBatch(
+        batch, batchId, indexDir, hashSetsDir, textCol, idCol,
+        w, nBands, r, minJaccard)
       onBatch(accepted, blocked, batchId)
     }
+
+  /** One [[nearDupIngest]] micro-batch — screen, accepted-key append,
+    * (accepted, blocked) verdicts. Package-visible so the spec can drive
+    * a REPLAYED batch directly. */
+  private[graft] def nearDupIngestBatch(
+      batch: DataFrame, batchId: Long, indexDir: String, hashSetsDir: String,
+      textCol: String, idCol: String,
+      w: Int, nBands: Int, r: Int, minJaccard: Double): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    // the micro-batch feeds the screen and the accepted anti join —
+    // pin it once instead of recomputing the source per consumer
+    val b = batch.localCheckpoint()
+    // replay safety: never read this batch's own partitions (see the
+    // layout contract above — a replay must see the pre-write state)
+    val blocked = graft.ops.DedupOps.minhashDeltaIndexed(
+      b, spark.read.parquet(indexDir).filter(col("batch") =!= batchId),
+      spark.read.parquet(hashSetsDir).filter(col("batch") =!= batchId),
+      textCol, idCol, w, nBands, r, minJaccard).localCheckpoint()
+    val accepted = b.join(blocked.select(col("doc_id").as("__bid")),
+      col(idCol) === col("__bid"), "left_anti")
+    graft.ops.DedupOps.bandKeyIndex(accepted, textCol, idCol, w, nBands, r)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    graft.ops.DedupOps.shingleHashSets(accepted, textCol, idCol, w)
+      .write.mode("overwrite").parquet(s"$hashSetsDir/batch=$batchId")
+    (accepted, blocked)
+  }
 
   /** STREAMING CURATION FUNNEL — the live half of the q71/q96 batch
     * funnels (the r8 verdict's ask): a `foreachBatch` loop that pushes
@@ -392,9 +417,14 @@ object StreamingOps {
     * Layout contract ([[nearDupIngest]]'s): all three artifact dirs are
     * hive-partitioned by micro-batch with seed epochs at `batch=-1`
     * (empty frames for a fresh corpus); each batch OVERWRITES its own
-    * partition — idempotent retries. `onBatch(report, accepted, id)`
-    * gets the q71-shaped per-stage report (stage, stage_name, n_docs,
-    * n_tokens) plus the accepted frame. */
+    * partition, and the artifact reads EXCLUDE the current batchId's
+    * partition — the replay-safety contract [[nearDupIngestBatch]]
+    * documents (without it, a replayed batch's first-attempt survivors
+    * would hit their OWN keys at the exact-dedup and near-dup stages,
+    * flip to rejected, and the partitions would be rewritten empty).
+    * `onBatch(report, accepted, id)` gets the q71-shaped per-stage
+    * report (stage, stage_name, n_docs, n_tokens) plus the accepted
+    * frame. */
   def curationIngest(
       docs: DataFrame, keysDir: String, indexDir: String, hashSetsDir: String,
       benchShingles: DataFrame, textCol: String, idCol: String,
@@ -405,6 +435,25 @@ object StreamingOps {
       onBatch: (DataFrame, DataFrame, Long) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (report, accepted) = curationIngestBatch(
+        batch, batchId, keysDir, indexDir, hashSetsDir, benchShingles,
+        textCol, idCol, stopwords, minTokens, maxTokens, minStops,
+        prefixLen, w, maxOverlapNum, maxOverlapDen, budgetNum, budgetDen,
+        nBands, r, minJaccard)
+      onBatch(report, accepted, batchId)
+    }
+
+  /** One [[curationIngest]] micro-batch — five stages, artifact appends,
+    * (report, accepted). Package-visible so the spec can drive a
+    * REPLAYED batch directly. */
+  private[graft] def curationIngestBatch(
+      batch: DataFrame, batchId: Long,
+      keysDir: String, indexDir: String, hashSetsDir: String,
+      benchShingles: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String], minTokens: Long, maxTokens: Long, minStops: Long,
+      prefixLen: Int, w: Int, maxOverlapNum: Long, maxOverlapDen: Long,
+      budgetNum: Long, budgetDen: Long,
+      nBands: Int, r: Int, minJaccard: Double): (DataFrame, DataFrame) = {
       val spark = batch.sparkSession
       val b = batch.localCheckpoint()
       // stage 0+1: per-doc token counts and rule mask in one pass
@@ -421,14 +470,18 @@ object StreamingOps {
       val wKey = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__key")).orderBy(col(idCol).asc)
       val s2 = keyed
-        .join(spark.read.parquet(keysDir).select("__key").distinct(),
+        // replay safety: never read this batch's own partition
+        .join(spark.read.parquet(keysDir).filter(col("batch") =!= batchId)
+          .select("__key").distinct(),
           Seq("__key"), "left_anti")
         .withColumn("__rn", row_number().over(wKey))
         .filter(col("__rn") === 1).drop("__rn")
         .localCheckpoint()
       // stage 3: near-dup screen against the persisted artifacts
+      // (minus this batch's own partition — replay safety again)
       val blocked = graft.ops.DedupOps.minhashDeltaIndexed(
-        s2, spark.read.parquet(indexDir), spark.read.parquet(hashSetsDir),
+        s2, spark.read.parquet(indexDir).filter(col("batch") =!= batchId),
+        spark.read.parquet(hashSetsDir).filter(col("batch") =!= batchId),
         textCol, idCol, w, nBands, r, minJaccard)
       val s3 = s2.join(blocked.select(col("doc_id").as("__bid")),
         col(idCol) === col("__bid"), "left_anti")
@@ -468,8 +521,8 @@ object StreamingOps {
         .unionByName(stage(s4, 4, "decontaminated"))
         .unionByName(stage(s5, 5, "budget"))
         .orderBy("stage")
-      onBatch(report, s5.drop("__key"), batchId)
-    }
+      (report, s5.drop("__key"))
+  }
 
   /** PRODUCTION ingest loop for the persisted IVF index —
     * [[nearDupIngest]]'s similarity sibling: a `foreachBatch` writer that
@@ -485,7 +538,12 @@ object StreamingOps {
     * Layout contract (same as [[nearDupIngest]]): `listsDir` is
     * hive-partitioned by micro-batch (`batch=<id>` subdirs, seed corpus
     * at e.g. `batch=-1`); each batch OVERWRITES its own partition, so a
-    * retried micro-batch rewrites instead of double-appending. The
+    * retried micro-batch rewrites instead of double-appending, and the
+    * list read EXCLUDES the current batchId's partition so a replayed
+    * batch reports the same matches as the original attempt (the index
+    * content is idempotent either way — the assignments are a pure
+    * function of the batch — but without the exclusion the replay's
+    * match report would include the batch's own vectors). The
     * within-partition layout further partitions by `cid`, keeping probe
     * scans prunable to the probed lists. The centroid relation is fixed
     * at seed time (re-train + re-index offline to re-center — standard
@@ -497,18 +555,30 @@ object StreamingOps {
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      // the micro-batch feeds the match query and the index append
-      val b = batch.localCheckpoint()
-      val cents = spark.read.parquet(centroidsDir)
-      val matches = graft.ops.SimilarityOps.annIvfDelta(
-        b, cents, spark.read.parquet(listsDir), idCol, vecCol, k, nprobe)
-        .localCheckpoint()
-      graft.ops.SimilarityOps.ivfAssignments(b, idCol, vecCol, cents)
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$listsDir/batch=$batchId")
-      onBatch(matches, batchId)
+      onBatch(ivfIngestBatch(batch, batchId, centroidsDir, listsDir,
+        idCol, vecCol, k, nprobe), batchId)
     }
+
+  /** One [[ivfIngest]] micro-batch — match, list append, match report.
+    * Package-visible so the spec can drive a REPLAYED batch directly. */
+  private[graft] def ivfIngestBatch(
+      batch: DataFrame, batchId: Long, centroidsDir: String, listsDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = batch.sparkSession
+    // the micro-batch feeds the match query and the index append
+    val b = batch.localCheckpoint()
+    val cents = spark.read.parquet(centroidsDir)
+    val matches = graft.ops.SimilarityOps.annIvfDelta(
+      b, cents,
+      // replay safety: never match against this batch's own partition
+      spark.read.parquet(listsDir).filter(col("batch") =!= batchId),
+      idCol, vecCol, k, nprobe)
+      .localCheckpoint()
+    graft.ops.SimilarityOps.ivfAssignments(b, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$listsDir/batch=$batchId")
+    matches
+  }
 
   /** PRODUCTION ingest loop for the persisted IVF-PQ index —
     * [[ivfIngest]]'s COMPRESSED sibling: each micro-batch of vectors is
@@ -524,7 +594,9 @@ object StreamingOps {
     * Layout contract (same as [[ivfIngest]]): `codesDir` hive-partitions
     * by micro-batch (`batch=<id>`, seed at e.g. `batch=-1`), each batch
     * OVERWRITES its own partition so retries rewrite instead of
-    * double-appending; centroids AND codebooks are frozen at seed time
+    * double-appending, and the code read EXCLUDES the current batchId's
+    * partition so a replayed batch's ADC report matches the original
+    * attempt's; centroids AND codebooks are frozen at seed time
     * (residual codes are only valid under the codebooks they were
     * quantized with — re-train + re-encode offline to re-center, the
     * same IVF practice as the raw-vector loop). */
@@ -534,29 +606,42 @@ object StreamingOps {
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      // the micro-batch feeds the ADC match query and the code append
-      val b = batch.localCheckpoint()
-      val cents = spark.read.parquet(centroidsDir)
-      val books = spark.read.parquet(codebooksDir)
-      val matches = graft.ops.SimilarityOps.ivfPqFromIndex(
-        b, cents, books,
-        // partition discovery infers the hive columns (ccell, batch) as
-        // INT; the inline index carries BIGINT ccell — cast explicitly so
-        // the ADC join never rides on implicit casts (and survives
-        // partition values past Int range)
-        spark.read.parquet(codesDir)
-          .select(col("id").cast("long").as("id"),
-            col("ccell").cast("long").as("ccell"),
-            col("sub").cast("int").as("sub"),
-            col("code").cast("long").as("code")),
-        idCol, vecCol, dim, m, k, nprobe)
-        .localCheckpoint()
-      graft.ops.SimilarityOps.ivfPqCodesFor(b, idCol, vecCol, cents, books, dim, m)
-        .write.mode("overwrite").partitionBy("ccell")
-        .parquet(s"$codesDir/batch=$batchId")
-      onBatch(matches, batchId)
+      onBatch(ivfPqIngestBatch(batch, batchId, centroidsDir, codebooksDir,
+        codesDir, idCol, vecCol, dim, m, k, nprobe), batchId)
     }
+
+  /** One [[ivfPqIngest]] micro-batch — ADC match, code append, match
+    * report. Package-visible so the spec can drive a REPLAYED batch
+    * directly. */
+  private[graft] def ivfPqIngestBatch(
+      batch: DataFrame, batchId: Long,
+      centroidsDir: String, codebooksDir: String, codesDir: String,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = batch.sparkSession
+    // the micro-batch feeds the ADC match query and the code append
+    val b = batch.localCheckpoint()
+    val cents = spark.read.parquet(centroidsDir)
+    val books = spark.read.parquet(codebooksDir)
+    val matches = graft.ops.SimilarityOps.ivfPqFromIndex(
+      b, cents, books,
+      // partition discovery infers the hive columns (ccell, batch) as
+      // INT; the inline index carries BIGINT ccell — cast explicitly so
+      // the ADC join never rides on implicit casts (and survives
+      // partition values past Int range)
+      spark.read.parquet(codesDir)
+        // replay safety: never match against this batch's own partition
+        .filter(col("batch") =!= batchId)
+        .select(col("id").cast("long").as("id"),
+          col("ccell").cast("long").as("ccell"),
+          col("sub").cast("int").as("sub"),
+          col("code").cast("long").as("code")),
+      idCol, vecCol, dim, m, k, nprobe)
+      .localCheckpoint()
+    graft.ops.SimilarityOps.ivfPqCodesFor(b, idCol, vecCol, cents, books, dim, m)
+      .write.mode("overwrite").partitionBy("ccell")
+      .parquet(s"$codesDir/batch=$batchId")
+    matches
+  }
 
   /** PRODUCTION ingest loop for the persisted BM25 index —
     * [[nearDupIngest]]'s retrieval sibling: a `foreachBatch` writer that

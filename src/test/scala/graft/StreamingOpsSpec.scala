@@ -166,6 +166,105 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(afterReplay == afterFirst, "replay must rewrite identical index content")
   }
 
+  test("near-dup ingest replay keeps verdicts and index content identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndreplay").toString
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=-1")
+    graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=-1")
+    val b = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight"),
+      (21L, "completely novel sentence about catalyst physical planning"))
+      .toDF("doc_id", "text")
+    def run(): (Seq[Long], Seq[(Long, Long)]) = {
+      val (a, bl) = StreamingOps.nearDupIngestBatch(b, 0L,
+        s"$dir/index", s"$dir/hashsets", "text", "doc_id", 3, 8, 2, 0.5)
+      (a.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+        bl.select("doc_id", "near_dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    }
+    def indexIds(): Set[Long] = spark.read.parquet(s"$dir/index")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val first = run()
+    assert(first == ((Seq(21L), Seq((20L, 10L)))), s"first attempt: $first")
+    assert(indexIds() == Set(10L, 21L))
+    // REPLAY of the same batchId: without the own-partition exclusion the
+    // first attempt's survivor (21) would self-match at jaccard 1.0, flip
+    // to blocked, and the rewrite would ERASE it from the index
+    assert(run() == first, "replay must reproduce the original verdicts")
+    assert(indexIds() == Set(10L, 21L),
+      "replay must rewrite identical index content — never erase survivors")
+  }
+
+  test("curation ingest replay keeps the stage report and key artifact identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_curreplay").toString
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    Seq.empty[String].toDF("__key").write.parquet(s"$dir/keys/batch=-1")
+    graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=-1")
+    graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=-1")
+    val benchShingles = Seq((100L, "benchmark evaluation suite question answers exactly here"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.Generators.shingleExplode(col("text"), 3).as("s"))
+      .distinct().localCheckpoint()
+    val b = Seq(
+      (2L, "completely novel sentence about catalyst physical planning"),
+      (6L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    def run(): (Seq[(Long, String, Long)], Seq[Long]) = {
+      val (report, accepted) = StreamingOps.curationIngestBatch(b, 0L,
+        s"$dir/keys", s"$dir/index", s"$dir/hashsets", benchShingles,
+        "text", "doc_id", stopwords = Seq("the", "about", "over"),
+        minTokens = 3, maxTokens = 100, minStops = 0,
+        prefixLen = 3, w = 3, maxOverlapNum = 1, maxOverlapDen = 2,
+        budgetNum = 1, budgetDen = 1, nBands = 8, r = 2, minJaccard = 0.5)
+      (report.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq,
+        accepted.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    def keys(): Seq[String] = spark.read.parquet(s"$dir/keys")
+      .select("__key").collect().map(_.getString(0)).sorted.toSeq
+    val first = run()
+    assert(first._2 == Seq(2L), s"first attempt accepts the novel doc: $first")
+    val keys1 = keys()
+    // REPLAY: without the exclusion, doc 2's own key (written by the first
+    // attempt) would reject it at the exact-dedup stage and the key
+    // partition would be rewritten empty
+    assert(run() == first, "replay must reproduce the original report and verdicts")
+    assert(keys() == keys1, "replay must rewrite identical key content")
+  }
+
+  test("ivf ingest replay reports the same matches as the original attempt") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfreplay").toString
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ops.SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", centroidMod = 2)
+    cents.write.parquet(s"$dir/centroids")
+    graft.ops.SimilarityOps.ivfAssignments(corpus, "vec_id", "embedding", cents)
+      .write.partitionBy("cid").parquet(s"$dir/lists/batch=-1")
+    val b = Seq((10L, Seq(0.95f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    def run(): Seq[(Long, Long, Long)] =
+      StreamingOps.ivfIngestBatch(b, 0L, s"$dir/centroids", s"$dir/lists",
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .select("query_id", "neighbor_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val first = run()
+    assert(first.map(_._2).toSet == Set(0L, 1L, 2L), s"first attempt: $first")
+    // REPLAY: the lists now contain batch=0 (vec 10); without the
+    // exclusion the replayed report would include it
+    assert(run() == first, "replayed batch must not match its own appended vectors")
+  }
+
   test("keyword pipeline runs unchanged on a stream (windowed counts)") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
