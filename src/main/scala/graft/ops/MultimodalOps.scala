@@ -1168,9 +1168,13 @@ object MultimodalOps {
     * opens with a bit-real ID3v2.3 TAG — 10-byte header plus a
     * `10 + id mod 40`-byte body whose size field is SYNCHSAFE (7 bits
     * per byte, the quirk every real mp3 walker must honor) — because
-    * real-world mp3 bytes rarely start at the first audio frame. */
+    * real-world mp3 bytes rarely start at the first audio frame. And
+    * every fifth mp3 doc (`id mod 10 = 4`) is VBR — the bitrate index
+    * varies per frame (`1 + (id + 3f) mod 14`), like most real-world
+    * mp3 encodes — so the walker must read EVERY frame's bitrate to
+    * advance (one wrong frame length lands mid-payload and fails the
+    * sync check). */
   private[graft] def synthMp3(docId: Long): Array[Byte] = {
-    val bIdx = (1 + docId % 14).toInt
     val sIdx = (docId % 3).toInt
     val mode = ((docId / 2) % 4).toInt
     val nf = (2 + docId % 5).toInt
@@ -1191,6 +1195,8 @@ object MultimodalOps {
     }
     var f = 0
     while (f < nf) {
+      val bIdx = (if (docId % 10 == 4) 1 + (docId + 3 * f) % 14
+                  else 1 + docId % 14).toInt
       val pad = ((docId + f) % 2).toInt
       val len = (144000L * Mp3BitratesKbps(bIdx) / Mp3RatesHz(sIdx)).toInt + pad
       val b = new Array[Byte](len)
@@ -1239,10 +1245,13 @@ object MultimodalOps {
   /** Walk an MPEG-1 Layer III frame stream by its REAL header
     * arithmetic: validate sync + version/layer at every frame boundary,
     * read bitrate/rate/padding/mode from the bits, advance by the
-    * spec's frame length. Streams here are CBR by construction, so
-    * non-first frames must repeat the first header's fields (checked —
-    * a parser that mis-walked would land mid-payload and fail the sync
-    * check loudly, never return garbage). A leading ID3v2 tag is skipped
+    * spec's frame length. The BITRATE may vary per frame (VBR — the
+    * common real-world encode): each frame's length comes off its own
+    * header, and the reported bitrate is the exact integer mean over
+    * frames (for CBR that IS the constant). Rate and channel mode are
+    * stream-constant in the format and checked as such — a parser that
+    * mis-walked a frame would land mid-payload and fail the sync check
+    * loudly, never return garbage. A leading ID3v2 tag is skipped
     * by its SYNCHSAFE size field (7 bits per byte — treating it as a
     * plain 32-bit int, the classic walker bug, would land mid-tag and
     * fail the sync check); footer-flagged tags are rejected loudly. */
@@ -1262,7 +1271,7 @@ object MultimodalOps {
     }
     val tagBytes = pos.toLong
     var nf = 0L
-    var rate = 0L; var chans = 0L; var kbps = 0L
+    var rate = 0L; var chans = 0L; var kbpsSum = 0L
     while (pos < bytes.length) {
       require(pos + 4 <= bytes.length, s"truncated mp3 frame header at $pos")
       val b1 = bytes(pos + 1) & 0xff
@@ -1279,15 +1288,17 @@ object MultimodalOps {
       val r = Mp3RatesHz(sIdx)
       val k = Mp3BitratesKbps(bIdx)
       val c = if (mode == 3) 1L else 2L
-      if (nf == 0L) { rate = r; kbps = k; chans = c }
-      else require(r == rate && k == kbps && c == chans,
-        s"VBR/mode change at frame $nf — CBR stream expected")
+      if (nf == 0L) { rate = r; chans = c }
+      else require(r == rate && c == chans,
+        s"rate/mode change at frame $nf — stream-constant fields expected")
+      kbpsSum += k
       val flen = (144000L * k / r).toInt + pad
       require(pos + flen <= bytes.length, s"truncated mp3 frame body at $pos")
       pos += flen
       nf += 1
     }
-    AudioHeaderInfo("mp3", rate, chans, Some(kbps), nf, 1152L,
+    AudioHeaderInfo("mp3", rate, chans,
+      if (nf > 0) Some(kbpsSum / nf) else None, nf, 1152L,
       bytes.length.toLong, tagBytes)
   }
 

@@ -115,8 +115,6 @@ ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
   SELECT doc_id, 'mp3' AS format,
     list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1) AS sample_rate,
     CASE WHEN (doc_id // 2) % 4 = 3 THEN 1 ELSE 2 END AS channels,
-    list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
-      CAST(doc_id % 14 AS INT) + 1) AS bitrate_kbps,
     2 + doc_id % 5 AS n_frames, 1152 AS spf,
     CASE WHEN doc_id % 6 = 0 THEN 20 + doc_id % 40 ELSE 0 END AS tag_bytes
   FROM $table WHERE doc_id % 2 = 0
@@ -124,21 +122,26 @@ ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
   SELECT doc_id, 'aac' AS format,
     list_extract([48000, 44100, 32000, 24000], CAST(doc_id % 4 AS INT) + 1) AS sample_rate,
     1 + (doc_id // 2) % 2 AS channels,
-    NULL AS bitrate_kbps,
     2 + doc_id % 5 AS n_frames, 1024 AS spf,
     0 AS tag_bytes
   FROM $table WHERE doc_id % 2 = 1),
-fr AS (SELECT doc_id, format, bitrate_kbps, sample_rate,
+fr AS (SELECT doc_id, format, sample_rate,
   unnest(range(0, n_frames)) AS f FROM u),
+fk AS (SELECT *, CASE WHEN format = 'mp3' THEN
+    list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+      CAST(CASE WHEN doc_id % 10 = 4 THEN (doc_id + 3 * f) % 14
+        ELSE doc_id % 14 END AS INT) + 1)
+  ELSE NULL END AS kb FROM fr),
 fl AS (SELECT doc_id,
   SUM(CASE WHEN format = 'mp3'
-    THEN 144000 * bitrate_kbps // sample_rate + (doc_id + f) % 2
-    ELSE 71 + (doc_id + f) % 50 END) AS total_bytes
-  FROM fr GROUP BY doc_id)
+    THEN 144000 * kb // sample_rate + (doc_id + f) % 2
+    ELSE 71 + (doc_id + f) % 50 END) AS total_bytes,
+  SUM(kb) // COUNT(*) AS avg_kb
+  FROM fk GROUP BY doc_id)
 SELECT u.doc_id, u.format,
   CAST(u.sample_rate AS BIGINT) AS sample_rate,
   CAST(u.channels AS BIGINT) AS channels,
-  CAST(u.bitrate_kbps AS BIGINT) AS bitrate_kbps,
+  CAST(fl.avg_kb AS BIGINT) AS bitrate_kbps,
   CAST(u.n_frames AS BIGINT) AS n_frames,
   CAST(u.spf AS BIGINT) AS samples_per_frame,
   CAST(u.n_frames * u.spf * 1000 // u.sample_rate AS BIGINT) AS duration_ms,

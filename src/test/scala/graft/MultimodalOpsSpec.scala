@@ -445,15 +445,20 @@ class MultimodalOpsSpec extends AnyFunSuite {
     for (id <- 0L to 40L by 2) {
       val bytes = MultimodalOps.synthMp3(id)
       val h = MultimodalOps.parseMp3Headers(bytes)
-      val kbps = MultimodalOps.Mp3BitratesKbps((1 + id % 14).toInt)
+      val nf = 2 + id % 5
+      // per-frame bitrates: every fifth mp3 is VBR, the rest constant
+      val kbF = (0L until nf).map(f => MultimodalOps.Mp3BitratesKbps(
+        (if (id % 10 == 4) 1 + (id + 3 * f) % 14 else 1 + id % 14).toInt))
       val rate = MultimodalOps.Mp3RatesHz((id % 3).toInt)
-      assert(h.format == "mp3" && h.sampleRate == rate && h.bitrateKbps.contains(kbps))
+      assert(h.format == "mp3" && h.sampleRate == rate)
+      assert(h.bitrateKbps.contains(kbF.sum / nf),
+        s"doc $id bitrate must be the exact frame mean")
       assert(h.channels == (if ((id / 2) % 4 == 3) 1L else 2L))
-      assert(h.nFrames == 2 + id % 5 && h.samplesPerFrame == 1152L)
+      assert(h.nFrames == nf && h.samplesPerFrame == 1152L)
       // independent byte recount off the spec's frame-length arithmetic,
       // plus the synchsafe-skipped ID3v2 prefix every third mp3 carries
       val tag = if (id % 6 == 0) 20 + id % 40 else 0L
-      val expect = (0L until (2 + id % 5)).map(f => 144000L * kbps / rate + (id + f) % 2).sum
+      val expect = (0L until nf).map(f => 144000L * kbF(f.toInt) / rate + (id + f) % 2).sum
       assert(h.tagBytes == tag, s"doc $id tag skip drifted")
       assert(h.totalBytes == bytes.length.toLong && h.totalBytes == expect + tag,
         s"doc $id byte walk drifted")
@@ -492,18 +497,22 @@ class MultimodalOpsSpec extends AnyFunSuite {
 
   test("compressedAudioHeaderStats: layer-bit dispatch and hand-computed rows") {
     import spark.implicits._
-    val docs = Seq(2L, 6L, 7L).toDF("doc_id")
+    val docs = Seq(2L, 4L, 6L, 7L).toDF("doc_id")
     val got = MultimodalOps.compressedAudioHeaderStats(
         MultimodalOps.compressedAudioCorpus(spark, docs))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    // id 2 (mp3): bitrate idx 3 -> 48 kbps, rate idx 2 -> 32000, mode 1
-    // -> stereo, 4 frames of 216+pad bytes, 4*1152*1000/32000 = 144 ms
+    // id 2 (mp3 CBR): bitrate idx 3 -> 48 kbps, rate idx 2 -> 32000,
+    // mode 1 -> stereo, 4 frames of 216+pad, 4*1152*1000/32000 = 144 ms
     assert(got(0) == Seq(2L, "mp3", 32000L, 2L, 48L, 4L, 1152L, 144L, 866L, 0L))
+    // id 4 (mp3 VBR): 6 frames at indices 5,8,11,14,3,6 -> kbps
+    // 64,112,192,320,48,80 (sum 816, mean 136) @ 48000 stereo; bytes
+    // 3*816 + 3 pads = 2451; 6*1152*1000/48000 = 144 ms
+    assert(got(1) == Seq(4L, "mp3", 48000L, 2L, 136L, 6L, 1152L, 144L, 2451L, 0L))
     // id 6 (mp3 + ID3v2): 96 kbps @ 44100, mono, 3 frames of 313+pad,
     // 26-byte tag skipped synchsafe; 3*1152*1000/44100 = 78 ms
-    assert(got(1) == Seq(6L, "mp3", 44100L, 1L, 96L, 3L, 1152L, 78L, 966L, 26L))
+    assert(got(2) == Seq(6L, "mp3", 44100L, 1L, 96L, 3L, 1152L, 78L, 966L, 26L))
     // id 7 (aac): sf idx 6 -> 24000, 2 channels, 4 frames, 170 ms,
     // bytes 71*4 + (7+8+9+10) mod-50 offsets = 318; header bitrate NULL
-    assert(got(2) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L, 0L))
+    assert(got(3) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L, 0L))
   }
 }
