@@ -41,12 +41,23 @@ package graft
   * the fresh-session first run of q115 (shared lexical ranking), q104
   * (edge artifact), q71 (funnel stage prefix) and q129 (trained IVF-PQ
   * index), taken before any warmup (after two unrelated JIT-warming
-  * queries), making the amortization claim measured. The block is also
+  * queries), making the amortization claim measured. The block is
   * DIFFED against the previous round's committed values (the r10
-  * verdict's ask): >1.3x drifts get one fresh-session re-sample and
-  * land in `cold_start_regressed` if they persist, so a regression in
-  * first-build cost — the cost a NEW cluster actually pays — is
-  * flagged, not just recorded.
+  * verdict's ask) — but ONLY when the previous summary carries the SAME
+  * `cold_start_methodology` stamp (the r11 verdict's ask: r11 diffed
+  * values measured by different harness code). Every cold query also
+  * gets a second `spark.newSession()` sample each round, recorded as
+  * ADVISORY `cold_start_resample` — never min-folded into the stat,
+  * because the re-sample re-pays the session memos but not JIT/codegen/
+  * parquet-footer caches and is systematically fast (r11 ADVICE); the
+  * >1.3x flag judges the ORIGINAL sample, the cost a new cluster pays.
+  *
+  * CANARY (the r11 verdict's ask): a fixed-work, testdata-free control
+  * row (in-memory range → hash aggregate) sampled twice before warmup
+  * and twice after the timed passes; `canary.canary_ratio_vs_prev`
+  * turns "the container was slower this round" from an inference into
+  * a measurement — a uniform common-set drift the canary shares is
+  * load, one it does not share is the tree.
   *
   * Workload-change registry: entries waiving a deliberate semantic
   * change are PINNED to the previous-round stat they waive against;
@@ -78,26 +89,64 @@ object Bench {
   }
 
   /** Extract a flat {"name":num,...} object stored under `"key":{` in a
-    * committed summary (regex-grade parsing — the artifact is written by
-    * this same main, so the shape is pinned). Takes the LAST occurrence:
-    * the full per-query map follows any nested earlier ones. Absent or
-    * unparseable → empty. */
+    * committed summary. Takes the LAST occurrence: the full per-query map
+    * follows any nested earlier ones. The body is found by scanning to
+    * the MATCHING brace (depth counter, string literals skipped with
+    * escape handling) — the first-'}' shortcut would silently truncate
+    * the regression baseline if the artifact ever gained a nested object
+    * or a '}' inside a registry-note string (r11 ADVICE). A FOUND body
+    * that is not flat (contains a nested object) throws loudly instead of
+    * weakening regression tracking quietly; an absent key or unbalanced
+    * text still returns empty (no prev file → no tracking, the
+    * documented degraded mode). */
   private[graft] def parseNumObject(txt: String, key: String): Map[String, Double] = {
     val tag = "\"" + key + "\":{"
     val i = txt.lastIndexOf(tag)
     if (i < 0) Map.empty
     else {
       val start = i + tag.length
-      val end = txt.indexOf('}', start)
-      if (end < 0) Map.empty
+      var depth = 1
+      var p = start
+      var inStr = false
+      var esc = false
+      while (p < txt.length && depth > 0) {
+        val c = txt.charAt(p)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ => ()
+        }
+        p += 1
+      }
+      if (depth != 0) Map.empty
       else {
-        val kv = java.util.regex.Pattern.compile("\"([^\"]+)\":([-0-9.eE]+)")
-        val m = kv.matcher(txt.substring(start, end))
+        val body = txt.substring(start, p - 1)
+        require(!body.contains('{'),
+          s"""non-flat object under "$key" — the summary shape changed; """ +
+            "teach parseNumObject the new shape instead of truncating the baseline")
+        val kv = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)+)\":([-0-9.eE]+)")
+        val m = kv.matcher(body)
         val b = Map.newBuilder[String, Double]
         while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
         b.result()
       }
     }
+  }
+
+  /** Extract one top-level string field (`"key":"value"`) from a
+    * committed summary — the cold-start methodology stamp reader. Absent
+    * → None; the escaped value is returned raw (stamps are plain
+    * identifiers, never escaped). */
+  private[graft] def parseStrField(txt: String, key: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(key) + "\":\"((?:[^\"\\\\]|\\\\.)*)\"")
+      .matcher(txt)
+    if (m.find()) Some(m.group(1)) else None
   }
 
   /** Split the workload-change registry into ACTIVE entries (their
@@ -126,10 +175,10 @@ object Bench {
 
   /** Cold-start drift vs the previous round's committed `cold_start`
     * block: (query -> ratio) for every query whose fresh-session
-    * first-run cost exceeds `flag`× its committed value. The caller
-    * re-samples flagged queries once on a fresh session (the
-    * single-sample noise rule — cold start cannot take min-of-5 without
-    * five sessions) before this is recorded. */
+    * first-run cost exceeds `flag`× its committed value. The caller only
+    * invokes this when the previous summary's methodology stamp matches
+    * the current one — cross-methodology diffs are the confound the r11
+    * verdict flagged. */
   private[graft] def coldStartRegressed(
       cur: Seq[(String, Double)], prevCold: Map[String, Double],
       flag: Double): Seq[(String, Double)] =
@@ -147,14 +196,19 @@ object Bench {
     val regressFlag = 1.3
     // the previous round's committed numbers (read BEFORE this run
     // overwrites the file); absent/unparseable -> no regression tracking
-    val (prev: Map[String, Double], prevCold: Map[String, Double]) = {
+    val (prev: Map[String, Double], prevCold: Map[String, Double],
+        prevColdMeth: Option[String], prevCanary: Map[String, Double]) = {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_PREV_SUMMARY", summaryPath))
-      if (!java.nio.file.Files.isRegularFile(p)) (Map.empty[String, Double], Map.empty[String, Double])
+      if (!java.nio.file.Files.isRegularFile(p))
+        (Map.empty[String, Double], Map.empty[String, Double],
+          None, Map.empty[String, Double])
       else {
         val txt = java.nio.file.Files.readString(p)
         // the full per-query map is the LAST "queries" object in the file
-        (parseNumObject(txt, "queries"), parseNumObject(txt, "cold_start"))
+        (parseNumObject(txt, "queries"), parseNumObject(txt, "cold_start"),
+          parseStrField(txt, "cold_start_methodology"),
+          parseNumObject(txt, "canary"))
       }
     }
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
@@ -180,43 +234,74 @@ object Bench {
     // framing was only asserting. Two unrelated queries run untimed
     // first so JIT/codegen/parquet-footer warmup doesn't inflate the
     // build cost (residual first-query JIT bias remains and is noted).
+    val coldQueries = Seq("q115_hybrid_search", "q104_pagerank",
+      "q71_curation_funnel", "q129_ivf_pq_kmeans")
     val coldStart: Seq[(String, Double)] = {
       Seq("q20_dedup_stats", "q13_revenue_by_nation").foreach { n =>
         SparkEntry.queries.get(n).foreach(fn => try run(fn) catch { case _: Throwable => () })
       }
-      Seq("q115_hybrid_search", "q104_pagerank", "q71_curation_funnel",
-        "q129_ivf_pq_kmeans").flatMap { n =>
+      coldQueries.flatMap { n =>
         SparkEntry.queries.get(n).map(fn => n -> timeOne(fn)._1)
       }
     }
-    // Cold-start drift rule (r10 verdict): diff the fresh-session first
-    // runs against the previous round's committed `cold_start` block with
-    // the same 1.3x flag as steady-state. Cold start is one sample by
-    // construction, so the noise rule is ONE re-sample on a fresh session
-    // (spark.newSession() — a new session-memo keyspace, so the memo
-    // build cost is genuinely re-paid, on the already-warm JVM) and the
-    // min of the two samples is the stat; a query still past the flag
-    // after the re-sample lands in `cold_start_regressed`.
-    val coldStartFinal: Seq[(String, Double)] = {
-      val flagged = coldStartRegressed(coldStart, prevCold, regressFlag).map(_._1).toSet
-      if (flagged.isEmpty) coldStart
-      else {
-        // builder configs persist (initialSessionOptions), but function
-        // registration is per-session — mirror GraftSession.local
-        val fresh = spark.newSession()
-        graft.sql.GraftFunctions.register(fresh)
-        coldStart.map { case (n, t) =>
-          if (!flagged(n)) n -> t
-          else n -> math.min(t, try {
-            val t0 = System.nanoTime()
-            SparkEntry.queries(n)(fresh, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => t })
+    // SECOND fresh-session sample, taken for EVERY cold query, every
+    // round (the r11 verdict's ask: "re-measure under constant
+    // methodology"): spark.newSession() re-keys the session memos so the
+    // first-build cost is genuinely re-paid, but JIT, codegen caches and
+    // the SharedState parquet footer/file-status caches are NOT — the
+    // re-sample is systematically FASTER than the true fresh sample
+    // (r11 ADVICE). It is therefore recorded as ADVISORY context
+    // (`cold_start_resample`), never min-folded into the stat: the flag
+    // judges the ORIGINAL sample, the one a new cluster actually pays.
+    val coldResample: Seq[(String, Double)] = {
+      // builder configs persist (initialSessionOptions), but function
+      // registration is per-session — mirror GraftSession.local
+      val fresh = spark.newSession()
+      graft.sql.GraftFunctions.register(fresh)
+      coldQueries.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(fresh, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
       }
     }
-    val coldRegressed = coldStartRegressed(coldStartFinal, prevCold, regressFlag)
+    // METHODOLOGY STAMP (r11 verdict): the r11 cold-start diff compared
+    // values measured by DIFFERENT harness code (the fresh-session
+    // re-sample gained SQL-function registration the same round it first
+    // diffed), so prev/current were apples and oranges. The stamp pins
+    // the measurement protocol; a prev summary carrying a DIFFERENT (or
+    // no) stamp is not comparable — the diff is skipped, the baseline
+    // resets this round, and `cold_start_prev_comparable` records why.
+    // v2 = original fresh sample is the stat (flag judges it); one
+    // advisory newSession re-sample per query recorded alongside.
+    val coldMethodology = "v2-flag-on-original-advisory-resample"
+    val coldComparable = prevColdMeth.contains(coldMethodology)
+    val coldRegressed =
+      if (coldComparable) coldStartRegressed(coldStart, prevCold, regressFlag)
+      else Seq.empty[(String, Double)]
+    // FIXED-WORK CANARY (r11 verdict): a constant, testdata-free workload
+    // — an in-memory range → hash-aggregate sized to ~1 s — whose cost
+    // CANNOT regress with the tree (it touches no graft code and no
+    // parquet). Sampled twice here (before warmup) and twice after the
+    // timed passes, min-of-4 with a spread column: a uniform common-set
+    // drift that the canary also shows is CONTAINER LOAD, measured; one
+    // the canary does not show is the tree. The r11 ~1.11x waiver was an
+    // inference; this makes the next one a measurement.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("id % 1048576 AS k", "id AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count("*").as("c"))
+        .agg(org.apache.spark.sql.functions.sum("s"),
+          org.apache.spark.sql.functions.sum("c"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryPre = Seq(canaryOnce(), canaryOnce())
     // Untimed warmup pass: JIT + codegen + parquet footer caches. The timed
     // passes below measure steady-state query throughput, which is what a
     // long-running engine delivers.
@@ -285,15 +370,28 @@ object Bench {
     // previous-round stat it waives against (the exact value from the
     // prior BENCH_SUMMARY.json), so an entry left behind after its round
     // surfaces in `workload_changed_stale` instead of silently waiving a
-    // later real regression — see [[workloadChangeStatus]]. Empty this
-    // round (r10's q23 entry served its round and is cleared).
-    val workloadRegistry: Seq[(String, Double, String)] = Seq.empty
+    // later real regression — see [[workloadChangeStatus]]. This round:
+    // the compressed-audio queries gained the Xing/Info VBR metadata
+    // frame (one extra 128 kbps frame synthesized + parsed per VBR mp3
+    // doc, plus the has_xing column) — a deliberate workload growth.
+    val workloadRegistry: Seq[(String, Double, String)] = Seq(
+      ("q185_compressed_audio_headers", 0.578015951,
+        "r12: VBR docs gained a bit-real Xing metadata frame (synth + walk + cross-check)"),
+      ("q186_audio_catalog_summary", 0.45590952,
+        "r12: same Xing frame growth via the shared header walk, plus the n_xing column"))
     val (wcActive, workloadStale) = workloadChangeStatus(workloadRegistry, prev)
     val workloadChanged = wcActive.filter { case (n, _) => regressed.contains(n) }
     val spread = extraNames.map { n =>
       val s = samples(n).map(_._1)
       n -> (if (s.nonEmpty && s.min > 0) s.max / s.min else 1.0)
     }
+    // canary tail samples: the same fixed work measured AFTER the timed
+    // passes, so the committed stat brackets the whole bench window
+    val canaryAll = canaryPre ++ Seq(canaryOnce(), canaryOnce())
+    val canarySec = canaryAll.min
+    val canarySpread = if (canaryAll.min > 0) canaryAll.max / canaryAll.min else 1.0
+    val canaryRatio = prevCanary.get("canary_sec")
+      .filter(_ > 0).map(p => canarySec / p)
     def jnum(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     def jarr(ss: Seq[String]): String = ss.map(jstr).mkString("[", ",", "]")
@@ -318,8 +416,12 @@ object Bench {
         workloadChanged.map { case (k, v) => jstr(k) + ":" + jstr(v) }
           .mkString("\"workload_changed\":{", ",", "},") +
         s""""workload_changed_stale":${jarr(workloadStale)},""" +
-        s""""cold_start":${jnum(coldStartFinal)},""" +
+        s""""cold_start_methodology":${jstr(coldMethodology)},""" +
+        s""""cold_start_prev_comparable":$coldComparable,""" +
+        s""""cold_start":${jnum(coldStart)},""" +
+        s""""cold_start_resample":${jnum(coldResample)},""" +
         s""""cold_start_regressed":${jnum(coldRegressed)},""" +
+        s""""canary":${jnum(Seq("canary_sec" -> canarySec, "canary_spread" -> canarySpread) ++ canaryRatio.map("canary_ratio_vs_prev" -> _))},""" +
         s""""slowest":${jnum(slowest)},""" +
         s""""spread":${jnum(spread.sortBy(_._1))},""" +
         s""""queries":${jnum(results.toSeq.sortBy(_._1))}}"""

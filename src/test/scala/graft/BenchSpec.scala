@@ -21,6 +21,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseNumObject("not json at all", "queries") == Map.empty)
   }
 
+  test("parseNumObject scans to the MATCHING brace, skipping braces inside strings") {
+    // a registry note containing '}' and ':{' must not end the body early
+    // (the r11 ADVICE truncation hazard) — values after it still parse
+    val txt = """{"workload_changed":{"qx":"note with } and \":{\" inside"},""" +
+      """"queries":{"q1":1.25,"q2":3.0}}"""
+    assert(Bench.parseNumObject(txt, "queries") == Map("q1" -> 1.25, "q2" -> 3.0))
+    // unbalanced text degrades to empty, the no-baseline mode
+    assert(Bench.parseNumObject("""{"queries":{"q1":1.0""", "queries") == Map.empty)
+  }
+
+  test("parseNumObject fails LOUDLY on a nested object instead of truncating") {
+    val txt = """{"queries":{"q1":1.0,"sub":{"q2":2.0}}}"""
+    val e = intercept[IllegalArgumentException](Bench.parseNumObject(txt, "queries"))
+    assert(e.getMessage.contains("non-flat"))
+  }
+
+  test("parseStrField reads the methodology stamp; absent -> None") {
+    val txt = """{"cold_start_methodology":"v2-flag-on-original-advisory-resample","x":1}"""
+    assert(Bench.parseStrField(txt, "cold_start_methodology")
+      .contains("v2-flag-on-original-advisory-resample"))
+    assert(Bench.parseStrField(txt, "missing_key").isEmpty)
+  }
+
   test("workload registry: matching pin is active, moved prev is stale, absent is stale") {
     val registry = Seq(
       ("q_active", 0.26, "intentional sample growth"),
