@@ -1151,11 +1151,15 @@ object MultimodalOps {
 
   /** Header-derived stream facts of one compressed-audio payload.
     * `tagBytes` is the skipped ID3v2 prefix (0 when the stream starts at
-    * its first audio frame; always 0 for ADTS). */
+    * its first audio frame; always 0 for ADTS). `hasXing` reports a
+    * leading Xing/Info VBR metadata frame — a bit-valid MPEG frame whose
+    * payload carries frame/byte totals — which is EXCLUDED from
+    * `nFrames` and the bitrate mean (counting it as audio is the
+    * classic one-frame duration skew; always false for ADTS). */
   final case class AudioHeaderInfo(
       format: String, sampleRate: Long, channels: Long,
       bitrateKbps: Option[Long], nFrames: Long, samplesPerFrame: Long,
-      totalBytes: Long, tagBytes: Long)
+      totalBytes: Long, tagBytes: Long, hasXing: Boolean)
 
   /** Deterministic synthetic MPEG-1 Layer III frame STREAM for `docId`:
     * every 4-byte frame header is bit-real (sync, version/layer,
@@ -1173,7 +1177,17 @@ object MultimodalOps {
     * varies per frame (`1 + (id + 3f) mod 14`), like most real-world
     * mp3 encodes — so the walker must read EVERY frame's bitrate to
     * advance (one wrong frame length lands mid-payload and fails the
-    * sync check). */
+    * sync check). VBR docs additionally open with a bit-real XING
+    * metadata frame (what LAME and every real VBR encoder writes): a
+    * valid 128 kbps MPEG frame whose payload carries, at the spec
+    * offset 4 + side-info (17 mono / 32 otherwise), the ASCII "Xing"
+    * marker, a big-endian flags word (FRAMES|BYTES = 0x3), the AUDIO
+    * frame count and the audio-stream byte total (Xing frame included,
+    * ID3 tag excluded — the LAME convention). A walker that counts it
+    * as audio reports one extra frame, a skewed duration and a skewed
+    * mean bitrate. (The deterministic filler can never fake the marker:
+    * consecutive filler bytes differ by 13 mod 256 while 'X'→'i'
+    * differs by 17, so the check is collision-free by construction.) */
   private[graft] def synthMp3(docId: Long): Array[Byte] = {
     val sIdx = (docId % 3).toInt
     val mode = ((docId / 2) % 4).toInt
@@ -1192,6 +1206,33 @@ object MultimodalOps {
       var i = 10
       while (i < tag.length) { tag(i) = ((docId * 3 + i * 7) % 256).toByte; i += 1 }
       bos.write(tag)
+    }
+    if (docId % 10 == 4) {
+      // XING metadata frame: fixed 128 kbps (index 9), no padding, the
+      // stream's own rate/mode bits (stream-constant fields hold across
+      // the metadata frame too, as in real encodes)
+      val xlen = (144000L * 128L / Mp3RatesHz(sIdx)).toInt
+      val audioBytes = (0 until nf).map { f =>
+        val bIdx = (1 + (docId + 3 * f) % 14).toInt
+        (144000L * Mp3BitratesKbps(bIdx) / Mp3RatesHz(sIdx)).toInt + ((docId + f) % 2).toInt
+      }.sum
+      val b = new Array[Byte](xlen)
+      b(0) = 0xFF.toByte
+      b(1) = 0xFB.toByte
+      b(2) = ((9 << 4) | (sIdx << 2)).toByte
+      b(3) = ((mode << 6) | 0x04).toByte
+      var i = 4
+      while (i < xlen) { b(i) = ((docId * 7 + i * 13 + 5) % 256).toByte; i += 1 }
+      val off = 4 + (if (mode == 3) 17 else 32) // header + MPEG-1 side info
+      b(off) = 'X'; b(off + 1) = 'i'; b(off + 2) = 'n'; b(off + 3) = 'g'
+      def be32(o: Int, v: Long): Unit = {
+        b(o) = ((v >> 24) & 0xFF).toByte; b(o + 1) = ((v >> 16) & 0xFF).toByte
+        b(o + 2) = ((v >> 8) & 0xFF).toByte; b(o + 3) = (v & 0xFF).toByte
+      }
+      be32(off + 4, 0x3L) // flags: FRAMES | BYTES
+      be32(off + 8, nf.toLong) // audio frames, Xing frame excluded
+      be32(off + 12, xlen.toLong + audioBytes) // stream bytes incl. this frame
+      bos.write(b)
     }
     var f = 0
     while (f < nf) {
@@ -1254,7 +1295,11 @@ object MultimodalOps {
     * loudly, never return garbage. A leading ID3v2 tag is skipped
     * by its SYNCHSAFE size field (7 bits per byte — treating it as a
     * plain 32-bit int, the classic walker bug, would land mid-tag and
-    * fail the sync check); footer-flagged tags are rejected loudly. */
+    * fail the sync check); footer-flagged tags are rejected loudly. A
+    * first-frame Xing/Info VBR metadata frame (the real-world VBR
+    * opener) is detected at the spec marker offset, EXCLUDED from the
+    * frame count and bitrate mean, reported via `hasXing`, and its
+    * frame/byte totals are cross-checked against the walked stream. */
   private[graft] def parseMp3Headers(bytes: Array[Byte]): AudioHeaderInfo = {
     var pos = 0
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
@@ -1272,6 +1317,9 @@ object MultimodalOps {
     val tagBytes = pos.toLong
     var nf = 0L
     var rate = 0L; var chans = 0L; var kbpsSum = 0L
+    var seenAny = false
+    var hasXing = false
+    var xingFrames = -1L; var xingBytes = -1L
     while (pos < bytes.length) {
       require(pos + 4 <= bytes.length, s"truncated mp3 frame header at $pos")
       val b1 = bytes(pos + 1) & 0xff
@@ -1288,18 +1336,54 @@ object MultimodalOps {
       val r = Mp3RatesHz(sIdx)
       val k = Mp3BitratesKbps(bIdx)
       val c = if (mode == 3) 1L else 2L
-      if (nf == 0L) { rate = r; chans = c }
+      if (!seenAny) { rate = r; chans = c; seenAny = true }
       else require(r == rate && c == chans,
         s"rate/mode change at frame $nf — stream-constant fields expected")
-      kbpsSum += k
       val flen = (144000L * k / r).toInt + pad
       require(pos + flen <= bytes.length, s"truncated mp3 frame body at $pos")
+      // XING/INFO VBR metadata frame detection — FIRST frame only (where
+      // every real encoder writes it): the marker sits at the spec offset
+      // 4 + side-info bytes (MPEG-1: 17 mono, 32 otherwise). A metadata
+      // frame is SKIPPED from the frame count and the bitrate mean —
+      // counting it as audio is the classic one-frame skew on every
+      // n_frames/duration/mean-bitrate consumer — but its frame/byte
+      // totals are read and CROSS-CHECKED against the walked stream at
+      // the end, so a lying header fails loudly instead of shipping
+      // wrong metadata.
+      val xOff = pos + 4 + (if (mode == 3) 17 else 32)
+      if (nf == 0L && !hasXing && xOff + 4 <= pos + flen &&
+          ((bytes(xOff) == 'X' && bytes(xOff + 1) == 'i' &&
+            bytes(xOff + 2) == 'n' && bytes(xOff + 3) == 'g') ||
+           (bytes(xOff) == 'I' && bytes(xOff + 1) == 'n' &&
+            bytes(xOff + 2) == 'f' && bytes(xOff + 3) == 'o'))) {
+        hasXing = true
+        def be32(o: Int): Long =
+          ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+            ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+        require(xOff + 8 <= pos + flen, s"truncated Xing flags at $xOff")
+        val flags = be32(xOff + 4)
+        var fo = xOff + 8
+        if ((flags & 0x1L) != 0) { // FRAMES
+          require(fo + 4 <= pos + flen, s"truncated Xing frame count at $fo")
+          xingFrames = be32(fo); fo += 4
+        }
+        if ((flags & 0x2L) != 0) { // BYTES
+          require(fo + 4 <= pos + flen, s"truncated Xing byte count at $fo")
+          xingBytes = be32(fo); fo += 4
+        }
+      } else {
+        kbpsSum += k
+        nf += 1
+      }
       pos += flen
-      nf += 1
     }
+    if (xingFrames >= 0) require(xingFrames == nf,
+      s"Xing frame count $xingFrames disagrees with walked audio frames $nf")
+    if (xingBytes >= 0) require(xingBytes == bytes.length - tagBytes,
+      s"Xing byte count $xingBytes disagrees with stream bytes ${bytes.length - tagBytes}")
     AudioHeaderInfo("mp3", rate, chans,
       if (nf > 0) Some(kbpsSum / nf) else None, nf, 1152L,
-      bytes.length.toLong, tagBytes)
+      bytes.length.toLong, tagBytes, hasXing)
   }
 
   /** Walk an ADTS-AAC stream by its real 13-bit frame-length fields:
@@ -1332,7 +1416,8 @@ object MultimodalOps {
       pos += len
       nf += 1
     }
-    AudioHeaderInfo("aac", rate, chans, None, nf, 1024L, bytes.length.toLong, 0L)
+    AudioHeaderInfo("aac", rate, chans, None, nf, 1024L, bytes.length.toLong, 0L,
+      hasXing = false)
   }
 
   /** COMPRESSED audio corpus keyed on the documents table: one real
@@ -1371,13 +1456,17 @@ object MultimodalOps {
         // mp3 layer bits are nonzero (Layer III = 01); ADTS layer is 00
         val h = if (((r.content(1) & 0xff) & 0x06) == 0) parseAdtsHeaders(r.content)
                 else parseMp3Headers(r.content)
+        // an ID3v2-tag-only payload walks to zero frames with rate 0 —
+        // fail with the descriptive contract error, not a bare '/ by zero'
+        require(h.nFrames > 0, s"no audio frames in media ${r.mediaId}")
         (r.mediaId, h.format, h.sampleRate, h.channels, h.bitrateKbps,
           h.nFrames, h.samplesPerFrame,
           h.nFrames * h.samplesPerFrame * 1000L / h.sampleRate, h.totalBytes,
-          h.tagBytes)
+          h.tagBytes, h.hasXing)
       }
     }.toDF("doc_id", "format", "sample_rate", "channels", "bitrate_kbps",
-      "n_frames", "samples_per_frame", "duration_ms", "total_bytes", "tag_bytes")
+      "n_frames", "samples_per_frame", "duration_ms", "total_bytes", "tag_bytes",
+      "has_xing")
   }
 
   /** CORPUS-LEVEL compressed-audio catalog audit — the "how many hours
@@ -1399,7 +1488,8 @@ object MultimodalOps {
         sum(col("duration_ms")).as("total_duration_ms"),
         min(col("sample_rate")).as("min_sample_rate"),
         max(col("sample_rate")).as("max_sample_rate"),
-        sum(when(col("channels") === 1L, 1L).otherwise(0L)).as("n_mono"))
+        sum(when(col("channels") === 1L, 1L).otherwise(0L)).as("n_mono"),
+        sum(when(col("has_xing"), 1L).otherwise(0L)).as("n_xing"))
       .orderBy("format")
 
   /** Per-modality feature summary — the query-shaped entry point:

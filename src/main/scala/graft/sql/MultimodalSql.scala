@@ -116,14 +116,16 @@ ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT $limit"""
     list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1) AS sample_rate,
     CASE WHEN (doc_id // 2) % 4 = 3 THEN 1 ELSE 2 END AS channels,
     2 + doc_id % 5 AS n_frames, 1152 AS spf,
-    CASE WHEN doc_id % 6 = 0 THEN 20 + doc_id % 40 ELSE 0 END AS tag_bytes
+    CASE WHEN doc_id % 6 = 0 THEN 20 + doc_id % 40 ELSE 0 END AS tag_bytes,
+    doc_id % 10 = 4 AS has_xing
   FROM $table WHERE doc_id % 2 = 0
   UNION ALL
   SELECT doc_id, 'aac' AS format,
     list_extract([48000, 44100, 32000, 24000], CAST(doc_id % 4 AS INT) + 1) AS sample_rate,
     1 + (doc_id // 2) % 2 AS channels,
     2 + doc_id % 5 AS n_frames, 1024 AS spf,
-    0 AS tag_bytes
+    0 AS tag_bytes,
+    FALSE AS has_xing
   FROM $table WHERE doc_id % 2 = 1),
 fr AS (SELECT doc_id, format, sample_rate,
   unnest(range(0, n_frames)) AS f FROM u),
@@ -145,8 +147,11 @@ SELECT u.doc_id, u.format,
   CAST(u.n_frames AS BIGINT) AS n_frames,
   CAST(u.spf AS BIGINT) AS samples_per_frame,
   CAST(u.n_frames * u.spf * 1000 // u.sample_rate AS BIGINT) AS duration_ms,
-  CAST(fl.total_bytes + u.tag_bytes AS BIGINT) AS total_bytes,
-  CAST(u.tag_bytes AS BIGINT) AS tag_bytes
+  CAST(fl.total_bytes + u.tag_bytes
+    + CASE WHEN u.has_xing THEN 144000 * 128 // u.sample_rate ELSE 0 END
+    AS BIGINT) AS total_bytes,
+  CAST(u.tag_bytes AS BIGINT) AS tag_bytes,
+  u.has_xing AS has_xing
 FROM u JOIN fl USING (doc_id)
 ORDER BY doc_id"""
 
@@ -161,7 +166,8 @@ SELECT format, CAST(COUNT(*) AS BIGINT) AS n_clips,
   CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
   CAST(MIN(sample_rate) AS BIGINT) AS min_sample_rate,
   CAST(MAX(sample_rate) AS BIGINT) AS max_sample_rate,
-  CAST(SUM(CASE WHEN channels = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mono
+  CAST(SUM(CASE WHEN channels = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mono,
+  CAST(SUM(CASE WHEN has_xing THEN 1 ELSE 0 END) AS BIGINT) AS n_xing
 FROM h GROUP BY format ORDER BY format"""
 
   def audioDecodeStats(table: String): String =

@@ -456,13 +456,41 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert(h.channels == (if ((id / 2) % 4 == 3) 1L else 2L))
       assert(h.nFrames == nf && h.samplesPerFrame == 1152L)
       // independent byte recount off the spec's frame-length arithmetic,
-      // plus the synchsafe-skipped ID3v2 prefix every third mp3 carries
+      // plus the synchsafe-skipped ID3v2 prefix every third mp3 carries,
+      // plus the 128 kbps Xing metadata frame every VBR doc opens with
       val tag = if (id % 6 == 0) 20 + id % 40 else 0L
+      val xing = if (id % 10 == 4) 144000L * 128L / rate else 0L
       val expect = (0L until nf).map(f => 144000L * kbF(f.toInt) / rate + (id + f) % 2).sum
       assert(h.tagBytes == tag, s"doc $id tag skip drifted")
-      assert(h.totalBytes == bytes.length.toLong && h.totalBytes == expect + tag,
+      assert(h.hasXing == (id % 10 == 4), s"doc $id Xing detection drifted")
+      assert(h.totalBytes == bytes.length.toLong && h.totalBytes == expect + tag + xing,
         s"doc $id byte walk drifted")
     }
+  }
+
+  test("Xing metadata frame: skipped from stats, cross-checked, Info accepted") {
+    val vbr = MultimodalOps.synthMp3(4L) // VBR -> leading Xing frame
+    val h = MultimodalOps.parseMp3Headers(vbr)
+    assert(h.hasXing && h.nFrames == 6L,
+      "Xing frame must not count as audio (the one-frame duration skew)")
+    // the 'Info' variant (CBR encodes) is detected at the same offset
+    val xOff = 4 + 32 // stereo side info (id 4 -> mode 2)
+    val info = vbr.clone()
+    info(xOff) = 'I'; info(xOff + 1) = 'n'; info(xOff + 2) = 'f'; info(xOff + 3) = 'o'
+    assert(MultimodalOps.parseMp3Headers(info).hasXing)
+    // a LYING frame-count field fails loudly, never ships wrong metadata
+    val badN = vbr.clone(); badN(xOff + 11) = (badN(xOff + 11) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](MultimodalOps.parseMp3Headers(badN))
+    assert(e1.getMessage.contains("Xing frame count"))
+    // a LYING byte-total field too
+    val badB = vbr.clone(); badB(xOff + 15) = (badB(xOff + 15) ^ 0x01).toByte
+    val e2 = intercept[IllegalArgumentException](MultimodalOps.parseMp3Headers(badB))
+    assert(e2.getMessage.contains("Xing byte count"))
+    // CBR streams carry no marker: never misdetected off the filler
+    assert(!MultimodalOps.parseMp3Headers(MultimodalOps.synthMp3(2L)).hasXing)
+    // tag + Xing compose: id 24 has BOTH the ID3v2 prefix and a Xing frame
+    val both = MultimodalOps.parseMp3Headers(MultimodalOps.synthMp3(24L))
+    assert(both.tagBytes == 44L && both.hasXing && both.nFrames == 6L)
   }
 
   test("ADTS header walk: 13-bit length split, rate/channel tables, frame count") {
@@ -503,16 +531,17 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     // id 2 (mp3 CBR): bitrate idx 3 -> 48 kbps, rate idx 2 -> 32000,
     // mode 1 -> stereo, 4 frames of 216+pad, 4*1152*1000/32000 = 144 ms
-    assert(got(0) == Seq(2L, "mp3", 32000L, 2L, 48L, 4L, 1152L, 144L, 866L, 0L))
+    assert(got(0) == Seq(2L, "mp3", 32000L, 2L, 48L, 4L, 1152L, 144L, 866L, 0L, false))
     // id 4 (mp3 VBR): 6 frames at indices 5,8,11,14,3,6 -> kbps
     // 64,112,192,320,48,80 (sum 816, mean 136) @ 48000 stereo; bytes
-    // 3*816 + 3 pads = 2451; 6*1152*1000/48000 = 144 ms
-    assert(got(1) == Seq(4L, "mp3", 48000L, 2L, 136L, 6L, 1152L, 144L, 2451L, 0L))
+    // 3*816 + 3 pads = 2451 audio + 384 Xing frame = 2835; duration and
+    // mean bitrate EXCLUDE the Xing frame: 6*1152*1000/48000 = 144 ms
+    assert(got(1) == Seq(4L, "mp3", 48000L, 2L, 136L, 6L, 1152L, 144L, 2835L, 0L, true))
     // id 6 (mp3 + ID3v2): 96 kbps @ 44100, mono, 3 frames of 313+pad,
     // 26-byte tag skipped synchsafe; 3*1152*1000/44100 = 78 ms
-    assert(got(2) == Seq(6L, "mp3", 44100L, 1L, 96L, 3L, 1152L, 78L, 966L, 26L))
+    assert(got(2) == Seq(6L, "mp3", 44100L, 1L, 96L, 3L, 1152L, 78L, 966L, 26L, false))
     // id 7 (aac): sf idx 6 -> 24000, 2 channels, 4 frames, 170 ms,
     // bytes 71*4 + (7+8+9+10) mod-50 offsets = 318; header bitrate NULL
-    assert(got(3) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L, 0L))
+    assert(got(3) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L, 0L, false))
   }
 }
