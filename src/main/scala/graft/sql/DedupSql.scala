@@ -35,37 +35,53 @@ SELECT MIN(id) AS keeper_id, COUNT(*) AS n_copies FROM t GROUP BY k
 HAVING COUNT(*) >= 2 ORDER BY keeper_id"""
 
   /** Mirror of [[graft.ops.DedupOps.jaccardJoinExact]]: same rarest-first
-    * (freq, hash) order via `array_agg(... ORDER BY f, h)`, same prefix
+    * (freq, hash) order via the packed f·2²⁸+h key sort, same prefix
     * length n − ⌈t·n⌉ + 1 in integer arithmetic, same capped buckets,
     * same PPJoin positional filter over the same capped meeting set
     * (per-pair MIN prefix positions, overlap bound
     * 1 + min(na−1−ia, nb−1−ib) cross-multiplied against
-    * ⌈tNum·(na+nb)/(tNum+tDen)⌉), same integer cross-multiplied final
-    * threshold — the algorithm itself is mirrored (not brute force), and
-    * the completeness theorem makes both equal the exact answer modulo
-    * the shared cap. Mirroring the positional filter (rather than
-    * relying on its safety theorem) keeps equality by construction even
-    * in the capped corner where a pair's first meeting sat in a dropped
-    * bucket. */
+    * ⌈tNum·(na+nb)/(tNum+tDen)⌉), same PPJoin+ depth-1 SUFFIX filter
+    * (per-row suffix-median keys, arg_min at the min meeting, the
+    * IDENTICAL [[graft.ops.DedupOps.suffixHammingBound]] text spliced
+    * into both engines), same integer cross-multiplied final threshold —
+    * the algorithm itself is mirrored (not brute force), and the
+    * completeness theorem makes both equal the exact answer modulo the
+    * shared cap. Mirroring the filters (rather than relying on their
+    * safety theorems) keeps equality by construction even in the capped
+    * corner where a pair's first meeting sat in a dropped bucket. */
   def jaccardJoinExact(
       table: String, w: Int, tNum: Long, tDen: Long, maxBucket: Int): String = {
     val gram = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    val h1 = graft.ops.DedupOps.suffixHammingBound(
+      v = "mb", m = "ma", ll = "lal", l = "la", a = "lbl", c = "la - lb + lbl")
+    val h2 = graft.ops.DedupOps.suffixHammingBound(
+      v = "ma", m = "mb", ll = "lbl", l = "lb", a = "lal", c = "lb - la + lal")
     s"""WITH t0 AS (SELECT doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-${w - 2}), i -> $gram))) AS s
   FROM t0 WHERE len(tk) >= $w),
 occ AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS h FROM sh),
 freq AS (SELECT h, COUNT(*) AS f FROM occ GROUP BY h),
-srt AS (SELECT doc_id, array_agg(h ORDER BY f, h) AS hs, COUNT(*) AS n
-  FROM occ JOIN freq USING (h) GROUP BY doc_id),
-pr AS (SELECT doc_id, n, u['h'] AS h, u['p'] AS p FROM (
+ky AS (SELECT doc_id, f * 268435456 + h AS k FROM occ JOIN freq USING (h)),
+srt AS (SELECT doc_id, array_agg(k ORDER BY k) AS hs, COUNT(*) AS n
+  FROM ky GROUP BY doc_id),
+pr AS (SELECT doc_id, n, u['h'] AS h, u['p'] AS p, u['m'] AS m FROM (
   SELECT doc_id, n, unnest(list_transform(range(0, n - (($tNum * n + $tDen - 1) // $tDen) + 1),
-    i -> {'h': hs[CAST(i + 1 AS INT)], 'p': i})) AS u FROM srt)),
+    i -> {'h': hs[CAST(i + 1 AS INT)], 'p': i,
+      'm': CASE WHEN n - 1 - i >= 1 THEN hs[CAST(i + 2 + (n - 2 - i) // 2 AS INT)] END})) AS u FROM srt)),
 grp AS (SELECT h FROM pr GROUP BY h HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
-cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+    MIN(a.p) AS ia, MIN(b.p) AS ib,
+    arg_min(a.m, a.p) AS ma, arg_min(b.m, b.p) AS mb
   FROM pr a JOIN pr b USING (h) JOIN grp USING (h) WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id, a.n, b.n
   HAVING (1 + LEAST(a.n - 1 - MIN(a.p), b.n - 1 - MIN(b.p))) * ${tNum + tDen}
     >= $tNum * (a.n + b.n)),
+sfx AS (SELECT doc_a, doc_b, na, nb, ma, mb,
+    na - 1 - ia AS la, nb - 1 - ib AS lb,
+    (na - 1 - ia - 1) // 2 AS lal, (nb - 1 - ib - 1) // 2 AS lbl FROM cand0),
+cand AS (SELECT doc_a, doc_b FROM sfx
+  WHERE la < 1 OR lb < 1 OR
+    (1 + (la + lb - GREATEST($h1, $h2)) // 2) * ${tNum + tDen} >= $tNum * (na + nb)),
 v AS (SELECT doc_a, doc_b,
     len(list_intersect(sa.hs, sb.hs)) AS n_common, sa.n + sb.n AS nsum
   FROM cand JOIN srt sa ON sa.doc_id = cand.doc_a JOIN srt sb ON sb.doc_id = cand.doc_b)

@@ -648,6 +648,27 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("exact jaccard join: suffix filter keeps brute-force equality on randomized corpora") {
+    import spark.implicits._
+    // 120 docs over a small vocabulary at three thresholds: lots of
+    // borderline pairs whose suffix-median hamming bound sits right at
+    // the prune boundary — a too-tight bound (the only way the PPJoin+
+    // filter can be wrong) loses a pair brute force keeps
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val rows: Seq[(Long, String)] = (1L to 120L).map { id =>
+      val k = 2 + rnd.nextInt(9)
+      (id, rnd.shuffle(vocab).take(k).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text").localCheckpoint()
+    for ((tn, td) <- Seq((1L, 2L), (2L, 3L), (1L, 3L))) {
+      val got = DedupOps.jaccardJoinExact(df, "text", "doc_id",
+        w = 1, tNum = tn, tDen = td, maxBucket = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === bruteJaccard(rows, tn, td), s"threshold $tn/$td diverged")
+    }
+  }
+
   test("exact jaccard join is repartition-invariant on the real corpus") {
     val a = DedupOps.jaccardJoinExact(docs, "text", "doc_id",
       w = 3, tNum = 1L, tDen = 2L).collect().toSeq
