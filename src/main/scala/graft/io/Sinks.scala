@@ -62,11 +62,23 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession,
       srcDir: String, dstDir: String, epochId: Long,
       numFiles: Int, sortCols: Seq[String],
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil): Unit =
+    compactBatches(spark.read.parquet(srcDir), dstDir, epochId,
+      numFiles, sortCols, partitionBy)
+
+  /** [[compactBatches]] over a caller-filtered source relation — the
+    * form the streaming ingest loops' in-place epoch fold needs (their
+    * source must EXCLUDE the current batchId's partition for replay
+    * safety, which a whole-directory read cannot express). Same
+    * contract otherwise. */
+  def compactBatches(
+      src: DataFrame, dstDir: String, epochId: Long,
+      numFiles: Int, sortCols: Seq[String],
+      partitionBy: Seq[String]): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     require(sortCols.nonEmpty, "compaction needs at least one sort column")
     val cols = sortCols.map(org.apache.spark.sql.functions.col)
-    val df = spark.read.parquet(srcDir).drop("batch")
+    val df = src.drop("batch")
       .repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
     val w = df.write.mode("errorifexists")

@@ -283,13 +283,81 @@ object StreamingOps {
     * the key multiset is already distinct).
     * `onBatch(report, batchId)` gets the per-batch
     * [[graft.ops.DedupOps.exactDupSpansAgainstIndex]]-shaped report. */
+  /** The reserved epoch partition id a compaction at `batchId` folds
+    * into: negative (like the `batch=-1` seed, so it can never collide
+    * with a real micro-batch id) and unique per folding batch (so a
+    * replay of batch B can tell ITS epoch from an older one). */
+  private[graft] def compactEpochId(batchId: Long): Long = -batchId - 2
+
+  /** EVERY-N-EPOCHS COMPACTION for one growing `batch=<id>` artifact
+    * directory (the r11 verdict's ask): all five ingest loops grow one
+    * hive partition per micro-batch, so partition discovery and file
+    * listing grow linearly with stream age even though the key multiset
+    * stays distinct. Called at the TOP of a batch body (before the
+    * batch's artifact reads — `foreachBatch` bodies are serial, so
+    * there is no concurrent reader to cut over), it folds every
+    * partition EXCEPT the current batch's own into one fresh epoch
+    * partition via [[graft.io.Sinks.compactBatches]] and retires the
+    * folded ones. The fold only reorganizes rows, so the batch's screen
+    * verdicts and appended content are bit-identical before and after
+    * (spec-pinned).
+    *
+    * Crash safety, step by step (a replayed batch B re-runs ALL of
+    * this):
+    *  1. the epoch is STAGED under a dot-prefixed temp dir — invisible
+    *     to partition discovery — and atomically renamed to
+    *     `batch=<epochId>`; a crash mid-stage leaves only the invisible
+    *     temp, which the replay deletes and rebuilds;
+    *  2. a replay that finds `batch=<epochId>` already present skips
+    *     the rewrite (the fold is a pure function of the pre-B
+    *     partitions, which the exclusion read pins) and resumes at the
+    *     retire step — a crash mid-retire just finishes the deletes;
+    *  3. `batch=<B>` itself is never folded and never retired, so the
+    *     replay-safety contract of the batch bodies (reads exclude the
+    *     own partition) is preserved verbatim.
+    * Rename-as-commit assumes an atomic-rename filesystem (local/HDFS);
+    * object stores need a manifest-pointer commit instead — documented
+    * boundary, same class as the sinks' direct-write contract. */
+  private[graft] def maybeCompactArtifact(
+      spark: SparkSession, dir: String, batchId: Long, every: Int,
+      numFiles: Int, sortCols: Seq[String],
+      partitionBy: Seq[String] = Nil): Unit = {
+    if (every <= 0 || batchId <= 0 || batchId % every != 0) return
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val epoch = compactEpochId(batchId)
+    val epochPath = new org.apache.hadoop.fs.Path(base, s"batch=$epoch")
+    if (!fs.exists(epochPath)) {
+      val tmp = new org.apache.hadoop.fs.Path(base, s".compact_tmp_$batchId")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // crashed mid-stage: rebuild
+      graft.io.Sinks.compactBatches(
+        spark.read.parquet(dir).filter(col("batch") =!= batchId),
+        tmp.toString, epoch, numFiles, sortCols, partitionBy)
+      val staged = new org.apache.hadoop.fs.Path(tmp, s"batch=$epoch")
+      require(fs.rename(staged, epochPath),
+        s"compaction commit rename failed: $staged -> $epochPath")
+      fs.delete(tmp, true)
+    }
+    // retire the folded partitions; idempotent on replay (see above)
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch=")) {
+        val id = name.substring("batch=".length).toLong
+        if (id != epoch && id != batchId) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   def spanIngest(
       docs: DataFrame, indexDir: String,
       textCol: String, idCol: String, l: Int,
+      compactEvery: Int = 0,
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      onBatch(spanIngestBatch(batch, batchId, indexDir, textCol, idCol, l), batchId)
+      onBatch(spanIngestBatch(batch, batchId, indexDir, textCol, idCol, l,
+        compactEvery), batchId)
     }
 
   /** One [[spanIngest]] micro-batch — screen, anti-joined append, report.
@@ -298,8 +366,11 @@ object StreamingOps {
     * cannot simulate. */
   private[graft] def spanIngestBatch(
       batch: DataFrame, batchId: Long, indexDir: String,
-      textCol: String, idCol: String, l: Int): DataFrame = {
+      textCol: String, idCol: String, l: Int,
+      compactEvery: Int = 0): DataFrame = {
     val spark = batch.sparkSession
+    maybeCompactArtifact(spark, indexDir, batchId, compactEvery,
+      numFiles = 4, sortCols = Seq("wk"))
     // the micro-batch feeds the screen and its own index append — pin
     // it once instead of recomputing the source per consumer
     val b = batch.localCheckpoint()
@@ -352,12 +423,13 @@ object StreamingOps {
       docs: DataFrame, indexDir: String, hashSetsDir: String,
       textCol: String, idCol: String,
       w: Int = 3, nBands: Int = 8, r: Int = 2, minJaccard: Double = 0.5,
+      compactEvery: Int = 0,
       onBatch: (DataFrame, DataFrame, Long) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val (accepted, blocked) = nearDupIngestBatch(
         batch, batchId, indexDir, hashSetsDir, textCol, idCol,
-        w, nBands, r, minJaccard)
+        w, nBands, r, minJaccard, compactEvery)
       onBatch(accepted, blocked, batchId)
     }
 
@@ -367,8 +439,13 @@ object StreamingOps {
   private[graft] def nearDupIngestBatch(
       batch: DataFrame, batchId: Long, indexDir: String, hashSetsDir: String,
       textCol: String, idCol: String,
-      w: Int, nBands: Int, r: Int, minJaccard: Double): (DataFrame, DataFrame) = {
+      w: Int, nBands: Int, r: Int, minJaccard: Double,
+      compactEvery: Int = 0): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
+    maybeCompactArtifact(spark, indexDir, batchId, compactEvery,
+      numFiles = 4, sortCols = Seq("band", "bh"))
+    maybeCompactArtifact(spark, hashSetsDir, batchId, compactEvery,
+      numFiles = 4, sortCols = Seq("id"))
     // the micro-batch feeds the screen and the accepted anti join —
     // pin it once instead of recomputing the source per consumer
     val b = batch.localCheckpoint()
@@ -432,6 +509,7 @@ object StreamingOps {
       prefixLen: Int, w: Int, maxOverlapNum: Long, maxOverlapDen: Long,
       budgetNum: Long, budgetDen: Long,
       nBands: Int = 8, r: Int = 2, minJaccard: Double = 0.5,
+      compactEvery: Int = 0,
       onBatch: (DataFrame, DataFrame, Long) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -439,7 +517,7 @@ object StreamingOps {
         batch, batchId, keysDir, indexDir, hashSetsDir, benchShingles,
         textCol, idCol, stopwords, minTokens, maxTokens, minStops,
         prefixLen, w, maxOverlapNum, maxOverlapDen, budgetNum, budgetDen,
-        nBands, r, minJaccard)
+        nBands, r, minJaccard, compactEvery)
       onBatch(report, accepted, batchId)
     }
 
@@ -453,8 +531,15 @@ object StreamingOps {
       stopwords: Seq[String], minTokens: Long, maxTokens: Long, minStops: Long,
       prefixLen: Int, w: Int, maxOverlapNum: Long, maxOverlapDen: Long,
       budgetNum: Long, budgetDen: Long,
-      nBands: Int, r: Int, minJaccard: Double): (DataFrame, DataFrame) = {
+      nBands: Int, r: Int, minJaccard: Double,
+      compactEvery: Int = 0): (DataFrame, DataFrame) = {
       val spark = batch.sparkSession
+      maybeCompactArtifact(spark, keysDir, batchId, compactEvery,
+        numFiles = 4, sortCols = Seq("__key"))
+      maybeCompactArtifact(spark, indexDir, batchId, compactEvery,
+        numFiles = 4, sortCols = Seq("band", "bh"))
+      maybeCompactArtifact(spark, hashSetsDir, batchId, compactEvery,
+        numFiles = 4, sortCols = Seq("id"))
       val b = batch.localCheckpoint()
       // stage 0+1: per-doc token counts and rule mask in one pass
       val masked = graft.ops.TextAnalysisOps.gopherRuleMask(
@@ -552,19 +637,24 @@ object StreamingOps {
   def ivfIngest(
       vecs: DataFrame, centroidsDir: String, listsDir: String,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
+      compactEvery: Int = 0,
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       onBatch(ivfIngestBatch(batch, batchId, centroidsDir, listsDir,
-        idCol, vecCol, k, nprobe), batchId)
+        idCol, vecCol, k, nprobe, compactEvery), batchId)
     }
 
   /** One [[ivfIngest]] micro-batch — match, list append, match report.
     * Package-visible so the spec can drive a REPLAYED batch directly. */
   private[graft] def ivfIngestBatch(
       batch: DataFrame, batchId: Long, centroidsDir: String, listsDir: String,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      compactEvery: Int = 0): DataFrame = {
     val spark = batch.sparkSession
+    // epoch fold preserves the inner cid partitioning (probe prunability)
+    maybeCompactArtifact(spark, listsDir, batchId, compactEvery,
+      numFiles = 4, sortCols = Seq("id"), partitionBy = Seq("cid"))
     // the micro-batch feeds the match query and the index append
     val b = batch.localCheckpoint()
     val cents = spark.read.parquet(centroidsDir)
@@ -603,11 +693,12 @@ object StreamingOps {
   def ivfPqIngest(
       vecs: DataFrame, centroidsDir: String, codebooksDir: String, codesDir: String,
       idCol: String, vecCol: String, dim: Int, m: Int, k: Int, nprobe: Int,
+      compactEvery: Int = 0,
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       onBatch(ivfPqIngestBatch(batch, batchId, centroidsDir, codebooksDir,
-        codesDir, idCol, vecCol, dim, m, k, nprobe), batchId)
+        codesDir, idCol, vecCol, dim, m, k, nprobe, compactEvery), batchId)
     }
 
   /** One [[ivfPqIngest]] micro-batch — ADC match, code append, match
@@ -616,8 +707,12 @@ object StreamingOps {
   private[graft] def ivfPqIngestBatch(
       batch: DataFrame, batchId: Long,
       centroidsDir: String, codebooksDir: String, codesDir: String,
-      idCol: String, vecCol: String, dim: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int, nprobe: Int,
+      compactEvery: Int = 0): DataFrame = {
     val spark = batch.sparkSession
+    // epoch fold preserves the inner ccell partitioning (ADC prunability)
+    maybeCompactArtifact(spark, codesDir, batchId, compactEvery,
+      numFiles = 4, sortCols = Seq("id", "sub"), partitionBy = Seq("ccell"))
     // the micro-batch feeds the ADC match query and the code append
     val b = batch.localCheckpoint()
     val cents = spark.read.parquet(centroidsDir)
@@ -666,16 +761,32 @@ object StreamingOps {
   def bm25Ingest(
       docs: DataFrame, postingsDir: String, dlDir: String,
       textCol: String, idCol: String,
+      compactEvery: Int = 0,
       onBatch: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val b = batch.localCheckpoint()
-      graft.ops.RetrievalOps.bm25Postings(b, textCol, idCol)
-        .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
-      graft.ops.RetrievalOps.docLengths(b, textCol, idCol)
-        .write.mode("overwrite").parquet(s"$dlDir/batch=$batchId")
+      bm25IngestBatch(batch, batchId, postingsDir, dlDir, textCol, idCol,
+        compactEvery)
       onBatch(batchId)
     }
+
+  /** One [[bm25Ingest]] micro-batch — postings + doc-length appends.
+    * Package-visible so the spec can drive a REPLAYED batch directly. */
+  private[graft] def bm25IngestBatch(
+      batch: DataFrame, batchId: Long, postingsDir: String, dlDir: String,
+      textCol: String, idCol: String, compactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    // sort postings on term so row-group stats prune query-term scans
+    maybeCompactArtifact(spark, postingsDir, batchId, compactEvery,
+      numFiles = 4, sortCols = Seq("term"))
+    maybeCompactArtifact(spark, dlDir, batchId, compactEvery,
+      numFiles = 4, sortCols = Seq("doc_id"))
+    val b = batch.localCheckpoint()
+    graft.ops.RetrievalOps.bm25Postings(b, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
+    graft.ops.RetrievalOps.docLengths(b, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$dlDir/batch=$batchId")
+  }
 
   /** Stream-stream INTERVAL join: pair each `right`-stream event with the
     * same-key `left`-stream events that happened at most `maxDelaySeconds`

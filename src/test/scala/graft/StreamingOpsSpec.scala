@@ -199,6 +199,124 @@ class StreamingOpsSpec extends AnyFunSuite {
       "replay must rewrite identical index content — never erase survivors")
   }
 
+  test("artifact compaction: epoch fold preserves the key multiset and is crash-idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/idx"
+    Seq("s1", "s2").toDF("wk").write.parquet(s"$dir/batch=-1")
+    Seq("a1").toDF("wk").write.parquet(s"$dir/batch=0")
+    Seq("b1", "b2").toDF("wk").write.parquet(s"$dir/batch=1")
+    def keys(): Seq[String] = spark.read.parquet(dir).select("wk")
+      .collect().map(_.getString(0)).sorted.toSeq
+    def parts(): Set[String] = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    val before = keys()
+    StreamingOps.maybeCompactArtifact(spark, dir, batchId = 2L, every = 2,
+      numFiles = 2, sortCols = Seq("wk"))
+    assert(parts() == Set("batch=-4"), s"fold must retire the source partitions: ${parts()}")
+    assert(keys() == before, "the fold only reorganizes rows")
+    // crash mid-retire: an un-deleted source partition reappears next to
+    // the committed epoch — the replay resumes the retire step
+    Seq("a1").toDF("wk").write.parquet(s"$dir/batch=0")
+    StreamingOps.maybeCompactArtifact(spark, dir, batchId = 2L, every = 2,
+      numFiles = 2, sortCols = Seq("wk"))
+    assert(parts() == Set("batch=-4") && keys() == before,
+      "replay must finish retiring without re-folding")
+    // crash mid-stage: a partial dot-dir is invisible to discovery and
+    // cleared by the next attempt (here: a later compaction at batch 4)
+    Seq("c1").toDF("wk").write.parquet(s"$dir/batch=3")
+    val tmp = new java.io.File(s"$dir/.compact_tmp_4"); tmp.mkdirs()
+    java.nio.file.Files.writeString(tmp.toPath.resolve("garbage"), "not parquet")
+    StreamingOps.maybeCompactArtifact(spark, dir, batchId = 4L, every = 2,
+      numFiles = 2, sortCols = Seq("wk"))
+    assert(parts() == Set("batch=-6"), s"second epoch folds the first + batch 3: ${parts()}")
+    assert(keys() == (before :+ "c1").sorted && !tmp.exists())
+  }
+
+  test("ingest compaction mid-stream: next batch's verdicts and appends bit-identical") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // twin runs over identical data — one compacting every 2 batches, one
+    // never — must produce identical per-batch span reports and identical
+    // final index key multisets; only the partition layout may differ
+    val batches = Seq(
+      Seq((20L, "x B1 B2 B3 y"), (21L, "N1 N2 N3 N4 N5")),
+      Seq((30L, "N1 N2 N3 N4 z1 z2")),
+      Seq((40L, "N1 N2 N3 q1 q2"), (41L, "B1 B2 B3 N4 N5 w")),
+      Seq((50L, "q1 q2 N1 N2 N3 N4")))
+    def drive(every: Int): (Seq[(Long, Seq[Seq[Any]])], Seq[String], Set[String]) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cmpstream$every").toString
+      graft.ops.DedupOps.frequentWindowIndex(
+        Seq((10L, "B1 B2 B3 c1 c2")).toDF("doc_id", "text"),
+        "text", "doc_id", l = 3, minDocs = 1)
+        .write.parquet(s"$dir/index/batch=-1")
+      val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Seq[Any]])]
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.spanIngest(
+        in.toDF().toDF("doc_id", "text"), s"$dir/index", "text", "doc_id", l = 3,
+        compactEvery = every,
+        onBatch = (report, id) => reports.synchronized {
+          reports += ((id, report.collect().map(_.toSeq).toSeq))
+        }).start()
+      try batches.foreach { rows => in.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+      val wks = spark.read.parquet(s"$dir/index").select("wk")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val parts = new java.io.File(s"$dir/index").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+      (reports.sortBy(_._1).toSeq, wks, parts)
+    }
+    val (repC, wksC, partsC) = drive(every = 2)
+    val (repN, wksN, partsN) = drive(every = 0)
+    assert(repC == repN, s"compaction changed a screen verdict:\n$repC\nvs\n$repN")
+    assert(wksC == wksN, "compaction changed the index key multiset")
+    // compaction actually compacted: batch 2 folded {-1, 0, 1}; batch 3
+    // appended nothing novel after it (no new partition for an empty
+    // append is not guaranteed — assert only on what must hold)
+    assert(partsN.size >= 5, s"uncompacted twin grows per batch: $partsN")
+    assert(partsC.contains("batch=-4") && !partsC.contains("batch=0") &&
+      !partsC.contains("batch=1") && !partsC.contains("batch=-1"),
+      s"compacted run must carry the epoch instead of the folded partitions: $partsC")
+  }
+
+  test("compacting batch replay keeps verdicts and content identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpreplay").toString
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    graft.ops.DedupOps.bandKeyIndex(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/index/batch=-1")
+    graft.ops.DedupOps.shingleHashSets(corpus, "text", "doc_id")
+      .write.parquet(s"$dir/hashsets/batch=-1")
+    // batch 1 appends a survivor; batch 2 compacts THEN screens; its
+    // replay (crash between the appends and the streaming commit) must
+    // reproduce both the verdicts and the artifact content
+    val b1 = Seq((21L, "completely novel sentence about catalyst physical planning"))
+      .toDF("doc_id", "text")
+    StreamingOps.nearDupIngestBatch(b1, 1L, s"$dir/index", s"$dir/hashsets",
+      "text", "doc_id", 3, 8, 2, 0.5, compactEvery = 2)
+    val b2 = Seq(
+      (30L, "completely novel sentence about catalyst physical planning"),
+      (31L, "another entirely fresh document about shuffle partitions"))
+      .toDF("doc_id", "text")
+    def run(): (Seq[Long], Seq[(Long, Long)]) = {
+      val (a, bl) = StreamingOps.nearDupIngestBatch(b2, 2L,
+        s"$dir/index", s"$dir/hashsets", "text", "doc_id", 3, 8, 2, 0.5,
+        compactEvery = 2)
+      (a.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+        bl.select("doc_id", "near_dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    }
+    def indexIds(): Set[Long] = spark.read.parquet(s"$dir/index")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val first = run()
+    assert(first == ((Seq(31L), Seq((30L, 21L)))),
+      s"batch 2 must block the dup of the batch-1 survivor post-compaction: $first")
+    assert(indexIds() == Set(10L, 21L, 31L))
+    assert(run() == first, "replayed compacting batch must reproduce the verdicts")
+    assert(indexIds() == Set(10L, 21L, 31L),
+      "replayed compacting batch must keep the artifact content")
+  }
+
   test("curation ingest replay keeps the stage report and key artifact identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
