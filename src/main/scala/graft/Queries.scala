@@ -1677,6 +1677,33 @@ GROUP BY segment ORDER BY segment""")),
           MultimodalOps.compressedAudioCorpus(s, Tables.documents(s, dir))),
       Some(graft.sql.MultimodalSql.compressedAudioCatalogSummary("documents"))),
 
+    ("q187_unigram_lm_train",
+      // unigram-LM (SentencePiece-style) tokenizer TRAINING — BPE's
+      // production alternative (the r11 verdict's ask): seed vocabulary
+      // from weighted substring counts, two EM rounds (E: bounded
+      // Viterbi segmentation of the word-count table under integer
+      // micro-ln costs; M: usage re-count, single-char floor, top-K
+      // prune), final (piece, cnt, cost) artifact. Oracle = the WHOLE
+      // loop unrolled into recursive CTEs (lambda-free — DuckDB 1.0's
+      // vectorized lambdas mis-bind rows, measured in UnigramLmSql)
+      (s: SparkSession, dir: String) =>
+        UnigramLmOps.unigramTrain(Tables.documents(s, dir), "text",
+          rounds = 2, maxLen = 4, seedPieces = 48, keepPieces = 32),
+      Some(graft.sql.UnigramLmSql.unigramTrain("documents",
+        rounds = 2, maxLen = 4, seedPieces = 48, keepPieces = 32))),
+
+    ("q188_unigram_fertility",
+      // q139's fertility metric under the TRAINED unigram tokenizer
+      // (train-then-measure in one query): per language, Viterbi tokens
+      // per whitespace word + chars per token in integer ppm — the
+      // tokenizer-equity comparison a curation pipeline runs per shard
+      // BEFORE fixing a token budget, now available for both trainers
+      (s: SparkSession, dir: String) =>
+        UnigramLmOps.unigramFertility(Tables.documents(s, dir), "text", "lang",
+          rounds = 2, maxLen = 4, seedPieces = 48, keepPieces = 32),
+      Some(graft.sql.UnigramLmSql.unigramFertility("documents", "lang",
+        rounds = 2, maxLen = 4, seedPieces = 48, keepPieces = 32))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats
