@@ -637,10 +637,12 @@ object DedupOps {
     * [0,ll] / {ll} / [ll+1,l]; the other suffix's exact below/at-or-
     * above-probe counts give H ≥ |u−a| + |u−c| (`a` = #other < v, `c` =
     * l − #other ≥ v), and the closed-form min of that V-sum over the u
-    * interval is this expression. Shared-syntax SQL (CASE / least /
-    * greatest / integer ±·) so the engine (`expr`) and the DuckDB
-    * mirror splice the IDENTICAL text — the filter stays equal across
-    * engines by construction. */
+    * interval is this expression. This text IS the filter's spec: the
+    * DuckDB mirror splices it verbatim; the engine evaluates the same
+    * math through the [[suffixKeep]] long kernel (spec-pinned equal to
+    * this text on randomized inputs), because the expression form
+    * inflates past codegen under pushdown inlining — see the kernel's
+    * measured justification. */
   private[graft] def suffixHammingBound(
       v: String, m: String, ll: String, l: String,
       a: String, c: String): String = {
@@ -651,6 +653,45 @@ object DedupOps {
       s"WHEN $ulo > greatest($a, $c) " +
       s"THEN 2 * $ulo - least($a, $c) - greatest($a, $c) " +
       s"ELSE greatest($a, $c) - least($a, $c) END"
+  }
+
+  /** [[suffixHammingBound]] for one direction as plain long arithmetic —
+    * the ENGINE's evaluation of the identical math (spec-pinned equal to
+    * the SQL text on randomized inputs in `DedupOpsSpec`). */
+  private def hBound(v: Long, m: Long, ll: Long, l: Long,
+      a: Long, c: Long): Long = {
+    val ulo = if (v < m) 0L else if (v == m) ll else ll + 1
+    val uhi = if (v < m) ll else if (v == m) ll else l
+    val lo = math.min(a, c); val hi = math.max(a, c)
+    if (uhi < lo) lo + hi - 2 * uhi
+    else if (ulo > hi) 2 * ulo - lo - hi
+    else hi - lo
+  }
+
+  /** The whole PPJoin+ suffix-filter KEEP predicate over one candidate
+    * pair's min-meeting facts — a single tight JVM kernel, deliberately
+    * a UDF (measured justification, the catalog's exception rule): the
+    * same predicate as a Column expression inflates to a ~5000-node
+    * tree once predicate pushdown substitutes every la/lal/h1/h2 alias
+    * (pushdown inlines regardless of alias cost), the tree lands in a
+    * join condition too large for codegen, and the interpreted
+    * per-probe evaluation took q123 from 5.4 s to 15 s at sf0.1; this
+    * kernel is one virtual call and ~40 primitive long ops per
+    * candidate. Null medians (empty suffix, i = n−1) keep the pair —
+    * the la/lb < 1 arm. */
+  private[graft] def suffixKeep(tNum: Long, tDen: Long)(
+      na: Long, nb: Long, ia: Long, ib: Long,
+      ma: java.lang.Long, mb: java.lang.Long): Boolean = {
+    val la = na - 1 - ia
+    val lb = nb - 1 - ib
+    if (la < 1 || lb < 1 || ma == null || mb == null) return true
+    val mal = ma.longValue()
+    val mbl = mb.longValue()
+    val lal = (la - 1) / 2
+    val lbl = (lb - 1) / 2
+    val h1 = hBound(mbl, mal, lal, la, lbl, la - lb + lbl)
+    val h2 = hBound(mal, mbl, lbl, lb, lal, lb - la + lal)
+    (1 + (la + lb - math.max(h1, h2)) / 2) * (tNum + tDen) >= tNum * (na + nb)
   }
 
   def jaccardJoinExact(
@@ -719,11 +760,13 @@ object DedupOps {
     // bound applies; |Sa∩Sb| ≤ (la+lb−H) div 2. Pure integer arithmetic,
     // pruned BEFORE the verify joins; the DuckDB mirror applies the
     // IDENTICAL filter over the identical capped meeting set, so
-    // equality is by construction even in the capped corner. Ties in the
-    // min-struct aggregate cannot happen — one position per element per
-    // side. MEASURED at sf0.1 (t = 1/2, w = 3): 124,973 positional
+    // equality is by construction even in the capped corner. MEASURED
+    // at sf0.1 (t = 1/2, w = 3): 124,973 positional
     // survivors → 124,457 after the suffix probe (−0.4%), identical 256
-    // final survivors (brute-force-pinned in DedupOpsSpec). The weak
+    // final survivors (brute-force-pinned in DedupOpsSpec); wall time
+    // 5.0 s steady-state vs the 6.0 s pre-filter round — the packed-key
+    // sort and the narrow median joins more than pay for the probe
+    // bookkeeping. The weak
     // prune is INHERENT to this universe, adjudicated two ways: (a) the
     // probe keys are uniform md5-derived hashes, so any two docs'
     // suffix median splits are near-identical and the count-difference
@@ -736,14 +779,26 @@ object DedupOps {
     // frequencies, length-diverse docs) both bounds bite; the filter is
     // kept because it costs one array lookup per exploded row and never
     // rides a shuffle it wasn't already on.
-    val cand = sorted
+    // The min-meeting arg-min must stay on the codegen HashAggregate
+    // path: min(struct(i, median)) forces ObjectHashAggregate (struct
+    // buffers are not mutable-buffer types; measured 6 s → 17 s on
+    // q123) and a DECIMAL(38,0) radix-packed min was worse still
+    // (measured 41 s — wide-decimal arithmetic per meeting row). So the
+    // aggregate keeps the plain BIGINT min(i) per side, and the two
+    // suffix medians are fetched AFTERWARD by joining the positional
+    // survivors (~10³× fewer rows than meetings) against the NARROW
+    // (id, i, m) prefix-row relation — three longs per row, recomputed
+    // from the pinned `sorted` relation, never the arrays.
+    val meet = sorted
       .select(col("id"), col("n"), col("__ks"),
         posexplode(slice(col("__ks"), lit(1), prefLen)))
-      .selectExpr(
-        "struct(id, n, CAST(pos AS BIGINT) AS i, " +
-          "CASE WHEN n - 1 - pos >= 1 THEN element_at(__ks, " +
-          "CAST(pos + 2 + (n - 2 - pos) div 2 AS INT)) END AS m) AS ms0",
+      .selectExpr("id", "n", "CAST(pos AS BIGINT) AS i",
+        "CASE WHEN n - 1 - pos >= 1 THEN element_at(__ks, " +
+          "CAST(pos + 2 + (n - 2 - pos) div 2 AS INT)) END AS m",
         "col AS h")
+    val mpos = meet.select(col("id"), col("i"), col("m"))
+    val cand = meet
+      .select(struct(col("id"), col("n"), col("i")).as("ms0"), col("h"))
       .groupBy("h")
       .agg(collect_list(col("ms0")).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
@@ -752,24 +807,20 @@ object DedupOps {
         greatest(col("a.n"), col("b.n")) * tNum)
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(min(struct(col("a.i"), col("a.m"))).as("sa"),
-        min(struct(col("b.i"), col("b.m"))).as("sb"))
-      .filter((lit(1) + least(col("na") - 1 - col("sa.i"),
-          col("nb") - 1 - col("sb.i"))) * lit(tNum + tDen) >=
+      .agg(min(col("a.i")).as("ia"), min(col("b.i")).as("ib"))
+      .filter((lit(1) + least(col("na") - 1 - col("ia"),
+          col("nb") - 1 - col("ib"))) * lit(tNum + tDen) >=
         lit(tNum) * (col("na") + col("nb")))
-      .withColumn("la", expr("na - 1 - sa.i"))
-      .withColumn("lb", expr("nb - 1 - sb.i"))
-      .withColumn("lal", expr("(la - 1) div 2"))
-      .withColumn("lbl", expr("(lb - 1) div 2"))
-      .withColumn("h1", expr(suffixHammingBound(
-        v = "sb.m", m = "sa.m", ll = "lal", l = "la",
-        a = "lbl", c = "la - lb + lbl")))
-      .withColumn("h2", expr(suffixHammingBound(
-        v = "sa.m", m = "sb.m", ll = "lbl", l = "lb",
-        a = "lal", c = "lb - la + lal")))
-      .filter(expr("la < 1 OR lb < 1 OR " +
-        s"(1 + (la + lb - greatest(h1, h2)) div 2) * ${tNum + tDen} " +
-        s">= $tNum * (na + nb)"))
+      // suffix medians at the min meeting (i is unique per side, so the
+      // (id, i) join row IS the arg-min row)
+      .join(mpos.select(col("id").as("doc_a"), col("i").as("ia"),
+        col("m").as("ma")), Seq("doc_a", "ia"))
+      .join(mpos.select(col("id").as("doc_b"), col("i").as("ib"),
+        col("m").as("mb")), Seq("doc_b", "ib"))
+      // one JVM kernel call per candidate — see [[suffixKeep]] for why
+      // this is deliberately NOT a Column expression
+      .filter(udf(suffixKeep(tNum, tDen) _).apply(
+        col("na"), col("nb"), col("ia"), col("ib"), col("ma"), col("mb")))
       .select(col("doc_a"), col("doc_b"))
     cand
       .join(sorted.select(col("id").as("doc_a"), col("__ks").as("__ha"),

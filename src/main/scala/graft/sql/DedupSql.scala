@@ -42,8 +42,10 @@ HAVING COUNT(*) >= 2 ORDER BY keeper_id"""
     * 1 + min(na−1−ia, nb−1−ib) cross-multiplied against
     * ⌈tNum·(na+nb)/(tNum+tDen)⌉), same PPJoin+ depth-1 SUFFIX filter
     * (per-row suffix-median keys, arg_min at the min meeting, the
-    * IDENTICAL [[graft.ops.DedupOps.suffixHammingBound]] text spliced
-    * into both engines), same integer cross-multiplied final threshold —
+    * [[graft.ops.DedupOps.suffixHammingBound]] spec text spliced here
+    * verbatim while the engine evaluates the same math through its
+    * spec-pinned long kernel), same integer cross-multiplied final
+    * threshold —
     * the algorithm itself is mirrored (not brute force), and the
     * completeness theorem makes both equal the exact answer modulo the
     * shared cap. Mirroring the filters (rather than relying on their

@@ -669,6 +669,42 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("suffixKeep kernel equals the mirrored SQL bound text on randomized inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, udf}
+    // the SQL text is the filter's SPEC (DuckDB splices it verbatim);
+    // the engine runs the long kernel — pin them equal over the real
+    // input domain (la, lb >= 1 with medians; la = 0 rows carry null)
+    val rnd = new scala.util.Random(20260816L)
+    val rows = (1 to 3000).map { _ =>
+      val na = 2L + rnd.nextInt(40)
+      val nb = 2L + rnd.nextInt(40)
+      val ia = rnd.nextInt(na.toInt - 1).toLong
+      val ib = rnd.nextInt(nb.toInt - 1).toLong
+      val ma: Option[Long] =
+        if (na - 1 - ia < 1) None else Some(rnd.nextInt(60).toLong)
+      val mb: Option[Long] =
+        if (nb - 1 - ib < 1) None else Some(rnd.nextInt(60).toLong)
+      (na, nb, ia, ib, ma, mb)
+    }
+    val (tn, td) = (1L, 2L)
+    val h1 = DedupOps.suffixHammingBound(
+      v = "mb", m = "ma", ll = "lal", l = "la", a = "lbl", c = "la - lb + lbl")
+    val h2 = DedupOps.suffixHammingBound(
+      v = "ma", m = "mb", ll = "lbl", l = "lb", a = "lal", c = "lb - la + lal")
+    val diff = rows.toDF("na", "nb", "ia", "ib", "ma", "mb")
+      .selectExpr("*", "na - 1 - ia AS la", "nb - 1 - ib AS lb")
+      .selectExpr("*", "(la - 1) div 2 AS lal", "(lb - 1) div 2 AS lbl")
+      .withColumn("sql_keep", expr("la < 1 OR lb < 1 OR " +
+        s"(1 + (la + lb - greatest($h1, $h2)) div 2) * ${tn + td} " +
+        s">= $tn * (na + nb)"))
+      .withColumn("kernel_keep", udf(DedupOps.suffixKeep(tn, td) _).apply(
+        expr("na"), expr("nb"), expr("ia"), expr("ib"), expr("ma"), expr("mb")))
+      .filter(expr("coalesce(sql_keep, true) <> kernel_keep"))
+      .count()
+    assert(diff == 0L, s"$diff rows diverge between kernel and SQL spec")
+  }
+
   test("exact jaccard join is repartition-invariant on the real corpus") {
     val a = DedupOps.jaccardJoinExact(docs, "text", "doc_id",
       w = 3, tNum = 1L, tDen = 2L).collect().toSeq
