@@ -474,4 +474,22 @@ class PlanSpec extends AnyFunSuite {
     assert(pic.count() <= nAxisDays && nAxisDays <= 13,
       s"sweep-line output ${pic.count()} must stay within the day domain $nAxisDays")
   }
+  test("exact jaccard join: pair argmin stays on the codegen hash-aggregate path") {
+    // the r12 regression class: a struct-typed (or wide-decimal) MIN in
+    // the pair aggregate silently falls back to ObjectHashAggregate /
+    // SortAggregate and tripled q123's wall time — pin that the ONLY
+    // object aggregate in the plan is the unavoidable collect_list
+    // bucket build, and that the suffix predicate runs as the tight
+    // kernel, never an inlined join condition
+    val plan = graft.ops.DedupOps.jaccardJoinExact(
+      Tables.documents(spark, sf), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val objAggs = plan.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(objAggs.forall(_.contains("collect_list")),
+      s"pair argmin left the codegen hash-aggregate path:\n${objAggs.mkString("\n")}")
+    assert(!plan.contains("SortAggregate"),
+      "pair aggregation must not degrade to SortAggregate")
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must never be all-pairs")
+  }
 }
