@@ -224,6 +224,107 @@ SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(w AS BIGINT) AS width,
   CAST(SUM(gray * w * h) AS BIGINT) AS sum_b
 FROM g GROUP BY doc_id, w, h, nf, fps ORDER BY doc_id"""
 
+  /** Mirror of [[graft.ops.MultimodalOps.videoDeltaDecodeStats]] over
+    * [[graft.ops.MultimodalOps.videoCorpusDelta]]: the engine round-trips
+    * a REAL DLT8 temporal-delta AVI (keyframe DIBs + per-channel mod-256
+    * P-frame deltas, decoded by reference-frame ACCUMULATION) and this
+    * recomputes the generator formulas in closed form — channel sums pin
+    * the accumulated rasters, motion energy pins the delta bytes
+    * themselves ((cur − prev) mod 256 per channel over non-key frames),
+    * n_key pins the chunk-id walk. Mod-256 delta coding is lossless, so
+    * decode == formula, the q95 contract. */
+  def videoDeltaDecodeStats(table: String): String =
+    s"""WITH d AS (SELECT doc_id, 4 + doc_id % 6 AS w, 4 + doc_id % 4 AS h,
+  4 + doc_id % 5 AS nf, 10 + doc_id % 3 AS fps FROM $table),
+fs AS (SELECT doc_id, w, h, nf, fps, unnest(range(0, nf)) AS f FROM d),
+xs AS (SELECT doc_id, w, h, nf, fps, f, unnest(range(0, w)) AS x FROM fs),
+ps AS (SELECT doc_id, w, h, nf, fps, f, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id, w, h, nf, fps,
+  (doc_id * 3 + f * 19 + x * 7 + y * 13) % 256 AS r,
+  (doc_id * 5 + f * 23 + x * 11 + y * 3) % 256 AS g,
+  (doc_id * 7 + f * 29 + x * 5 + y * 17) % 256 AS b,
+  CASE WHEN f % 3 <> 0 THEN
+      ((doc_id * 3 + f * 19 + x * 7 + y * 13) % 256
+        - (doc_id * 3 + (f - 1) * 19 + x * 7 + y * 13) % 256 + 256) % 256
+    + ((doc_id * 5 + f * 23 + x * 11 + y * 3) % 256
+        - (doc_id * 5 + (f - 1) * 23 + x * 11 + y * 3) % 256 + 256) % 256
+    + ((doc_id * 7 + f * 29 + x * 5 + y * 17) % 256
+        - (doc_id * 7 + (f - 1) * 29 + x * 5 + y * 17) % 256 + 256) % 256
+  ELSE 0 END AS me
+  FROM ps)
+SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+  CAST((nf + 2) // 3 AS BIGINT) AS n_key,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(fps AS BIGINT) AS fps, CAST(nf * w * h AS BIGINT) AS n_pixels,
+  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b, CAST(SUM(me) AS BIGINT) AS motion_energy
+FROM px GROUP BY doc_id, w, h, nf, fps ORDER BY doc_id"""
+
+  /** Mirror of [[graft.ops.MultimodalOps.adpcmDecodeStats]] over
+    * [[graft.ops.MultimodalOps.adpcmCorpus]]: replays the IMA ADPCM
+    * predictor recurrence — the SAME 89-entry step table, index deltas,
+    * int16/index clamps and nibble order the engine's
+    * [[graft.ops.MultimodalOps.adpcmDecodeBlock]] runs — as a recursive
+    * CTE advancing one decoded sample per iteration (the lambda-free
+    * iterative-oracle pattern of UnigramLmSql; bounded state as plain
+    * columns). The rolling checksum pins every sample VALUE and its
+    * ORDER, so a wrong table entry, swapped nibble halves, a missed
+    * clamp, or a mis-seeded block header all hash-diverge. All-integer
+    * arithmetic: both engines compute the identical recurrence
+    * exactly. */
+  def adpcmDecodeStats(table: String): String = {
+    val steps = ("[7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, " +
+      "34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, " +
+      "157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, " +
+      "598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, " +
+      "1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, " +
+      "5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, " +
+      "15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]")
+    val idxDeltas = "[-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]"
+    // within-block nibble index consumed when stepping OFF state j (< 64)
+    val nib = "((r.doc_id * 7 + r.blk * 11 + r.j * 13) % 16)"
+    val diff = s"(s.step // 8 + ($nib % 2) * (s.step // 4) " +
+      s"+ (($nib // 2) % 2) * (s.step // 2) + (($nib // 4) % 2) * s.step)"
+    // j = 64 -> next block's header sample (seed predictor emitted as-is)
+    val newPred = s"""(CASE WHEN r.j = 64
+      THEN (r.doc_id * 31 + (r.blk + 1) * 97) % 65536 - 32768
+      WHEN $nib >= 8 THEN greatest(r.pred - $diff, -32768)
+      ELSE least(r.pred + $diff, 32767) END)"""
+    s"""WITH RECURSIVE
+d AS MATERIALIZED (SELECT doc_id, 1 + doc_id % 3 AS nb FROM $table),
+steps AS MATERIALIZED (SELECT i,
+  list_extract($steps, CAST(i AS INT) + 1) AS step
+  FROM (SELECT unnest(range(0, 89)) AS i)),
+dec(doc_id, nb, blk, j, pred, idx, sum_abs, max_abs, cs) AS (
+  SELECT doc_id, nb, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+    (doc_id * 31) % 65536 - 32768,
+    doc_id % 89,
+    abs((doc_id * 31) % 65536 - 32768),
+    abs((doc_id * 31) % 65536 - 32768),
+    ((doc_id * 31) % 65536) % 2147483648
+  FROM d
+  UNION ALL
+  SELECT r.doc_id, r.nb,
+    CASE WHEN r.j < 64 THEN r.blk ELSE r.blk + 1 END,
+    CASE WHEN r.j < 64 THEN r.j + 1 ELSE CAST(0 AS BIGINT) END,
+    $newPred,
+    CASE WHEN r.j = 64 THEN (r.doc_id + (r.blk + 1) * 7) % 89
+      ELSE least(greatest(r.idx
+        + list_extract($idxDeltas, CAST($nib AS INT) + 1), 0), 88) END,
+    r.sum_abs + abs($newPred),
+    greatest(r.max_abs, abs($newPred)),
+    (r.cs * 31 + $newPred + 32768) % 2147483648
+  FROM dec r JOIN steps s ON s.i = r.idx
+  WHERE r.blk < r.nb - 1 OR r.j < 64)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_blocks,
+  CAST(nb * 65 AS BIGINT) AS n_samples,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(sum_abs AS BIGINT) AS sum_abs,
+  CAST(max_abs AS BIGINT) AS max_abs,
+  CAST(cs AS BIGINT) AS checksum
+FROM dec WHERE blk = nb - 1 AND j = 64 ORDER BY doc_id"""
+  }
+
   def modalitySummary(table: String): String =
     s"""WITH m AS (SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

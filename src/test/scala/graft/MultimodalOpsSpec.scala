@@ -544,4 +544,149 @@ class MultimodalOpsSpec extends AnyFunSuite {
     // bytes 71*4 + (7+8+9+10) mod-50 offsets = 318; header bitrate NULL
     assert(got(3) == Seq(7L, "aac", 24000L, 2L, null, 4L, 1024L, 170L, 318L, 0L, false))
   }
+
+  test("ADPCM predictor: hand-computed fixture walks the step table exactly") {
+    // initPred 0, initIdx 0 (step 7), nibbles [2, 15, 7, 8] — every value
+    // below derived by hand from the standard IMA tables:
+    //  n=2  (0010): diff = 7>>3 + 7>>1 = 3          -> pred 3,  idx 0-1 -> clamp 0
+    //  n=15 (1111): diff = 0+1+3+7 = 11, sign       -> pred -8, idx 0+8 = 8 (step 16)
+    //  n=7  (0111): diff = 2+4+8+16 = 30            -> pred 22, idx 8+8 = 16 (step 34)
+    //  n=8  (1000): diff = 34>>3 = 4, sign          -> pred 18, idx 16-1 = 15
+    assert(MultimodalOps.adpcmDecodeBlock(0, 0, Array(2, 15, 7, 8)).toSeq ==
+      Seq(0, 3, -8, 22, 18))
+    // int16 clamps both ways at the table top (idx 88, step 32767):
+    // n=7 adds 61436 -> clamp 32767; n=15 then subtracts 61436 from the
+    // CLAMPED 32767 -> -28669, inside range, NO clamp (the clamp feeds
+    // back into the predictor state — the decoder must not track the
+    // unclamped value)
+    assert(MultimodalOps.adpcmDecodeBlock(32760, 88, Array(7, 15)).toSeq ==
+      Seq(32760, 32767, -28669))
+    // the negative clamp, from a predictor already near the floor
+    assert(MultimodalOps.adpcmDecodeBlock(-32760, 88, Array(15)).toSeq ==
+      Seq(-32760, -32768))
+    // index floor: n=0 at idx 0 stays 0 (step stays 7), n=4 then adds 7
+    assert(MultimodalOps.adpcmDecodeBlock(5, 0, Array(0, 4)).toSeq == Seq(5, 5, 12))
+    intercept[IllegalArgumentException](MultimodalOps.adpcmDecodeBlock(5, 89, Array(0)))
+  }
+
+  test("ADPCM WAV round trip: container parse + predictor equal the formula blocks") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 123L, 4999L)) {
+      val wav = MultimodalOps.synthAdpcmWav(id)
+      // a real RIFF/WAVE file declaring format 0x11
+      assert(wav(0) == 'R' && wav(8) == 'W' && wav(20) == 0x11 && wav(21) == 0)
+      val (rate, nb, samples) = MultimodalOps.decodeImaAdpcmWav(wav).get
+      assert(rate == 8000L && nb == (1 + id % 3).toInt)
+      assert(samples.length == nb * MultimodalOps.AdpcmSamplesPerBlock)
+      val want = (0 until nb).flatMap { blk =>
+        MultimodalOps.adpcmDecodeBlock(
+          MultimodalOps.adpcmInitPred(id, blk),
+          MultimodalOps.adpcmInitIdx(id, blk),
+          Array.tabulate(64)(j => MultimodalOps.adpcmNibble(id, blk, j)))
+      }
+      assert(samples.toSeq == want, s"doc $id decode diverged from formula")
+    }
+  }
+
+  test("ADPCM decode: None on non-ADPCM bytes, loud on an inconsistent container") {
+    assert(MultimodalOps.decodeImaAdpcmWav("not a wav".getBytes("UTF-8")).isEmpty)
+    // a lossless PCM WAV (format 1) is NOT ours: dispatch contract
+    assert(MultimodalOps.decodeImaAdpcmWav(
+      MultimodalOps.encodeWav(MultimodalOps.synthSamples(3L))).isEmpty)
+    // a lying fact chunk must fail loudly, never ship a partial decode
+    val wav = MultimodalOps.synthAdpcmWav(5L)
+    val badFact = wav.clone(); badFact(48) = (badFact(48) ^ 1).toByte
+    val e = intercept[IllegalArgumentException](
+      MultimodalOps.decodeImaAdpcmWav(badFact))
+    assert(e.getMessage.contains("fact"))
+    // truncated data section: not a whole number of blocks
+    val trunc = java.util.Arrays.copyOf(wav, wav.length - 1)
+    // fix the RIFF + data sizes so the truncation is INTERNAL, not framing
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(trunc, 4, trunc.length - 8)
+    putLe32(trunc, 56, trunc.length - 60) // data chunk size (header at 52)
+    intercept[IllegalArgumentException](MultimodalOps.decodeImaAdpcmWav(trunc))
+  }
+
+  test("adpcmDecodeStats matches a local recomputation through the corpus") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 2L, 3L, 10L, 47L).toDF("doc_id")
+    val got = MultimodalOps.adpcmDecodeStats(MultimodalOps.adpcmCorpus(spark, docs))
+      .orderBy("doc_id").collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val nb = (1 + id % 3).toInt
+      val samples = (0 until nb).flatMap { blk =>
+        MultimodalOps.adpcmDecodeBlock(
+          MultimodalOps.adpcmInitPred(id, blk),
+          MultimodalOps.adpcmInitIdx(id, blk),
+          Array.tabulate(64)(j => MultimodalOps.adpcmNibble(id, blk, j)))
+      }
+      var cs = 0L
+      samples.foreach(v => cs = (cs * 31 + v + 32768L) & 0x7fffffffL)
+      assert(r.getLong(1) == nb && r.getLong(2) == samples.length)
+      assert(r.getLong(3) == 8000L)
+      assert(r.getLong(4) == samples.map(v => math.abs(v.toLong)).sum)
+      assert(r.getLong(5) == samples.map(v => math.abs(v.toLong)).max)
+      assert(r.getLong(6) == cs)
+    }
+  }
+
+  test("DLT8 round trip: accumulating decode reproduces every generated frame") {
+    for (id <- Seq(0L, 1L, 4L, 7L, 123L, 4999L)) {
+      val v = MultimodalOps.synthVideoDelta(id)
+      val avi = MultimodalOps.encodeAviDelta(v.width, v.height, v.fps, v.frames.toSeq)
+      val (dec, keys) = MultimodalOps.decodeAviKeyed(avi).get
+      assert(dec.width == v.width && dec.height == v.height && dec.fps == v.fps)
+      assert(dec.frames.length == v.frames.length)
+      // keyframes exactly every 3rd chunk (the 00db/00dc walk, not the meta)
+      assert(keys.toSeq == v.frames.indices.map(_ % MultimodalOps.DeltaKeyInt == 0))
+      v.frames.indices.foreach { f =>
+        assert(dec.frames(f).toSeq == v.frames(f).toSeq,
+          s"doc $id frame $f diverged (accumulation broken)")
+      }
+      // at least one genuine P-frame in every synthetic clip
+      assert(keys.exists(!_))
+    }
+  }
+
+  test("DLT8 decode: first chunk must be a keyframe; other codecs keep all-true flags") {
+    val v = MultimodalOps.synthVideoDelta(2L)
+    val avi = MultimodalOps.encodeAviDelta(v.width, v.height, v.fps, v.frames.toSeq)
+    // flip the first frame chunk id 00db -> 00dc: a stream opening on a
+    // P-frame has nothing to reference and must be rejected, not guessed
+    val pat = "00db".getBytes("US-ASCII")
+    val idx = avi.indices.find(i => i + 4 <= avi.length &&
+      avi(i) == pat(0) && avi(i + 1) == pat(1) && avi(i + 2) == pat(2) &&
+      avi(i + 3) == pat(3)).get
+    val bad = avi.clone(); bad(idx + 3) = 'c'
+    assert(MultimodalOps.decodeAviKeyed(bad).isEmpty)
+    // the raw and MJPEG paths report every frame independent (all-true)
+    val raw = MultimodalOps.synthVideo(3L)
+    val (_, rawKeys) = MultimodalOps.decodeAviKeyed(
+      MultimodalOps.encodeAvi(raw.width, raw.height, raw.fps, raw.frames.toSeq)).get
+    assert(rawKeys.forall(identity))
+    val gray = MultimodalOps.synthVideoGray(3L)
+    val (_, mjKeys) = MultimodalOps.decodeAviKeyed(
+      MultimodalOps.encodeAviMjpeg(gray.width, gray.height, gray.fps, gray.frames.toSeq)).get
+    assert(mjKeys.forall(identity))
+  }
+
+  test("videoDeltaDecodeStats: hand-computed motion energy, wrap included") {
+    import spark.implicits._
+    // 1x1 @ 10 fps, 2 frames: f0 = RGB(1,2,3) keyframe, f1 = RGB(3,2,1)
+    // P-frame -> deltas r: 2, g: 0, b: (1-3) mod 256 = 254 -> me = 256
+    val media = Seq(graft.ops.MultimodalOps.MediaRow(1L, "video",
+      MultimodalOps.encodeAviDelta(1, 1, 10, Seq(Array(0x010203), Array(0x030201))),
+      graft.ops.MultimodalOps.MediaMeta("avi-dlt8", 1, 1, 200L)))
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[graft.ops.MultimodalOps.MediaRow])
+    val r = MultimodalOps.videoDeltaDecodeStats(ds).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)  // n_frames, n_key
+    assert(r.getLong(7) == 4L && r.getLong(8) == 4L && r.getLong(9) == 4L)
+    assert(r.getLong(10) == 256L, s"motion energy ${r.getLong(10)}")
+  }
 }
