@@ -200,6 +200,17 @@ object UnigramLmOps {
       trainedVocab(docs, textCol, rounds, maxLen, seedPieces, keepPieces)
         .select("piece", "cost_micro").collect()
         .map(row => row.getString(0) -> row.getLong(1)).toMap
+    fertilityUnder(cm, docs, textCol, groupCol, maxLen)
+  }
+
+  /** The shared fertility aggregate under a FROZEN cost map — the
+    * map-only inference pass both the train-inline path
+    * ([[unigramFertility]]) and the persisted-artifact path
+    * ([[unigramFertilityFromVocab]]) run, so the two are bit-equal by
+    * construction (spec-pinned). */
+  private def fertilityUnder(
+      cm: Map[String, Long], docs: DataFrame, textCol: String,
+      groupCol: String, maxLen: Int): DataFrame = {
     val mx = maxLen
     val stats = udf((text: String) => {
       val words = text.trim.split(" +").filter(_.nonEmpty)
@@ -223,5 +234,69 @@ object UnigramLmOps {
         when(col("n_unigram_tokens") > 0,
           expr("n_chars * 1000000 div n_unigram_tokens")).as("chars_per_token_ppm"))
       .orderBy(col(groupCol))
+  }
+
+  // ---- The PERSISTED vocabulary artifact (the r12 verdict's ask) --------
+  // A unigram tokenizer SHIPS its (piece, cnt, cost_micro) table — the
+  // BPE merge-table analogue — and production inference reads the frozen
+  // artifact, never re-trains. These entry points give the trainer the
+  // same build-once/score-many story as the band-key index (q97) and the
+  // BM25 postings (q105): write the trained vocabulary once, score any
+  // later shard under it.
+
+  /** Persist a trained vocabulary — (piece, cnt, cost_micro), bounded by
+    * `keepPieces` + alphabet, so one file is the right layout (a
+    * vocabulary is metadata-sized at any corpus scale). */
+  def writeVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select(col("piece"), col("cnt"), col("cost_micro"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted vocabulary artifact. */
+  def readVocab(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("piece"), col("cnt"), col("cost_micro"))
+
+  private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, (String, String)), String]
+
+  /** Train-and-persist ONCE per (session, corpus content, sourceKey) —
+    * the [[GraphOps.symmetricEdgesShared]] artifact-memo contract, but
+    * the memoized value is an ON-DISK path, not a cached relation: the
+    * first caller trains and writes the parquet artifact, later callers
+    * get the path and READ the frozen file (the production inference
+    * shape — the artifact outlives any session cache). The key folds in
+    * [[MemoFingerprint]] of the corpus relation, so a reused sourceKey
+    * over changed data re-trains instead of serving a stale
+    * vocabulary. */
+  def vocabArtifactShared(
+      spark: org.apache.spark.sql.SparkSession, sourceKey: String,
+      corpus: DataFrame)(train: => DataFrame): String = {
+    vocabMemo.forEach { (key, _) =>
+      if (key._1.sparkContext.isStopped) vocabMemo.remove(key)
+    }
+    val key = (spark, (MemoFingerprint.of(corpus), sourceKey))
+    vocabMemo.computeIfAbsent(key, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-unigram-vocab")
+        .resolve("vocab.parquet").toString
+      writeVocab(train, path)
+      path
+    })
+  }
+
+  /** Fertility of a shard under a FROZEN persisted vocabulary — the
+    * delta-scoring entry point (the q97/q184 persisted-screen shape):
+    * the vocabulary relation (bounded — keepPieces + alphabet) is
+    * collected into the closure cost map and the shard is scored
+    * map-only; the corpus that trained the artifact is never re-read.
+    * Bit-equal to the train-inline path on the same vocabulary by
+    * construction (shared [[fertilityUnder]] kernel; spec-pinned through
+    * the write→read round trip). */
+  def unigramFertilityFromVocab(
+      docs: DataFrame, textCol: String, groupCol: String,
+      vocab: DataFrame, maxLen: Int): DataFrame = {
+    val cm: Map[String, Long] = vocab
+      .select("piece", "cost_micro").collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    fertilityUnder(cm, docs, textCol, groupCol, maxLen)
   }
 }

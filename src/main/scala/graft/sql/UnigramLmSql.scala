@@ -42,7 +42,8 @@ object UnigramLmSql {
     * where d1 = dp[i] (min cost of the length-i prefix) and d2..dM are
     * the previous dp values the next step's ≤maxLen-piece lookback
     * needs. */
-  private def fwdCte(name: String, costs: String, maxLen: Int): String = {
+  private def fwdCte(name: String, costs: String, maxLen: Int,
+      src: String = "wcnt"): String = {
     val dcols = (1 to maxLen).map(k => s"d$k").mkString(", ")
     val init = s"CAST(0 AS BIGINT)" +: Seq.fill(maxLen - 1)("CAST(NULL AS BIGINT)")
     val joins = (1 to maxLen).map { k =>
@@ -54,7 +55,7 @@ object UnigramLmSql {
     val terms = (1 to maxLen).map(k => s"f.d$k + cc$k.cost").mkString(", ")
     val shift = (1 until maxLen).map(k => s"f.d$k").mkString(", ")
     s"""$name(word, wc, i, $dcols) AS (
-  SELECT word, wc, 0, ${init.mkString(", ")} FROM wcnt
+  SELECT word, wc, 0, ${init.mkString(", ")} FROM $src
   UNION ALL
   SELECT f.word, f.wc, f.i + 1, least($terms), $shift
   FROM $name f
@@ -67,7 +68,8 @@ object UnigramLmSql {
     * equation (NULL conditions — absent piece or short prefix — skip
     * their CASE arm). */
   private def bwdCte(
-      name: String, dpr: String, costs: String, maxLen: Int): String = {
+      name: String, dpr: String, costs: String, maxLen: Int,
+      src: String = "wcnt"): String = {
     val joins = Seq(s"JOIN $dpr dc ON dc.word = b.word AND dc.i = b.pos") ++
       (1 to maxLen).flatMap { k =>
         val guard = if (k == 1) "" else s"b.pos >= $k AND "
@@ -79,7 +81,7 @@ object UnigramLmSql {
     val kk = "(CASE " + (maxLen to 1 by -1).map(k =>
       s"WHEN pd$k.d + kc$k.cost = dc.d THEN $k").mkString(" ") + " END)"
     s"""$name(word, wc, pos, piece) AS (
-  SELECT word, wc, length(word), CAST(NULL AS VARCHAR) FROM wcnt
+  SELECT word, wc, length(word), CAST(NULL AS VARCHAR) FROM $src
   UNION ALL
   SELECT b.word, b.wc, b.pos - $kk, substr(b.word, CAST(b.pos - $kk + 1 AS INT), CAST($kk AS INT))
   FROM $name b
@@ -91,10 +93,11 @@ object UnigramLmSql {
     * `v<rounds>` and cost table `c<rounds>`. */
   private def trainCtes(
       table: String, rounds: Int, maxLen: Int,
-      seedPieces: Int, keepPieces: Int): String = {
+      seedPieces: Int, keepPieces: Int, corpusPred: String = "TRUE"): String = {
     val m = "AS MATERIALIZED"
     val head = Seq(
-      s"w0 $m (SELECT unnest($toks) AS word FROM $table WHERE text IS NOT NULL)",
+      s"w0 $m (SELECT unnest($toks) AS word FROM $table" +
+        s" WHERE text IS NOT NULL AND ($corpusPred))",
       s"wcnt $m (SELECT word, COUNT(*) AS wc FROM w0 GROUP BY word)",
       s"lw $m (SELECT word, wc, unnest(range(1, $maxLen + 1)) AS l FROM wcnt)",
       s"iw $m (SELECT word, wc, l, unnest(range(1, length(word) - l + 2)) AS i" +
@@ -136,12 +139,38 @@ ORDER BY cnt DESC, piece ASC"""
   def unigramFertility(
       table: String, groupCol: String, rounds: Int, maxLen: Int,
       seedPieces: Int, keepPieces: Int): String =
-    trainCtes(table, rounds, maxLen, seedPieces, keepPieces) + s""",
-${fwdCte("fwdF", s"c$rounds", maxLen)},
+    fertilitySql(table, groupCol, rounds, maxLen, seedPieces, keepPieces,
+      corpusPred = "TRUE", shardPred = "TRUE")
+
+  /** Mirror of the PERSISTED-VOCAB delta path
+    * ([[graft.ops.UnigramLmOps.unigramFertilityFromVocab]] over
+    * [[graft.ops.UnigramLmOps.vocabArtifactShared]]): the vocabulary
+    * trains on the `corpusPred` rows only and the fertility pass scores
+    * the `shardPred` rows only. The persist/read round trip has no SQL
+    * footprint — a lossless parquet write of the bounded vocabulary —
+    * so the mirror IS the train-on-corpus / score-shard composition
+    * (bit-equality of the artifact path is spec-pinned engine-side). */
+  def unigramFertilityDelta(
+      table: String, groupCol: String, rounds: Int, maxLen: Int,
+      seedPieces: Int, keepPieces: Int,
+      corpusPred: String, shardPred: String): String =
+    fertilitySql(table, groupCol, rounds, maxLen, seedPieces, keepPieces,
+      corpusPred, shardPred)
+
+  private def fertilitySql(
+      table: String, groupCol: String, rounds: Int, maxLen: Int,
+      seedPieces: Int, keepPieces: Int,
+      corpusPred: String, shardPred: String): String =
+    trainCtes(table, rounds, maxLen, seedPieces, keepPieces, corpusPred) + s""",
+wcntS AS MATERIALIZED (SELECT word, COUNT(*) AS wc FROM
+  (SELECT unnest($toks) AS word FROM $table
+   WHERE text IS NOT NULL AND ($shardPred)) GROUP BY word),
+${fwdCte("fwdF", s"c$rounds", maxLen, src = "wcntS")},
 dprF AS MATERIALIZED (SELECT word, i, d1 AS d FROM fwdF),
-${bwdCte("bwdF", "dprF", s"c$rounds", maxLen)},
+${bwdCte("bwdF", "dprF", s"c$rounds", maxLen, src = "wcntS")},
 wtok AS MATERIALIZED (SELECT word, COUNT(piece) AS nt FROM bwdF GROUP BY word),
-d AS MATERIALIZED (SELECT $groupCol, doc_id, $toks AS tk FROM $table WHERE text IS NOT NULL),
+d AS MATERIALIZED (SELECT $groupCol, doc_id, $toks AS tk FROM $table
+  WHERE text IS NOT NULL AND ($shardPred)),
 w1 AS (SELECT doc_id, unnest(tk) AS word FROM d),
 enc AS (SELECT doc_id, length(word) AS nc, wt.nt AS nt FROM w1 JOIN wtok wt USING (word)),
 pd AS (SELECT doc_id, COUNT(*) AS nw, SUM(nc) AS nc, SUM(nt) AS nt FROM enc GROUP BY 1),

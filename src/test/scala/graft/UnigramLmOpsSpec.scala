@@ -77,4 +77,51 @@ class UnigramLmOpsSpec extends AnyFunSuite {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(UnigramLmOps.unigramTrain(docs, "text", 2, 4, 6, 4).count() == 0L)
   }
+
+  test("persisted vocabulary: write -> read -> score is bit-equal to the inline path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g", Some("abab baba abc")), (2L, "g", Some("abab abc abc cab")),
+      (3L, "h", Some("baba cab abab")), (4L, "h", None),
+      (5L, "h", Some("ab ba abab")))
+      .toDF("doc_id", "grp", "text")
+    val inline = UnigramLmOps.unigramFertility(docs, "text", "grp",
+      rounds = 2, maxLen = 4, seedPieces = 6, keepPieces = 4)
+      .collect().map(_.toSeq).toSeq
+    // the artifact path: persist the trained vocabulary, read the frozen
+    // parquet back, score under it — must be bit-equal to train-inline
+    val vocab = UnigramLmOps.trainedVocab(docs, "text",
+      rounds = 2, maxLen = 4, seedPieces = 6, keepPieces = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_uvocab")
+      .resolve("vocab.parquet").toString
+    UnigramLmOps.writeVocab(vocab, path)
+    val viaDisk = UnigramLmOps.unigramFertilityFromVocab(docs, "text", "grp",
+      UnigramLmOps.readVocab(spark, path), maxLen = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(viaDisk == inline, s"persisted-vocab path diverged:\n$viaDisk\nvs\n$inline")
+    // the artifact carries exactly the trained (piece, cnt, cost) rows
+    val want = vocab.collect().map(_.toSeq).toSet
+    val got = UnigramLmOps.readVocab(spark, path).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("vocabArtifactShared trains once per (corpus, key) and re-keys on content") {
+    import spark.implicits._
+    val a = Seq((1L, "abab ab")).toDF("doc_id", "text").localCheckpoint()
+    val b = Seq((1L, "xyxy xy")).toDF("doc_id", "text").localCheckpoint()
+    var trainings = 0
+    def train(src: org.apache.spark.sql.DataFrame) = {
+      trainings += 1
+      UnigramLmOps.trainedVocab(src, "text", 1, 3, 4, 4)
+    }
+    val p1 = UnigramLmOps.vocabArtifactShared(spark, "spec#k1", a)(train(a))
+    val p2 = UnigramLmOps.vocabArtifactShared(spark, "spec#k1", a)(train(a))
+    assert(p1 == p2 && trainings == 1, "same corpus + key must reuse the artifact")
+    // a different corpus under the SAME sourceKey must re-train (the
+    // MemoFingerprint staleness guarantee), as must a different key
+    val p3 = UnigramLmOps.vocabArtifactShared(spark, "spec#k1", b)(train(b))
+    assert(p3 != p1 && trainings == 2)
+    val p4 = UnigramLmOps.vocabArtifactShared(spark, "spec#k2", a)(train(a))
+    assert(p4 != p1 && trainings == 3)
+  }
 }
