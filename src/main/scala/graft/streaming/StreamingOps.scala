@@ -328,8 +328,8 @@ object StreamingOps {
     if (!fs.exists(base)) return
     val epoch = compactEpochId(batchId)
     val epochPath = new org.apache.hadoop.fs.Path(base, s"batch=$epoch")
+    val tmp = new org.apache.hadoop.fs.Path(base, s".compact_tmp_$batchId")
     if (!fs.exists(epochPath)) {
-      val tmp = new org.apache.hadoop.fs.Path(base, s".compact_tmp_$batchId")
       if (fs.exists(tmp)) fs.delete(tmp, true) // crashed mid-stage: rebuild
       graft.io.Sinks.compactBatches(
         spark.read.parquet(dir).filter(col("batch") =!= batchId),
@@ -337,14 +337,24 @@ object StreamingOps {
       val staged = new org.apache.hadoop.fs.Path(tmp, s"batch=$epoch")
       require(fs.rename(staged, epochPath),
         s"compaction commit rename failed: $staged -> $epochPath")
-      fs.delete(tmp, true)
     }
+    // Delete the staging dir UNCONDITIONALLY (r12 ADVICE): a crash after
+    // the rename-commit — or a replay taking the epoch-exists skip branch
+    // above — would otherwise leave the dot-prefixed temp on disk forever
+    // (invisible to partition discovery, but garbage per crashed
+    // compaction).
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     // retire the folded partitions; idempotent on replay (see above)
     fs.listStatus(base).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("batch=")) {
-        val id = name.substring("batch=".length).toLong
-        if (id != epoch && id != batchId) fs.delete(st.getPath, true)
+        // a non-numeric partition name (a hive null partition, a stray
+        // dir) is not ours to retire: skip it rather than failing the
+        // whole stream on a bare NumberFormatException (r12 ADVICE)
+        scala.util.Try(name.substring("batch=".length).toLong).toOption
+          .foreach { id =>
+            if (id != epoch && id != batchId) fs.delete(st.getPath, true)
+          }
       }
     }
   }

@@ -230,6 +230,27 @@ class StreamingOpsSpec extends AnyFunSuite {
       numFiles = 2, sortCols = Seq("wk"))
     assert(parts() == Set("batch=-6"), s"second epoch folds the first + batch 3: ${parts()}")
     assert(keys() == (before :+ "c1").sorted && !tmp.exists())
+    // r13 (r12 ADVICE): a crash AFTER the rename-commit leaves the
+    // staging dir behind and the replay takes the epoch-exists skip
+    // branch — the tmp must still be deleted there, not accumulate as
+    // permanent invisible garbage
+    val tmpAfterCommit = new java.io.File(s"$dir/.compact_tmp_4")
+    tmpAfterCommit.mkdirs()
+    StreamingOps.maybeCompactArtifact(spark, dir, batchId = 4L, every = 2,
+      numFiles = 2, sortCols = Seq("wk"))
+    assert(!tmpAfterCommit.exists(),
+      "skip branch must clear the post-commit staging leftover")
+    // r13 (r12 ADVICE): a partition dir whose name is not a batch id
+    // (hive null partition, stray dir) is not ours to retire — the
+    // retire loop must skip it instead of failing the stream on a
+    // NumberFormatException
+    val stray = new java.io.File(s"$dir/batch=__HIVE_DEFAULT_PARTITION__")
+    stray.mkdirs()
+    StreamingOps.maybeCompactArtifact(spark, dir, batchId = 4L, every = 2,
+      numFiles = 2, sortCols = Seq("wk"))
+    assert(stray.exists(), "unparseable partition names survive untouched")
+    assert(parts() == Set("batch=-6", "batch=__HIVE_DEFAULT_PARTITION__"))
+    assert(keys() == (before :+ "c1").sorted)
   }
 
   test("ingest compaction mid-stream: next batch's verdicts and appends bit-identical") {
