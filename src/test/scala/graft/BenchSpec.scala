@@ -59,6 +59,27 @@ class BenchSpec extends AnyFunSuite {
     assert(stale.exists(s => s.contains("q_gone") && s.contains("absent")))
   }
 
+  test("workload registry entries pin the COMMITTED summary — a stale entry fails the build") {
+    // the r12 verdict's #3 ask made self-limiting: q185/q186 entries
+    // lingered after their round with pins the committed summary had
+    // moved past, surfacing only as driver-run artifact noise. This
+    // gate runs every `sbt test`: each registry entry's pinned prev must
+    // match the committed BENCH_SUMMARY.json exactly, so an entry left
+    // behind after its round breaks the NEXT round's build instead of
+    // surviving as a stale waiver. (An empty registry passes vacuously —
+    // the steady state between deliberate workload changes.)
+    val f = new java.io.File("BENCH_SUMMARY.json")
+    assert(f.exists, "committed BENCH_SUMMARY.json missing from the repo root")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val prev = Bench.parseNumObject(txt, "queries")
+    assert(prev.nonEmpty, "committed summary carries no queries block")
+    val (_, stale) = Bench.workloadChangeStatus(Bench.workloadRegistry, prev)
+    assert(stale.isEmpty,
+      s"registry entries stale against the committed summary (delete them " +
+        s"when the round's final bench artifact is committed):\n  ${stale.mkString("\n  ")}")
+  }
+
   test("coldStartRegressed flags only past-threshold drifts with a positive prev") {
     val prev = Map("a" -> 2.0, "b" -> 2.0, "c" -> -1.0)
     val cur = Seq("a" -> 3.0, "b" -> 2.2, "c" -> 9.0, "d" -> 9.0)
