@@ -474,6 +474,36 @@ class PlanSpec extends AnyFunSuite {
     assert(pic.count() <= nAxisDays && nAxisDays <= 13,
       s"sweep-line output ${pic.count()} must stay within the day domain $nAxisDays")
   }
+  test("unigram-lm: training collapses the corpus once; fertility is one scan, no explode") {
+    // the r12 verdict's #8 ask — the insurance that caught the q123
+    // aggregate fallback, applied to the q187/q188 hot path: the trainer
+    // must collapse the corpus ONCE into the bounded (word, count)
+    // checkpoint (every EM round re-reads that checkpoint, never the
+    // corpus parquet), and the fertility pass must stay one scalar-UDF
+    // corpus scan feeding a codegen hash aggregate — never a per-token
+    // Generate fan-out, never an object/sort aggregate
+    val docs = Tables.documents(spark, sf)
+    val trained = graft.ops.UnigramLmOps.unigramTrain(docs, "text",
+      rounds = 1, maxLen = 3, seedPieces = 12, keepPieces = 8)
+    val trainScans = trained.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(trainScans == 0,
+      s"trainer's returned relation re-reads the corpus parquet ($trainScans scans) — " +
+        "the word-count collapse regressed")
+    val fert = graft.ops.UnigramLmOps.unigramFertility(docs, "text", "lang",
+      rounds = 1, maxLen = 3, seedPieces = 12, keepPieces = 8)
+    val fertScans = fert.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(fertScans == 1, s"fertility must scan the corpus exactly once, got $fertScans")
+    val plan = fert.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"fertility regressed to a per-token explode:\n${plan.take(800)}")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"fertility aggregate left the codegen hash path:\n${plan.take(800)}")
+  }
+
   test("exact jaccard join: pair argmin stays on the codegen hash-aggregate path") {
     // the r12 regression class: a struct-typed (or wide-decimal) MIN in
     // the pair aggregate silently falls back to ObjectHashAggregate /
