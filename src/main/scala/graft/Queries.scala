@@ -1788,6 +1788,35 @@ GROUP BY segment ORDER BY segment""")),
       Some(graft.sql.DedupSql.jaccardJoinExact("documents",
         w = 3, tNum = 1L, tDen = 2L, maxBucket = 2))),
 
+    ("q193_wordpiece_pair_scores",
+      // WordPiece training's round-1 candidate table (the q102
+      // convention): adjacent symbol pairs over the ##-continuation
+      // round-0 symbolization, scored by BERT's likelihood rule as
+      // integer micro-likelihood pair_count·10^12 div (left·right) and
+      // totally ordered under the training loop's exact selection order
+      // — the rule that makes q+u beat the raw-count winner th
+      (s: SparkSession, dir: String) =>
+        graft.ops.WordPieceOps.wordpiecePairScores(
+          Tables.documents(s, dir), "text", n = 40),
+      Some(graft.sql.WordPieceSql.wordpiecePairScores("documents", n = 40))),
+
+    ("q194_wordpiece_fertility",
+      // tokenizer fertility per language under the TRAINED WordPiece
+      // merge table (train-then-measure, the q188 shape) — and unlike
+      // BPE's q139 (fixed literal merges; single-statement SQL was held
+      // unable to express the data-dependent loop), the oracle here
+      // unrolls the WHOLE training loop: per round, the two
+      // vocabulary-bounded count aggregates, the integer-scored argmax,
+      // and the greedy non-overlapping rewrite as a LAMBDA-FREE
+      // recursive position-walk CTE (the DuckDB lambda mis-binding
+      // finding), so the learned merge sequence itself is
+      // cross-engine-checked, not just the encode
+      (s: SparkSession, dir: String) =>
+        graft.ops.WordPieceOps.wordpieceFertility(
+          Tables.documents(s, dir), "text", "lang", rounds = 6),
+      Some(graft.sql.WordPieceSql.wordpieceFertility("documents", "lang",
+        rounds = 6))),
+
     ("q94_audio_decode_stats",
       // REAL audio decode: one actual WAV per doc (deterministic PCM),
       // decoded back with JDK AudioSystem; sample/rate/amplitude stats
