@@ -181,7 +181,13 @@ object DedupOps {
     val side = minhashSignatures(sampled, textCol, idCol, w, nBands * r)
       .join(shingleHashSets(sampled, textCol, idCol, w), "id")
       .localCheckpoint()
-    val a = side.select(col("id").as("ia"), col("m").as("ma"), col("hs").as("ha"))
+    // re-spread the STREAMED side (the [[jaccardBruteForce]] trick, r13):
+    // the top-N checkpoint lands in one partition, so without this the
+    // whole n²/2 S-curve kernel (array_intersect + per-band slice
+    // equality per pair) ran on ONE task — JobProfile showed a single
+    // ~2 s job; repartitioned, the pair evaluations parallelize
+    val a = side.repartition(col("id"))
+      .select(col("id").as("ia"), col("m").as("ma"), col("hs").as("ha"))
     val b = side.select(col("id").as("ib"), col("m").as("mb"), col("hs").as("hb"))
     val theory = sCurveTheoryPpm(nBands, r, nBuckets)
     a.crossJoin(b).filter(col("ia") < col("ib"))

@@ -1736,7 +1736,11 @@ object SimilarityOps {
     val side = DedupOps.shingleHashSets(samp, textCol, idCol, w)
       .join(emb.select(col(vecIdCol).as("id"), col(vecCol).as("v")), "id")
       .localCheckpoint()
-    val a = side.select(col("id").as("ia"), col("hs").as("ha"), col("v").as("va"))
+    // re-spread the streamed side ([[graft.ops.DedupOps.jaccardBruteForce]]'s
+    // trick, r13): the sample checkpoint is one partition, so the n²/2
+    // jaccard+cosine kernel otherwise runs on a single task
+    val a = side.repartition(col("id"))
+      .select(col("id").as("ia"), col("hs").as("ha"), col("v").as("va"))
     val b = side.select(col("id").as("ib"), col("hs").as("hb"), col("v").as("vb"))
     val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
       .select(
